@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet catalog over a scale-factor directory (TESTDATA.md layout).
+  * Plain `spark.read.parquet` → vectorized columnar scan with predicate
+  * pushdown + column pruning; at cluster scale the same call splits into
+  * `maxPartitionBytes`-sized tasks across executors. */
+object Tables {
+  val all = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  /** `events.ts` is nanosecond-precision parquet, which Spark cannot read
+    * natively — sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
+    * this loader converts the raw nanos to a µs `TimestampType` column
+    * (truncation, matching DuckDB's CAST(ts_ns AS TIMESTAMP)). Raw nanos kept
+    * as `ts_ns`. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast(LongType)))
+      case _ => raw // already a timestamp (pre-normalized input)
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface mirroring the reference's free functions
+  * (`pyarrow_ops/ops.py`), re-expressed declaratively so Catalyst can push
+  * filters into the parquet scan and prune columns.
+  *
+  * Reference semantics (see SURVEY.md §2.2):
+  *  - `filters` = conjunctive tuple predicates (`ops.py:34-42`). We compile
+  *    the tuple DSL to `Column` expressions and let `CombineFilters` +
+  *    `PushDownPredicate` fuse them into the scan — the reference's
+  *    "cascading index" evaluation falls out of codegen short-circuiting.
+  *  - Null handling follows SQL three-valued logic, NOT the reference's
+  *    numpy-NaN quirks (`!=`/`not in` keeping nulls) — documented divergence.
+  *  - `drop_duplicates` (`ops.py:45-59`): the reference's keep='first' is
+  *    actually nondeterministic (unstable argsort); here 'any' maps to
+  *    Spark's `dropDuplicates` (one hash-agg shuffle), and deterministic
+  *    first/last/drop are defined against an explicit ordering.
+  */
+object Ops {
+
+  /** Compile one (column, op, value) predicate to a Column.
+    * Ops: `=`/`==`, `!=`, `<`, `>`, `<=`, `>=`, `in`, `not in`
+    * (reference kernel `ops.py:6-32`). */
+  def predicate(col: String, op: String, value: Any): Column = {
+    val c = org.apache.spark.sql.functions.col(col)
+    def values: Seq[Any] = value match {
+      case s: Seq[_]   => s
+      case a: Array[_] => a.toSeq
+      case other       => Seq(other)
+    }
+    op match {
+      case "=" | "==" => c === lit(value)
+      case "!="       => c =!= lit(value)
+      case "<"        => c < lit(value)
+      case ">"        => c > lit(value)
+      case "<="       => c <= lit(value)
+      case ">="       => c >= lit(value)
+      case "in"       => c.isin(values: _*)
+      case "not in"   => !c.isin(values: _*)
+      case other      => throw new IllegalArgumentException(s"Unknown filter op: $other")
+    }
+  }
+
+  /** Conjunctive predicate list — `filters(table, [(col, op, value), ...])`
+    * (`ops.py:34-42`). A single fused Filter node; pushdown-friendly. */
+  def filters(df: DataFrame, preds: Seq[(String, String, Any)]): DataFrame =
+    if (preds.isEmpty) df
+    else df.filter(preds.map { case (c, o, v) => predicate(c, o, v) }.reduce(_ && _))
+
+  def filters(df: DataFrame, pred: (String, String, Any)): DataFrame =
+    filters(df, Seq(pred))
+
+  /** Keep-aware de-duplication (`ops.py:45-59`).
+    *
+    * keep = "any"   → Spark `dropDuplicates(on)`: single hash-agg shuffle with
+    *                  map-side partial aggregation; the honest contract of the
+    *                  reference's nondeterministic 'first'.
+    * keep = "first" | "last" → deterministic, defined by `orderBy`:
+    *                  `row_number` over Window.partitionBy(on).orderBy(ord) == 1.
+    * keep = "drop"  → remove every row of any key with count > 1
+    *                  (`ops.py:57-58`): windowed count == 1.
+    *
+    * All variants shuffle exactly once on the key columns; at scale prefer
+    * "any" (partial agg halves shuffle volume vs the window variants).
+    */
+  def dropDuplicates(
+      df: DataFrame,
+      on: Seq[String] = Nil,
+      keep: String = "any",
+      orderBy: Seq[Column] = Nil): DataFrame = {
+    val keys = if (on.isEmpty) df.columns.toSeq else on
+    keep match {
+      case "any" =>
+        df.dropDuplicates(keys)
+      case "first" | "last" =>
+        require(orderBy.nonEmpty,
+          "deterministic keep='first'/'last' needs an explicit ordering (SURVEY §2.2.4)")
+        val ord = if (keep == "last") orderBy.map(_.desc) else orderBy
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+        df.withColumn("__graft_rn", row_number().over(w))
+          .filter(org.apache.spark.sql.functions.col("__graft_rn") === 1)
+          .drop("__graft_rn")
+      case "drop" =>
+        val w = Window.partitionBy(keys.map(col): _*)
+        df.withColumn("__graft_cnt", count(lit(1)).over(w))
+          .filter(org.apache.spark.sql.functions.col("__graft_cnt") === 1)
+          .drop("__graft_cnt")
+      case other =>
+        throw new IllegalArgumentException(s"Unknown keep mode: $other")
+    }
+  }
+
+  /** `head(table, n)` (`ops.py:62-80`) — console sink. */
+  def head(df: DataFrame, n: Int = 5, maxWidth: Int = 100): Unit =
+    df.show(n, maxWidth, vertical = false)
+
+  /** Top-k: global sort bounded by limit — Spark plans `TakeOrderedAndProject`
+    * (per-partition heap + driver merge, no full sort shuffle). */
+  def topK(df: DataFrame, k: Int, orderBy: Seq[Column]): DataFrame =
+    df.orderBy(orderBy: _*).limit(k)
+}
