@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Grouping, Joins, Ops}
-import graft.functions.Jsons
+import graft.operators.{Dedup, Grouping, Joins, Ops, Similarity}
+import graft.functions.{Jsons, Text}
 
 /** Per-group iteration output row (q09_group_iter). */
 case class FlagStat(l_returnflag: String, n_rows: Long, sum_qty: Double)
@@ -212,6 +212,71 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    // ----- ✚ text analysis (documents) -------------------------------------
+    "q23_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          Text.fingerprint(col("text")).as("fingerprint"),
+          Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q24_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.simhash(col("text")).as("simhash32"))
+        .orderBy("doc_id")
+    }),
+    "q25_lang_quality_agg" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("q"))
+        .groupBy("lang_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round(col("q") * 1000000).cast(LongType)).as("quality_sum_micro"))
+        .orderBy("lang_id")
+    }),
+    "q26_token_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+    // ----- ✚ dedup family (documents) --------------------------------------
+    "q27_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id")
+    }),
+    "q28_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q29_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q30_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // ----- ✚ similarity search (embeddings) --------------------------------
+    "q31_ann_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q32_ann_bucketed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, signBits = 4)
+        .orderBy("query_id", "rank")
+    }),
+    "q33_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          signBits = 4, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -331,5 +396,175 @@ object SparkEntry {
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q23_text_stats" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS lt,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+         sc AS (
+           SELECT doc_id, text, n_tokens,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+             len(lt) AS ntok
+           FROM t)
+         SELECT doc_id, n_tokens,
+                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+                CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                     WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                     WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                     ELSE 'und' END AS lang_id,
+                0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                  + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                  + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE) AS quality
+         FROM sc ORDER BY doc_id""",
+    "q24_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents),
+         votes AS (
+           SELECT doc_id, j,
+                  sum(2 * ((floor((instr('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
+                        / pow(2, 3 - (j % 4))))::BIGINT % 2) - 1) AS v
+           FROM toks, range(0, 32) r(j) GROUP BY doc_id, j)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END * pow(2, j)::BIGINT) AS BIGINT) AS simhash32
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "q25_lang_quality_agg" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS lt
+           FROM documents),
+         sc AS (
+           SELECT doc_id, text,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+             len(lt) AS ntok
+           FROM t),
+         q AS (
+           SELECT CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                       ELSE 'und' END AS lang_id,
+                  0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                    + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                    + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE) AS quality
+           FROM sc)
+         SELECT lang_id, count(*) AS n_docs,
+                CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_sum_micro
+         FROM q GROUP BY lang_id ORDER BY lang_id""",
+    "q26_token_freq" ->
+      """SELECT t AS token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents)
+         GROUP BY t ORDER BY n DESC, t LIMIT 20""",
+    "q27_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q28_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+               FROM w),
+         e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM s)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  count(*)::DOUBLE / (a.nsh + b.nsh - count(*)) AS jaccard
+           FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh) t
+         WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+    "q29_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+               FROM w),
+         s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+         sig AS (SELECT doc_id,
+                        [list_min([md5(i::VARCHAR || ':' || x) for x in sh]) for i in range(0, 12)] AS sg
+                 FROM s2),
+         bands AS (SELECT doc_id, bi,
+                          md5(sg[bi*3 + 1] || '|' || sg[bi*3 + 2] || '|' || sg[bi*3 + 3]) AS bk
+                   FROM sig, range(0, 4) r(bi)),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT c.ia AS id_a, c.ib AS id_b,
+                  len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))) AS jaccard
+           FROM cand c JOIN s2 x ON x.doc_id = c.ia JOIN s2 y ON y.doc_id = c.ib) t
+         WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+    "q30_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents),
+         votes AS (
+           SELECT doc_id, j,
+                  sum(2 * ((floor((instr('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
+                        / pow(2, 3 - (j % 4))))::BIGINT % 2) - 1) AS v
+           FROM toks, range(0, 32) r(j) GROUP BY doc_id, j),
+         h AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END * pow(2, j)::BIGINT) AS BIGINT) AS sh32
+               FROM votes GROUP BY doc_id),
+         banded AS (SELECT doc_id, sh32, bi, (floor(sh32 / pow(2, bi * 8)))::BIGINT % 256 AS byte
+                    FROM h, range(0, 4) r(bi)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh32 AS ha, b.doc_id AS id_b, b.sh32 AS hb
+                  FROM banded a JOIN banded b
+                    ON a.bi = b.bi AND a.byte = b.byte AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+                  CAST(list_sum([CASE WHEN (floor(ha / pow(2, j)))::BIGINT % 2
+                                        <> (floor(hb / pow(2, j)))::BIGINT % 2
+                                 THEN 1 ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS hamming
+           FROM cand) t
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "q31_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id,
+                           [round(x*1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x*1000)::BIGINT * round(x*1000)::BIGINT for x in embedding]) AS nn
+                    FROM embeddings)
+         SELECT query_id, nbr_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+         FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                  list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                    / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+           FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+         QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q32_ann_bucketed" ->
+      """WITH v AS (SELECT vec_id,
+                           [round(x*1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x*1000)::BIGINT * round(x*1000)::BIGINT for x in embedding]) AS nn,
+                           list_sum([CASE WHEN embedding[j+1] >= 0 THEN pow(2, j)::BIGINT ELSE 0 END for j in range(0, 4)]) AS bucket
+                    FROM embeddings)
+         SELECT query_id, nbr_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+         FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                  list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                    / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+           FROM v q JOIN v c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id) t
+         QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q33_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id,
+                           [round(x*1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x*1000)::BIGINT * round(x*1000)::BIGINT for x in embedding]) AS nn,
+                           list_sum([CASE WHEN embedding[j+1] >= 0 THEN pow(2, j)::BIGINT ELSE 0 END for j in range(0, 4)]) AS bucket
+                    FROM embeddings)
+         SELECT id_a, id_b, cosine FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_sum([p[1] * p[2] for p in list_zip(a.q, b.q)])::DOUBLE
+                    / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cosine
+           FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+         WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
   )
 }
