@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
 import graft.operators.{Dedup, Grouping, Joins, Ops, Similarity}
-import graft.functions.{Jsons, Text}
+import graft.functions.{Jsons, Multimodal, Text}
+import graft.streaming.Streams
 
 /** Per-group iteration output row (q09_group_iter). */
 case class FlagStat(l_returnflag: String, n_rows: Long, sum_qty: Double)
@@ -276,6 +277,45 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           signBits = 4, threshold = 0.3)
         .orderBy("id_a", "id_b")
+    }),
+    // ----- ✚ event streams: batch twins of the streaming transforms --------
+    "q34_tumbling_window" -> ((s, d) => {
+      Streams.tumblingAgg(Tables.events(s, d), "1 hour")
+        .orderBy("window_start_us", "event_type")
+    }),
+    "q35_sessionize" -> ((s, d) => {
+      Streams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+        .orderBy("user_id", "session_id")
+    }),
+    "q36_event_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+    // ----- ✚ multimodal plumbing (binary payload + stub decode) ------------
+    "q37_multimodal_meta" -> ((s, d) => {
+      val media = Multimodal.pack(Tables.documents(s, d), "doc_id", "text", "text/plain")
+      media.toDF()
+        .select(col("media_id"), col("n_bytes"), md5(col("content")).as("content_md5"),
+          col("format"))
+        .orderBy("media_id")
+    }),
+    // ----- ✚ scalar string/date function coverage --------------------------
+    "q38_scalar_funcs" -> ((s, d) => {
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 3, 10)).as("prio_word"),
+          length(col("o_orderpriority")).cast(LongType).as("prio_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"),
+          month(col("o_orderdate")).cast(LongType).as("o_month"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).cast(LongType).as("days_to_eoy"),
+          round(col("o_totalprice") / 1000.0, 2).as("price_k"))
+        .orderBy("o_orderkey")
     }),
   )
 
@@ -566,5 +606,50 @@ object SparkEntry {
                     / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cosine
            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+    "q34_tumbling_window" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+                event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q35_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         sess AS (
+           SELECT user_id, ts_us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q36_event_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q37_multimodal_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                md5(text) AS content_md5, 'text/plain' AS format
+         FROM documents ORDER BY media_id""",
+    "q38_scalar_funcs" ->
+      """SELECT o_orderkey,
+                upper(substr(o_orderpriority, 3, 10)) AS prio_word,
+                length(o_orderpriority)::BIGINT AS prio_len,
+                concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+                year(o_orderdate)::BIGINT AS o_year,
+                month(o_orderdate)::BIGINT AS o_month,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+                datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::BIGINT AS days_to_eoy,
+                round(o_totalprice / 1000.0, 2) AS price_k
+         FROM orders ORDER BY o_orderkey""",
   )
 }

@@ -31,8 +31,9 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
+        // integer DIV, not `/` (double division loses precision above 2^53 ns)
         raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast(LongType)))
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
       case _ => raw // already a timestamp (pre-normalized input)
     }
   }

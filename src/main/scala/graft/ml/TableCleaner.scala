@@ -1,0 +1,200 @@
+package graft.ml
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ML column-preprocessing pipeline — the analog of the reference's
+  * `TableCleaner` (`pyarrow_ops/ml.py:79-128`), re-expressed as a
+  * fit-on-first-use model whose transform is a pure `select` of `Column`
+  * expressions (no shuffle; fit is one agg / one distinct job per column).
+  *
+  * Parity contract (verified behaviors, SURVEY §2.2.8):
+  *  - numeric: cast to double, impute nulls with the TRAIN mean/min/max,
+  *    clip to the TRAIN [min,max] (`ml.py:29-57`);
+  *  - label encode: given categories ⇒ value→index+1, unknown→0, null→0;
+  *    output column keeps the original name (`ml.py:9-17`);
+  *  - one-hot: one BOOLEAN column per category named `{col}_{cat}`,
+  *    null row → all false; `drop_first` drops the first category
+  *    (`ml.py:19-26`);
+  *  - JSON round-trip with the reference's `to_dict` schema
+  *    (`ml.py:36,65,83-93`): a list of
+  *    `{"name","type":"numerical","impute","clip","v_min","v_mean","v_max"}` /
+  *    `{"name","type":"categorical","method","categories"}` objects.
+  *
+  * Documented divergences: learned categories are SORTED distinct non-null
+  * (the reference uses nondeterministic first-appearance order and mutates
+  * its category list with an 'Unknown' sentinel between cleans — a bug we do
+  * not replicate); stats come from Spark aggregates, which skip nulls like
+  * SQL (the reference's numpy path would NaN-poison, SURVEY §2.2.3).
+  */
+sealed trait CleanColumn {
+  def name: String
+  def measured: Boolean
+  /** One fit job over the train DataFrame; returns the measured column. */
+  def fit(df: DataFrame): CleanColumn
+  /** Transform expressions (aliased output columns). */
+  def exprs: Seq[Column]
+}
+
+final case class NumericalColumn(
+    name: String,
+    impute: String = "mean",
+    clip: Boolean = true,
+    vMin: Option[Double] = None,
+    vMean: Option[Double] = None,
+    vMax: Option[Double] = None) extends CleanColumn {
+
+  def measured: Boolean = vMin.isDefined || vMean.isDefined || vMax.isDefined
+
+  def fit(df: DataFrame): NumericalColumn = {
+    val row = df.agg(
+      avg(col(name).cast("double")).as("mean"),
+      min(col(name).cast("double")).as("min"),
+      max(col(name).cast("double")).as("max")).head()
+    copy(vMin = Some(row.getDouble(1)), vMean = Some(row.getDouble(0)),
+      vMax = Some(row.getDouble(2)))
+  }
+
+  private def imputeValue: Double = impute match {
+    case "mean" => vMean.getOrElse(0.0)
+    case "min"  => vMin.getOrElse(0.0)
+    case "max"  => vMax.getOrElse(0.0)
+    case other  => throw new IllegalArgumentException(s"$other is not a valid impute method")
+  }
+
+  def exprs: Seq[Column] = {
+    val base = coalesce(col(name).cast("double"), lit(imputeValue))
+    val out =
+      if (clip) least(greatest(base, lit(vMin.getOrElse(0.0))), lit(vMax.getOrElse(0.0)))
+      else base
+    Seq(out.as(name))
+  }
+}
+
+final case class CategoricalColumn(
+    name: String,
+    method: String, // "label" | "one_hot"
+    categories: Seq[String] = Nil,
+    dropFirst: Boolean = false) extends CleanColumn {
+
+  def measured: Boolean = categories.nonEmpty
+
+  /** Learned categories: sorted distinct non-null non-empty string values
+    * (deterministic; divergence from the reference's appearance order). */
+  def fit(df: DataFrame): CategoricalColumn = {
+    val cats = df.select(col(name).cast("string").as("v"))
+      .filter(col("v").isNotNull && col("v") =!= "")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    copy(categories = cats)
+  }
+
+  def exprs: Seq[Column] = method match {
+    case "label" =>
+      // value -> index+1, unknown -> 0, null -> 0; keeps the original name
+      val c = col(name).cast("string")
+      val encoded = categories.zipWithIndex.foldLeft(lit(0)) {
+        case (acc, (cat, i)) => when(c === lit(cat), lit(i + 1)).otherwise(acc)
+      }
+      Seq(encoded.as(name))
+    case "one_hot" =>
+      val kept = if (dropFirst) categories.drop(1) else categories
+      kept.map(cat =>
+        coalesce(col(name).cast("string") === lit(cat), lit(false)).as(s"${name}_$cat"))
+    case other =>
+      throw new IllegalArgumentException(s"Unknown categorical method: $other")
+  }
+}
+
+final class TableCleaner {
+  private[ml] val columns = ArrayBuffer.empty[CleanColumn]
+
+  def registerNumeric(name: String, impute: String = "mean", clip: Boolean = true): Unit =
+    columns += NumericalColumn(name, impute, clip)
+
+  def registerLabel(name: String, categories: Seq[String] = Nil): Unit =
+    columns += CategoricalColumn(name, "label", categories)
+
+  def registerOneHot(name: String, categories: Seq[String] = Nil, dropFirst: Boolean = false): Unit =
+    columns += CategoricalColumn(name, "one_hot", categories, dropFirst)
+
+  /** Fit any not-yet-measured column (fit-on-first-use, `ml.py:53-56,75-76`).
+    * One Spark job per unmeasured column; transforms are then shuffle-free. */
+  def fit(df: DataFrame): Unit =
+    columns.indices.foreach { i =>
+      if (!columns(i).measured) columns(i) = columns(i).fit(df)
+    }
+
+  /** Transformed feature table: the registered columns in registration order
+    * (`ml.py:112-121`). Pure projection. */
+  def cleanTable(df: DataFrame): DataFrame = {
+    fit(df)
+    df.select(columns.flatMap(_.exprs).toSeq: _*)
+  }
+
+  /** `clean_table(table, label)` — features plus the raw label column. */
+  def cleanTable(df: DataFrame, label: String): (DataFrame, DataFrame) = {
+    fit(df)
+    (df.select(columns.flatMap(_.exprs).toSeq: _*), df.select(label))
+  }
+
+  /** Random train/test split (`ml.py:123-128`) — seeded for determinism,
+    * unlike the reference. */
+  def split(df: DataFrame, testSize: Double = 0.2, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(1.0 - testSize, testSize), seed)
+    (train, test)
+  }
+
+  /** JSON in the reference `to_dict` schema (`ml.py:83-93`). */
+  def toJson: String = {
+    val m = new ObjectMapper()
+    val arr = m.createArrayNode()
+    columns.foreach {
+      case n: NumericalColumn =>
+        val o = arr.addObject()
+        o.put("name", n.name).put("type", "numerical").put("impute", n.impute)
+          .put("clip", n.clip)
+        o.put("v_min", n.vMin.getOrElse(0.0))
+        o.put("v_mean", n.vMean.getOrElse(0.0))
+        o.put("v_max", n.vMax.getOrElse(0.0))
+      case c: CategoricalColumn =>
+        val o = arr.addObject()
+        o.put("name", c.name).put("type", "categorical").put("method", c.method)
+        val cats = o.putArray("categories")
+        c.categories.foreach(cats.add)
+    }
+    m.writeValueAsString(arr)
+  }
+}
+
+object TableCleaner {
+  def fromJson(json: String): TableCleaner = {
+    val m = new ObjectMapper()
+    val root = m.readTree(json).asInstanceOf[ArrayNode]
+    val cleaner = new TableCleaner
+    (0 until root.size()).map(root.get).foreach { node =>
+      node.get("type").asText() match {
+        case "numerical" =>
+          cleaner.columns += NumericalColumn(
+            node.get("name").asText(),
+            node.get("impute").asText(),
+            node.get("clip").asBoolean(),
+            Some(node.get("v_min").asDouble()),
+            Some(node.get("v_mean").asDouble()),
+            Some(node.get("v_max").asDouble()))
+        case "categorical" =>
+          val cats = node.get("categories").asInstanceOf[ArrayNode]
+          cleaner.columns += CategoricalColumn(
+            node.get("name").asText(),
+            node.get("method").asText(),
+            (0 until cats.size()).map(cats.get(_).asText()))
+        case other => throw new IllegalArgumentException(s"Unknown column type: $other")
+      }
+    }
+    cleaner
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream processing (north-star extension — the reference has no
+  * streaming; SURVEY §2.1 ✚). Each transform is written against a plain
+  * DataFrame so the SAME code path serves batch (driver-oracle-checkable)
+  * and Structured Streaming (`readStream`/`MemoryStream` input, tested via
+  * ScalaTest): Catalyst plans the incremental execution, we only declare.
+  *
+  * Scale notes: tumbling/sliding aggregations shuffle once on (window, key);
+  * watermarks bound state so a 100-TB backlog cannot OOM executors;
+  * sessionization in streaming uses `flatMapGroupsWithState` with event-time
+  * timeout — state per active user only.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums per event type. On a stream, prepend
+    * `.withWatermark("ts", ...)` via the `watermark` arg to bound state.
+    * Values are cents-quantized so results are partitioning-independent. */
+  def tumblingAgg(events: DataFrame, windowLen: String, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_cents"))
+  }
+
+  /** Sliding-window event counts (1h window every 30min on a stream). */
+  def slidingAgg(events: DataFrame, windowLen: String, slide: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
+  }
+
+  /** Batch sessionization: a session is a maximal run of a user's events with
+    * gaps ≤ `gapMinutes`. Two window passes over (user_id): lag to flag
+    * session starts, running sum to number sessions — one shuffle on user_id,
+    * both windows reuse the same partitioning. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val flagged = events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+
+  /** Streaming sessionization state: accumulated per-user open session. */
+  case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` with event-time
+    * timeout: emits a session row when the watermark passes lastSeen + gap.
+    * State is one small record per ACTIVE user — bounded regardless of
+    * input volume. Input must carry (user_id, ts) and a watermark on ts. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int, watermark: String): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val keyed = events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    keyed.flatMapGroupsWithState[SessionState, SessionOut](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, rows: Iterator[Row], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionOut(user, s.sessionStartUs, s.lastUs, s.nEvents))
+        } else {
+          val sorted = rows.map(_.getLong(1)).toSeq.sorted
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { ts =>
+            cur match {
+              case Some(s) if ts - s.lastUs <= gapUs =>
+                cur = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed ::= SessionOut(user, s.sessionStartUs, s.lastUs, s.nEvents)
+                cur = Some(SessionState(ts, ts, 1))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+          }
+          closed.reverseIterator
+        }
+    }
+  }
+
+  /** Streaming exact dedup bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` keeps state only inside the watermark
+    * horizon (the streaming twin of Ops.dropDuplicates "any"). */
+  def streamingDedup(events: DataFrame, keys: Seq[String], watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+}
