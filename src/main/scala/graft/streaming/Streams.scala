@@ -70,8 +70,10 @@ object Streams {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[SessionOut]
     val gapUs = gapMinutes.toLong * 60 * 1000000
+    // the watermarked `ts` attribute must survive into flatMapGroupsWithState
+    // (event-time timeout is resolved against it), so keep it alongside ts_us
     val keyed = events.withWatermark("ts", watermark)
-      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"))
+      .select(col("user_id").cast("long"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
     keyed.flatMapGroupsWithState[SessionState, SessionOut](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -81,7 +83,7 @@ object Streams {
           state.remove()
           Iterator.single(SessionOut(user, s.sessionStartUs, s.lastUs, s.nEvents))
         } else {
-          val sorted = rows.map(_.getLong(1)).toSeq.sorted
+          val sorted = rows.map(_.getLong(2)).toSeq.sorted
           var closed = List.empty[SessionOut]
           var cur = state.getOption
           sorted.foreach { ts =>

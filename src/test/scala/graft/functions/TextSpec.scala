@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens/tokenCount/normalize/fingerprint") {
+    val df = Seq("  Hello,  WORLD! 42 ").toDF("t")
+    val r = df.select(
+      Text.tokenCount(col("t")),
+      Text.normalize(col("t")),
+      Text.fingerprint(col("t"))).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "hello world 42")
+    // md5("hello world 42")
+    assert(r.getString(2) == java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world 42".getBytes).map("%02x".format(_)).mkString)
+  }
+
+  test("wordShingles: n-grams, distinct, empty when too short") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(Text.wordShingles(col("t"), 3)).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("wordShingles: repeated shingles dedup") {
+    val df = Seq("x y x y x y").toDF("t")
+    val out = df.select(Text.wordShingles(col("t"), 2)).head().getSeq[String](0)
+    assert(out.toSet == Set("x y", "y x"))
+  }
+
+  test("langId: stopword-profile argmax with deterministic tie-break, und when no hits") {
+    val df = Seq(
+      "the cat is in the hat", "der hund ist ein tier", "el gato es un animal",
+      "le chat est dans la maison", "xyzzy qwerty").toDF("t")
+    val out = df.select(Text.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("qualityScore: in [0,1], higher for natural text than noise") {
+    val df = Seq("the cat is on the mat and it is happy", "@@@@ #### %%%% !!!!").toDF("t")
+    val s = df.select(Text.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s(0) > s(1))
+  }
+
+  test("simhash: deterministic, equal for equal token bags, in 32-bit range") {
+    val df = Seq("spark makes big data small", "spark makes big data small",
+      "completely different words entirely here").toDF("t")
+    val h = df.select(Text.simhash(col("t"))).collect().map(_.getLong(0))
+    assert(h(0) == h(1))
+    assert(h(0) != h(2))
+    assert(h.forall(v => v >= 0L && v < (1L << 32)))
+  }
+}

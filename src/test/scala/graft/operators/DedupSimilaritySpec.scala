@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 3 docs: 0 and 1 are near-identical (one word changed), 2 unrelated
+  private def docs = Seq(
+    (0L, "spark shuffles data across the cluster during wide transformations always"),
+    (1L, "spark shuffles data across the cluster during wide transformations sometimes"),
+    (2L, "completely unrelated text about cooking pasta with fresh tomatoes basil")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val dup = docs.union(Seq((3L, "Spark shuffles data across the cluster during wide transformations always"))
+      .toDF("doc_id", "text"))
+    val out = Dedup.exact(dup, "doc_id", "text")
+    assert(out.count() == 3) // doc 3 normalizes equal to doc 0
+    assert(out.filter(col("n_copies") === 2).head().getLong(1) == 0L) // keep_id = min
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair, not the unrelated one") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("minhashLshPairs agrees with exact jaccard on the planted pair") {
+    val out = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((0L, 1L)))
+    // 10 tokens -> 8 shingles per doc; only the last differs -> 7 common, union 9
+    assert(math.abs(r.getDouble(2) - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; guard on maxHamming") {
+    val twins = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "omicron pi rho sigma")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(twins, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(twins, "doc_id", "text", maxHamming = 9)
+    }
+  }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: correct neighbor order, self excluded") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+    val got = out.collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L))) // nearest 1, then orthogonal 2, then opposite 3
+    val top = out.filter(col("rank") === 1).head()
+    assert(math.abs(top.getDouble(2) - (900.0 / math.sqrt(1000000.0 * 820000.0) * 1000)) < 1e-9)
+  }
+
+  test("bucketedTopK: only same-sign-bucket candidates (3 excluded for query 0)") {
+    val out = Similarity.bucketedTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, signBits = 3)
+    val got = out.collect().map(_.getLong(1)).toSet
+    assert(!got.contains(3L)) // negative first component -> different bucket
+    assert(got.contains(1L))
+  }
+
+  test("embeddingNearDupPairs finds the high-cosine pair only") {
+    val out = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", signBits = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
+  test("qdot/qcosine: quantized integer dot is exact") {
+    val df = Seq((Array(0.5, -0.25), Array(0.5, 0.25))).toDF("a", "b")
+    val r = df.select(
+      Similarity.qdot(Similarity.quantize(col("a")), Similarity.quantize(col("b"))),
+      Similarity.qcosine(Similarity.quantize(col("a")), Similarity.quantize(col("b")))).head()
+    assert(r.getLong(0) == 500L * 500 - 250L * 250)
+    val exp = (500.0 * 500 - 250.0 * 250) /
+      (math.sqrt(500.0 * 500 + 250.0 * 250) * math.sqrt(500.0 * 500 + 250.0 * 250))
+    assert(math.abs(r.getDouble(1) - exp) < 1e-12)
+  }
+}

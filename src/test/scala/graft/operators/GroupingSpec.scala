@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class GroupingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def animals = Seq(
+    ("Falcon", 380.0, 1L), ("Falcon", 370.0, 2L), ("Parrot", 24.0, 3L),
+    ("Parrot", 26.0, 4L), ("Goose", 60.0, 5L)
+  ).toDF("animal", "max_speed", "n")
+
+  test("agg with (col, method) pairs, aliased <col>_<method>") {
+    val out = Grouping.groupby(animals, Seq("animal"))
+      .agg(Seq("max_speed" -> "mean", "max_speed" -> "median", "n" -> "sum"))
+    assert(out.columns.toSeq == Seq("animal", "max_speed_mean", "max_speed_median", "n_sum"))
+    val m = out.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(m("Falcon") == ((375.0, 375.0, 3L)))
+    assert(m("Parrot") == ((25.0, 25.0, 7L)))
+    assert(m("Goose") == ((60.0, 60.0, 5L)))
+  }
+
+  test("default aggs apply to numeric columns only (divergence: ref concatenates strings)") {
+    val withStr = animals.withColumn("tag", lit("x"))
+    val out = Grouping.groupby(withStr, Seq("animal")).sum()
+    assert(out.columns.toSeq == Seq("animal", "max_speed_sum", "n_sum")) // no tag_sum
+  }
+
+  test("median is exact (Spark >=3.4 built-in)") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 10.0)).toDF("k", "v")
+    val out = Grouping.groupby(df, Seq("k")).median(Seq("v"))
+    assert(out.head().getDouble(1) == 2.0)
+  }
+
+  test("count and unknown-method error") {
+    assert(Grouping.groupby(animals, Seq("animal")).count().count() == 3)
+    intercept[IllegalArgumentException] {
+      Grouping.groupby(animals, Seq("animal")).agg(Seq("n" -> "frobnicate"))
+    }
+  }
+
+  test("iterate: per-group flatMapGroups analog of the reference's __iter__ (group.py:29-32)") {
+    val out = Grouping.groupby(animals.select("animal", "max_speed"), Seq("animal"))
+      .iterate { (keys, rows) =>
+        var n = 0; var tot = 0.0
+        rows.foreach { r => n += 1; tot += r.getDouble(1) }
+        Iterator.single((keys.head, n, tot))
+      }.collect().toSet
+    assert(out == Set(("Falcon", 2, 750.0), ("Parrot", 2, 50.0), ("Goose", 1, 60.0)))
+  }
+
+  test("aggExprs accepts arbitrary Column aggregations") {
+    val out = Grouping.groupby(animals, Seq("animal"))
+      .aggExprs(countDistinct(col("max_speed")).as("nd"))
+    assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("Falcon" -> 2L, "Parrot" -> 2L, "Goose" -> 1L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Mirrors the reference's `test_func.py` Animals fixture — now with real
+  * assertions, including the documented null-semantics divergences
+  * (SURVEY §2.2.2: we use SQL three-valued logic, not numpy-NaN). */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def animals = Seq(
+    ("Falcon", 380.0), ("Falcon", 370.0), ("Parrot", 24.0),
+    ("Parrot", 26.0), ("Goose", 60.0)
+  ).toDF("animal", "max_speed")
+
+  test("filters: all eight ops compile and select correctly") {
+    assert(Ops.filters(animals, ("animal", "=", "Falcon")).count() == 2)
+    assert(Ops.filters(animals, ("animal", "==", "Falcon")).count() == 2)
+    assert(Ops.filters(animals, ("animal", "!=", "Falcon")).count() == 3)
+    assert(Ops.filters(animals, ("max_speed", "<", 26.0)).count() == 1)
+    assert(Ops.filters(animals, ("max_speed", "<=", 26.0)).count() == 2)
+    assert(Ops.filters(animals, ("max_speed", ">", 370.0)).count() == 1)
+    assert(Ops.filters(animals, ("max_speed", ">=", 370.0)).count() == 2)
+    assert(Ops.filters(animals, ("animal", "in", Seq("Falcon", "Goose"))).count() == 3)
+    assert(Ops.filters(animals, ("animal", "not in", Seq("Falcon", "Goose"))).count() == 2)
+  }
+
+  test("filters: conjunctive list ANDs predicates (ops.py:34-42 semantics)") {
+    val out = Ops.filters(animals, Seq(("animal", "=", "Parrot"), ("max_speed", ">", 24.0)))
+    assert(rowSet(out) == Set(Seq("Parrot", 26.0)))
+  }
+
+  test("filters: SQL null semantics — != and not-in DROP nulls (divergence from reference)") {
+    val withNull = Seq(Some("a"), Some("b"), None).toDF("v")
+    assert(Ops.filters(withNull, ("v", "!=", "a")).count() == 1)          // ref would keep null
+    assert(Ops.filters(withNull, ("v", "not in", Seq("a"))).count() == 1) // ref would keep null
+  }
+
+  test("filters: unknown op raises") {
+    intercept[IllegalArgumentException] { Ops.predicate("a", "~", 1) }
+  }
+
+  test("dropDuplicates keep=any: one row per key, subset of input") {
+    val out = Ops.dropDuplicates(animals, Seq("animal"))
+    assert(out.count() == 3)
+    assert(out.select("animal").distinct().count() == 3)
+    assert(rowSet(out).subsetOf(rowSet(animals)))
+  }
+
+  test("dropDuplicates keep=first/last: deterministic by explicit order") {
+    val first = Ops.dropDuplicates(animals, Seq("animal"), "first", Seq(col("max_speed")))
+    assert(rowSet(first) == Set(Seq("Falcon", 370.0), Seq("Parrot", 24.0), Seq("Goose", 60.0)))
+    val last = Ops.dropDuplicates(animals, Seq("animal"), "last", Seq(col("max_speed")))
+    assert(rowSet(last) == Set(Seq("Falcon", 380.0), Seq("Parrot", 26.0), Seq("Goose", 60.0)))
+  }
+
+  test("dropDuplicates keep=drop: removes every row of keys with count>1 (ops.py:57-58)") {
+    val out = Ops.dropDuplicates(animals, Seq("animal"), "drop")
+    assert(rowSet(out) == Set(Seq("Goose", 60.0)))
+  }
+
+  test("dropDuplicates keep=first without ordering raises") {
+    intercept[IllegalArgumentException] {
+      Ops.dropDuplicates(animals, Seq("animal"), "first")
+    }
+  }
+
+  test("topK returns k rows in order") {
+    val out = Ops.topK(animals, 2, Seq(col("max_speed").desc))
+    assert(rowList(out) == Seq(Seq("Falcon", 380.0), Seq("Falcon", 370.0)))
+  }
+}

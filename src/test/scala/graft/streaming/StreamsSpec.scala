@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private def batchEvents = Seq(
+    Ev(1, t(0), 1, "click", 1.0), Ev(2, t(10), 1, "click", 2.0),
+    Ev(3, t(50), 1, "view", 3.0), // 40-min gap -> new session for user 1
+    Ev(4, t(5), 2, "click", 4.0)
+  ).toDF()
+
+  test("sessionizeBatch: 30-min gap splits sessions; counts and bounds correct") {
+    val out = Streams.sessionizeBatch(batchEvents, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    val s1 = out(0)
+    assert(s1.getLong(3) == t(0).getTime * 1000 && s1.getLong(4) == t(10).getTime * 1000)
+  }
+
+  test("tumblingAgg batch: hourly buckets with cents-quantized sums") {
+    val out = Streams.tumblingAgg(batchEvents, "1 hour").collect()
+    assert(out.length == 2) // click and view in hour 0
+    val click = out.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 3L && click.getLong(3) == 700L)
+  }
+
+  test("streaming tumblingAgg with watermark: windows close and late data is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingAgg(mem.toDF(), "10 minutes", watermark = Some("5 minutes"))
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(1), 1, "click", 1.0), Ev(2, t(3), 1, "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData(Ev(3, t(40), 1, "view", 1.0))
+      q.processAllAvailable()
+      // late event for the long-closed first window: must be dropped
+      mem.addData(Ev(4, t(2), 1, "click", 99.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, t(59, 59), 1, "view", 1.0)) // push watermark past window 4
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val w0 = t(0).getTime * 1000
+      assert(rows.contains((w0, "click", 2L, 300L))) // late 99.0 NOT included
+      assert(rows.exists(_._1 == w0 + 40L * 60 * 1000000)) // 00:40 window emitted
+    } finally q.stop()
+  }
+
+  test("streaming sessionizeStream: flatMapGroupsWithState emits sessions on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionizeStream(mem.toDF(), gapMinutes = 30, watermark = "1 minute")
+      .writeStream.format("memory").queryName("session_test").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark jumps far ahead -> user 1's session times out and is emitted
+      mem.addData(Ev(3, t(59), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, t(59, 30), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_test").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(rows.contains((1L, 2L))) // user 1: one session of 2 events
+    } finally q.stop()
+  }
+
+  test("streamingDedup: duplicate keys within watermark removed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingDedup(mem.toDF(), Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(1, t(1), 1, "click", 1.0), Ev(2, t(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+}
