@@ -224,8 +224,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q24_simhash" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), Text.simhash(col("text")).as("simhash32"))
+      Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("sh32").as("simhash32"))
         .orderBy("doc_id")
     }),
     "q25_lang_quality_agg" -> ((s, d) => {
@@ -468,11 +468,15 @@ object SparkEntry {
            SELECT doc_id,
                   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
            FROM documents),
+         h AS (
+           SELECT doc_id,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(t), k, 1)) - 1)
+                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS hv
+           FROM toks),
          votes AS (
            SELECT doc_id, j,
-                  sum(2 * ((floor((instr('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
-                        / pow(2, 3 - (j % 4))))::BIGINT % 2) - 1) AS v
-           FROM toks, range(0, 32) r(j) GROUP BY doc_id, j)
+                  sum(2 * ((floor(hv / pow(2, j)))::BIGINT % 2) - 1) AS v
+           FROM h, range(0, 32) r(j) GROUP BY doc_id, j)
          SELECT doc_id,
                 CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END * pow(2, j)::BIGINT) AS BIGINT) AS simhash32
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
@@ -530,12 +534,18 @@ object SparkEntry {
                       list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
                FROM w),
          s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
-         sig AS (SELECT doc_id,
-                        [list_min([md5(i::VARCHAR || ':' || x) for x in sh]) for i in range(0, 12)] AS sg
-                 FROM s2),
-         bands AS (SELECT doc_id, bi,
-                          md5(sg[bi*3 + 1] || '|' || sg[bi*3 + 2] || '|' || sg[bi*3 + 3]) AS bk
-                   FROM sig, range(0, 4) r(bi)),
+         ws AS (SELECT doc_id, unnest(sh) AS x FROM s2),
+         ww AS (SELECT doc_id,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k + 8, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+                FROM ws),
+         sigl AS (SELECT doc_id, i, min((w0 + i * w1) % 2147483647) AS mh
+                  FROM ww, range(0, 12) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS bi,
+                          md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bk
+                   FROM sigl GROUP BY doc_id, i // 3),
          cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
                   FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, jaccard FROM (
@@ -549,11 +559,15 @@ object SparkEntry {
            SELECT doc_id,
                   unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
            FROM documents),
+         hw AS (
+           SELECT doc_id,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(t), k, 1)) - 1)
+                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS hv
+           FROM toks),
          votes AS (
            SELECT doc_id, j,
-                  sum(2 * ((floor((instr('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
-                        / pow(2, 3 - (j % 4))))::BIGINT % 2) - 1) AS v
-           FROM toks, range(0, 32) r(j) GROUP BY doc_id, j),
+                  sum(2 * ((floor(hv / pow(2, j)))::BIGINT % 2) - 1) AS v
+           FROM hw, range(0, 32) r(j) GROUP BY doc_id, j),
          h AS (SELECT doc_id,
                       CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END * pow(2, j)::BIGINT) AS BIGINT) AS sh32
                FROM votes GROUP BY doc_id),
@@ -562,13 +576,9 @@ object SparkEntry {
          cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh32 AS ha, b.doc_id AS id_b, b.sh32 AS hb
                   FROM banded a JOIN banded b
                     ON a.bi = b.bi AND a.byte = b.byte AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, hamming FROM (
-           SELECT id_a, id_b,
-                  CAST(list_sum([CASE WHEN (floor(ha / pow(2, j)))::BIGINT % 2
-                                        <> (floor(hb / pow(2, j)))::BIGINT % 2
-                                 THEN 1 ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS hamming
-           FROM cand) t
-         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+         SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+         FROM cand
+         WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY id_a, id_b""",
     "q31_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
                            [round(x*1000)::BIGINT for x in embedding] AS q,

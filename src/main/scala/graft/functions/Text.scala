@@ -81,35 +81,29 @@ object Text {
       lit(0.3) * (alnum / chars)
   }
 
+  /** 32-bit word from hex chars [from, from+8) of an md5 digest, as a long.
+    * Cross-engine: Spark `conv(hex,16,10)`; DuckDB nibble-sum arithmetic. */
+  def md5Word32(s: Column, from: Int): Column =
+    conv(substring(md5(s), from, 8), 16, 10).cast("long")
+
   /** 32-bit SimHash over whitespace tokens of the normalized text.
-    * Per token, the first 8 hex chars of md5 supply 32 bits; bit j of the
-    * result is 1 iff the (+1/−1) vote sum over tokens is positive.
-    * All higher-order functions — no shuffle, no UDF; the oracle replicates
-    * the same nibble arithmetic in SQL. */
+    * Bit j of the result is 1 iff the (+1/−1) vote sum over tokens of bit j
+    * of the token's 32-bit md5 word is positive. ONE pass over the tokens
+    * with a 32-counter array accumulator — md5 is computed once per token
+    * (not once per bit). No shuffle, no UDF. */
   def simhash(c: Column): Column = {
     val toks = tokens(normalize(c))
-    val hexDigits = "0123456789abcdef"
-    def bitOf(h: Column, j: Column): Column = {
-      val nibble = instr_nibble(h, j, hexDigits)
-      pmod(floor(nibble / pow(lit(2.0), lit(3) - pmod(j, lit(4)))), lit(2)).cast("long")
-    }
-    val bits = transform(sequence(lit(0), lit(31)), j => {
-      val votes = aggregate(toks, lit(0L),
-        (acc, t) => acc + lit(2) * bitOf(md5(t), j) - lit(1))
-      when(votes > 0, lit(1L)).otherwise(lit(0L))
-    })
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 32),
+      (acc, t) => {
+        val h = md5Word32(t, 1)
+        zip_with(acc, sequence(lit(0), lit(31)),
+          (a, j) => a + lit(2) * pmod(floor(h / pow(lit(2.0), j)), lit(2)).cast("long") - lit(1))
+      })
     aggregate(
-      zip_with(bits, sequence(lit(0), lit(31)),
-        (b, j) => b * pow(lit(2.0), j).cast("long")),
+      zip_with(votes, sequence(lit(0), lit(31)),
+        (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
-
-  /** Value of hex nibble j (0-based) of hash string `h`. */
-  private def instr_nibble(h: Column, j: Column, hexDigits: String): Column =
-    (instr_col(lit(hexDigits), h.substr(floor(j / 4).cast("int") + lit(1), lit(1))) - lit(1))
-      .cast("double")
-
-  /** `instr` with a Column needle (the built-in takes a String needle). */
-  private def instr_col(haystack: Column, needle: Column): Column =
-    call_function("instr", haystack, needle)
 }

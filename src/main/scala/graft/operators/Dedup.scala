@@ -25,38 +25,67 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** doc → distinct n-word shingle set (one row per doc, no explode yet). */
+  /** doc → distinct n-word shingle set (one row per doc, no explode yet).
+    * Persisted: every consumer (index build, both sides of the candidate
+    * self-join, both verify joins) re-reads the materialized sets instead of
+    * re-deriving shingles from text — at 100 TB this would be a
+    * DISK_ONLY/checkpoint, here MEMORY_AND_DISK. */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), Text.wordShingles(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Candidate pairs via an inverted shingle index: explode shingles, self-join
-    * on the shingle, count co-occurrences — only docs sharing ≥1 shingle meet.
-    * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from the co-occurrence count,
-    * so no second pass over the shingle sets is needed. */
+  /** Exact near-dup pairs with PPJoin-style prefix filtering (lossless):
+    * with each doc's shingles in a fixed total order (lexicographic), any
+    * pair with Jaccard ≥ t must share an element within the first
+    * |d| − ceil(t·|d|) + 1 shingles of each side — so only the PREFIX is
+    * exploded into the inverted index (~(1−t)·|d| entries per doc instead
+    * of |d|, cutting index self-join volume ~(1−t)² at scale). Candidates
+    * are then verified with the exact Jaccard over the full sets. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val s = shingled(df, idCol, textCol, n)
-    val ex = s.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
-    val a = ex.select(col("id").as("id_a"), col("nsh").as("nsh_a"), col("shingle"))
-    val b = ex.select(col("id").as("id_b"), col("nsh").as("nsh_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
-      .agg(count(lit(1)).as("common"))
+    val s = shingled(df, idCol, textCol, n).filter(col("nsh") > 0)
+      .withColumn("sh", sort_array(col("sh")))
+    // epsilon guards float rounding UP only (a longer prefix is still lossless)
+    val prefLen = (col("nsh") - ceil(col("nsh") * (threshold - 1e-9)) + 1).cast("int")
+    val ex = s.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("shingle"))
+    val cand = ex.as("x").join(ex.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    verifyJaccard(cand, s, threshold)
+  }
+
+  /** Join candidate (id_a,id_b) pairs back to shingle sets and keep those
+    * with exact Jaccard ≥ threshold. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("nsh_a") + col("nsh_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
-  /** MinHash signature: element i = lexicographic min over shingles of
-    * md5(i || ":" || shingle). Pure higher-order functions — one row per doc,
-    * no shuffle to build signatures. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
+  /** MinHash signatures via Kirsch–Mitzenmacher double hashing: per shingle
+    * ONE md5 supplies two independent 32-bit words (w0, w1); hash i is
+    * (w0 + i·w1) mod (2^31−1). Computed relationally — explode shingles,
+    * hash each ONCE with codegen'd expressions, then `numHashes` min()
+    * aggregates in a single hash-agg (map-side partial combine, one shuffle
+    * on the doc id). Output: (id, mh0..mh{k-1}). This formulation keeps the
+    * whole hot path inside WholeStageCodegen, unlike higher-order array
+    * lambdas which Spark interprets row-by-row. */
+  def minhashSignatures(s: DataFrame, numHashes: Int): DataFrame = {
+    val p = 2147483647L
+    val ex = s.select(col("id"), explode(col("sh")).as("x"))
+      .select(col("id"),
+        Text.md5Word32(col("x"), 1).as("w0"),
+        Text.md5Word32(col("x"), 9).as("w1"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("w0") + col("w1") * i, lit(p))).as(s"mh$i"))
+    ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH near-dup pairs.
     * numHashes = bands * rowsPerBand; a pair is a candidate iff all rows of
@@ -70,35 +99,44 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
     val s = shingled(df, idCol, textCol, n).filter(col("nsh") > 0)
-    val sig = s.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          bi => md5(concat_ws("|", slice(col("sig"), bi * rowsPerBand + lit(1), lit(rowsPerBand))))))
-      .as(Seq("band", "band_key")))
+    val sig = minhashSignatures(s, numHashes)
+    val bandKeys = (0 until bands).map(bi =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(j => col(s"mh${bi * rowsPerBand + j}").cast("string")): _*)))
+    val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val sets = s.select(col("id"), col("sh"), col("nsh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("nsh_a") + col("nsh_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cand, s, threshold)
   }
 
-  /** SimHash signatures: one 32-bit hash per doc; near-dups = pairs within
-    * `maxHamming`. Candidates via banding the hash into 4 bytes (any equal
-    * byte ⇒ candidate — guaranteed complete for maxHamming ≤ 3 by pigeonhole),
-    * so again no cross join at scale. */
+  /** Relational 32-bit SimHash: explode tokens, hash each ONCE (codegen'd
+    * md5+conv), then 32 per-bit vote sums in one hash-agg — same values as
+    * `Text.simhash` but the hot path stays inside WholeStageCodegen.
+    * Output: (id, sh32). Docs with zero tokens are absent from the output. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        explode(Text.tokens(Text.normalize(col(textCol)))).as("t"))
+      .select(col("id"), Text.md5Word32(col("t"), 1).as("hv"))
+    val votes = (0 until 32).map(j =>
+      sum(shiftright(col("hv"), j).bitwiseAND(lit(1L)) * lit(2) - lit(1)).as(s"v$j"))
+    ex.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh32"))
+  }
+
+  /** SimHash near-dups = pairs within `maxHamming`. Candidates via banding
+    * the hash into 4 bytes (any equal byte ⇒ candidate — guaranteed complete
+    * for maxHamming ≤ 3 by pigeonhole), so again no cross join at scale;
+    * hamming distance is codegen'd `bit_count(xor)`. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "byte-banding is only complete for maxHamming <= 3")
-    val h = df.select(col(idCol).as("id"), Text.simhash(col(textCol)).as("sh32"))
+    val h = simhashTable(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = h.select(col("id"), col("sh32"), posexplode(
         transform(sequence(lit(0), lit(3)),
           bi => pmod(floor(col("sh32") / pow(lit(2.0), bi * lit(8))), lit(256)).cast("long")))
@@ -109,14 +147,8 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("x.sh32").as("h_a"),
         col("y.id").as("id_b"), col("y.sh32").as("h_b"))
       .distinct()
-    // popcount(xor) via 32 bit tests — codegen'd arithmetic, no UDF
-    val ham = aggregate(
-      transform(sequence(lit(0), lit(31)), j => {
-        val ba = pmod(floor(col("h_a") / pow(lit(2.0), j)), lit(2))
-        val bb = pmod(floor(col("h_b") / pow(lit(2.0), j)), lit(2))
-        when(ba =!= bb, 1L).otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc + x)
+    // popcount(xor): two codegen'd integer instructions per pair
+    val ham = bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
     cand.withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -132,11 +164,14 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
       Similarity.quantize(col(vecCol)).as("v"),
       Similarity.signBucket(col(vecCol), signBits).as("bucket"))
+      .withColumn("nn", Similarity.qdot(col("v"), col("v")))
     val pairs = v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("x.v").as("va"),
-        col("y.id").as("id_b"), col("y.v").as("vb"))
-    pairs.withColumn("cosine", Similarity.qcosine(col("va"), col("vb")))
+      .select(col("x.id").as("id_a"), col("x.v").as("va"), col("x.nn").as("na"),
+        col("y.id").as("id_b"), col("y.v").as("vb"), col("y.nn").as("nb"))
+    pairs.withColumn("cosine",
+        Similarity.qdot(col("va"), col("vb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -52,10 +52,15 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, scale: Int = 1000): DataFrame = {
+    // norms precomputed once per row, not once per pair
     val c = corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+      .withColumn("nn", qdot(col("nv"), col("nv")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine", qcosine(col("qv"), col("nv")))
+      .withColumn("cosine",
+        qdot(col("qv"), col("nv")).cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -79,11 +84,15 @@ object Similarity {
       scale: Int = 1000): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"),
       quantize(col(vecCol), scale).as("nv"), signBucket(col(vecCol), signBits).as("bucket"))
+      .withColumn("nn", qdot(col("nv"), col("nv")))
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol), scale).as("qv"), signBucket(col(vecCol), signBits).as("bucket"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine", qcosine(col("qv"), col("nv")))
+      .withColumn("cosine",
+        qdot(col("qv"), col("nv")).cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

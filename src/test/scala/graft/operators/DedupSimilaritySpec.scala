@@ -37,6 +37,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("simhashTable equals the Column-level Text.simhash") {
+    import graft.functions.Text
+    val t = Dedup.simhashTable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = docs.select(col("doc_id"), Text.simhash(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == c)
+  }
+
   test("simhashPairs: identical docs at hamming 0; guard on maxHamming") {
     val twins = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
       (2L, "omicron pi rho sigma")).toDF("doc_id", "text")
