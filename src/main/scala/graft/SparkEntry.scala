@@ -41,6 +41,17 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- the reference's own benchmark workload (compare.py:25-34) -------
+    // join -> drop_duplicates -> groupby mean, on real tables at the bench SF.
+    "q00_compare_pipeline" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+      val l = Tables.lineitem(s, d)
+      val joined = Joins.join(l, o, Seq("l_orderkey"), "inner", broadcastRight = true)
+      val deduped = Ops.dropDuplicates(joined, Seq("l_orderkey"), "first",
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      Grouping.groupby(deduped, Seq("o_custkey")).agg(Seq("l_quantity" -> "mean"))
+        .orderBy("o_custkey")
+    }),
     // ----- O1/O2: tuple-predicate filters ---------------------------------
     "q01_filters" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
@@ -317,9 +328,61 @@ object SparkEntry {
           round(col("o_totalprice") / 1000.0, 2).as("price_k"))
         .orderBy("o_orderkey")
     }),
+    // ----- ✚ ML cleaner (the SQL-expressible transforms; full pipeline is
+    //       ScalaTest-covered since fit state isn't SQL) -------------------
+    "q39_cleaner_transform" -> ((s, d) => {
+      val cleaner = new graft.ml.TableCleaner
+      cleaner.registerNumeric("l_quantity", impute = "mean", clip = true)
+      cleaner.registerLabel("l_returnflag", Seq("R", "A"))
+      cleaner.registerOneHot("l_linestatus", Seq("F", "O"))
+      val l = Tables.lineitem(s, d)
+      // fit on a restricted "train" slice so the clip-to-train-bounds
+      // behavior is actually visible on the full table
+      cleaner.fit(l.filter(col("l_quantity").between(5, 45)))
+      cleaner.cleanTable(l)
+        .orderBy("l_quantity", "l_returnflag", "l_linestatus_F", "l_linestatus_O")
+        .limit(1000)
+    }),
+    // ----- ✚ sliding-window batch twin -------------------------------------
+    "q40_sliding_window" -> ((s, d) => {
+      Streams.slidingAgg(Tables.events(s, d), "2 hours", "1 hour")
+        .orderBy("window_start_us")
+    }),
+    // ----- ✚ sketch/approx aggregates (no SQL oracle: approximate results
+    //       differ by implementation; driver records rows-only) ------------
+    "q41_approx_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    // ----- ✚ vector analytics: exact per-label centroids via integer sums --
+    "q42_label_centroids" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(Similarity.quantize(col("embedding")))
+          .as(Seq("pos", "milli")))
+        .select(col("label"), col("pos").cast(LongType).as("dim"), col("milli"))
+      e.groupBy(col("label"), col("dim"))
+        .agg((sum(col("milli")).cast("double") / count(lit(1)).cast("double")).as("centroid_milli"))
+        .orderBy("label", "dim")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q00_compare_pipeline" ->
+      """WITH joined AS (
+           SELECT l.*, o.o_custkey FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         deduped AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+             FROM joined) t WHERE rn = 1)
+         SELECT o_custkey, avg(l_quantity) AS l_quantity_mean
+         FROM deduped GROUP BY o_custkey ORDER BY o_custkey""",
     "q01_filters" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_returnflag = 'R' AND l_quantity < 10 AND l_linestatus IN ('F')
@@ -661,5 +724,26 @@ object SparkEntry {
                 datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::BIGINT AS days_to_eoy,
                 round(o_totalprice / 1000.0, 2) AS price_k
          FROM orders ORDER BY o_orderkey""",
+    "q39_cleaner_transform" ->
+      """WITH stats AS (
+           SELECT min(l_quantity) AS mn, max(l_quantity) AS mx, avg(l_quantity) AS mean
+           FROM lineitem WHERE l_quantity BETWEEN 5 AND 45)
+         SELECT least(greatest(coalesce(l_quantity, mean), mn), mx) AS l_quantity,
+                CASE WHEN l_returnflag = 'R' THEN 1
+                     WHEN l_returnflag = 'A' THEN 2 ELSE 0 END AS l_returnflag,
+                coalesce(l_linestatus = 'F', false) AS l_linestatus_F,
+                coalesce(l_linestatus = 'O', false) AS l_linestatus_O
+         FROM lineitem, stats
+         ORDER BY 1, 2, 3, 4 LIMIT 1000""",
+    "q40_sliding_window" ->
+      """SELECT epoch_us(w) AS window_start_us, count(*) AS n_events FROM (
+           SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+                          date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS w
+           FROM events) t GROUP BY w ORDER BY window_start_us""",
+    "q42_label_centroids" ->
+      """SELECT label, i - 1 AS dim,
+                CAST(sum(round(embedding[i] * 1000)::BIGINT) AS DOUBLE) / count(*) AS centroid_milli
+         FROM embeddings, range(1, 65) r(i)
+         GROUP BY label, i ORDER BY label, dim""",
   )
 }
