@@ -325,7 +325,9 @@ object SparkEntry {
           month(col("o_orderdate")).cast(LongType).as("o_month"),
           date_add(to_date(col("o_orderdate")), 30).as("due_date"),
           datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).cast(LongType).as("days_to_eoy"),
-          round(col("o_totalprice") / 1000.0, 2).as("price_k"))
+          // scale-0 rounding only: 2-decimal rounding of doubles diverges
+          // across engines (shortest-decimal vs binary .xx5 boundaries)
+          round(col("o_totalprice") / 1000.0).cast(LongType).as("price_k"))
         .orderBy("o_orderkey")
     }),
     // ----- ✚ ML cleaner (the SQL-expressible transforms; full pipeline is
@@ -644,8 +646,8 @@ object SparkEntry {
          WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY id_a, id_b""",
     "q31_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
-                           [round(x*1000)::BIGINT for x in embedding] AS q,
-                           list_sum([round(x*1000)::BIGINT * round(x*1000)::BIGINT for x in embedding]) AS nn
+                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn
                     FROM embeddings)
          SELECT query_id, nbr_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
          FROM (
@@ -656,8 +658,8 @@ object SparkEntry {
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q32_ann_bucketed" ->
       """WITH v AS (SELECT vec_id,
-                           [round(x*1000)::BIGINT for x in embedding] AS q,
-                           list_sum([round(x*1000)::BIGINT * round(x*1000)::BIGINT for x in embedding]) AS nn,
+                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn,
                            list_sum([CASE WHEN embedding[j+1] >= 0 THEN pow(2, j)::BIGINT ELSE 0 END for j in range(0, 4)]) AS bucket
                     FROM embeddings)
          SELECT query_id, nbr_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
@@ -669,8 +671,8 @@ object SparkEntry {
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q33_embedding_neardup" ->
       """WITH v AS (SELECT vec_id,
-                           [round(x*1000)::BIGINT for x in embedding] AS q,
-                           list_sum([round(x*1000)::BIGINT * round(x*1000)::BIGINT for x in embedding]) AS nn,
+                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn,
                            list_sum([CASE WHEN embedding[j+1] >= 0 THEN pow(2, j)::BIGINT ELSE 0 END for j in range(0, 4)]) AS bucket
                     FROM embeddings)
          SELECT id_a, id_b, cosine FROM (
@@ -722,7 +724,7 @@ object SparkEntry {
                 month(o_orderdate)::BIGINT AS o_month,
                 CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
                 datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::BIGINT AS days_to_eoy,
-                round(o_totalprice / 1000.0, 2) AS price_k
+                round(o_totalprice / 1000.0)::BIGINT AS price_k
          FROM orders ORDER BY o_orderkey""",
     "q39_cleaner_transform" ->
       """WITH stats AS (
@@ -742,7 +744,7 @@ object SparkEntry {
            FROM events) t GROUP BY w ORDER BY window_start_us""",
     "q42_label_centroids" ->
       """SELECT label, i - 1 AS dim,
-                CAST(sum(round(embedding[i] * 1000)::BIGINT) AS DOUBLE) / count(*) AS centroid_milli
+                CAST(sum(round(embedding[i]::DOUBLE * 1000)::BIGINT) AS DOUBLE) / count(*) AS centroid_milli
          FROM embeddings, range(1, 65) r(i)
          GROUP BY label, i ORDER BY label, dim""",
   )

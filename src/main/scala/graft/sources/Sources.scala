@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sources & sinks. The reference has only in-memory construction and a
+  * console print (`SURVEY.md` §2.1 "Scans/sources/sinks"); at scale the
+  * engine needs real connectors — all provided by Spark's DataSource V2
+  * readers (vectorized, split by `maxPartitionBytes` across executors,
+  * predicate/column pushdown for parquet).
+  *
+  * Writer-side scale levers exposed here: `partitionBy` (directory-level
+  * partition pruning for downstream readers) and `bucketBy` (pre-shuffled
+  * co-located layout: joins/aggs on the bucket key skip their exchange).
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true): DataFrame =
+    spark.read.option("header", header).option("inferSchema", inferSchema).csv(path)
+
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** One line per row — the raw-corpus reader for text pipelines. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Parquet sink, optionally hive-partitioned by low-cardinality columns so
+    * downstream scans prune whole directories. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Bucketed managed table: data pre-shuffled into `buckets` files by key.
+    * Joins and aggregations on `bucketCols` then read co-located data and
+    * skip the exchange entirely — the "repartition once, join many times"
+    * pattern for 100-TB fact tables. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.operators.Joins
+
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("csv/json/text round-trip through temp files") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.option("header", "true").csv(s"$dir/c")
+    df.write.json(s"$dir/j")
+    Seq("line one", "line two").toDF("value").write.text(s"$dir/t")
+    assert(Sources.csv(spark, s"$dir/c").count() == 2)
+    assert(Sources.json(spark, s"$dir/j").select("id", "v").count() == 2)
+    assert(Sources.text(spark, s"$dir/t").count() == 2)
+  }
+
+  test("partitioned parquet write prunes directories on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/p"
+    val df = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0)).toDF("id", "k", "v")
+    Sources.writeParquet(df, dir, partitionBy = Seq("k"))
+    val back = Sources.parquet(spark, dir).filter(col("k") === "x")
+    assert(back.count() == 2)
+    // partition filter must prune at planning time (no data filter on k)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter (k"))
+  }
+
+  test("bucketed table join avoids the shuffle exchange") {
+    // warehouse.dir is a static conf — the shared session's default
+    // (./spark-warehouse) is used; tables dropped below
+    val facts = (1 to 100).map(i => (i.toLong % 10, i.toLong)).toDF("k", "v")
+    Sources.writeBucketed(facts, "facts_a", Seq("k"), buckets = 4)
+    Sources.writeBucketed(facts, "facts_b", Seq("k"), buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Joins.join(spark.table("facts_a"),
+        spark.table("facts_b").withColumnRenamed("v", "v2"), Seq("k"))
+      val exchanges = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 0, "bucketed join must not shuffle")
+      assert(j.count() == 1000) // 10 keys x 10x10 pairs
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS facts_a")
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+    }
+  }
+
+  test("saltedJoin: identical results to plain inner join") {
+    val skewed = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong, i.toLong)).toDF("k", "v")
+    val dim = (1 to 20).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val plain = Joins.join(skewed, dim, Seq("k"))
+    val salted = Joins.saltedJoin(skewed, dim, Seq("k"), saltBuckets = 4)
+    assert(salted.count() == plain.count())
+    assert(rowSet(salted.select("k", "v", "name")) == rowSet(plain.select("k", "v", "name")))
+  }
+}
