@@ -161,16 +161,17 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       signBits: Int = 8, threshold: Double = 0.4): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"),
       Similarity.quantize(col(vecCol)).as("v"),
       Similarity.signBucket(col(vecCol), signBits).as("bucket"))
-      .withColumn("nn", Similarity.qdot(col("v"), col("v")))
+      .withColumn("nn", call_function("graft_qdot", col("v"), col("v")))
     val pairs = v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("x.v").as("va"), col("x.nn").as("na"),
         col("y.id").as("id_b"), col("y.v").as("vb"), col("y.nn").as("nb"))
     pairs.withColumn("cosine",
-        Similarity.qdot(col("va"), col("vb")).cast("double") /
+        call_function("graft_qdot", col("va"), col("vb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -29,9 +29,15 @@ object Similarity {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v.cast("array<double>"), x => round(x * scale).cast("long"))
 
-  /** Exact integer dot product (order-independent). */
+  /** Exact integer dot product (order-independent). Built-in HOF form —
+    * works on any session; the operators below use the codegen'd native
+    * expression instead (see [[graft.expressions.QDotLong]]). */
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Codegen'd native dot product; requires `GraftFunctions.register`. */
+  private def nqdot(a: Column, b: Column): Column =
+    call_function("graft_qdot", a, b)
 
   /** Cosine over quantized vectors: one double division of exact integer
     * dots — bit-identical on any engine. */
@@ -52,14 +58,15 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, scale: Int = 1000): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     // norms precomputed once per row, not once per pair
     val c = corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
-      .withColumn("nn", qdot(col("nv"), col("nv")))
+      .withColumn("nn", nqdot(col("nv"), col("nv")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
-      .withColumn("qn", qdot(col("qv"), col("qv")))
+      .withColumn("qn", nqdot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        qdot(col("qv"), col("nv")).cast("double") /
+        nqdot(col("qv"), col("nv")).cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
@@ -82,16 +89,17 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, signBits: Int = 4,
       scale: Int = 1000): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"),
       quantize(col(vecCol), scale).as("nv"), signBucket(col(vecCol), signBits).as("bucket"))
-      .withColumn("nn", qdot(col("nv"), col("nv")))
+      .withColumn("nn", nqdot(col("nv"), col("nv")))
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol), scale).as("qv"), signBucket(col(vecCol), signBits).as("bucket"))
-      .withColumn("qn", qdot(col("qv"), col("qv")))
+      .withColumn("qn", nqdot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        qdot(col("qv"), col("nv")).cast("double") /
+        nqdot(col("qv"), col("nv")).cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
