@@ -79,6 +79,24 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming parquet sink: windowed aggregates land in files with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingAgg(mem.toDF(), "10 minutes", watermark = Some("5 minutes"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(1), 1, "click", 1.0), Ev(2, t(3), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t(40), 1, "view", 1.0)) // advance watermark, close window 0
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.filter(col("event_type") === "click").head().getLong(3) == 300L)
+    } finally q.stop()
+  }
+
   test("streamingDedup: duplicate keys within watermark removed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
