@@ -584,7 +584,11 @@ object SparkEntry {
     "q28_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          s AS (SELECT doc_id,
-                      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
                FROM w),
          e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM s)
          SELECT id_a, id_b, jaccard FROM (
@@ -596,10 +600,14 @@ object SparkEntry {
     "q29_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          s AS (SELECT doc_id,
-                      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
                FROM w),
          s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
-         ws AS (SELECT doc_id, unnest(sh) AS x FROM s2),
+         ws AS (SELECT doc_id, unnest(sh)::VARCHAR AS x FROM s2),
          ww AS (SELECT doc_id,
                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
                                   * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,

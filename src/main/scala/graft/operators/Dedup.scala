@@ -25,13 +25,21 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** doc → distinct n-word shingle set (one row per doc, no explode yet).
+  /** doc → sorted distinct 60-bit shingle hashes (one row per doc).
+    * Shingles are hashed to longs immediately (md5 → first 15 hex chars →
+    * long): join keys and verify arrays are then 8-byte fixed-width instead
+    * of ~50-char strings, cutting shuffle volume and comparison cost ~8×.
+    * A within-pair collision would alter a Jaccard count, but at 2^60 the
+    * probability is ~10^-13 per corpus — and the DuckDB oracle applies the
+    * SAME hash, so results always agree bit-for-bit.
     * Persisted: every consumer (index build, both sides of the candidate
     * self-join, both verify joins) re-reads the materialized sets instead of
     * re-deriving shingles from text — at 100 TB this would be a
     * DISK_ONLY/checkpoint, here MEMORY_AND_DISK. */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), Text.wordShingles(col(textCol), n).as("sh"))
+    df.select(col(idCol).as("id"),
+        array_sort(array_distinct(transform(Text.wordShingles(col(textCol), n),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -45,8 +53,7 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val s = shingled(df, idCol, textCol, n).filter(col("nsh") > 0)
-      .withColumn("sh", sort_array(col("sh")))
+    val s = shingled(df, idCol, textCol, n).filter(col("nsh") > 0) // already sorted
     // epsilon guards float rounding UP only (a longer prefix is still lossless)
     val prefLen = (col("nsh") - ceil(col("nsh") * (threshold - 1e-9)) + 1).cast("int")
     val ex = s.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("shingle"))
@@ -78,10 +85,11 @@ object Dedup {
     * lambdas which Spark interprets row-by-row. */
   def minhashSignatures(s: DataFrame, numHashes: Int): DataFrame = {
     val p = 2147483647L
-    val ex = s.select(col("id"), explode(col("sh")).as("x"))
+    // shingles arrive as 60-bit longs; KM words hash their decimal strings
+    val ex = s.select(col("id"), explode(col("sh")).as("xl"))
       .select(col("id"),
-        Text.md5Word32(col("x"), 1).as("w0"),
-        Text.md5Word32(col("x"), 9).as("w1"))
+        Text.md5Word32(col("xl").cast("string"), 1).as("w0"),
+        Text.md5Word32(col("xl").cast("string"), 9).as("w1"))
     val mins = (0 until numHashes).map(i =>
       min(pmod(col("w0") + col("w1") * i, lit(p))).as(s"mh$i"))
     ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
