@@ -102,4 +102,14 @@ object Ops {
     * (per-partition heap + driver merge, no full sort shuffle). */
   def topK(df: DataFrame, k: Int, orderBy: Seq[Column]): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
+
+  /** Seeded Bernoulli sample (the reference's unseeded `split` mask made
+    * reproducibility impossible — ml.py:124; here seeded by default). */
+  def sample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Per-column summary statistics (count/mean/stddev/min/max) — the
+    * `describe` analog the reference lacked. */
+  def describe(df: DataFrame, cols: String*): DataFrame =
+    if (cols.isEmpty) df.describe() else df.describe(cols: _*)
 }

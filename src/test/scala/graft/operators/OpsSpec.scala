@@ -70,4 +70,17 @@ class OpsSpec extends SparkTestBase {
     val out = Ops.topK(animals, 2, Seq(col("max_speed").desc))
     assert(rowList(out) == Seq(Seq("Falcon", 380.0), Seq("Falcon", 370.0)))
   }
+
+  test("sample: seeded, reproducible, subset of input") {
+    val big = spark.range(1000).toDF("id")
+    val a = Ops.sample(big, 0.1, seed = 7).collect().map(_.getLong(0)).toSet
+    val b = Ops.sample(big, 0.1, seed = 7).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 1000)
+  }
+
+  test("describe: summary rows for numeric columns") {
+    val d = Ops.describe(animals, "max_speed").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("count") == "5" && d("min") == "24.0" && d("max") == "380.0")
+  }
 }
