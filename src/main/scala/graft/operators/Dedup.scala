@@ -37,9 +37,12 @@ object Dedup {
     * re-deriving shingles from text — at 100 TB this would be a
     * DISK_ONLY/checkpoint, here MEMORY_AND_DISK. */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        array_sort(array_distinct(transform(Text.wordShingles(col(textCol), n),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
+    df.select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("s"))
+      // hashing happens OUTSIDE the array lambda: exploded rows run md5/conv
+      // in WholeStageCodegen, then one tiny shuffle of (id, long) rebuilds
+      // the per-doc sorted set (collect_set dedups like array_distinct)
+      .select(col("id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

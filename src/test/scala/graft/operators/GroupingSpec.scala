@@ -33,6 +33,17 @@ class GroupingSpec extends SparkTestBase {
     assert(out.head().getDouble(1) == 2.0)
   }
 
+  test("medianByWindow matches built-in median on odd/even/null cases") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(10.0)),
+      ("b", Some(4.0)), ("b", Some(8.0)), ("b", None)).toDF("k", "v")
+    val g = Grouping.groupby(df, Seq("k"))
+    val win = g.medianByWindow("v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val builtin = g.median(Seq("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(win == builtin && win == Map("a" -> 2.0, "b" -> 6.0))
+  }
+
   test("count and unknown-method error") {
     assert(Grouping.groupby(animals, Seq("animal")).count().count() == 3)
     intercept[IllegalArgumentException] {
