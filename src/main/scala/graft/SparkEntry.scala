@@ -350,6 +350,41 @@ object SparkEntry {
       Streams.slidingAgg(Tables.events(s, d), "2 hours", "1 hour")
         .orderBy("window_start_us")
     }),
+    // ----- ✚ composite analytics: multi-way joins (TPC-H Q3/Q5 flavor) ----
+    "q46_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      val l = Tables.lineitem(s, d)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val j = Joins.join(Joins.join(o, c, Seq("o_custkey"), "inner", broadcastRight = true),
+        l, Seq("o_orderkey"))
+      j.groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q47_local_supplier_volume" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val su = Tables.supplier(s, d)
+      val l = Tables.lineitem(s, d)
+      val nr = Joins.join(
+        n.select(col("n_nationkey"), col("n_name"), col("n_regionkey").as("r_regionkey")),
+        r.select(col("r_regionkey"), col("r_name")), Seq("r_regionkey"),
+        "inner", broadcastRight = true)
+      val sn = Joins.join(
+        su.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("n_nationkey")),
+        nr, Seq("n_nationkey"), "inner", broadcastRight = true)
+      Joins.join(l, sn, Seq("l_suppkey"), "inner", broadcastRight = true)
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
     // ----- ✚ sketch/approx aggregates (no SQL oracle: approximate results
     //       differ by implementation; driver records rows-only) ------------
     "q41_approx_stats" -> ((s, d) => {
@@ -360,6 +395,44 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+    // ----- ✚ dedup groups: connected components over near-dup pairs -------
+    "q43_dedup_groups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs, docs, "doc_id")
+        .filter(col("id") =!= col("component")) // only docs folded into a group
+        .orderBy("id")
+    }),
+    // ----- ✚ TF-IDF top terms ----------------------------------------------
+    "q44_tfidf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).select(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3 && col("doc_id") < 50)
+        .select("doc_id", "term", "rank") // float column excluded: ln() may
+        // differ in the last ulp across libm implementations; ORDER is stable
+        .orderBy("doc_id", "rank")
+    }),
+    // ----- ✚ event funnel ---------------------------------------------------
+    "q45_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      perUser.select(
+          count(lit(1)).as("n_users"),
+          count(col("first_signup")).as("n_signed"),
+          count(when(col("first_click") > col("first_signup"), 1)).as("n_click_after_signup"),
+          count(when(col("first_purchase") > col("first_signup"), 1)).as("n_purchase_after_signup"))
     }),
     // ----- ✚ vector analytics: exact per-label centroids via integer sums --
     "q42_label_centroids" -> ((s, d) => {
@@ -750,6 +823,88 @@ object SparkEntry {
            SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
                           date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS w
            FROM events) t GROUP BY w ORDER BY window_start_us""",
+    "q43_dedup_groups" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
+               FROM w),
+         s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+         ws AS (SELECT doc_id, unnest(sh)::VARCHAR AS x FROM s2),
+         ww AS (SELECT doc_id,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k + 8, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+                FROM ws),
+         sigl AS (SELECT doc_id, i, min((w0 + i * w1) % 2147483647) AS mh
+                  FROM ww, range(0, 12) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS bi,
+                          md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bk
+                   FROM sigl GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         pairs AS (SELECT id_a, id_b FROM (
+           SELECT c.ia AS id_a, c.ib AS id_b,
+                  len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))) AS jaccard
+           FROM cand c JOIN s2 x ON x.doc_id = c.ia JOIN s2 y ON y.doc_id = c.ib) t
+           WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS id, min(b) AS component FROM reach
+         GROUP BY a HAVING min(b) < a ORDER BY id""",
+    "q44_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term, tf * ln(n_docs::DOUBLE / df) AS tfidf
+                    FROM tf JOIN dfreq USING (term), n),
+         r AS (SELECT doc_id, term,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+               FROM scored)
+         SELECT doc_id, term, rank FROM r
+         WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
+    "q46_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
+    "q47_local_supplier_volume" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q45_funnel" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'signup') AS s,
+                  min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'click') AS c,
+                  min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'purchase') AS p
+           FROM events GROUP BY user_id)
+         SELECT count(*) AS n_users, count(s) AS n_signed,
+                count(CASE WHEN c > s THEN 1 END) AS n_click_after_signup,
+                count(CASE WHEN p > s THEN 1 END) AS n_purchase_after_signup
+         FROM pu""",
     "q42_label_centroids" ->
       """SELECT label, i - 1 AS dim,
                 CAST(sum(round(embedding[i]::DOUBLE * 1000)::BIGINT) AS DOUBLE) / count(*) AS centroid_milli

@@ -165,6 +165,43 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-dup pairs → dedup groups: connected components over the pair
+    * graph by iterative min-label propagation. Each round joins every
+    * node's current label with its neighbors' and keeps the minimum;
+    * converges in O(diameter) rounds (near-dup clusters are tiny, so a few).
+    * `localCheckpoint` truncates the plan lineage each round — without it,
+    * iterative DataFrame algorithms compound their plans until planning
+    * itself dominates (the classic Spark iterative-algorithm trap).
+    * Output: (id, component) where component = min id in the cluster;
+    * singletons (nodes outside `nodes` ∩ pairs) keep themselves. */
+  def connectedComponents(
+      pairs: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"))
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_component"))
+      // checkpoint the joined frame ONCE; the convergence count and the next
+      // round's labels both read the materialized result (one join per round)
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("new_component"), col("component"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_component") =!= col("component")).count()
+      labels = updated.select(col("id"), col("new_component").as("component"))
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup: sign-bit LSH buckets over the first `signBits`
     * components (axis-aligned hyperplanes), exact quantized cosine within a
     * bucket. Deterministic and oracle-reproducible; recall < 1 by design
