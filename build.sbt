@@ -11,6 +11,8 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// each ScalaCheck property evaluation runs real Spark jobs — keep cases few
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaCheck, "-minSuccessfulTests", "10")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

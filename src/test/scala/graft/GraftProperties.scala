@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, Joins, Ops}
+
+/** Property-based invariants (SURVEY §5 strategy item 3), run by sbt's
+  * built-in ScalaCheck framework. Kept to few, small cases — each property
+  * evaluation runs real Spark jobs on the shared local session. */
+object GraftProperties extends Properties("graft") {
+
+  private lazy val spark = SparkTestBase.spark
+  import scala.jdk.CollectionConverters._
+  private def df(rows: List[(Int, Int)]) = {
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.createDataFrame(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType))))
+  }
+
+  private val rowsGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(-5, 5)))
+
+  property("filters: output is a subset of input and every row satisfies the predicate") =
+    forAll(rowsGen, Gen.chooseNum(-5, 5)) { (rows, t) =>
+      val out = Ops.filters(df(rows), ("v", ">", t)).collect()
+      out.forall(_.getInt(1) > t) &&
+        out.map(r => (r.getInt(0), r.getInt(1))).forall(rows.contains)
+    }
+
+  property("dropDuplicates any: one row per key, rows drawn from input") =
+    forAll(rowsGen) { rows =>
+      val out = Ops.dropDuplicates(df(rows), Seq("k")).collect()
+      val keys = out.map(_.getInt(0))
+      keys.distinct.length == keys.length &&
+        keys.toSet == rows.map(_._1).toSet &&
+        out.map(r => (r.getInt(0), r.getInt(1))).forall(rows.contains)
+    }
+
+  property("inner join count = sum over keys of lc*rc") =
+    forAll(rowsGen, rowsGen) { (l, r) =>
+      val expected = l.groupBy(_._1).map { case (k, ls) =>
+        ls.size.toLong * r.count(_._1 == k)
+      }.sum
+      Joins.join(df(l), df(r).withColumnRenamed("v", "v2"), Seq("k")).count() == expected
+    }
+
+  property("connectedComponents: same component iff connected (vs union-find)") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { edges0 =>
+      val edges = edges0.filter(e => e._1 != e._2)
+      import spark.implicits._
+      val pairs = edges.toDF("id_a", "id_b")
+      val nodes = (0L to 9L).toDF("id")
+      val got = Dedup.connectedComponents(pairs, nodes, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map((0L to 9L).map(x => x -> x): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L to 9L).forall(x => got(x) == find(x))
+    }
+}
