@@ -6,14 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 
 /** Deduplication for large-scale text corpora (north-star extension,
-  * SURVEY §2.1 ✚): exact, n-gram Jaccard, MinHash+LSH banding, SimHash.
+  * SURVEY §2.1 ✚): exact, n-gram Jaccard, MinHash+LSH banding, SimHash,
+  * and near-dup-pair → group resolution.
+  *
+  * Algorithms are the published standards: MinHash (Broder, "On the
+  * resemblance and containment of documents", 1997) with banding LSH
+  * (Leskovec/Rajaraman/Ullman, MMDS ch. 3) and Kirsch–Mitzenmacher double
+  * hashing ("Less hashing, same performance", 2006); SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", 2002);
+  * prefix filtering for exact set-similarity joins (Chaudhuri et al. 2006;
+  * Xiao et al., PPJoin, 2008).
   *
   * Scale design: every variant avoids the O(N²) cross join. Candidate pairs
-  * come either from an inverted index on shingles (docs sharing ≥1 shingle)
-  * or from LSH band buckets; both are plain shuffles on a key, so they
-  * partition across executors and survive a 1000× scale-up. All hashing is
-  * md5-based (codegen'd, no UDF) so the DuckDB oracle reproduces results
-  * exactly.
+  * come either from an inverted index on shingle prefixes (docs sharing ≥1
+  * indexed shingle) or from LSH band buckets; both are plain shuffles on a
+  * key, so they partition across executors and survive a 1000× scale-up.
+  * All hashing is md5-based (codegen'd, no UDF) so the DuckDB oracle
+  * reproduces results exactly.
   */
 object Dedup {
 
@@ -180,7 +189,9 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"))
+    // only edge-touched nodes iterate — in a near-dup corpus that is a tiny
+    // fraction of documents, so propagation cost tracks |edges|, not |corpus|
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
@@ -199,7 +210,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    // singletons (never in a pair) keep themselves
+    val allNodes = nodes.select(col(idCol).as("id"))
+    allNodes.join(labels.withColumnRenamed("id", "__lid"),
+        allNodes("id") === col("__lid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Embedding near-dup: sign-bit LSH buckets over the first `signBits`

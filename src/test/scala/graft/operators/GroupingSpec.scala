@@ -61,6 +61,15 @@ class GroupingSpec extends SparkTestBase {
     assert(out == Set(("Falcon", 2, 750.0), ("Parrot", 2, 50.0), ("Goose", 1, 60.0)))
   }
 
+  test("iterate: multi-key groups and null keys round-trip the separator encoding") {
+    val df = Seq((Some("a"), Some("x"), 1.0), (Some("a"), Some("x"), 2.0),
+      (Some("a"), Some("y"), 3.0), (None, Some("x"), 4.0)).toDF("k1", "k2", "v")
+    val out = Grouping.groupby(df, Seq("k1", "k2"))
+      .iterate { (keys, rows) => Iterator.single((keys.mkString("/"), rows.size)) }
+      .collect().toSet
+    assert(out == Set(("a/x", 2), ("a/y", 1), ("\u0000/x", 1)))
+  }
+
   test("aggExprs accepts arbitrary Column aggregations") {
     val out = Grouping.groupby(animals, Seq("animal"))
       .aggExprs(countDistinct(col("max_speed")).as("nd"))
