@@ -111,4 +111,32 @@ object Streams {
     * horizon (the streaming twin of Ops.dropDuplicates "any"). */
   def streamingDedup(events: DataFrame, keys: Seq[String], watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * static dimension — stateless, and Catalyst broadcasts the dim exactly
+    * as in batch. The standard shape for attaching user/item metadata to an
+    * event stream. */
+  def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame = {
+    val dup = dim.columns.toSet.intersect(stream.columns.toSet) -- on.toSet
+    stream.join(dup.foldLeft(dim)((d, c) => d.drop(c)), on, "left")
+  }
+
+  /** Watermarked stream-stream inner join: pair each left event with right
+    * events for the same key within `[0, windowMinutes]` AFTER it. Both
+    * sides carry watermarks and the time-range predicate bounds the join
+    * state (Spark evicts rows once the watermark passes the bound) — without
+    * the range condition a stream-stream join would buffer forever.
+    * Input frames must expose (key, ts); output: key, left ts, right ts. */
+  def streamJoinWithin(
+      left: DataFrame, right: DataFrame, key: String,
+      windowMinutes: Int, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("k"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("rk"), col("ts").as("r_ts"))
+    l.join(r, col("k") === col("rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("k").as(key), col("l_ts"), col("r_ts"))
+  }
 }

@@ -97,6 +97,40 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join attaches dimension columns per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = Streams.enrich(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 3, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(1L -> Some("gold"), 3L -> None)) // unmatched keeps null
+    } finally q.stop()
+  }
+
+  test("stream-stream join within time bound pairs events and drops out-of-window ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = Streams.streamJoinWithin(clicks.toDF(), buys.toDF(), "user_id",
+        windowMinutes = 10, watermark = "1 minute")
+      .writeStream.format("memory").queryName("ssjoin_test").outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, t(0), 1, "click", 1.0))
+      buys.addData(Ev(2, t(5), 1, "purchase", 5.0),  // within 10 min -> joins
+        Ev(3, t(30), 1, "purchase", 9.0),            // outside window -> dropped
+        Ev(4, t(6), 2, "purchase", 2.0))             // other user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2)))
+      assert(rows.toSeq == Seq((1L, t(5))))
+    } finally q.stop()
+  }
+
   test("streamingDedup: duplicate keys within watermark removed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
