@@ -385,6 +385,21 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    // ----- ✚ SQL-first interface: the same engine through spark.sql -------
+    "q48_sql_interface" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT n_name, c_name, revenue_cents FROM (
+          SELECT n.n_name, c.c_name,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                 row_number() OVER (PARTITION BY n.n_name
+                   ORDER BY sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC, c.c_name) AS rk
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, c.c_name) t
+        WHERE rk = 1 ORDER BY n_name""")
+    }),
     // ----- ✚ sketch/approx aggregates (no SQL oracle: approximate results
     //       differ by implementation; driver records rows-only) ------------
     "q41_approx_stats" -> ((s, d) => {
@@ -875,6 +890,17 @@ object SparkEntry {
                FROM scored)
          SELECT doc_id, term, rank FROM r
          WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
+    "q48_sql_interface" ->
+      """SELECT n_name, c_name, revenue_cents FROM (
+           SELECT n.n_name, c.c_name,
+                  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                  row_number() OVER (PARTITION BY n.n_name
+                    ORDER BY sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC, c.c_name) AS rk
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name, c.c_name) t
+         WHERE rk = 1 ORDER BY n_name""",
     "q46_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
                 CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -39,4 +39,11 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` works against
+    * the catalog — the SQL-first interface the reference never had. */
+  def registerAll(s: SparkSession, sfDir: String): Unit = {
+    all.filterNot(_ == "events").foreach(n => table(s, sfDir, n).createOrReplaceTempView(n))
+    events(s, sfDir).createOrReplaceTempView("events")
+  }
 }
