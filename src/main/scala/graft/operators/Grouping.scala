@@ -54,6 +54,11 @@ final case class Grouping(df: DataFrame, by: Seq[String]) {
     df.groupBy(by.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
+  /** The reference's exact dict-shaped signature, `agg({col: method})` —
+    * one method per column (a Map can't hold duplicate keys; use the Seq
+    * overload for multi-agg on one column). */
+  def agg(methods: Map[String, String]): DataFrame = agg(methods.toSeq)
+
   /** Exact median of `c` per group via one distributed window sort: rank the
     * non-null values, keep the middle one or two, average. Identical values
     * to SQL `median` (percentile_cont 0.5, null-skipping).

@@ -44,6 +44,12 @@ class GroupingSpec extends SparkTestBase {
     assert(win == builtin && win == Map("a" -> 2.0, "b" -> 6.0))
   }
 
+  test("agg Map overload (the reference dict signature)") {
+    val out = Grouping.groupby(animals, Seq("animal"))
+      .agg(Map("max_speed" -> "mean", "n" -> "sum"))
+    assert(out.columns.toSet == Set("animal", "max_speed_mean", "n_sum"))
+  }
+
   test("count and unknown-method error") {
     assert(Grouping.groupby(animals, Seq("animal")).count().count() == 3)
     intercept[IllegalArgumentException] {
