@@ -29,7 +29,7 @@ object Jsons {
       jsonCol: String,
       schema: Option[StructType] = None): DataFrame = {
     val s = schema.getOrElse(inferSchema(spark, df, jsonCol))
-    val others = df.columns.filter(_ != jsonCol).map(c => df(c))
+    val others = df.columns.filter(_ != jsonCol).map(c => df(c)).toSeq
     df.withColumn("__graft_j", from_json(df(jsonCol), s))
       .select(others :+ col("__graft_j.*"): _*)
   }
