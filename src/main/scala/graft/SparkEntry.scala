@@ -385,6 +385,27 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
+    // ----- ✚ the full curation pipeline: dedup -> quality -> language ------
+    // The composite a 100-TB training-data run actually executes: drop
+    // near-duplicate docs (keep each cluster's min id), then quality- and
+    // language-gate, then account surviving tokens per source.
+    "q49_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      val folded = Dedup.connectedComponents(pairs, docs, "doc_id")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val kept = Joins.join(docs, folded, Seq("doc_id"), "anti")
+      kept
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .withColumn("lang_id", Text.langId(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_id") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+        .orderBy("source")
+    }),
     // ----- ✚ SQL-first interface: the same engine through spark.sql -------
     "q48_sql_interface" -> ((s, d) => {
       Tables.registerAll(s, d)
@@ -893,6 +914,70 @@ object SparkEntry {
                FROM scored)
          SELECT doc_id, term, rank FROM r
          WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
+    "q49_curation_pipeline" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
+               FROM w),
+         s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+         ws AS (SELECT doc_id, unnest(sh)::VARCHAR AS x FROM s2),
+         ww AS (SELECT doc_id,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k + 8, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+                FROM ws),
+         sigl AS (SELECT doc_id, i, min((w0 + i * w1) % 2147483647) AS mh
+                  FROM ww, range(0, 12) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS bi,
+                          md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bk
+                   FROM sigl GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         pairs AS (SELECT id_a, id_b FROM (
+           SELECT c.ia AS id_a, c.ib AS id_b,
+                  len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))) AS jaccard
+           FROM cand c JOIN s2 x ON x.doc_id = c.ia JOIN s2 y ON y.doc_id = c.ib) t
+           WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         folded AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+         kept AS (SELECT d.* FROM documents d
+                  WHERE NOT EXISTS (SELECT 1 FROM folded f WHERE f.doc_id = d.doc_id)),
+         lt AS (SELECT doc_id, source, text,
+                       string_split_regex(trim(lower(text)), '\s+') AS lt
+                FROM kept),
+         sc AS (SELECT doc_id, source, text,
+                  len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+                  len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+                  len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+                  len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+                  len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+                  len(lt) AS ntok
+                FROM lt),
+         gated AS (
+           SELECT doc_id, source, text, ntok FROM sc
+           WHERE 0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                   + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                   + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+                 >= 0.5
+             AND (CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                       ELSE 'und' END) = 'en')
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         FROM gated GROUP BY source ORDER BY source""",
     "q48_sql_interface" ->
       """SELECT n_name, c_name, revenue_cents FROM (
            SELECT n.n_name, c.c_name,
