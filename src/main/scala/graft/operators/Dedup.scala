@@ -186,6 +186,9 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
       maxIter: Int = 20): DataFrame = {
+    // NOTE: 2-hop path doubling was tried here and REVERTED — the extra
+    // self-join/distinct/persist materializations cost more than the saved
+    // propagation rounds at every tested scale.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -41,6 +41,16 @@ object Ops {
       case ">="       => c >= lit(value)
       case "in"       => c.isin(values: _*)
       case "not in"   => !c.isin(values: _*)
+      // extensions beyond the reference kernel (`is null` was inexpressible
+      // there — SURVEY §2.1 "Filters"); value is ignored for the null tests
+      case "is null"  => c.isNull
+      case "not null" => c.isNotNull
+      case "between"  => values match {
+        case Seq(lo, hi) => c.between(lit(lo), lit(hi))
+        case _ => throw new IllegalArgumentException("between needs Seq(lo, hi)")
+      }
+      case "like"     => c.like(value.toString)
+      case "rlike"    => c.rlike(value.toString)
       case other      => throw new IllegalArgumentException(s"Unknown filter op: $other")
     }
   }

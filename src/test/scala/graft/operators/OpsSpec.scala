@@ -41,6 +41,17 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Ops.predicate("a", "~", 1) }
   }
 
+  test("filters: extension ops — is null / not null / between / like / rlike") {
+    val df = Seq(Some("alpha"), Some("beta"), None).toDF("v")
+    assert(Ops.filters(df, ("v", "is null", null)).count() == 1)
+    assert(Ops.filters(df, ("v", "not null", null)).count() == 2)
+    assert(Ops.filters(df, ("v", "like", "a%")).count() == 1)
+    assert(Ops.filters(df, ("v", "rlike", "^(al|be)")).count() == 2)
+    val nums = Seq(1, 5, 10).toDF("n")
+    assert(Ops.filters(nums, ("n", "between", Seq(2, 10))).count() == 2)
+    intercept[IllegalArgumentException] { Ops.predicate("n", "between", Seq(1)) }
+  }
+
   test("dropDuplicates keep=any: one row per key, subset of input") {
     val out = Ops.dropDuplicates(animals, Seq("animal"))
     assert(out.count() == 3)
