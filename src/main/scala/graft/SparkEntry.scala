@@ -284,6 +284,12 @@ object SparkEntry {
           k = 5, signBits = 4)
         .orderBy("query_id", "rank")
     }),
+    "q50_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nCells = 16)
+        .orderBy("query_id", "rank")
+    }),
     "q33_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           signBits = 4, threshold = 0.3)
@@ -788,6 +794,26 @@ object SparkEntry {
                   list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
                     / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
            FROM v q JOIN v c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id) t
+         QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q50_ann_ivf" ->
+      """WITH v AS (SELECT vec_id,
+                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn
+                    FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, q AS cv, nn AS cc FROM v WHERE vec_id < 16),
+         asg AS (SELECT vec_id, q, nn, cell FROM (
+           SELECT v.vec_id, v.q, v.nn, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY v.nn - 2 * list_sum([p[1] * p[2] for p in list_zip(v.q, c.cv)]) + c.cc,
+                             c.cent_id) AS cr
+           FROM v, cents c) t WHERE cr = 1)
+         SELECT query_id, nbr_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+         FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                  list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                    / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+           FROM asg q JOIN asg c ON q.vec_id < 10 AND q.cell = c.cell AND q.vec_id <> c.vec_id) t
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q33_embedding_neardup" ->
       """WITH v AS (SELECT vec_id,

@@ -83,6 +83,51 @@ object Similarity {
         (x, j) => when(x >= 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
 
+  /** IVF-structured approximate top-k: quantize the corpus into `nCells`
+    * Voronoi cells around centroid vectors, then search only the query's
+    * own cell. Cell assignment is an exact integer distance argmin
+    * (d² = v·v − 2·v·c + c·c over quantized ints — associative, so
+    * deterministic at any partitioning) against a BROADCAST centroid set;
+    * the search is an equi-join on the cell id. This is the IVF index
+    * *structure*; centroids here are seeded deterministically from the
+    * first `nCells` corpus vectors (a future round can add Lloyd
+    * iterations — the search path is unchanged). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      scale: Int = 1000): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val cents = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cent_id"), quantize(col(vecCol), scale).as("cv"))
+      .withColumn("cc", nqdot(col("cv"), col("cv")))
+    def assign(df: DataFrame, id: String, v: String): DataFrame = {
+      val scoredCells = df.join(broadcast(cents))
+        .withColumn("d2",
+          col("vv") - lit(2) * nqdot(col(v), col("cv")) + col("cc"))
+      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cent_id"))
+      scoredCells.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") === 1)
+        .select(col(id), col(v), col("vv"), col("cent_id").as("cell"))
+    }
+    val c = assign(
+      corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+        .withColumn("vv", nqdot(col("nv"), col("nv"))), "nbr_id", "nv")
+    val q = assign(
+      queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
+        .withColumn("vv", nqdot(col("qv"), col("qv"))), "query_id", "qv")
+      .withColumnRenamed("vv", "qn")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        nqdot(col("qv"), col("nv")).cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("vv").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: compare only within the query's
     * sign-bit bucket — a broadcast equi-join on the bucket id. */
   def bucketedTopK(

@@ -86,6 +86,19 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("ivfTopK: search restricted to the query's cell") {
+    // seeds = ids < 2 → cells around (1,0,0) and (0.9,0.1,0). By integer
+    // distance, vecs 2 and 3 both land in cell 1, so cell 0 = {0} alone:
+    // query 0 gets NO results (its cell has no other member — the IVF
+    // recall trade-off), and query 1 ranks 2 (cos .11) above 3 (cos −.99).
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 3, nCells = 2).collect()
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(!out.exists(_.getLong(0) == 0L))
+    val q1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+    assert(q1 == Seq(2L, 3L))
+  }
+
   test("qdot/qcosine: quantized integer dot is exact") {
     val df = Seq((Array(0.5, -0.25), Array(0.5, 0.25))).toDF("a", "b")
     val r = df.select(
