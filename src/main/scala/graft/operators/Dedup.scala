@@ -220,6 +220,22 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** One-call corpus dedup: MinHash-LSH near-dup pairs → connected
+    * components → anti-join the folded members out. Keeps each cluster's
+    * minimum-id document plus all documents never seen in a pair. This is
+    * the operator a curation pipeline actually invokes (q49 composes it
+    * with quality/language gates). */
+  def dedupedCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, bands, rowsPerBand, threshold)
+    val folded = connectedComponents(pairs, df, idCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    Joins.join(df, folded, Seq(idCol), "anti")
+  }
+
   /** Embedding near-dup: sign-bit LSH buckets over the first `signBits`
     * components (axis-aligned hyperplanes), exact quantized cosine within a
     * bucket. Deterministic and oracle-reproducible; recall < 1 by design

@@ -24,6 +24,17 @@ class ComponentsSpec extends SparkTestBase {
     assert(out == Set(1L)) // everything collapses to the min label
   }
 
+  test("dedupedCorpus: keeps cluster minimum + unpaired docs") {
+    val docs = Seq(
+      (0L, "spark shuffles data across the cluster during wide transformations always"),
+      (1L, "spark shuffles data across the cluster during wide transformations always"),
+      (2L, "completely unrelated text about cooking pasta with fresh tomatoes basil")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupedCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L)) // doc 1 folded into doc 0's cluster
+  }
+
   test("connectedComponents: empty pair set leaves all singletons") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val nodes = Seq(1L, 2L).toDF("doc_id")
