@@ -234,6 +234,14 @@ object SparkEntry {
           Text.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    "q51_token_budget" -> ((s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_whitespace"),
+          Text.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id")
+    }),
     "q24_simhash" -> ((s, d) => {
       Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
         .select(col("id").as("doc_id"), col("sh32").as("simhash32"))
@@ -646,6 +654,12 @@ object SparkEntry {
                   + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
                   + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE) AS quality
          FROM sc ORDER BY doc_id""",
+    "q51_token_budget" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_whitespace,
+                len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT AS n_bpeish,
+                length(text)::BIGINT AS n_chars
+         FROM documents ORDER BY doc_id""",
     "q24_simhash" ->
       """WITH toks AS (
            SELECT doc_id,

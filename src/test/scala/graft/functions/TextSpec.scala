@@ -32,6 +32,13 @@ class TextSpec extends SparkTestBase {
     assert(out.toSet == Set("x y", "y x"))
   }
 
+  test("bpeishTokens: letter/digit/punct runs with attached leading space") {
+    val df = Seq("It's 42 degrees, really-hot today!").toDF("t")
+    val toks = df.select(Text.bpeishTokens(col("t"))).head().getSeq[String](0)
+    assert(toks == Seq("It", "'", "s", " 42", " degrees", ",", " really", "-", "hot", " today", "!"))
+    assert(df.select(Text.bpeishTokenCount(col("t"))).head().getInt(0) == 11)
+  }
+
   test("langId: stopword-profile argmax with deterministic tie-break, und when no hits") {
     val df = Seq(
       "the cat is in the hat", "der hund ist ein tier", "el gato es un animal",
