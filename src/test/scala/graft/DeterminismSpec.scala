@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Codifies the engine's core scale property: results are independent of
+  * physical partitioning. Every oracle-facing construction (integer
+  * quantization, cents sums, md5 hashing) must produce BIT-IDENTICAL rows
+  * whether the data lives in 1 partition or many — this is what makes the
+  * engine's answers reproducible across cluster sizes. */
+class DeterminismSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = (0L until 40L).map(i =>
+    (i, s"alpha beta gamma delta epsilon zeta eta theta token$i iota kappa lambda"))
+    .toDF("doc_id", "text")
+
+  test("cents-quantized aggregation: identical at 1 vs 7 partitions") {
+    val vals = (1 to 500).map(i => (i % 7, i * 1.01 + 0.005)).toDF("k", "v")
+    def agg(p: Int) = rowSet(
+      vals.repartition(p).groupBy("k")
+        .agg(sum(round(col("v") * 100).cast("long")).as("cents")))
+    assert(agg(1) == agg(7))
+  }
+
+  test("minhash LSH pairs: identical at 1 vs 7 partitions") {
+    val dup = docs.union(Seq((100L, "alpha beta gamma delta epsilon zeta eta theta token3 iota kappa lambda"))
+      .toDF("doc_id", "text"))
+    def pairs(p: Int) = rowSet(
+      Dedup.minhashLshPairs(dup.repartition(p), "doc_id", "text", threshold = 0.5))
+    assert(pairs(1) == pairs(7))
+    assert(pairs(1).nonEmpty)
+  }
+
+  test("quantized cosine top-k: identical at 1 vs 7 partitions") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    def topk(p: Int) = rowSet(
+      Similarity.bruteForceTopK(vecs.repartition(p),
+        vecs.filter(col("vec_id") < 3), "vec_id", "embedding", k = 4))
+    assert(topk(1) == topk(7))
+  }
+
+  test("simhash table: identical at 1 vs 7 partitions") {
+    def h(p: Int) = rowSet(Dedup.simhashTable(docs.repartition(p), "doc_id", "text"))
+    assert(h(1) == h(7))
+  }
+}
