@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -23,8 +24,28 @@ import graft.functions.Text
   * key, so they partition across executors and survive a 1000× scale-up.
   * All hashing is md5-based (codegen'd, no UDF) so the DuckDB oracle
   * reproduces results exactly.
+  *
+  * Cache discipline: the pair operators persist their intermediates
+  * (shingle sets, banded signatures), EAGERLY materialize the small pair
+  * result via `localCheckpoint(true)`, then unpersist every intermediate
+  * before returning — no storage outlives the call. Eager evaluation is a
+  * deliberate semantic: a near-dup-pairs result is consumed in full by any
+  * caller, and materializing it once is what lets the self-joined
+  * signature pipeline run ONCE instead of once per join side. On a
+  * multi-node cluster you'd swap the final `localCheckpoint` for a table
+  * write (localCheckpoint blocks are not fault-tolerant); single-JVM here.
   */
 object Dedup {
+
+  /** Persist + force-materialize: after this, every later consumer —
+    * including both sides of a self-join — reads the cached blocks instead
+    * of recomputing the plan (lazy persist alone would let the self-join's
+    * two concurrently-scheduled map stages each compute the pipeline). */
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
 
   /** Exact dedup on a fingerprint of normalized text — one hash-agg shuffle
     * (map-side combine), the 100-TB-safe baseline. */
@@ -41,10 +62,10 @@ object Dedup {
     * A within-pair collision would alter a Jaccard count, but at 2^60 the
     * probability is ~10^-13 per corpus — and the DuckDB oracle applies the
     * SAME hash, so results always agree bit-for-bit.
-    * Persisted: every consumer (index build, both sides of the candidate
-    * self-join, both verify joins) re-reads the materialized sets instead of
-    * re-deriving shingles from text — at 100 TB this would be a
-    * DISK_ONLY/checkpoint, here MEMORY_AND_DISK. */
+    * Callers `pin` this frame (index build, both sides of the candidate
+    * self-join, both verify joins re-read the materialized sets instead of
+    * re-deriving shingles from text) and unpersist it before returning —
+    * at 100 TB this would be a DISK_ONLY cache or a staging table. */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("s"))
       // hashing happens OUTSIDE the array lambda: exploded rows run md5/conv
@@ -53,7 +74,6 @@ object Dedup {
       .select(col("id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact near-dup pairs with PPJoin-style prefix filtering (lossless):
     * with each doc's shingles in a fixed total order (lexicographic), any
@@ -65,14 +85,16 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val s = shingled(df, idCol, textCol, n).filter(col("nsh") > 0) // already sorted
+    val s = pin(shingled(df, idCol, textCol, n).filter(col("nsh") > 0)) // already sorted
     // epsilon guards float rounding UP only (a longer prefix is still lossless)
     val prefLen = (col("nsh") - ceil(col("nsh") * (threshold - 1e-9)) + 1).cast("int")
     val ex = s.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("shingle"))
     val cand = ex.as("x").join(ex.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    verifyJaccard(cand, s, threshold)
+    val out = verifyJaccard(cand, s, threshold).localCheckpoint(true)
+    s.unpersist(false)
+    out
   }
 
   /** Join candidate (id_a,id_b) pairs back to shingle sets and keep those
@@ -118,17 +140,24 @@ object Dedup {
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val s = shingled(df, idCol, textCol, n).filter(col("nsh") > 0)
+    val s = pin(shingled(df, idCol, textCol, n).filter(col("nsh") > 0))
     val sig = minhashSignatures(s, numHashes)
     val bandKeys = (0 until bands).map(bi =>
       md5(concat_ws("|",
         (0 until rowsPerBand).map(j => col(s"mh${bi * rowsPerBand + j}").cast("string")): _*)))
-    val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    // pinned: the signature hash-agg (the expensive job) runs ONCE — without
+    // it, the candidate self-join below executes the pipeline on BOTH sides
+    // (this alone halved q29's wall time)
+    val banded = pin(
+      sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    verifyJaccard(cand, s, threshold)
+    val out = verifyJaccard(cand, s, threshold).localCheckpoint(true)
+    banded.unpersist(false)
+    s.unpersist(false)
+    out
   }
 
   /** Relational 32-bit SimHash: explode tokens, hash each ONCE (codegen'd
@@ -155,8 +184,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "byte-banding is only complete for maxHamming <= 3")
-    val h = simhashTable(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h = pin(simhashTable(df, idCol, textCol))
     val banded = h.select(col("id"), col("sh32"), posexplode(
         transform(sequence(lit(0), lit(3)),
           bi => pmod(floor(col("sh32") / pow(lit(2.0), bi * lit(8))), lit(256)).cast("long")))
@@ -169,53 +197,73 @@ object Dedup {
       .distinct()
     // popcount(xor): two codegen'd integer instructions per pair
     val ham = bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long")
-    cand.withColumn("hamming", ham)
+    val out = cand.withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .localCheckpoint(true)
+    h.unpersist(false)
+    out
   }
 
   /** Near-dup pairs → dedup groups: connected components over the pair
     * graph by iterative min-label propagation. Each round joins every
     * node's current label with its neighbors' and keeps the minimum;
     * converges in O(diameter) rounds (near-dup clusters are tiny, so a few).
-    * `localCheckpoint` truncates the plan lineage each round — without it,
-    * iterative DataFrame algorithms compound their plans until planning
-    * itself dominates (the classic Spark iterative-algorithm trap).
+    * Iterates to CONVERGENCE; `maxIter` is only a safety valve, and hitting
+    * it logs a loud warning (silently-split components would make a dedup
+    * pass keep documents that belong to an already-kept cluster).
+    *
+    * Iteration state is pinned round-by-round: each round's labels are
+    * persisted as a plan-truncated RDD (so Catalyst plans never compound —
+    * the classic Spark iterative-algorithm trap) and the PREVIOUS round is
+    * unpersisted as soon as the new one is materialized, so storage held is
+    * one round of labels, not O(rounds). The final labels are re-rooted via
+    * an eager localCheckpoint and every loop RDD is released before return.
     * Output: (id, component) where component = min id in the cluster;
     * singletons (nodes outside `nodes` ∩ pairs) keep themselves. */
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 100): DataFrame = {
+    val spark = pairs.sparkSession
     // NOTE: 2-hop path doubling was tried here and REVERTED — the extra
     // self-join/distinct/persist materializations cost more than the saved
     // propagation rounds at every tested scale.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // only edge-touched nodes iterate — in a near-dup corpus that is a tiny
     // fraction of documents, so propagation cost tracks |edges|, not |corpus|
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(true)
-    var changed = 1L
+    val init = edges.select(col("src").as("id")).withColumn("component", col("id")).distinct()
+    var cur = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = spark.createDataFrame(cur, init.schema)
+    var changed = cur.count() // materialize round 0 (count value unused)
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_component"))
-      // checkpoint the joined frame ONCE; the convergence count and the next
-      // round's labels both read the materialized result (one join per round)
       val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("new_component"), col("component"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("new_component") =!= col("component")).count()
-      labels = updated.select(col("id"), col("new_component").as("component"))
+            .as("component"), col("component").as("prev_component"))
+      val next = updated.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      // ONE pass materializes the round and counts convergence
+      changed = next.filter(r => r.get(1) != r.get(2)).count()
+      cur.unpersist(blocking = false)
+      cur = next
+      labels = spark.createDataFrame(next, updated.schema).select("id", "component")
       i += 1
     }
-    edges.unpersist()
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter with $changed labels still " +
+          "changing — components may be split; raise maxIter")
+    // re-root the (small) final labels so every loop RDD can be released
+    val finalLabels = labels.localCheckpoint(true)
+    cur.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     // singletons (never in a pair) keep themselves
     val allNodes = nodes.select(col(idCol).as("id"))
-    allNodes.join(labels.withColumnRenamed("id", "__lid"),
+    allNodes.join(finalLabels.withColumnRenamed("id", "__lid"),
         allNodes("id") === col("__lid"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
