@@ -244,7 +244,7 @@ object SparkEntry {
     }),
     "q24_simhash" -> ((s, d) => {
       Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("sh32").as("simhash32"))
+        .select(col("id").as("doc_id"), col("sh64").as("simhash64"))
         .orderBy("doc_id")
     }),
     "q25_lang_quality_agg" -> ((s, d) => {
@@ -286,22 +286,42 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // nTables/signBits/nCells/nprobe left at defaults: signBits and nCells
+    // derive from count(*) (constant bucket occupancy / ⌈√N⌉ cells at ANY
+    // corpus size — the VERDICT r1 scale fix), reproduced by the oracle
     "q32_ann_bucketed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.bucketedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, signBits = 4)
+      Similarity.bucketedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
     "q50_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nCells = 16)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
     "q33_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          signBits = 4, threshold = 0.3)
+          threshold = 0.3)
         .orderBy("id_a", "id_b")
+    }),
+    // recall scorecard: per query, how many of the exact top-5 the LSH and
+    // IVF paths recovered — the honesty metric for the two ANN structures
+    "q52_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select("query_id", "nbr_id")
+      val lsh = Similarity.bucketedTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit_l"))
+      val ivf = Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit_i"))
+      brute.join(lsh, Seq("query_id", "nbr_id"), "left")
+        .join(ivf, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit_l"), lit(0L))).as("n_hit_lsh"),
+          sum(coalesce(col("hit_i"), lit(0L))).as("n_hit_ivf"))
+        .orderBy("query_id")
     }),
     // ----- ✚ event streams: batch twins of the streaming transforms --------
     "q34_tumbling_window" -> ((s, d) => {
@@ -499,6 +519,93 @@ object SparkEntry {
     }),
   )
 
+  // ---- shared DuckDB CTE fragments for the embeddings family --------------
+  // quantized vectors + exact integer norms (dim = 64 in the test tables)
+  private val sqlVecs =
+    """v AS (SELECT vec_id,
+              [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+              list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT
+                        for x in embedding]) AS nn
+            FROM embeddings)"""
+  // multi-table random-hyperplane LSH buckets: bits = smallest b in [4,24]
+  // with 2^b*8 >= count(*) (identical integer derivation to
+  // Similarity.sizedSignBits); weight(t,j,p) = +1 iff first md5 nibble of
+  // "42|t|j|p" is even (identical to Similarity.hyperplanes, seed 42)
+  private val sqlLshBuckets =
+    """nb AS (SELECT min(b) AS bits FROM range(4, 25) r(b),
+                (SELECT count(*) AS n FROM embeddings) c
+              WHERE (1::BIGINT << b) * 8 >= n OR b = 24),
+       bk AS (SELECT vec_id, t,
+                list_sum([CASE WHEN list_sum([
+                    (CASE WHEN (instr('0123456789abcdef',
+                         substr(md5(42 || '|' || t || '|' || j || '|' || (p - 1)), 1, 1)) - 1) % 2 = 0
+                     THEN 1 ELSE -1 END) * q[p]
+                  for p in range(1, 65)]) >= 0 THEN (1::BIGINT << j) ELSE 0 END
+                for j in range(0, bits)]) AS bucket
+              FROM v, range(0, 8) r(t), nb)"""
+  // IVF: one Lloyd assignment step — every vector to its exact-integer-
+  // distance argmin centroid (ties to the lowest cent_id)
+  private def sqlIvfAssign(asgName: String, centsName: String): String =
+    s"""$asgName AS (SELECT vec_id, q, nn, cell FROM (
+          SELECT v.vec_id, v.q, v.nn, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY v.nn - 2 * list_sum([p[1] * p[2] for p in list_zip(v.q, c.cv)]) + c.cc,
+                            c.cent_id) AS cr
+          FROM v, $centsName c) t WHERE cr = 1)"""
+  // IVF: one Lloyd update step — per-cell, per-dim rounded mean of the
+  // quantized components (integer-exact; empty cells vanish)
+  private def sqlIvfUpdate(centsName: String, asgName: String): String =
+    s"""$centsName AS (SELECT cent_id, cv, list_sum([x * x for x in cv]) AS cc FROM (
+          SELECT cell AS cent_id, list(m ORDER BY i) AS cv FROM (
+            SELECT cell, i, CAST(round(sum(q[i])::DOUBLE / count(*)) AS BIGINT) AS m
+            FROM $asgName, range(1, 65) r(i) GROUP BY cell, i) s GROUP BY cell) u)"""
+  // IVF chain mirroring Similarity.ivfTopK defaults: nCells = max(4,⌈√N⌉),
+  // hash-ordered centroid seeding, 2 Lloyd rounds, corpus assigned to its
+  // final cell, queries (vec_id < 10) probing their nprobe=2 nearest cells
+  private val sqlIvfChain =
+    s"""nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*)::DOUBLE)) AS INT)) AS cells
+               FROM embeddings),
+        c0 AS (SELECT cent_id, cv, cc FROM (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cent_id,
+                 q AS cv, nn AS cc
+          FROM v) t WHERE cent_id <= (SELECT cells FROM nc)),
+        ${sqlIvfAssign("ivf_a1", "c0")},
+        ${sqlIvfUpdate("c1", "ivf_a1")},
+        ${sqlIvfAssign("ivf_a2", "c1")},
+        ${sqlIvfUpdate("c2", "ivf_a2")},
+        ${sqlIvfAssign("ivf_asg", "c2")},
+        ivf_q AS (SELECT vec_id, q, nn, cell FROM (
+          SELECT v.vec_id, v.q, v.nn, c.cent_id AS cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY v.nn - 2 * list_sum([p[1] * p[2] for p in list_zip(v.q, c.cv)]) + c.cc,
+                            c.cent_id) AS cr
+          FROM v, c2 c WHERE v.vec_id < 10) t WHERE cr <= 2)"""
+  // LSH top-k candidates for queries vec_id < 10 (rank over exact cosine)
+  private val sqlLshTopK =
+    s"""lsh_k AS (
+          SELECT query_id, nbr_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+          FROM (
+            SELECT cand.query_id, cand.nbr_id,
+                   list_sum([p[1] * p[2] for p in list_zip(qq.q, cc.q)])::DOUBLE
+                     / (sqrt(qq.nn::DOUBLE) * sqrt(cc.nn::DOUBLE)) AS cosine
+            FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+                  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+                  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) cand
+            JOIN v qq ON qq.vec_id = cand.query_id
+            JOIN v cc ON cc.vec_id = cand.nbr_id) s
+          QUALIFY rank <= 5)"""
+  private val sqlIvfTopK =
+    s"""ivf_k AS (
+          SELECT query_id, nbr_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                   list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                     / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+            FROM ivf_asg c JOIN ivf_q q ON q.cell = c.cell AND q.vec_id <> c.vec_id) s
+          QUALIFY rank <= 5)"""
+
   def oracleSql: Map[String, String] = Map(
     "q00_compare_pipeline" ->
       """WITH joined AS (
@@ -668,14 +775,18 @@ object SparkEntry {
          h AS (
            SELECT doc_id,
                   list_sum([ (instr('0123456789abcdef', substr(md5(t), k, 1)) - 1)
-                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS hv
+                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(t), k + 8, 1)) - 1)
+                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
            FROM toks),
          votes AS (
            SELECT doc_id, j,
-                  sum(2 * ((floor(hv / pow(2, j)))::BIGINT % 2) - 1) AS v
-           FROM h, range(0, 32) r(j) GROUP BY doc_id, j)
+                  sum(2 * ((CASE WHEN j < 32 THEN w1 >> j ELSE w0 >> (j - 32) END) & 1) - 1) AS v
+           FROM h, range(0, 64) r(j) GROUP BY doc_id, j)
          SELECT doc_id,
-                CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END * pow(2, j)::BIGINT) AS BIGINT) AS simhash32
+                CAST(sum(CASE WHEN v > 0 THEN
+                       CASE WHEN j = 63 THEN -9223372036854775808 ELSE 1::BIGINT << j END
+                     ELSE 0 END) AS BIGINT) AS simhash64
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q25_lang_quality_agg" ->
       """WITH t AS (
@@ -767,20 +878,24 @@ object SparkEntry {
          hw AS (
            SELECT doc_id,
                   list_sum([ (instr('0123456789abcdef', substr(md5(t), k, 1)) - 1)
-                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS hv
+                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(t), k + 8, 1)) - 1)
+                             * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
            FROM toks),
          votes AS (
            SELECT doc_id, j,
-                  sum(2 * ((floor(hv / pow(2, j)))::BIGINT % 2) - 1) AS v
-           FROM hw, range(0, 32) r(j) GROUP BY doc_id, j),
+                  sum(2 * ((CASE WHEN j < 32 THEN w1 >> j ELSE w0 >> (j - 32) END) & 1) - 1) AS v
+           FROM hw, range(0, 64) r(j) GROUP BY doc_id, j),
          h AS (SELECT doc_id,
-                      CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END * pow(2, j)::BIGINT) AS BIGINT) AS sh32
+                      CAST(sum(CASE WHEN v > 0 THEN
+                             CASE WHEN j = 63 THEN -9223372036854775808 ELSE 1::BIGINT << j END
+                           ELSE 0 END) AS BIGINT) AS sh64
                FROM votes GROUP BY doc_id),
-         banded AS (SELECT doc_id, sh32, bi, (floor(sh32 / pow(2, bi * 8)))::BIGINT % 256 AS byte
+         banded AS (SELECT doc_id, sh64, bi, (sh64 >> (bi * 16)::INT) & 65535 AS bandval
                     FROM h, range(0, 4) r(bi)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh32 AS ha, b.doc_id AS id_b, b.sh32 AS hb
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh64 AS ha, b.doc_id AS id_b, b.sh64 AS hb
                   FROM banded a JOIN banded b
-                    ON a.bi = b.bi AND a.byte = b.byte AND a.doc_id < b.doc_id)
+                    ON a.bi = b.bi AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
          FROM cand
          WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY id_a, id_b""",
@@ -797,49 +912,40 @@ object SparkEntry {
            FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q32_ann_bucketed" ->
-      """WITH v AS (SELECT vec_id,
-                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
-                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn,
-                           list_sum([CASE WHEN embedding[j+1] >= 0 THEN pow(2, j)::BIGINT ELSE 0 END for j in range(0, 4)]) AS bucket
-                    FROM embeddings)
-         SELECT query_id, nbr_id, cosine, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
-         FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-                  list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
-                    / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
-           FROM v q JOIN v c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id) t
-         QUALIFY rank <= 5 ORDER BY query_id, rank""",
+      s"""WITH $sqlVecs, $sqlLshBuckets, $sqlLshTopK
+         SELECT query_id, nbr_id, cosine, rank FROM lsh_k ORDER BY query_id, rank""",
+    "q52_ann_recall" ->
+      s"""WITH $sqlVecs, $sqlLshBuckets, $sqlIvfChain, $sqlLshTopK, $sqlIvfTopK,
+         brute AS (
+           SELECT query_id, nbr_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                 / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) DESC,
+                               c.vec_id) AS rank
+             FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+           WHERE rank <= 5)
+         SELECT b.query_id, count(*) AS k,
+                CAST(sum(CASE WHEN l.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_lsh,
+                CAST(sum(CASE WHEN i.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_ivf
+         FROM brute b
+         LEFT JOIN lsh_k l ON l.query_id = b.query_id AND l.nbr_id = b.nbr_id
+         LEFT JOIN ivf_k i ON i.query_id = b.query_id AND i.nbr_id = b.nbr_id
+         GROUP BY b.query_id ORDER BY b.query_id""",
     "q50_ann_ivf" ->
-      """WITH v AS (SELECT vec_id,
-                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
-                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn
-                    FROM embeddings),
-         cents AS (SELECT vec_id AS cent_id, q AS cv, nn AS cc FROM v WHERE vec_id < 16),
-         asg AS (SELECT vec_id, q, nn, cell FROM (
-           SELECT v.vec_id, v.q, v.nn, c.cent_id AS cell,
-                  row_number() OVER (PARTITION BY v.vec_id
-                    ORDER BY v.nn - 2 * list_sum([p[1] * p[2] for p in list_zip(v.q, c.cv)]) + c.cc,
-                             c.cent_id) AS cr
-           FROM v, cents c) t WHERE cr = 1)
-         SELECT query_id, nbr_id, cosine,
-                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
-         FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-                  list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
-                    / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
-           FROM asg q JOIN asg c ON q.vec_id < 10 AND q.cell = c.cell AND q.vec_id <> c.vec_id) t
-         QUALIFY rank <= 5 ORDER BY query_id, rank""",
+      s"""WITH $sqlVecs, $sqlIvfChain, $sqlIvfTopK
+         SELECT query_id, nbr_id, cosine, rank FROM ivf_k ORDER BY query_id, rank""",
     "q33_embedding_neardup" ->
-      """WITH v AS (SELECT vec_id,
-                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
-                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn,
-                           list_sum([CASE WHEN embedding[j+1] >= 0 THEN pow(2, j)::BIGINT ELSE 0 END for j in range(0, 4)]) AS bucket
-                    FROM embeddings)
+      s"""WITH $sqlVecs, $sqlLshBuckets
          SELECT id_a, id_b, cosine FROM (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                  list_sum([p[1] * p[2] for p in list_zip(a.q, b.q)])::DOUBLE
-                    / (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS cosine
-           FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+           SELECT cand.id_a, cand.id_b,
+                  list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
+                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+           FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id) cand
+           JOIN v x ON x.vec_id = cand.id_a
+           JOIN v y ON y.vec_id = cand.id_b) t
          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
     "q34_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,

@@ -97,24 +97,37 @@ object Text {
   def md5Word32(s: Column, from: Int): Column =
     conv(substring(md5(s), from, 8), 16, 10).cast("long")
 
-  /** 32-bit SimHash over whitespace tokens of the normalized text.
-    * Bit j of the result is 1 iff the (+1/−1) vote sum over tokens of bit j
-    * of the token's 32-bit md5 word is positive. ONE pass over the tokens
-    * with a 32-counter array accumulator — md5 is computed once per token
-    * (not once per bit). No shuffle, no UDF. */
+  /** 64-bit SimHash over whitespace tokens of the normalized text.
+    * The token hash is the first two 32-bit md5 words: bits 0–31 of the
+    * simhash vote on w1 (hex chars 9–16), bits 32–63 on w0 (hex chars 1–8) —
+    * per-word extraction keeps every intermediate inside BIGINT range on
+    * both engines (a materialized 64-bit hash would overflow the oracle's
+    * signed arithmetic). Bit j of the result is 1 iff the (+1/−1) vote sum
+    * over tokens is positive. ONE pass over the tokens with a 64-counter
+    * array accumulator — md5 once per token, not once per bit.
+    * 64 bits (vs the classic 32) keeps Hamming-band buckets selective at
+    * web-corpus scale: 4×16-bit bands ⇒ 65,536 buckets per band, still
+    * pigeonhole-complete for maxHamming ≤ 3. */
   def simhash(c: Column): Column = {
     val toks = tokens(normalize(c))
     val votes = aggregate(
       toks,
-      array_repeat(lit(0L), 32),
+      array_repeat(lit(0L), 64),
       (acc, t) => {
-        val h = md5Word32(t, 1)
-        zip_with(acc, sequence(lit(0), lit(31)),
-          (a, j) => a + lit(2) * pmod(floor(h / pow(lit(2.0), j)), lit(2)).cast("long") - lit(1))
+        val w0 = md5Word32(t, 1)
+        val w1 = md5Word32(t, 9)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => {
+            val word = when(j < 32, w1).otherwise(w0)
+            val sh = when(j < 32, j).otherwise(j - 32)
+            a + lit(2) * pmod(floor(word / pow(lit(2.0), sh)), lit(2)).cast("long") - lit(1)
+          })
       })
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)),
-        (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+      zip_with(votes, sequence(lit(0), lit(63)),
+        // shiftleft's public overload takes an Int literal; inside a lambda
+        // the shift amount is a Column, so call the SQL builtin directly
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
 }

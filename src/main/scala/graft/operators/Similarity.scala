@@ -1,27 +1,42 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor similarity search over embedding columns
   * (north-star extension, SURVEY §2.1 ✚).
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force cosine top-k: the exact baseline. The query set is small
   *    and broadcast, so the "cross join" is a broadcast-nested-loop over the
   *    corpus — embarrassingly parallel, no shuffle of the big side.
-  *  - sign-bit LSH bucketed top-k: the scale path. Candidates are restricted
-  *    to the query's hyperplane bucket; one broadcast equi-join on the bucket
-  *    id instead of |Q|×|N| comparisons. Recall < 1 by design (classic ANN
-  *    trade-off).
+  *  - multi-table random-hyperplane LSH top-k (`bucketedTopK`): the scale
+  *    path. `nTables` independent seeded hyperplane tables, each hashing to
+  *    `signBits` sign bits; a corpus row is a candidate if it shares a
+  *    bucket with the query in ANY table (Charikar 2002; Indyk–Motwani
+  *    multi-table construction). Collision prob per table is
+  *    (1 − θ/π)^signBits, recall = 1 − (1 − p)^nTables — tables buy recall,
+  *    bits buy selectivity.
+  *  - IVF top-k (`ivfTopK`): coarse k-means quantizer (fixed-count Lloyd
+  *    rounds, deterministic hash-sampled init), search the query's `nprobe`
+  *    nearest cells.
+  *
+  * Scale-parameterization (VERDICT r1): `signBits` defaults to the smallest
+  * b with 2^b · 8 ≥ |corpus| (bucket occupancy ≈ 8 at ANY corpus size, so
+  * per-bucket candidate volume stays constant as N grows), and `nCells`
+  * defaults to ⌈√N⌉ (balances cells scanned per probe against cell size —
+  * the standard IVF sizing). Both derivations are integer-exact so the
+  * DuckDB oracle computes the identical values from `count(*)`.
   *
   * Determinism: embeddings are quantized to integer milli-units before the
   * dot product (`quantize`). Integer sums are associative — the result is
   * independent of partitioning/evaluation order, so results are reproducible
   * across cluster sizes AND bit-identical to the DuckDB oracle (float
   * summation order would not be). Quantized int8/int16 embeddings are also
-  * the standard memory/bandwidth optimization for ANN at scale.
+  * the standard memory/bandwidth optimization for ANN at scale. Hyperplane
+  * weights and centroid seeds derive from md5, which both engines share.
   */
 object Similarity {
 
@@ -51,6 +66,57 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Persist + force-materialize (see Dedup.pin — same discipline). */
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
+  /** Smallest b in [minBits, maxBits] with 2^b · targetOccupancy ≥ n:
+    * bucket count grows WITH the corpus so per-bucket occupancy — and with
+    * it per-bucket candidate-pair volume — stays ~constant at any scale.
+    * Integer-exact (no float log2) so the SQL oracle derives the same b. */
+  def sizedSignBits(n: Long, targetOccupancy: Int = 8, minBits: Int = 4, maxBits: Int = 24): Int = {
+    var b = minBits
+    while (b < maxBits && (1L << b) * targetOccupancy < n) b += 1
+    b
+  }
+
+  /** Deterministic seeded ±1 random hyperplanes, one row per
+    * (table `t`, bit `j`, dimension `pos`): w = +1 iff the first md5 nibble
+    * of "seed|t|j|pos" is even. Rademacher (±1) entries are a standard
+    * random-projection basis (Achlioptas 2001) and keep the projection an
+    * exact integer sum. Tiny (nTables·bits·dim rows) — broadcast. */
+  def hyperplanes(spark: SparkSession, nTables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
+    val t = spark.range(nTables).select(col("id").as("t"))
+    val j = spark.range(bits).select(col("id").as("j"))
+    val p = spark.range(dim).select(col("id").as("pos"))
+    t.crossJoin(j).crossJoin(p)
+      .select(col("t"), col("j"), col("pos"),
+        when(pmod(conv(substring(md5(
+            concat_ws("|", lit(seed), col("t"), col("j"), col("pos"))), 1, 1), 16, 10)
+            .cast("long"), lit(2)) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("w"))
+  }
+
+  /** (id, t, bucket) for each row of `v` (id + quantized vector): bit j of
+    * table t's bucket = [v · r_tj ≥ 0]. Relational formulation — explode
+    * dims once, broadcast-join the plane table, two map-side-combined
+    * hash-aggs — keeps the hot path in WholeStageCodegen (interpreted
+    * array-lambda HOFs measured 12–39× slower on this shape). */
+  private[operators] def lshBuckets(
+      v: DataFrame, idCol: String, vecCol: String, planes: DataFrame): DataFrame =
+    v.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .join(broadcast(planes), Seq("pos"))
+      .groupBy(col(idCol), col("t"), col("j"))
+      .agg(sum(col("w") * col("x")).as("s"))
+      .groupBy(col(idCol), col("t"))
+      // shiftleft's public overload wants an Int literal; j is a Column here
+      .agg(sum(when(col("s") >= 0,
+        call_function("shiftleft", lit(1L), col("j").cast("int"))).otherwise(lit(0L)))
+        .as("bucket"))
+
   /** Exact cosine top-k neighbors for each row of `queries` against `corpus`.
     * `queries` is broadcast (small side); ranking is a window partitioned by
     * query id, so the per-query top-k never concentrates on one executor.
@@ -75,81 +141,126 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
-  /** Sign-bit bucket id over the first `signBits` raw vector components
-    * (axis-aligned hyperplane LSH). */
-  def signBucket(v: Column, signBits: Int): Column =
-    aggregate(
-      zip_with(slice(v.cast("array<double>"), 1, signBits), sequence(lit(0), lit(signBits - 1)),
-        (x, j) => when(x >= 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+  /** Multi-table random-hyperplane LSH approximate top-k: a corpus row is a
+    * candidate for a query iff they share a bucket in ANY of the `nTables`
+    * hyperplane tables (union of per-table equi-joins — never a cross join).
+    * `signBits = 0` (default) derives bucket width from the corpus size so
+    * occupancy stays constant at any scale; more tables buy recall at
+    * linear candidate cost. Eager (result checkpointed, caches released). */
+  def bucketedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nTables: Int = 8, signBits: Int = 0,
+      scale: Int = 1000, seed: Long = 42L): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val bits = if (signBits > 0) signBits else sizedSignBits(corpus.count())
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val planes = hyperplanes(corpus.sparkSession, nTables, bits, dim, seed)
+    val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+      .withColumn("nn", nqdot(col("nv"), col("nv"))))
+    val q = pin(queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
+      .withColumn("qn", nqdot(col("qv"), col("qv"))))
+    val cb = lshBuckets(c, "nbr_id", "nv", planes)
+    val qb = lshBuckets(q, "query_id", "qv", planes)
+    val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "nbr_id").distinct()
+    val scored = cand.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        nqdot(col("qv"), col("nv")).cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+      .localCheckpoint(true)
+    c.unpersist(false)
+    q.unpersist(false)
+    out
+  }
 
-  /** IVF-structured approximate top-k: quantize the corpus into `nCells`
-    * Voronoi cells around centroid vectors, then search only the query's
-    * own cell. Cell assignment is an exact integer distance argmin
-    * (d² = v·v − 2·v·c + c·c over quantized ints — associative, so
-    * deterministic at any partitioning) against a BROADCAST centroid set;
-    * the search is an equi-join on the cell id. This is the IVF index
-    * *structure*; centroids here are seeded deterministically from the
-    * first `nCells` corpus vectors (a future round can add Lloyd
-    * iterations — the search path is unchanged). */
+  /** IVF-structured approximate top-k: a coarse k-means quantizer splits the
+    * corpus into `nCells` Voronoi cells; each query searches its `nprobe`
+    * nearest cells. Centroids: deterministic hash-ordered sample of the
+    * corpus (smallest md5(id) — id-type-agnostic, uniform, replayable in
+    * SQL), refined by a FIXED number of Lloyd rounds with integer-exact
+    * arithmetic (per-dim mean = round(sum/count) of quantized components) so
+    * every engine replays the identical centroids. Cell assignment is an
+    * exact integer distance argmin (d² = v·v − 2·v·c + c·c), computed as a
+    * map-side-combinable min(struct(d2, cent_id)) aggregate against a
+    * BROADCAST centroid set — ties break to the lowest cell id. `nCells = 0`
+    * derives ⌈√N⌉. At 100 TB you'd train Lloyd on a hash-prefix sample and
+    * keep the full-corpus pass for the final assignment only; the search
+    * path is unchanged. Eager (result checkpointed, caches released). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 0, nprobe: Int = 2, lloydIters: Int = 2,
       scale: Int = 1000): DataFrame = {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    val cents = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).as("cent_id"), quantize(col(vecCol), scale).as("cv"))
-      .withColumn("cc", nqdot(col("cv"), col("cv")))
-    def assign(df: DataFrame, id: String, v: String): DataFrame = {
-      val scoredCells = df.join(broadcast(cents))
-        .withColumn("d2",
-          col("vv") - lit(2) * nqdot(col(v), col("cv")) + col("cc"))
-      val w = Window.partitionBy(col(id)).orderBy(col("d2"), col("cent_id"))
-      scoredCells.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") === 1)
-        .select(col(id), col(v), col("vv"), col("cent_id").as("cell"))
+    val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+      .withColumn("vv", nqdot(col("nv"), col("nv"))))
+    val n = c.count() // reads the pinned cache
+    val cells = if (nCells > 0) nCells else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+
+    def assignCells(v: DataFrame, id: String, vec: String, norm: String,
+        cents: DataFrame): DataFrame =
+      v.join(broadcast(cents))
+        .withColumn("d2", col(norm) - lit(2) * nqdot(col(vec), col("cv")) + col("cc"))
+        .groupBy(col(id))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+        .select(col(id), col("m.cent_id").as("cell"))
+
+    // init: the `cells` corpus vectors with the smallest md5(id) —
+    // TakeOrdered (per-partition heap, no global sort), then a tiny window
+    // renumbers them 1..cells
+    var cents = c.orderBy(md5(col("nbr_id").cast("string"))).limit(cells)
+      .select(
+        row_number().over(Window.orderBy(md5(col("nbr_id").cast("string")))).cast("long")
+          .as("cent_id"),
+        col("nv").as("cv"), col("vv").as("cc"))
+      .localCheckpoint(true)
+    for (_ <- 1 to lloydIters) {
+      val asg = assignCells(c, "nbr_id", "nv", "vv", cents).join(c, Seq("nbr_id"))
+      val sums = asg.select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      // per-dim rounded mean, re-assembled in dimension order; empty cells
+      // simply vanish (identically on the oracle side)
+      cents = sums
+        .withColumn("m", round(col("s").cast("double") / col("cnt").cast("double")).cast("long"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .select(col("cell").as("cent_id"), col("cv"))
+        .withColumn("cc", nqdot(col("cv"), col("cv")))
+        .localCheckpoint(true) // tiny; truncates the per-round plan growth
     }
-    val c = assign(
-      corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
-        .withColumn("vv", nqdot(col("nv"), col("nv"))), "nbr_id", "nv")
-    val q = assign(
-      queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
-        .withColumn("vv", nqdot(col("qv"), col("qv"))), "query_id", "qv")
-      .withColumnRenamed("vv", "qn")
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val cAsg = assignCells(c, "nbr_id", "nv", "vv", cents)
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
+      .withColumn("qn", nqdot(col("qv"), col("qv")))
+    // queries probe their nprobe nearest cells (full ranking only over the
+    // tiny broadcast centroid set)
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cent_id"))
+    val qAsg = q.join(broadcast(cents))
+      .withColumn("d2", col("qn") - lit(2) * nqdot(col("qv"), col("cv")) + col("cc"))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val scored = cAsg.join(c, Seq("nbr_id")).join(broadcast(qAsg), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
         nqdot(col("qv"), col("nv")).cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("vv").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cosine", "rank")
-  }
-
-  /** LSH-bucketed approximate top-k: compare only within the query's
-    * sign-bit bucket — a broadcast equi-join on the bucket id. */
-  def bucketedTopK(
-      corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, signBits: Int = 4,
-      scale: Int = 1000): DataFrame = {
-    graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nbr_id"),
-      quantize(col(vecCol), scale).as("nv"), signBucket(col(vecCol), signBits).as("bucket"))
-      .withColumn("nn", nqdot(col("nv"), col("nv")))
-    val q = queries.select(col(idCol).as("query_id"),
-      quantize(col(vecCol), scale).as("qv"), signBucket(col(vecCol), signBits).as("bucket"))
-      .withColumn("qn", nqdot(col("qv"), col("qv")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine",
-        nqdot(col("qv"), col("nv")).cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "cosine", "rank")
+      .localCheckpoint(true)
+    c.unpersist(false)
+    out
   }
 }

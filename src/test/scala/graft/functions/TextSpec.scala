@@ -54,12 +54,13 @@ class TextSpec extends SparkTestBase {
     assert(s(0) > s(1))
   }
 
-  test("simhash: deterministic, equal for equal token bags, in 32-bit range") {
+  test("simhash: deterministic, equal for equal token bags, uses full 64 bits") {
     val df = Seq("spark makes big data small", "spark makes big data small",
       "completely different words entirely here").toDF("t")
     val h = df.select(Text.simhash(col("t"))).collect().map(_.getLong(0))
     assert(h(0) == h(1))
     assert(h(0) != h(2))
-    assert(h.forall(v => v >= 0L && v < (1L << 32)))
+    // the high word (bits 32-63) must actually be populated
+    assert(h.exists(v => (v >>> 32) != 0L))
   }
 }

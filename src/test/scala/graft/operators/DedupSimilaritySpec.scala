@@ -86,17 +86,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
-  test("ivfTopK: search restricted to the query's cell") {
-    // seeds = ids < 2 → cells around (1,0,0) and (0.9,0.1,0). By integer
-    // distance, vecs 2 and 3 both land in cell 1, so cell 0 = {0} alone:
-    // query 0 gets NO results (its cell has no other member — the IVF
-    // recall trade-off), and query 1 ranks 2 (cos .11) above 3 (cos −.99).
-    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 2), "vec_id", "embedding",
-      k = 3, nCells = 2).collect()
-    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
-    assert(!out.exists(_.getLong(0) == 0L))
-    val q1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
-    assert(q1 == Seq(2L, 3L))
+  // two tight planted clusters on the x/y axes; even ids = cluster A,
+  // odd ids = cluster B. The hash-ordered centroid seeds for ids 0..9 are
+  // 6 (cluster A) and 9 (cluster B), so 2-round Lloyd provably separates
+  // the clusters regardless of perturbation.
+  private def clustered = Seq.tabulate(10) { i =>
+    val eps = 0.01f * i
+    if (i % 2 == 0) (i.toLong, Array(1.0f, eps, 0.0f))
+    else (i.toLong, Array(eps, 1.0f, 0.0f))
+  }.toDF("vec_id", "embedding")
+
+  test("ivfTopK: nprobe=1 restricts to the query's cluster cell") {
+    val out = Similarity.ivfTopK(clustered, clustered.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 9, nCells = 2, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(2L, 4L, 6L, 8L)) // cluster A members only, no self
+  }
+
+  test("ivfTopK: probing every cell equals brute force") {
+    val qs = clustered.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(clustered, qs, "vec_id", "embedding",
+        k = 4, nCells = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val brute = Similarity.bruteForceTopK(clustered, qs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(ivf == brute)
   }
 
   test("qdot/qcosine: quantized integer dot is exact") {
