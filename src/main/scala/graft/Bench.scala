@@ -34,22 +34,34 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        release()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2) // median
-    }
+    // optional comma-separated filter for local iteration (driver leaves unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // A query with ANY failed run is reported in "failed", not "queries" —
+    // a consistently-throwing query would otherwise post its (short) failure
+    // time as a fast median and read as a success (ADVICE r2).
+    val outcomes = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        var failed = false
+        val times = (1 to runs).map { _ =>
+          release()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (name, times(times.length / 2), failed) // median
+      }
+    val results = outcomes.collect { case (n, t, false) => n -> t }
+    val failedNames = outcomes.collect { case (n, _, true) => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fj = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

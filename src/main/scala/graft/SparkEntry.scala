@@ -455,15 +455,26 @@ object SparkEntry {
           GROUP BY n.n_name, c.c_name) t
         WHERE rk = 1 ORDER BY n_name""")
     }),
-    // ----- ✚ sketch/approx aggregates (no SQL oracle: approximate results
-    //       differ by implementation; driver records rows-only) ------------
+    // ----- ✚ sketch/approx aggregates -------------------------------------
+    // Sketch VALUES differ by implementation, so they can't be hash-compared
+    // across engines; instead the exact columns are hashed and the sketches
+    // are BOUND-ASSERTED (within 5% of the exact answer) as booleans the
+    // oracle states as TRUE — the sketches stay exercised, the row is fully
+    // hash-checkable, and a sketch regression flips a boolean (VERDICT r2 #2)
     "q41_approx_stats" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__ad"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__am"),
+          median(col("l_extendedprice")).as("__em"))
+        .select(col("l_returnflag"), col("n"), col("n_orders_exact"),
+          (abs(col("__ad") - col("n_orders_exact")) <= col("n_orders_exact") * 0.05)
+            .as("approx_distinct_ok"),
+          (abs(col("__am") - col("__em")) <= abs(col("__em")) * 0.05)
+            .as("approx_median_ok"))
         .orderBy("l_returnflag")
     }),
     // ----- ✚ dedup groups: connected components over near-dup pairs -------
@@ -530,9 +541,11 @@ object SparkEntry {
   // multi-table random-hyperplane LSH buckets: bits = smallest b in [4,24]
   // with 2^b*8 >= count(*) (identical integer derivation to
   // Similarity.sizedSignBits); weight(t,j,p) = +1 iff first md5 nibble of
-  // "42|t|j|p" is even (identical to Similarity.hyperplanes, seed 42)
-  private val sqlLshBuckets =
-    """nb AS (SELECT min(b) AS bits FROM range(4, 25) r(b),
+  // "42|t|j|p" is even (identical to Similarity.hyperplanes, seed 42).
+  // nTables must match the Spark-side call site (16 for bucketedTopK,
+  // 8 for Dedup.embeddingNearDupPairs).
+  private def sqlLshBuckets(nTables: Int) =
+    s"""nb AS (SELECT min(b) AS bits FROM range(4, 25) r(b),
                 (SELECT count(*) AS n FROM embeddings) c
               WHERE (1::BIGINT << b) * 8 >= n OR b = 24),
        bk AS (SELECT vec_id, t,
@@ -542,7 +555,16 @@ object SparkEntry {
                      THEN 1 ELSE -1 END) * q[p]
                   for p in range(1, 65)]) >= 0 THEN (1::BIGINT << j) ELSE 0 END
                 for j in range(0, bits)]) AS bucket
-              FROM v, range(0, 8) r(t), nb)"""
+              FROM v, range(0, $nTables) r(t), nb)"""
+  // multi-probe query buckets (Lv et al. 2007, = Similarity.multiProbe):
+  // each query bucket plus its `bits` Hamming-1 perturbations; pj = 0 is
+  // the exact bucket, pj in 1..bits flips sign bit pj-1
+  private val sqlLshProbes =
+    """qpb AS (SELECT vec_id, t,
+                 CASE WHEN pj = 0 THEN bucket
+                      ELSE xor(bucket, 1::BIGINT << (pj - 1)) END AS bucket
+               FROM bk, nb, range(0, 25) r(pj)
+               WHERE vec_id < 10 AND pj <= nb.bits)"""
   // IVF: one Lloyd assignment step — every vector to its exact-integer-
   // distance argmin centroid (ties to the lowest cent_id)
   private def sqlIvfAssign(asgName: String, centsName: String): String =
@@ -560,8 +582,10 @@ object SparkEntry {
             SELECT cell, i, CAST(round(sum(q[i])::DOUBLE / count(*)) AS BIGINT) AS m
             FROM $asgName, range(1, 65) r(i) GROUP BY cell, i) s GROUP BY cell) u)"""
   // IVF chain mirroring Similarity.ivfTopK defaults: nCells = max(4,⌈√N⌉),
-  // hash-ordered centroid seeding, 2 Lloyd rounds, corpus assigned to its
-  // final cell, queries (vec_id < 10) probing their nprobe=2 nearest cells
+  // hash-ordered centroid seeding, 4 Lloyd rounds, corpus assigned to its
+  // final cell, queries (vec_id < 10) probing their nprobe nearest cells,
+  // nprobe = max(min(cells, 16), 2*ceil(sqrt(cells))) (scales with the
+  // index — identical derivation to Similarity.ivfTopK)
   private val sqlIvfChain =
     s"""nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*)::DOUBLE)) AS INT)) AS cells
                FROM embeddings),
@@ -573,14 +597,21 @@ object SparkEntry {
         ${sqlIvfUpdate("c1", "ivf_a1")},
         ${sqlIvfAssign("ivf_a2", "c1")},
         ${sqlIvfUpdate("c2", "ivf_a2")},
-        ${sqlIvfAssign("ivf_asg", "c2")},
+        ${sqlIvfAssign("ivf_a3", "c2")},
+        ${sqlIvfUpdate("c3", "ivf_a3")},
+        ${sqlIvfAssign("ivf_a4", "c3")},
+        ${sqlIvfUpdate("c4", "ivf_a4")},
+        ${sqlIvfAssign("ivf_asg", "c4")},
         ivf_q AS (SELECT vec_id, q, nn, cell FROM (
           SELECT v.vec_id, v.q, v.nn, c.cent_id AS cell,
                  row_number() OVER (PARTITION BY v.vec_id
                    ORDER BY v.nn - 2 * list_sum([p[1] * p[2] for p in list_zip(v.q, c.cv)]) + c.cc,
                             c.cent_id) AS cr
-          FROM v, c2 c WHERE v.vec_id < 10) t WHERE cr <= 2)"""
-  // LSH top-k candidates for queries vec_id < 10 (rank over exact cosine)
+          FROM v, c4 c WHERE v.vec_id < 10) t
+          WHERE cr <= (SELECT greatest(least(cells, 16), 2 * CAST(ceil(sqrt(cells::DOUBLE)) AS INT))
+                       FROM nc))"""
+  // LSH top-k candidates for queries vec_id < 10 (multi-probed query buckets
+  // against exact corpus buckets; rank over exact cosine)
   private val sqlLshTopK =
     s"""lsh_k AS (
           SELECT query_id, nbr_id, cosine,
@@ -590,8 +621,8 @@ object SparkEntry {
                    list_sum([p[1] * p[2] for p in list_zip(qq.q, cc.q)])::DOUBLE
                      / (sqrt(qq.nn::DOUBLE) * sqrt(cc.nn::DOUBLE)) AS cosine
             FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
-                  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
-                  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) cand
+                  FROM qpb q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+                  WHERE q.vec_id <> c.vec_id) cand
             JOIN v qq ON qq.vec_id = cand.query_id
             JOIN v cc ON cc.vec_id = cand.nbr_id) s
           QUALIFY rank <= 5)"""
@@ -912,10 +943,10 @@ object SparkEntry {
            FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q32_ann_bucketed" ->
-      s"""WITH $sqlVecs, $sqlLshBuckets, $sqlLshTopK
+      s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbes, $sqlLshTopK
          SELECT query_id, nbr_id, cosine, rank FROM lsh_k ORDER BY query_id, rank""",
     "q52_ann_recall" ->
-      s"""WITH $sqlVecs, $sqlLshBuckets, $sqlIvfChain, $sqlLshTopK, $sqlIvfTopK,
+      s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbes, $sqlIvfChain, $sqlLshTopK, $sqlIvfTopK,
          brute AS (
            SELECT query_id, nbr_id FROM (
              SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -936,7 +967,7 @@ object SparkEntry {
       s"""WITH $sqlVecs, $sqlIvfChain, $sqlIvfTopK
          SELECT query_id, nbr_id, cosine, rank FROM ivf_k ORDER BY query_id, rank""",
     "q33_embedding_neardup" ->
-      s"""WITH $sqlVecs, $sqlLshBuckets
+      s"""WITH $sqlVecs, ${sqlLshBuckets(8)}
          SELECT id_a, id_b, cosine FROM (
            SELECT cand.id_a, cand.id_b,
                   list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
@@ -1008,6 +1039,10 @@ object SparkEntry {
            SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
                           date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS w
            FROM events) t GROUP BY w ORDER BY window_start_us""",
+    "q41_approx_stats" ->
+      """SELECT l_returnflag, count(*) AS n, count(DISTINCT l_orderkey) AS n_orders_exact,
+                TRUE AS approx_distinct_ok, TRUE AS approx_median_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q43_dedup_groups" ->
       """WITH RECURSIVE
          w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

@@ -117,6 +117,20 @@ object Similarity {
         call_function("shiftleft", lit(1L), col("j").cast("int"))).otherwise(lit(0L)))
         .as("bucket"))
 
+  /** Multi-probe expansion (Lv et al., "Multi-Probe LSH", VLDB 2007): each
+    * (id, t, bucket) row fans out to the bucket itself plus its `bits`
+    * Hamming-1 perturbations. A near neighbor that lands one sign-bit away
+    * from the query — by far the most likely miss — is then still found, so
+    * probing buys most of the recall extra tables would, at ZERO extra index
+    * size; the candidate volume stays bucket-bounded (×(bits+1)). Applied to
+    * the small probe side only; interpreted-HOF cost is per probe row. */
+  private[operators] def multiProbe(qb: DataFrame, idName: String, bits: Int): DataFrame =
+    qb.select(col(idName), col("t"),
+      explode(concat(array(col("bucket")),
+        transform(sequence(lit(0), lit(bits - 1)),
+          j => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), j.cast("int"))))))
+        .as("bucket"))
+
   /** Exact cosine top-k neighbors for each row of `queries` against `corpus`.
     * `queries` is broadcast (small side); ranking is a window partitioned by
     * query id, so the per-query top-k never concentrates on one executor.
@@ -142,42 +156,54 @@ object Similarity {
   }
 
   /** Multi-table random-hyperplane LSH approximate top-k: a corpus row is a
-    * candidate for a query iff they share a bucket in ANY of the `nTables`
-    * hyperplane tables (union of per-table equi-joins — never a cross join).
-    * `signBits = 0` (default) derives bucket width from the corpus size so
-    * occupancy stays constant at any scale; more tables buy recall at
-    * linear candidate cost. Eager (result checkpointed, caches released). */
+    * candidate for a query iff its bucket is within Hamming-1 of the query's
+    * bucket in ANY of the `nTables` hyperplane tables (union of per-table
+    * equi-joins against the multi-probed query buckets — never a cross
+    * join). `signBits = 0` (default) derives bucket width from the corpus
+    * size so occupancy stays constant at any scale; tables and probes buy
+    * recall at linear candidate cost (measured at sf0.01: 8 tables/no
+    * probing = 0.44 of the exact top-5; 16 tables + Hamming-1 multi-probe
+    * ≥ 0.9 — the q52 scorecard tracks it every round). Eager (result
+    * checkpointed, caches released). */
   def bucketedTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nTables: Int = 8, signBits: Int = 0,
+      nTables: Int = 16, signBits: Int = 0,
       scale: Int = 1000, seed: Long = 42L): DataFrame = {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    val bits = if (signBits > 0) signBits else sizedSignBits(corpus.count())
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val planes = hyperplanes(corpus.sparkSession, nTables, bits, dim, seed)
     val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("nn", nqdot(col("nv"), col("nv"))))
-    val q = pin(queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
-      .withColumn("qn", nqdot(col("qv"), col("qv"))))
-    val cb = lshBuckets(c, "nbr_id", "nv", planes)
-    val qb = lshBuckets(q, "query_id", "qv", planes)
-    val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .select("query_id", "nbr_id").distinct()
-    val scored = cand.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine",
-        nqdot(col("qv"), col("nv")).cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nbr_id"))
-    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "cosine", "rank")
-      .localCheckpoint(true)
-    c.unpersist(false)
-    q.unpersist(false)
-    out
+    val n = c.count() // reads the pinned cache
+    if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
+      val out = c.select(col("nbr_id").as("query_id"), col("nbr_id"),
+        lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
+      c.unpersist(false)
+      out
+    } else {
+      val bits = if (signBits > 0) signBits else sizedSignBits(n)
+      val dim = c.select(size(col("nv")).as("d")).head().getInt(0)
+      val planes = hyperplanes(corpus.sparkSession, nTables, bits, dim, seed)
+      val q = pin(queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
+        .withColumn("qn", nqdot(col("qv"), col("qv"))))
+      val cb = lshBuckets(c, "nbr_id", "nv", planes)
+      val qb = multiProbe(lshBuckets(q, "query_id", "qv", planes), "query_id", bits)
+      val cand = cb.join(broadcast(qb), Seq("t", "bucket"))
+        .filter(col("query_id") =!= col("nbr_id"))
+        .select("query_id", "nbr_id").distinct()
+      val scored = cand.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
+        .withColumn("cosine",
+          nqdot(col("qv"), col("nv")).cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("nbr_id"))
+      val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+        .localCheckpoint(true)
+      c.unpersist(false)
+      q.unpersist(false)
+      out
+    }
   }
 
   /** IVF-structured approximate top-k: a coarse k-means quantizer splits the
@@ -196,14 +222,29 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 0, nprobe: Int = 2, lloydIters: Int = 2,
+      nCells: Int = 0, nprobe: Int = 0, lloydIters: Int = 4,
       scale: Int = 1000): DataFrame = {
-    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
     val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("vv", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
+    if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
+      val out = c.select(col("nbr_id").as("query_id"), col("nbr_id"),
+        lit(0.0).as("cosine"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
+      c.unpersist(false)
+      return out
+    }
     val cells = if (nCells > 0) nCells else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // probes scale with the index: 2·√cells = 2·N^(1/4) keeps the scanned
+    // corpus FRACTION shrinking as N grows (2/√cells ≈ 1% at N = 10⁹), and
+    // a floor of min(cells, 16) keeps toy-sized indexes (cells ≲ 64) from
+    // probing too thin a slice to rank k neighbors. Recall is data-dependent
+    // — uniform random embeddings (no cluster structure, the IVF worst case)
+    // measure ~0.96 at 500 vecs and ~0.76 at 2000 with this default; the
+    // q52 scorecard tracks it, and `nprobe` is the caller's recall dial.
+    val probes = if (nprobe > 0) nprobe
+      else math.max(math.min(cells, 16), 2 * math.ceil(math.sqrt(cells.toDouble)).toInt)
 
     def assignCells(v: DataFrame, id: String, vec: String, norm: String,
         cents: DataFrame): DataFrame =
@@ -213,15 +254,25 @@ object Similarity {
         .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
         .select(col(id), col("m.cent_id").as("cell"))
 
+    // Per-round centroid sets are materialized as driver-local relations:
+    // ≤ `cells` ≈ √N rows — the SAME frame every executor receives as a
+    // broadcast anyway — so collecting them costs what the broadcast costs,
+    // truncates the per-round plan, and (unlike localCheckpoint) leaves no
+    // persisted blocks behind after the call (ADVICE r2). At 100 TB
+    // √N ~ 3·10⁴ rows · dim longs — still a few MB.
+    def localized(df: DataFrame): DataFrame = {
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+    }
+
     // init: the `cells` corpus vectors with the smallest md5(id) —
     // TakeOrdered (per-partition heap, no global sort), then a tiny window
     // renumbers them 1..cells
-    var cents = c.orderBy(md5(col("nbr_id").cast("string"))).limit(cells)
+    var cents = localized(c.orderBy(md5(col("nbr_id").cast("string"))).limit(cells)
       .select(
         row_number().over(Window.orderBy(md5(col("nbr_id").cast("string")))).cast("long")
           .as("cent_id"),
-        col("nv").as("cv"), col("vv").as("cc"))
-      .localCheckpoint(true)
+        col("nv").as("cv"), col("vv").as("cc")))
     for (_ <- 1 to lloydIters) {
       val asg = assignCells(c, "nbr_id", "nv", "vv", cents).join(c, Seq("nbr_id"))
       val sums = asg.select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
@@ -229,14 +280,13 @@ object Similarity {
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
       // per-dim rounded mean, re-assembled in dimension order; empty cells
       // simply vanish (identically on the oracle side)
-      cents = sums
+      cents = localized(sums
         .withColumn("m", round(col("s").cast("double") / col("cnt").cast("double")).cast("long"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("cv"))
         .select(col("cell").as("cent_id"), col("cv"))
-        .withColumn("cc", nqdot(col("cv"), col("cv")))
-        .localCheckpoint(true) // tiny; truncates the per-round plan growth
+        .withColumn("cc", nqdot(col("cv"), col("cv"))))
     }
     val cAsg = assignCells(c, "nbr_id", "nv", "vv", cents)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
@@ -247,7 +297,7 @@ object Similarity {
     val qAsg = q.join(broadcast(cents))
       .withColumn("d2", col("qn") - lit(2) * nqdot(col("qv"), col("cv")) + col("cc"))
       .withColumn("__cr", row_number().over(qw))
-      .filter(col("__cr") <= nprobe)
+      .filter(col("__cr") <= probes)
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
     val scored = cAsg.join(c, Seq("nbr_id")).join(broadcast(qAsg), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
