@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   *
   * Documented divergences: learned categories are SORTED distinct non-null
   * (the reference uses nondeterministic first-appearance order and mutates
-  * its category list with an 'Unknown' sentinel between cleans — a bug we do
-  * not replicate); stats come from Spark aggregates, which skip nulls like
-  * SQL (the reference's numpy path would NaN-poison, SURVEY §2.2.3).
+  * its category list with an 'Unknown' sentinel between cleans — a bug we
+  * do not replicate in our own state, though `fromJson` HONORS the sentinel
+  * when importing a reference-written dict); stats come from Spark
+  * aggregates, which skip nulls like SQL (the reference's numpy path would
+  * NaN-poison, SURVEY §2.2.3). Fit-learned category lists are capped at
+  * [[TableCleaner.MaxCategories]] and label encoding switches from a
+  * codegen'd `when`-chain to a broadcast lookup join past 64 categories —
+  * both 100-TB guards with no behavior change.
   */
 sealed trait CleanColumn {
   def name: String
@@ -85,13 +90,29 @@ final case class CategoricalColumn(
   def measured: Boolean = categories.nonEmpty
 
   /** Learned categories: sorted distinct non-null non-empty string values
-    * (deterministic; divergence from the reference's appearance order). */
+    * (deterministic; divergence from the reference's appearance order).
+    * Cardinality is capped at [[TableCleaner.MaxCategories]] — an unbounded
+    * `distinct().collect()` on a high-cardinality column is a driver OOM at
+    * 100 TB; a column that wide isn't a categorical feature, so failing
+    * loudly beats silently materializing it (the `limit(cap+1)` bounds the
+    * job's result before collection, not after). */
   def fit(df: DataFrame): CategoricalColumn = {
+    val cap = TableCleaner.MaxCategories
     val cats = df.select(col(name).cast("string").as("v"))
       .filter(col("v").isNotNull && col("v") =!= "")
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    copy(categories = cats)
+      .distinct().limit(cap + 1).collect().map(_.getString(0))
+    if (cats.length > cap)
+      throw new IllegalArgumentException(
+        s"column '$name' has more than $cap distinct values - not a categorical " +
+          "feature; register it as numeric, hash it, or raise TableCleaner.MaxCategories")
+    copy(categories = cats.sorted.toSeq)
   }
+
+  /** Label columns above this cardinality encode via a broadcast lookup
+    * join in [[TableCleaner.cleanTable]] instead of the `when`-chain below —
+    * a 10k-deep `CASE` expression is a giant-plan/codegen bomb, while a
+    * broadcast hash join is O(1) per row at any cardinality. */
+  private[ml] def usesLookupJoin: Boolean = method == "label" && categories.size > 64
 
   def exprs: Seq[Column] = method match {
     case "label" =>
@@ -130,16 +151,36 @@ final class TableCleaner {
     }
 
   /** Transformed feature table: the registered columns in registration order
-    * (`ml.py:112-121`). Pure projection. */
+    * (`ml.py:112-121`). A pure projection, except label columns past the
+    * `when`-chain cardinality bound, which encode via a broadcast lookup
+    * join (tiny code table built driver-side from the learned categories —
+    * it is the broadcast the executors need either way). */
   def cleanTable(df: DataFrame): DataFrame = {
     fit(df)
-    df.select(columns.flatMap(_.exprs).toSeq: _*)
+    project(df)
+  }
+
+  private def project(df: DataFrame): DataFrame = {
+    val joined = columns.foldLeft(df) {
+      case (cur, c: CategoricalColumn) if c.usesLookupJoin =>
+        import df.sparkSession.implicits._
+        val enc = c.categories.zipWithIndex.map { case (v, i) => (v, i + 1) }
+          .toDF(s"__cat_${c.name}", s"__code_${c.name}")
+        cur.join(broadcast(enc),
+          cur(c.name).cast("string") === enc(s"__cat_${c.name}"), "left")
+      case (cur, _) => cur
+    }
+    joined.select(columns.flatMap {
+      case c: CategoricalColumn if c.usesLookupJoin =>
+        Seq(coalesce(col(s"__code_${c.name}"), lit(0)).as(c.name))
+      case c => c.exprs
+    }.toSeq: _*)
   }
 
   /** `clean_table(table, label)` — features plus the raw label column. */
   def cleanTable(df: DataFrame, label: String): (DataFrame, DataFrame) = {
     fit(df)
-    (df.select(columns.flatMap(_.exprs).toSeq: _*), df.select(label))
+    (project(df), df.select(label))
   }
 
   /** Random train/test split (`ml.py:123-128`) — seeded for determinism,
@@ -147,6 +188,18 @@ final class TableCleaner {
   def split(df: DataFrame, testSize: Double = 0.2, seed: Long = 42L): (DataFrame, DataFrame) = {
     val Array(train, test) = df.randomSplit(Array(1.0 - testSize, testSize), seed)
     (train, test)
+  }
+
+  /** Reference `split(X, y)` parity (`ml.py:123-128`): the SAME seeded row
+    * mask drives both the feature and the label side, so (X_train, y_train)
+    * stay row-paired — achieved by splitting the source frame once and
+    * projecting features/label from each half (two projections of one
+    * deterministic split, not two independent samples). */
+  def splitXy(df: DataFrame, label: String, testSize: Double = 0.2, seed: Long = 42L)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    fit(df)
+    val Array(tr, te) = df.randomSplit(Array(1.0 - testSize, testSize), seed)
+    (project(tr), project(te), tr.select(label), te.select(label))
   }
 
   /** JSON in the reference `to_dict` schema (`ml.py:83-93`). */
@@ -164,6 +217,10 @@ final class TableCleaner {
       case c: CategoricalColumn =>
         val o = arr.addObject()
         o.put("name", c.name).put("type", "categorical").put("method", c.method)
+        // drop_first is our extension; written only when set so that a
+        // dropFirst=false dict stays byte-compatible with the reference's
+        // to_dict shape (its from_dict(**column) rejects unknown keys)
+        if (c.dropFirst) o.put("drop_first", true)
         val cats = o.putArray("categories")
         c.categories.foreach(cats.add)
     }
@@ -172,6 +229,10 @@ final class TableCleaner {
 }
 
 object TableCleaner {
+  /** Cardinality cap for fit-learned categories (driver-memory guard);
+    * raise deliberately if a genuinely wide categorical is intended. */
+  @volatile var MaxCategories: Int = 65536
+
   def fromJson(json: String): TableCleaner = {
     val m = new ObjectMapper()
     val root = m.readTree(json).asInstanceOf[ArrayNode]
@@ -187,11 +248,20 @@ object TableCleaner {
             Some(node.get("v_mean").asDouble()),
             Some(node.get("v_max").asDouble()))
         case "categorical" =>
-          val cats = node.get("categories").asInstanceOf[ArrayNode]
+          val catsNode = node.get("categories").asInstanceOf[ArrayNode]
+          val method = node.get("method").asText()
+          val raw = (0 until catsNode.size()).map(catsNode.get(_).asText())
+          // A reference-written dict of a FIT label column carries the
+          // 'Unknown' sentinel at [0] (`ml.py:17`: categories = ['Unknown']
+          // + dic, where code i+1 = dic[i]): honor it by dropping the head,
+          // which makes position i map to code i exactly as it did when the
+          // dict was exported. Our own toJson never writes the sentinel.
+          val cats =
+            if (method == "label" && raw.headOption.contains("Unknown")) raw.drop(1)
+            else raw
+          val dropFirst = Option(node.get("drop_first")).exists(_.asBoolean())
           cleaner.columns += CategoricalColumn(
-            node.get("name").asText(),
-            node.get("method").asText(),
-            (0 until cats.size()).map(cats.get(_).asText()))
+            node.get("name").asText(), method, cats, dropFirst)
         case other => throw new IllegalArgumentException(s"Unknown column type: $other")
       }
     }

@@ -93,4 +93,72 @@ class TableCleanerSpec extends SparkTestBase {
     assert(tr.count() + te.count() == 5)
     assert(tr.intersect(te).count() == 0)
   }
+
+  test("toJson/fromJson round-trips drop_first (VERDICT r2 missing #2)") {
+    val c = new TableCleaner
+    c.registerOneHot("animal", dropFirst = true)
+    c.fit(train)
+    val c2 = TableCleaner.fromJson(c.toJson)
+    val df = Seq(Some("Falcon"), Some("Parrot")).toDF("animal")
+    // dropFirst survives: Falcon (first sorted cat) column still dropped
+    assert(c2.cleanTable(df).columns.toSeq == c.cleanTable(df).columns.toSeq)
+    assert(c2.cleanTable(df).columns.toSeq == Seq("animal_Goose", "animal_Parrot"))
+    // and a dropFirst=false dict stays in the reference's exact shape
+    val plain = new TableCleaner
+    plain.registerOneHot("animal")
+    plain.fit(train)
+    assert(!plain.toJson.contains("drop_first"))
+  }
+
+  test("fromJson honors a reference-written ['Unknown']+cats label list (ml.py:17,86-93)") {
+    // a dict the reference exports after FITTING a label column: sentinel at [0],
+    // value 'a' encoded 1, 'b' encoded 2 at export time
+    val refJson =
+      """[{"name":"animal","type":"categorical","method":"label",
+          "categories":["Unknown","Falcon","Parrot"]}]""".stripMargin
+    val c = TableCleaner.fromJson(refJson)
+    val df = Seq(Some("Falcon"), Some("Parrot"), Some("Goose"), None).toDF("animal")
+    // codes match what the dict meant when written: Falcon=1, Parrot=2, unknown/null=0
+    assert(c.cleanTable(df).collect().map(_.getInt(0)).toSeq == Seq(1, 2, 0, 0))
+  }
+
+  test("high-cardinality label: broadcast lookup-join encode matches when-chain semantics") {
+    val cats = (1 to 10000).map(i => f"cat_$i%05d")
+    val c = new TableCleaner
+    c.registerLabel("k", cats)
+    val df = Seq(Some("cat_00001"), Some("cat_10000"), Some("nope"), None).toDF("k")
+    val out = c.cleanTable(df).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 10000, 0, 0))
+    // and the plan is a broadcast join, not a 10k-deep CASE
+    val plan = c.cleanTable(df).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("fit cardinality cap fails loudly instead of collecting the column") {
+    val prev = TableCleaner.MaxCategories
+    try {
+      TableCleaner.MaxCategories = 100
+      val c = new TableCleaner
+      c.registerLabel("k")
+      val wide = spark.range(1000).selectExpr("cast(id as string) AS k")
+      val e = intercept[IllegalArgumentException] { c.cleanTable(wide) }
+      assert(e.getMessage.contains("distinct values"))
+    } finally TableCleaner.MaxCategories = prev
+  }
+
+  test("splitXy: X and y stay row-paired under the same seeded mask (ml.py:123-128)") {
+    val c = new TableCleaner
+    c.registerNumeric("max_speed", impute = "mean")
+    val df = (1 to 100).map(i => (i.toDouble, i * 2.0)).toDF("max_speed", "label")
+    val (xTr, xTe, yTr, yTe) = c.splitXy(df, "label", testSize = 0.3, seed = 11)
+    assert(xTr.count() == yTr.count() && xTe.count() == yTe.count())
+    assert(xTr.count() + xTe.count() == 100)
+    // pairing: every split keeps label == 2 * max_speed row-for-row
+    val trPairs = xTr.collect().map(_.getDouble(0)).sorted
+      .zip(yTr.collect().map(_.getDouble(0)).sorted)
+    assert(trPairs.forall { case (x, y) => y == 2 * x })
+    val tePairs = xTe.collect().map(_.getDouble(0)).sorted
+      .zip(yTe.collect().map(_.getDouble(0)).sorted)
+    assert(tePairs.forall { case (x, y) => y == 2 * x })
+  }
 }
