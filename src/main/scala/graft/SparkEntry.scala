@@ -304,6 +304,33 @@ object SparkEntry {
           threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
+    // pair-recall scorecard for the near-dup path (q52's sibling, VERDICT r2
+    // #4): LSH-found pairs vs an EXACT quantized-cosine threshold join. The
+    // exact side is a deliberate O(N²) nested-loop — it is the measurement's
+    // oracle and runs at verification SFs only; the found side is the scale
+    // path. Documented result at defaults (16 tables, Hamming-1 probing,
+    // threshold 0.3 — this corpus's pairs all sit in the hard 0.3–0.5
+    // cosine band): recall ≥ 0.9 at sf0.01, vs 0.34 for r2's 8-table
+    // no-probe configuration.
+    "q53_neardup_recall" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val found = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val v = e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .withColumn("nn", call_function("graft_qdot", col("q"), col("q")))
+      val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cosine",
+          call_function("graft_qdot", col("x.q"), col("y.q")).cast("double") /
+            (sqrt(col("x.nn").cast("double")) * sqrt(col("y.nn").cast("double"))))
+        .filter(col("cosine") >= 0.3)
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      exact.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .select(col("n_exact"), col("n_found"),
+          (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
+    }),
     // recall scorecard: per query, how many of the exact top-5 the LSH and
     // IVF paths recovered — the honesty metric for the two ANN structures
     "q52_ann_recall" -> ((s, d) => {
@@ -565,6 +592,13 @@ object SparkEntry {
                       ELSE xor(bucket, 1::BIGINT << (pj - 1)) END AS bucket
                FROM bk, nb, range(0, 25) r(pj)
                WHERE vec_id < 10 AND pj <= nb.bits)"""
+  // same expansion over EVERY row (near-dup pair joins probe one whole side)
+  private val sqlLshProbesAll =
+    """pb AS (SELECT vec_id, t,
+                CASE WHEN pj = 0 THEN bucket
+                     ELSE xor(bucket, 1::BIGINT << (pj - 1)) END AS bucket
+              FROM bk, nb, range(0, 25) r(pj)
+              WHERE pj <= nb.bits)"""
   // IVF: one Lloyd assignment step — every vector to its exact-integer-
   // distance argmin centroid (ties to the lowest cent_id)
   private def sqlIvfAssign(asgName: String, centsName: String): String =
@@ -967,17 +1001,38 @@ object SparkEntry {
       s"""WITH $sqlVecs, $sqlIvfChain, $sqlIvfTopK
          SELECT query_id, nbr_id, cosine, rank FROM ivf_k ORDER BY query_id, rank""",
     "q33_embedding_neardup" ->
-      s"""WITH $sqlVecs, ${sqlLshBuckets(8)}
+      s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbesAll
          SELECT id_a, id_b, cosine FROM (
            SELECT cand.id_a, cand.id_b,
                   list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
                     / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
            FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                 FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
                    AND a.vec_id < b.vec_id) cand
            JOIN v x ON x.vec_id = cand.id_a
            JOIN v y ON y.vec_id = cand.id_b) t
          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+    "q53_neardup_recall" ->
+      s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbesAll,
+         found AS (SELECT id_a, id_b FROM (
+           SELECT cand.id_a, cand.id_b,
+                  list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
+                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+           FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id) cand
+           JOIN v x ON x.vec_id = cand.id_a
+           JOIN v y ON y.vec_id = cand.id_b) t
+           WHERE cosine >= 0.3),
+         exact AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+                   FROM v x JOIN v y ON x.vec_id < y.vec_id
+                   WHERE list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
+                         / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) >= 0.3)
+         SELECT count(*) AS n_exact,
+                CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+                CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+                  / count(*)::DOUBLE AS recall
+         FROM exact e LEFT JOIN found f ON e.id_a = f.id_a AND e.id_b = f.id_b""",
     "q34_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
                 event_type, count(*) AS n_events,

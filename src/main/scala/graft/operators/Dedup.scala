@@ -300,21 +300,38 @@ object Dedup {
     * (shared with [[Similarity.bucketedTopK]] — `nTables` seeded Rademacher
     * hyperplane tables, `signBits` sized to the corpus by default so bucket
     * occupancy is constant at any scale), exact quantized cosine verify.
-    * Deterministic and oracle-reproducible; recall < 1 by design (the
-    * classic LSH trade-off — tables buy recall), precision = 1 via the
-    * exact verify. Eager (result checkpointed, caches released). */
+    * `multiProbe` additionally joins each row's Hamming-1 bucket
+    * perturbations against the other side's exact buckets — COMPLETE for
+    * bucket pairs one sign-bit apart (a pair differing in exactly bit j has
+    * the lower id's perturbation j land in the higher id's bucket), which
+    * is where most LSH misses live. Measured on q53's scorecard at sf0.01
+    * (pairs at cosine 0.3–0.5, the hardest band for hyperplane LSH): 8
+    * tables/no probing = 0.34 pair recall; 16 tables + probing ≥ 0.9.
+    * Probing costs ×(bits+1) probe-side rows — still a keyed equi-join
+    * (never a cross join), but the dial to turn first when index size
+    * matters more than recall at 100 TB. Deterministic and
+    * oracle-reproducible; precision = 1 via the exact verify. Eager
+    * (result checkpointed, caches released). */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      nTables: Int = 8, signBits: Int = 0, threshold: Double = 0.4,
-      seed: Long = 42L): DataFrame = {
+      nTables: Int = 16, signBits: Int = 0, threshold: Double = 0.4,
+      multiProbe: Boolean = true, seed: Long = 42L): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val v = pin(df.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("v"))
       .withColumn("nn", call_function("graft_qdot", col("v"), col("v"))))
-    val bits = if (signBits > 0) signBits else Similarity.sizedSignBits(v.count())
-    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val n = v.count() // reads the pinned cache
+    if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
+      val out = v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).limit(0).localCheckpoint(true)
+      v.unpersist(false)
+      return out
+    }
+    val bits = if (signBits > 0) signBits else Similarity.sizedSignBits(n)
+    val dim = v.select(size(col("v")).as("d")).head().getInt(0)
     val planes = Similarity.hyperplanes(df.sparkSession, nTables, bits, dim, seed)
     val b = pin(Similarity.lshBuckets(v, "id", "v", planes))
-    val cand = b.as("x").join(b.as("y"),
+    val probed = if (multiProbe) Similarity.multiProbe(b, "id", bits) else b
+    val cand = probed.as("x").join(b.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
