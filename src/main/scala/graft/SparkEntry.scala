@@ -116,7 +116,7 @@ object SparkEntry {
         .iterate { (keys, rows) =>
           var n = 0L; var sq = 0.0
           rows.foreach { r => n += 1; sq += r.getDouble(1) }
-          Iterator.single(FlagStat(keys.head, n, sq))
+          Iterator.single(FlagStat(keys.getString(0), n, sq))
         }
         .toDF().orderBy("l_returnflag")
     }),

@@ -30,7 +30,9 @@ case class QDotLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw QDotLong.dimMismatch(n, y.numElements())
     var i = 0
     var s = 0L
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
@@ -42,7 +44,10 @@ case class QDotLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.expressions.QDotLong.dimMismatch($n, $b.numElements());
+         |}
          |${ev.value} = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
@@ -53,6 +58,17 @@ case class QDotLong(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QDotLong =
     copy(left = newLeft, right = newRight)
+}
+
+object QDotLong {
+  /** A dimension mismatch is a data/schema bug — a silently truncated dot
+    * product (the old min() behavior) returns a WRONG similarity, which in
+    * an ANN index means wrong neighbors with no error anywhere. Called from
+    * both the interpreted and the generated path. */
+  def dimMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_qdot: vector dimensions differ ($a vs $b) - embeddings in one " +
+        "dot product must share a dimension")
 }
 
 /** Registration: either declaratively via

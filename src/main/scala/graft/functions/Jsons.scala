@@ -8,16 +8,29 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `str_to_table` (`pyarrow_ops/jsons.py:5-8`).
   *
   * Divergence (SURVEY §2.2.9): the reference derives the schema from record 0
-  * only (later keys silently dropped). We infer over ALL rows (a superset) via
-  * Spark's JSON reader, or accept an explicit schema for strict parity.
-  * Inference runs one sampling job at plan-build time; per-row parsing is the
-  * codegen'd `from_json` expression — no UDF.
+  * only (later keys silently dropped). We infer over a bounded row sample (a
+  * superset of the reference's single record; see [[InferSampleRows]]) via
+  * Spark's JSON reader, or accept an explicit schema for strict parity —
+  * the production path at scale. Inference runs one bounded sampling job at
+  * plan-build time; per-row parsing is the codegen'd `from_json` expression
+  * — no UDF.
   */
 object Jsons {
 
-  /** Infer the struct schema of a JSON string column by scanning it. */
+  /** Rows scanned by schema inference. Inference is a CONVENIENCE path: at
+    * 100 TB an unbounded `spark.read.json(fullColumn)` is a second full pass
+    * over the corpus before the real job starts (VERDICT r2 #5), so the scan
+    * is bounded to this many rows — keys appearing only past the sample are
+    * missed, which is the documented trade; pass an explicit schema to
+    * `strToTable` for the production path (also the only way to get exact
+    * types rather than inferred ones). */
+  val InferSampleRows: Int = 10000
+
+  /** Infer the struct schema of a JSON string column from a bounded sample
+    * (first [[InferSampleRows]] non-null rows — `limit` short-circuits the
+    * scan, so the job reads only the partitions it needs). */
   def inferSchema(spark: SparkSession, df: DataFrame, col: String): StructType = {
-    val ds = df.select(col).na.drop().as[String](Encoders.STRING)
+    val ds = df.select(col).na.drop().limit(InferSampleRows).as[String](Encoders.STRING)
     spark.read.json(ds).schema
   }
 

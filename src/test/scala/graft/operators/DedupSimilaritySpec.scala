@@ -123,4 +123,38 @@ class DedupSimilaritySpec extends SparkTestBase {
       (math.sqrt(500.0 * 500 + 250.0 * 250) * math.sqrt(500.0 * 500 + 250.0 * 250))
     assert(math.abs(r.getDouble(1) - exp) < 1e-12)
   }
+
+  test("graft_qdot: dimension mismatch raises instead of silently truncating (VERDICT r2 #5)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    // codegen path
+    val eGen = intercept[Exception] {
+      df.select(call_function("graft_qdot", col("a"), col("b"))).collect()
+    }
+    assert(exceptionChain(eGen).exists(_.getMessage.contains("dimensions differ")))
+    // interpreted path (codegen disabled)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val eInt = intercept[Exception] {
+        df.select(call_function("graft_qdot", col("a"), col("b"))).collect()
+      }
+      assert(exceptionChain(eInt).exists(_.getMessage.contains("dimensions differ")))
+    }
+    // equal dims still fine
+    val ok = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("a", "b")
+      .select(call_function("graft_qdot", col("a"), col("b"))).head().getLong(0)
+    assert(ok == 11L)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
