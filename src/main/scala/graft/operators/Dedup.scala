@@ -217,63 +217,102 @@ object Dedup {
     out
   }
 
-  /** Near-dup pairs → dedup groups: connected components over the pair
-    * graph by iterative min-label propagation. Each round joins every
-    * node's current label with its neighbors' and keeps the minimum;
-    * converges in O(diameter) rounds (near-dup clusters are tiny, so a few).
-    * Iterates to CONVERGENCE; `maxIter` is only a safety valve, and hitting
-    * it logs a loud warning (silently-split components would make a dedup
-    * pass keep documents that belong to an already-kept cluster).
+  /** Near-dup pairs → dedup groups: connected components via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", ACM SoCC 2014). Each round over
+    * the current edge set (every edge kept oriented u > v, no self-loops):
     *
-    * Iteration state is pinned round-by-round: each round's labels are
-    * persisted as a plan-truncated RDD (so Catalyst plans never compound —
-    * the classic Spark iterative-algorithm trap) and the PREVIOUS round is
-    * unpersisted as soon as the new one is materialized, so storage held is
-    * one round of labels, not O(rounds). The final labels are re-rooted via
-    * an eager localCheckpoint and every loop RDD is released before return.
+    *   - large-star: each node u links every LARGER neighbor to
+    *     m = min(Γ(u) ∪ {u}) — collapses downhill chains from above;
+    *   - small-star: each node u links its smaller neighbors AND ITSELF to
+    *     its minimum neighbor — collapses what remains from below.
+    *
+    * The fixed point is one star per component rooted at the component's
+    * minimum id, reached in O(log N) rounds even on path graphs — vs the
+    * O(diameter) rounds of the min-label propagation this replaced (q43 at
+    * sf0.1: propagation needed a driver-synced shuffle round per hop of the
+    * longest chain; see BENCH history r2 → r3).
+    *
+    * Scale design: both phases are keyed shuffles over the CURRENT edges
+    * only (a groupBy-min plus an equi-join back, then distinct) — never a
+    * cross join, no per-node state table, and intermediate volume is
+    * bounded by 2|E| rows per phase. Convergence = edge set unchanged,
+    * detected by an order-insensitive checksum (count + bit_xor of
+    * xxhash64(u,v)) computed by the same agg job that materializes the
+    * round. Round state is plan-truncated through an RDD (Catalyst plans
+    * never compound across rounds) and the previous round is unpersisted
+    * as soon as the next is materialized — held storage is one round of
+    * edges, not O(rounds).
     * Output: (id, component) where component = min id in the cluster;
     * singletons (nodes outside `nodes` ∩ pairs) keep themselves. */
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 100): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    // NOTE: 2-hop path doubling was tried here and REVERTED — the extra
-    // self-join/distinct/persist materializations cost more than the saved
-    // propagation rounds at every tested scale.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // only edge-touched nodes iterate — in a near-dup corpus that is a tiny
-    // fraction of documents, so propagation cost tracks |edges|, not |corpus|
-    val init = edges.select(col("src").as("id")).withColumn("component", col("id")).distinct()
+
+    // large-star(u): m = min over u's full neighborhood (symmetrized) and u
+    // itself; every neighbor v > u re-links to m. Emitted edges keep u > v
+    // (v > u ≥ m), so orientation is an invariant, not a per-round sort.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star(u): with edges oriented u > v, m = min smaller neighbor;
+    // u and each other smaller neighbor re-link to m (all ≥ m ⇒ oriented).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(m, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(m.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // one agg job both materializes the round's cache and fingerprints the
+    // edge SET (rows are distinct, so count + xor-of-hashes identifies it)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("c"), expr("bit_xor(xxhash64(u, v))").as("x")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    val init = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
     var cur = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = spark.createDataFrame(cur, init.schema)
-    var changed = cur.count() // materialize round 0 (count value unused)
+    var edges = spark.createDataFrame(cur, init.schema)
+    var (cnt, chk) = checksum(edges)
+    var converged = cnt == 0L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_component"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"), col("component").as("prev_component"))
-      val next = updated.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE pass materializes the round and counts convergence
-      changed = next.filter(r => r.get(1) != r.get(2)).count()
+    while (!converged && i < maxIter) {
+      val round = smallStar(largeStar(edges))
+      val next = round.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val nextDf = spark.createDataFrame(next, round.schema)
+      val (c2, k2) = checksum(nextDf)
+      converged = c2 == cnt && k2 == chk
+      cnt = c2; chk = k2
       cur.unpersist(blocking = false)
       cur = next
-      labels = spark.createDataFrame(next, updated.schema).select("id", "component")
+      edges = nextDf
       i += 1
     }
-    if (changed > 0)
+    if (!converged && cnt > 0L)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents stopped at maxIter=$maxIter with $changed labels still " +
-          "changing — components may be split; raise maxIter")
-    // re-root the (small) final labels so every loop RDD can be released
-    val finalLabels = labels.localCheckpoint(true)
+        s"connectedComponents stopped at maxIter=$maxIter before the edge set " +
+          "stabilized — components may be split; raise maxIter")
+    // at the fixed point every edge is (member, root): labels fall straight
+    // out; re-root the (small) result so the loop RDD can be released
+    val finalLabels = edges.select(col("u").as("id"), col("v").as("component"))
+      .localCheckpoint(true)
     cur.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    // singletons (never in a pair) keep themselves
+    // roots have no outgoing edge and singletons never appear: both keep
+    // themselves via the coalesce
     val allNodes = nodes.select(col(idCol).as("id"))
     allNodes.join(finalLabels.withColumnRenamed("id", "__lid"),
         allNodes("id") === col("__lid"), "left")
