@@ -28,12 +28,16 @@ import graft.functions.Text
   * Cache discipline: the pair operators persist their intermediates
   * (shingle sets, banded signatures), EAGERLY materialize the small pair
   * result via `localCheckpoint(true)`, then unpersist every intermediate
-  * before returning — no storage outlives the call. Eager evaluation is a
-  * deliberate semantic: a near-dup-pairs result is consumed in full by any
-  * caller, and materializing it once is what lets the self-joined
-  * signature pipeline run ONCE instead of once per join side. On a
-  * multi-node cluster you'd swap the final `localCheckpoint` for a table
-  * write (localCheckpoint blocks are not fault-tolerant); single-JVM here.
+  * before returning — no INTERMEDIATE storage outlives the call. The
+  * checkpointed result itself does hold its (small, final-output-sized)
+  * blocks until the returned DataFrame is unpersisted or GC'd — a
+  * long-lived session that calls these in a loop should release results
+  * it is done with. Eager evaluation is a deliberate semantic: a
+  * near-dup-pairs result is consumed in full by any caller, and
+  * materializing it once is what lets the self-joined signature pipeline
+  * run ONCE instead of once per join side. On a multi-node cluster you'd
+  * swap the final `localCheckpoint` for a table write (localCheckpoint
+  * blocks are not fault-tolerant); single-JVM here.
   */
 object Dedup {
 

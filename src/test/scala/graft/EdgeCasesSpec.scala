@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.{Multimodal, Text}
 import graft.ml.TableCleaner
-import graft.operators.{Dedup, Grouping, Ops}
+import graft.operators.{Dedup, Grouping, Ops, Similarity}
 
 /** Negative paths and boundary inputs across modules. */
 class EdgeCasesSpec extends SparkTestBase {
@@ -49,6 +49,15 @@ class EdgeCasesSpec extends SparkTestBase {
     // mean of all-null is null -> getDouble throws; document the behavior:
     // fit on all-null data is a caller error surfaced as an exception
     intercept[Exception] { c.cleanTable(df).collect() }
+  }
+
+  test("ANN operators on an empty corpus: empty result, not an error") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val qs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bucketedTopK(empty, qs, "vec_id", "embedding", k = 3).count() == 0)
+    assert(Similarity.ivfTopK(empty, qs, "vec_id", "embedding", k = 3).count() == 0)
+    assert(Similarity.bruteForceTopK(empty, qs, "vec_id", "embedding", k = 3).count() == 0)
+    assert(Dedup.embeddingNearDupPairs(empty, "vec_id", "embedding").count() == 0)
   }
 
   test("multimodal: zero-byte payload yields zero frames and valid features") {
