@@ -331,6 +331,36 @@ object SparkEntry {
         .select(col("n_exact"), col("n_found"),
           (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
     }),
+    // ----- ✚ as-of join (point-in-time) + bucketized range join ----------
+    // attribution: each purchase matched to the user's most recent prior
+    // view (merge_asof semantics; right side pre-aggregated to unique
+    // (user, ts) so the match is deterministic on any engine)
+    "q54_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      Joins.asofJoin(purchases, views, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("ts_r")).as("view_ts_us"), col("view_value"))
+        .orderBy("event_id")
+    }),
+    // calibration binning: orders bucketed into per-priority price bands
+    // (band edges from min/max — exact order-independent aggregates, so
+    // both engines derive bit-identical bounds)
+    "q55_range_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val bands = o.groupBy(col("o_orderpriority").as("band"))
+        .agg(min(col("o_totalprice")).as("lo"),
+          ((min(col("o_totalprice")) + max(col("o_totalprice"))) / 2).as("hi"))
+      Joins.rangeJoin(o.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice",
+          bands, "lo", "hi", bucketWidth = 10000.0)
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    }),
     // recall scorecard: per query, how many of the exact top-5 the LSH and
     // IVF paths recovered — the honesty metric for the two ANN structures
     "q52_ann_recall" -> ((s, d) => {
@@ -489,14 +519,25 @@ object SparkEntry {
     // oracle states as TRUE — the sketches stay exercised, the row is fully
     // hash-checkable, and a sketch regression flips a boolean (VERDICT r2 #2)
     "q41_approx_stats" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("l_orderkey")).as("n_orders_exact"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("__ad"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__am"),
-          median(col("l_extendedprice")).as("__em"))
+      // three cheap per-group passes joined on the (6-row) group key instead
+      // of one mixed agg: countDistinct alongside other aggregates forces an
+      // Expand (row duplication) and the exact `median` drags the whole agg
+      // into a non-codegen ObjectHashAggregate — measured 0.6s -> 30s at
+      // sf0.1 when combined. Split: sketches stay one codegen'd pass, exact
+      // distinct is two map-side-combined hash shuffles, exact median uses
+      // the windowed scale path (sort parallelizes across groups).
+      val li = Tables.lineitem(s, d)
+      val base = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("__ad"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__am"))
+      val exactD = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_orders_exact"))
+      val exactM = Grouping.groupby(li, Seq("l_returnflag"))
+        .medianByWindow("l_extendedprice")
+        .select(col("__graft_k_l_returnflag").as("l_returnflag"),
+          col("__graft_median").as("__em"))
+      base.join(exactD, Seq("l_returnflag")).join(exactM, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"), col("n_orders_exact"),
           (abs(col("__ad") - col("n_orders_exact")) <= col("n_orders_exact") * 0.05)
             .as("approx_distinct_ok"),
@@ -1033,6 +1074,22 @@ object SparkEntry {
                 CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
                   / count(*)::DOUBLE AS recall
          FROM exact e LEFT JOIN found f ON e.id_a = f.id_a AND e.id_b = f.id_b""",
+    "q54_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, value
+                    FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS view_value
+                 FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, epoch_us(p.t) AS ts_us, p.value,
+                epoch_us(v.t) AS view_ts_us, v.view_value
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t
+         ORDER BY event_id""",
+    "q55_range_join" ->
+      """WITH bands AS (SELECT o_orderpriority AS band, min(o_totalprice) AS lo,
+                               (min(o_totalprice) + max(o_totalprice)) / 2 AS hi
+                        FROM orders GROUP BY 1)
+         SELECT band, count(*) AS n
+         FROM orders o JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
+         GROUP BY band ORDER BY band""",
     "q34_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
                 event_type, count(*) AS n_events,

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, TimestampType}
 
 /** Join surface. Reference: inner equi-join only (`pyarrow_ops/join.py:15-47`,
   * "currently performs inner join" README.md:46), with left-wins resolution of
@@ -39,6 +41,112 @@ object Joins {
     val rhs = if (broadcastRight) broadcast(r) else r
     if (sparkHow == "cross") left.crossJoin(rhs)
     else left.join(rhs, on, sparkHow)
+  }
+
+  /** As-of join (time-series point-in-time join — an operator the reference
+    * and Spark both lack; pandas `merge_asof` semantics): for each left row,
+    * the single right row with the greatest `tsCol` ≤ left's (`backward`,
+    * default) or smallest ≥ (`forward`) within the same `on` key. Left rows
+    * with no eligible right row keep nulls (left-join semantics).
+    *
+    * Execution is the scalable union trick, NOT a range join: tag both
+    * sides, union, and run ONE window per key ordered by (ts, side) taking
+    * `last(right_payload, ignoreNulls)` — a single hash shuffle on the key
+    * plus an in-partition sort, never an inequality join (which Spark would
+    * plan as a broadcast-nested-loop) and never a per-row range probe. At
+    * 100 TB this shuffles each side once — the same cost as an equi-join.
+    * Skew caveat: a window partition cannot be split by AQE, so one
+    * pathologically hot key serializes on one task (pre-bucket such keys by
+    * coarse time range if that ever bites).
+    *
+    * Ties: a right row at EXACTLY left's timestamp matches (side ordering
+    * puts right first). Right rows with null ts are dropped; left rows with
+    * null ts match nothing. If several right rows share (key, ts) the
+    * surviving one is unspecified — pre-aggregate the right side to unique
+    * (key, ts) when determinism matters. `tolerance` (µs for timestamp
+    * columns, native units for numeric ts) nulls out matches farther than
+    * the given distance. Output: all left columns, then the matched right
+    * ts as `tsCol+rightSuffix`, then right's payload columns (suffixed only
+    * on a name clash with the left). */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      on: Seq[String], tsCol: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val rightVals = right.columns.filterNot(c => on.contains(c) || c == tsCol).toSeq
+    val lStructT = StructType(left.schema.fields)
+    val rStructT = StructType(right.schema(tsCol) +: rightVals.map(right.schema(_)))
+    val lSide = left.select(
+      on.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(1).as("__side"),
+        struct(left.columns.map(col).toSeq: _*).as("__l"),
+        lit(null).cast(rStructT).as("__r")): _*)
+    val rSide = right.filter(col(tsCol).isNotNull).select(
+      on.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lStructT).as("__l"),
+        struct((col(tsCol) +: rightVals.map(col)).toSeq: _*).as("__r")): _*)
+    val ord =
+      if (direction == "backward") Seq(col("__ts").asc, col("__side").asc)
+      else Seq(col("__ts").desc, col("__side").asc)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched0 = lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val matched = tolerance match {
+      case None => matched0
+      case Some(tol) =>
+        def units(c: Column) = right.schema(tsCol).dataType match {
+          case TimestampType => unix_micros(c)
+          case _             => c.cast("long")
+        }
+        matched0.withColumn("__m",
+          when(abs(units(col("__ts")) - units(col("__m").getField(tsCol))) <= tol, col("__m")))
+    }
+    val leftCols = left.columns.toSeq.map(c => col("__l").getField(c).as(c))
+    val rightCols = (tsCol +: rightVals).map { f =>
+      val name = if (f == tsCol || left.columns.contains(f)) f + rightSuffix else f
+      col("__m").getField(f).as(name)
+    }
+    matched.select(leftCols ++ rightCols: _*)
+  }
+
+  /** Bucketized range (interval containment) join: left rows where
+    * `valCol` ∈ [right.loCol, right.hiCol]. Spark plans a raw inequality
+    * join as broadcast-nested-loop (fine for a tiny right side) or a
+    * cartesian (fatal at scale); this instead maps each left value to its
+    * `bucketWidth` bucket and explodes each right interval into the buckets
+    * it covers, turning the inequality into a keyed EQUI-join plus an exact
+    * containment filter. Each (row, interval) match meets in exactly one
+    * bucket — the value's — so no dedup pass is needed. Cost scales with
+    * |left| + Σ(interval span / bucketWidth): pick bucketWidth near the
+    * typical interval length (a span ≫ bucketWidth fans that interval out
+    * proportionally). Null values/bounds and empty intervals drop out.
+    * Output: left columns then right's novel columns (left-wins like
+    * [[join]]); `loCol`/`hiCol` must not clash with left column names. */
+  def rangeJoin(
+      left: DataFrame, valCol: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!left.columns.contains(loCol) && !left.columns.contains(hiCol),
+      s"$loCol/$hiCol must not clash with left column names")
+    val dup = right.columns.toSet.intersect(left.columns.toSet)
+    val r0 = dup.foldLeft(right)((d, c) => d.drop(c))
+    val l = left.filter(col(valCol).isNotNull)
+      .withColumn("__bucket", floor(col(valCol) / bucketWidth).cast("long"))
+    val r = r0.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(hiCol) >= col(loCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(valCol) >= col(loCol) && col(valCol) <= col(hiCol))
+      .drop("__bucket")
   }
 
   /** Skew-mitigated inner equi-join: salt the skewed (left) side's key into

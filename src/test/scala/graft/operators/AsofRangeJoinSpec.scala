@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AsofRangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // trades (left) and quotes (right), keyed by sym, numeric ts
+  private lazy val trades = Seq(
+    ("a", 3L, 100.0), ("a", 7L, 101.0), ("a", 12L, 102.0),
+    ("b", 5L, 200.0), ("c", 9L, 300.0)
+  ).toDF("sym", "ts", "price")
+  private lazy val quotes = Seq(
+    ("a", 2L, 99.5), ("a", 7L, 100.5), ("a", 10L, 101.5),
+    ("b", 6L, 199.5)
+  ).toDF("sym", "ts", "quote")
+
+  test("asofJoin backward: greatest right ts <= left ts, equal ts matches") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "ts")
+      .select("sym", "ts", "ts_r", "quote")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out == Set(
+      ("a", 3L, Some(2L), Some(99.5)),
+      ("a", 7L, Some(7L), Some(100.5)), // tie: right row at exactly ts=7 matches
+      ("a", 12L, Some(10L), Some(101.5)),
+      ("b", 5L, None, None),            // only later quote exists
+      ("c", 9L, None, None)))           // key never quoted
+  }
+
+  test("asofJoin forward: smallest right ts >= left ts") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "ts", direction = "forward")
+      .select("sym", "ts", "ts_r")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(out == Set(
+      ("a", 3L, Some(7L)), ("a", 7L, Some(7L)), ("a", 12L, None),
+      ("b", 5L, Some(6L)), ("c", 9L, None)))
+  }
+
+  test("asofJoin tolerance: matches farther than the bound are nulled") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "ts", tolerance = Some(1L))
+      .select("sym", "ts", "ts_r")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSet
+    // backward distances: (a,3)->2 is 1 (keep), (a,7)->7 is 0 (keep),
+    // (a,12)->10 is 2 (drop)
+    assert(out == Set(
+      ("a", 3L, Some(2L)), ("a", 7L, Some(7L)), ("a", 12L, None),
+      ("b", 5L, None), ("c", 9L, None)))
+  }
+
+  test("asofJoin plans one shuffle, no nested-loop or cartesian join") {
+    val plan = Joins.asofJoin(trades, quotes, Seq("sym"), "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin")) // union+window, not a join at all
+  }
+
+  test("rangeJoin equals the naive inequality join") {
+    val vals = (0 until 200).map(i => (i.toLong, i * 3.0 % 97)).toDF("id", "v")
+    val ivs = Seq((1L, 0.0, 10.0), (2L, 5.0, 30.0), (3L, 90.0, 96.0), (4L, 50.0, 50.0))
+      .toDF("iv_id", "lo", "hi")
+    val got = Joins.rangeJoin(vals, "v", ivs, "lo", "hi", bucketWidth = 7.0)
+      .select("id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = vals.crossJoin(ivs)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("rangeJoin plans an equi-join on the bucket key, not a cartesian") {
+    val vals = (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val ivs = Seq((1L, 0.0, 10.0)).toDF("iv_id", "lo", "hi")
+    val plan = Joins.rangeJoin(vals, "v", ivs, "lo", "hi", bucketWidth = 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("asofJoin on empty sides") {
+    val empty = Seq.empty[(String, Long, Double)].toDF("sym", "ts", "quote")
+    assert(Joins.asofJoin(trades, empty, Seq("sym"), "ts")
+      .filter(col("ts_r").isNotNull).count() == 0)
+    val emptyL = Seq.empty[(String, Long, Double)].toDF("sym", "ts", "price")
+    assert(Joins.asofJoin(emptyL, quotes, Seq("sym"), "ts").count() == 0)
+  }
+}
