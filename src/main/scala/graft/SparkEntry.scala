@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Grouping, Joins, Ops, Similarity}
+import graft.operators.{Dedup, Grouping, Joins, Ops, Pack, Similarity}
 import graft.functions.{Jsons, Multimodal, Text}
 import graft.streaming.Streams
 
@@ -360,6 +360,35 @@ object SparkEntry {
           bands, "lo", "hi", bucketWidth = 10000.0)
         .groupBy(col("band")).agg(count(lit(1)).as("n"))
         .orderBy("band")
+    }),
+    // ----- ✚ corpus assembly: hash sampling, decontamination, packing ----
+    // deterministic hash sample + shard: pure function of the id, so the
+    // split re-derives identically on any engine/cluster (unlike sample())
+    "q56_hash_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Ops.shardByHash(Ops.sampleByHash(docs, "doc_id", 0.0, 0.25), "doc_id", 10)
+        .select(col("doc_id"), col("shard"))
+        .orderBy("doc_id")
+    }),
+    // decontamination: hash-shard 0 stands in for the eval benchmark; flag
+    // training docs containing >= half an eval doc's 3-gram shingles
+    "q57_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sharded = Ops.shardByHash(docs, "doc_id", 5)
+      val evalSet = sharded.filter(col("shard") === 0).drop("shard")
+      val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      Dedup.contaminationPairs(corpus, evalSet, "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("train_id", "eval_id")
+    }),
+    // sequence packing: per-shard greedy token-budget bins (straddle rule)
+    "q58_sequence_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val withTok = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val sharded = Ops.shardByHash(withTok, "doc_id", 8)
+      Pack.packSequences(sharded, "shard", "doc_id", "n_tokens", budget = 4096L)
+        .select(col("doc_id"), col("shard"), col("bin_tokens_before"), col("bin"))
+        .orderBy("doc_id")
     }),
     // recall scorecard: per query, how many of the exact top-5 the LSH and
     // IVF paths recovered — the honesty metric for the two ANN structures
@@ -1090,6 +1119,57 @@ object SparkEntry {
          SELECT band, count(*) AS n
          FROM orders o JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
          GROUP BY band ORDER BY band""",
+    "q56_hash_sample" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents)
+         SELECT doc_id, (h60 % 10)::BIGINT AS shard
+         FROM h WHERE h60 >= 0 AND h60 < CAST(0.25 * pow(2, 60) AS BIGINT)
+         ORDER BY doc_id""",
+    "q57_decontamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
+               FROM w),
+         s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+         hs AS (SELECT doc_id,
+                       (list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 5)
+                         AS shard
+                FROM documents),
+         tr AS (SELECT s2.doc_id AS train_id, unnest(sh) AS x
+                FROM s2 JOIN hs ON s2.doc_id = hs.doc_id WHERE hs.shard != 0),
+         ev AS (SELECT s2.doc_id AS eval_id, nsh AS eval_nsh, unnest(sh) AS x
+                FROM s2 JOIN hs ON s2.doc_id = hs.doc_id WHERE hs.shard = 0)
+         SELECT train_id, eval_id, count(*) AS n_common,
+                count(*)::DOUBLE / eval_nsh::DOUBLE AS containment
+         FROM tr JOIN ev ON tr.x = ev.x
+         GROUP BY train_id, eval_id, eval_nsh
+         HAVING count(*)::DOUBLE / eval_nsh::DOUBLE >= 0.5
+         ORDER BY train_id, eval_id""",
+    "q58_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+                  (list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                              * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 8)
+                    AS shard
+           FROM documents),
+         p AS (
+           SELECT doc_id, shard,
+                  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                    AS bin_tokens_before
+           FROM t)
+         SELECT doc_id, shard, bin_tokens_before,
+                (bin_tokens_before // 4096)::BIGINT AS bin
+         FROM p ORDER BY doc_id""",
     "q34_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
                 event_type, count(*) AS n_events,

@@ -113,6 +113,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Cross-corpus decontamination: (train doc, eval doc) pairs where the
+    * TRAIN document contains at least `threshold` of the EVAL document's
+    * n-gram shingles — containment |A∩B| / |B|, the standard test for a
+    * benchmark item leaking into a training corpus (eval-side containment,
+    * not symmetric Jaccard: a long train doc that embeds a whole eval item
+    * must flag even though its Jaccard is tiny).
+    *
+    * Scale shape: the eval set (a benchmark suite — tiny next to a 100 TB
+    * corpus) is fully exploded into a BROADCAST inverted shingle index; the
+    * corpus side streams its shingles map-side through the broadcast join,
+    * so the only shuffle is the per-(train,eval) hit-count agg, whose volume
+    * is the number of matching shingle occurrences — not the corpus. Counting
+    * distinct shared shingles directly (shingle sets are distinct per doc)
+    * makes the containment exact with no verify pass. */
+  def contaminationPairs(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val tr = shingled(corpus, idCol, textCol, n).filter(col("nsh") > 0)
+      .select(col("id").as("train_id"), explode(col("sh")).as("h"))
+    val ev = shingled(evalSet, idCol, textCol, n).filter(col("nsh") > 0)
+      .select(col("id").as("eval_id"), col("nsh").as("eval_nsh"), explode(col("sh")).as("h"))
+    tr.join(broadcast(ev), Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"), col("eval_nsh"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("eval_nsh").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("train_id", "eval_id", "n_common", "containment")
+  }
+
   /** MinHash signatures via Kirsch–Mitzenmacher double hashing: per shingle
     * ONE md5 supplies two independent 32-bit words (w0, w1); hash i is
     * (w0 + i·w1) mod (2^31−1). Computed relationally — explode shingles,

@@ -122,4 +122,36 @@ object Ops {
     * `describe` analog the reference lacked. */
   def describe(df: DataFrame, cols: String*): DataFrame =
     if (cols.isEmpty) df.describe() else df.describe(cols: _*)
+
+  /** 60-bit uniform hash of an id column: first 15 hex chars of md5 — the
+    * same construction the dedup family uses for shingles, so DuckDB (or
+    * any engine with md5) reproduces it bit-for-bit. Basis for
+    * deterministic sampling/sharding: unlike `sample()` (seed- and
+    * partitioning-dependent) the decision is a pure function of the id, so
+    * it is stable across runs, engines and cluster sizes, and a row keeps
+    * its fate when the corpus around it changes — what training-data holdout
+    * splits and A/B carve-outs need. */
+  def idHash60(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic hash sample: keeps rows whose [[idHash60]] falls in the
+    * band [lo, hi) of the 2^60 hash space (fractions of 1.0). Disjoint
+    * bands give disjoint samples — `(0, 0.9)` / `(0.9, 1.0)` is a
+    * train/holdout split any engine can re-derive. A pure filter: pushes
+    * down to the scan, no shuffle. */
+  def sampleByHash(df: DataFrame, idCol: String, lo: Double, hi: Double): DataFrame = {
+    require(0.0 <= lo && lo <= hi && hi <= 1.0, s"need 0 <= lo <= hi <= 1, got [$lo, $hi)")
+    val space = math.pow(2.0, 60)
+    val h = idHash60(col(idCol))
+    df.filter(h >= lit((lo * space).toLong) && h < lit((hi * space).toLong))
+  }
+
+  /** Deterministic shard assignment: [[idHash60]] mod `nShards`, appended
+    * as `shardCol`. The reproducible analog of `repartition` for
+    * LAYOUT-meaningful splits (per-shard files, striped eval sets). */
+  def shardByHash(df: DataFrame, idCol: String, nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn(shardCol, pmod(idHash60(col(idCol)), lit(nShards.toLong)))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Hash sampling/sharding, decontamination, and sequence packing. */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sampleByHash: disjoint bands partition the corpus, decisions are stable") {
+    val df = (0L until 500L).toDF("id")
+    val a = Ops.sampleByHash(df, "id", 0.0, 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val b = Ops.sampleByHash(df, "id", 0.3, 1.0).select("id").collect().map(_.getLong(0)).toSet
+    assert(a.intersect(b).isEmpty)
+    assert(a.union(b).size == 500)
+    // roughly proportional (uniform 60-bit hash)
+    assert(a.size > 100 && a.size < 200)
+    // re-derivation yields the identical set (pure function of the id)
+    val a2 = Ops.sampleByHash(df.repartition(7), "id", 0.0, 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a2 == a)
+  }
+
+  test("shardByHash: complete, deterministic, within range") {
+    val df = (0L until 300L).toDF("id")
+    val shards = Ops.shardByHash(df, "id", 7).select("id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shards.size == 300)
+    assert(shards.values.forall(s => s >= 0 && s < 7))
+    val again = Ops.shardByHash(df.repartition(3), "id", 7).select("id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == shards)
+  }
+
+  test("contaminationPairs: embedded eval doc flags, unrelated does not") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "completely different training text about distributed query engines here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "gamma delta epsilon zeta eta theta"), // all 4 shingles inside doc 1
+      (200L, "unrelated benchmark item with its own words entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, eval, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 100L)))
+  }
+
+  test("contaminationPairs: containment is eval-sided (long train doc still flags)") {
+    val long = (1 to 50).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, long + " needle one two three four five")).toDF("doc_id", "text")
+    val eval = Seq((9L, "needle one two three four five")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, eval, "doc_id", "text", n = 3, threshold = 0.9)
+    assert(out.count() == 1) // Jaccard would be ~4/56, containment is 1.0
+  }
+
+  test("packSequences: greedy bins with boundary straddle") {
+    val docs = Seq(
+      (0L, 1L, 400L), (0L, 2L, 400L), (0L, 3L, 400L), // bin 0: 0,400,800(straddles)
+      (0L, 4L, 100L),                                  // starts at 1200 -> bin 1
+      (1L, 1L, 2000L), (1L, 2L, 10L)                   // own shard: bins 0,1 (2000>budget)
+    ).toDF("shard", "doc_id", "n_tokens")
+    val out = Pack.packSequences(docs, "shard", "doc_id", "n_tokens", budget = 1000L)
+      .select("shard", "doc_id", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 1L) -> 0L, (0L, 2L) -> 0L, (0L, 3L) -> 0L, (0L, 4L) -> 1L,
+      (1L, 1L) -> 0L, (1L, 2L) -> 2L))
+  }
+
+  test("packSequences plans a partitioned window (no single global sort)") {
+    val docs = Seq((0L, 1L, 10L)).toDF("shard", "doc_id", "n_tokens")
+    val plan = Pack.packSequences(docs, "shard", "doc_id", "n_tokens", 100L)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard"))
+  }
+}
