@@ -47,6 +47,23 @@ object GraftProperties extends Properties("graft") {
       Joins.join(df(l), df(r).withColumnRenamed("v", "v2"), Seq("k")).count() == expected
     }
 
+  property("asofJoin backward: matched ts = max right ts <= left ts per key") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L))),
+           Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 20L)))) { (l0, r0) =>
+      import spark.implicits._
+      val l = l0.distinct
+      val r = r0.distinct // unique (key, ts) right side: the determinism contract
+      val left = l.map { case (k, t) => (k, t, t * 10.0) }.toDF("k", "ts", "lv")
+      val right = r.map { case (k, t) => (k, t, t * 100.0) }.toDF("k", "ts", "rv")
+      val got = Joins.asofJoin(left, right, Seq("k"), "ts")
+        .collect().map(row => (row.getLong(0), row.getLong(1)) ->
+          Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+      l.forall { case (k, t) =>
+        val want = r.filter(p => p._1 == k && p._2 <= t).map(_._2).maxOption
+        got((k, t)) == want
+      }
+    }
+
   property("connectedComponents: same component iff connected (vs union-find)") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { edges0 =>
       val edges = edges0.filter(e => e._1 != e._2)
