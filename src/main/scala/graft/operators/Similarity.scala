@@ -241,8 +241,12 @@ object Similarity {
     // a floor of min(cells, 16) keeps toy-sized indexes (cells ≲ 64) from
     // probing too thin a slice to rank k neighbors. Recall is data-dependent
     // — uniform random embeddings (no cluster structure, the IVF worst case)
-    // measure ~0.96 at 500 vecs and ~0.76 at 2000 with this default; the
-    // q52 scorecard tracks it, and `nprobe` is the caller's recall dial.
+    // measure ~0.96 at 500 vecs and ~0.76 at 2000 with this default (q52,
+    // r3): on uniform data recall necessarily tracks the scanned fraction,
+    // so any sublinear probe count caps it — real clustered embeddings are
+    // what IVF's cell locality is FOR. The q52 scorecard tracks it per
+    // round; `nprobe` is the caller's recall dial (measured at sf0.1:
+    // nprobe 16 → 0.76, 30 → 0.98 of exact top-5).
     val probes = if (nprobe > 0) nprobe
       else math.max(math.min(cells, 16), 2 * math.ceil(math.sqrt(cells.toDouble)).toInt)
 
