@@ -70,12 +70,17 @@ object Dedup {
     * self-join, both verify joins re-read the materialized sets instead of
     * re-deriving shingles from text) and unpersist it before returning —
     * at 100 TB this would be a DISK_ONLY cache or a staging table. */
-  private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** (id, h) rows: one 60-bit hash per exploded shingle occurrence (NOT yet
+    * distinct). Hashing happens OUTSIDE any array lambda so md5/conv run in
+    * WholeStageCodegen. */
+  private def shingleHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("s"))
-      // hashing happens OUTSIDE the array lambda: exploded rows run md5/conv
-      // in WholeStageCodegen, then one tiny shuffle of (id, long) rebuilds
-      // the per-doc sorted set (collect_set dedups like array_distinct)
       .select(col("id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+
+  private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleHashed(df, idCol, textCol, n)
+      // one tiny shuffle of (id, long) rebuilds the per-doc sorted set
+      // (collect_set dedups like array_distinct)
       .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
 
@@ -131,13 +136,18 @@ object Dedup {
       corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val tr = shingled(corpus, idCol, textCol, n).filter(col("nsh") > 0)
-      .select(col("id").as("train_id"), explode(col("sh")).as("h"))
-    val ev = shingled(evalSet, idCol, textCol, n).filter(col("nsh") > 0)
-      .select(col("id").as("eval_id"), col("nsh").as("eval_nsh"), explode(col("sh")).as("h"))
-    tr.join(broadcast(ev), Seq("h"))
-      .groupBy(col("train_id"), col("eval_id"), col("eval_nsh"))
+    // distinct (id, h) pairs directly — neither side needs the per-doc
+    // sorted ARRAY the pair operators build (collect_set + sort_array),
+    // just set membership and a per-doc distinct count
+    val tr = shingleHashed(corpus, idCol, textCol, n)
+      .select(col("id").as("train_id"), col("h")).distinct()
+    val evD = shingleHashed(evalSet, idCol, textCol, n)
+      .select(col("id").as("eval_id"), col("h")).distinct()
+    val evN = evD.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_nsh"))
+    tr.join(broadcast(evD), Seq("h"))
+      .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(evN), Seq("eval_id"))
       .withColumn("containment",
         col("n_common").cast("double") / col("eval_nsh").cast("double"))
       .filter(col("containment") >= threshold)
