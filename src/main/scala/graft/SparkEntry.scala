@@ -390,6 +390,13 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("bin_tokens_before"), col("bin"))
         .orderBy("doc_id")
     }),
+    // per-domain cap: keep each (lang, source)'s 3 longest docs
+    "q59_topk_per_key" -> ((s, d) => {
+      Ops.topKPerKey(Tables.documents(s, d), Seq("lang", "source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "source", "doc_id")
+    }),
     // recall scorecard: per query, how many of the exact top-5 the LSH and
     // IVF paths recovered — the honesty metric for the two ANN structures
     "q52_ann_recall" -> ((s, d) => {
@@ -1170,6 +1177,13 @@ object SparkEntry {
          SELECT doc_id, shard, bin_tokens_before,
                 (bin_tokens_before // 4096)::BIGINT AS bin
          FROM p ORDER BY doc_id""",
+    "q59_topk_per_key" ->
+      """SELECT lang, source, doc_id, n_chars FROM (
+           SELECT lang, source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents)
+         WHERE rn <= 3 ORDER BY lang, source, doc_id""",
     "q34_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
                 event_type, count(*) AS n_events,

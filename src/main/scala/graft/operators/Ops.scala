@@ -123,6 +123,20 @@ object Ops {
   def describe(df: DataFrame, cols: String*): DataFrame =
     if (cols.isEmpty) df.describe() else df.describe(cols: _*)
 
+  /** Per-key top-k: the k best rows within each key group under `orderBy`
+    * (e.g. cap each domain/language at its k highest-quality documents — the
+    * standard curation diversity cap). One window per key partition — the
+    * ranking shuffles on the KEY, so per-group work spreads across
+    * executors and no global sort exists. Include a unique tie-breaker in
+    * `orderBy` for deterministic output. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") <= k)
+      .drop("__graft_rank")
+  }
+
   /** 60-bit uniform hash of an id column: first 15 hex chars of md5 — the
     * same construction the dedup family uses for shingles, so DuckDB (or
     * any engine with md5) reproduces it bit-for-bit. Basis for

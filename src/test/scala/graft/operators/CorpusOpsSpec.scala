@@ -68,6 +68,14 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, 1L) -> 0L, (1L, 2L) -> 2L))
   }
 
+  test("topKPerKey: k best per group, deterministic tie-break") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("b", 5L, 1L)).toDF("k", "id", "score")
+    val out = Ops.topKPerKey(df, Seq("k"), Seq(col("score").desc, col("id").asc), 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L, 5L)) // ties at 30 break by id; b keeps its only row
+  }
+
   test("packSequences plans a partitioned window (no single global sort)") {
     val docs = Seq((0L, 1L, 10L)).toDF("shard", "doc_id", "n_tokens")
     val plan = Pack.packSequences(docs, "shard", "doc_id", "n_tokens", 100L)
