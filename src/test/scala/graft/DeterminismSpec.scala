@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Joins, Ops, Pack, Similarity}
 
 /** Codifies the engine's core scale property: results are independent of
   * physical partitioning. Every oracle-facing construction (integer
@@ -45,5 +45,34 @@ class DeterminismSpec extends SparkTestBase {
   test("simhash table: identical at 1 vs 7 partitions") {
     def h(p: Int) = rowSet(Dedup.simhashTable(docs.repartition(p), "doc_id", "text"))
     assert(h(1) == h(7))
+  }
+
+  test("asofJoin: identical at 1 vs 7 partitions") {
+    val l = (0L until 50L).map(i => (i % 5, i, i * 1.5)).toDF("k", "ts", "lv")
+    val r = (0L until 30L).map(i => (i % 5, i * 2, i * 10.0)).toDF("k", "ts", "rv")
+    def j(p: Int) = rowSet(Joins.asofJoin(l.repartition(p), r.repartition(p), Seq("k"), "ts"))
+    assert(j(1) == j(7))
+  }
+
+  test("rangeJoin: identical at 1 vs 7 partitions") {
+    val vals = (0 until 120).map(i => (i.toLong, i * 3.0 % 53)).toDF("id", "v")
+    val ivs = Seq((1L, 0.0, 15.0), (2L, 10.0, 40.0), (3L, 48.0, 52.0)).toDF("iv_id", "lo", "hi")
+    def j(p: Int) = rowSet(Joins.rangeJoin(vals.repartition(p), "v", ivs.repartition(p),
+      "lo", "hi", bucketWidth = 8.0))
+    assert(j(1) == j(7))
+    assert(j(1).nonEmpty)
+  }
+
+  test("hash sample + shard + pack + per-key top-k: identical at 1 vs 7 partitions") {
+    val d = (0L until 200L).map(i => (i, i % 9 + 1)).toDF("doc_id", "n_tokens")
+    def pipe(p: Int) = rowSet {
+      val sharded = Ops.shardByHash(
+        Ops.sampleByHash(d.repartition(p), "doc_id", 0.0, 0.6), "doc_id", 4)
+      Pack.packSequences(sharded, "shard", "doc_id", "n_tokens", budget = 20L)
+    }
+    assert(pipe(1) == pipe(7))
+    def cap(p: Int) = rowSet(Ops.topKPerKey(d.repartition(p), Seq("n_tokens"),
+      Seq(col("doc_id").desc), 3))
+    assert(cap(1) == cap(7))
   }
 }
