@@ -81,6 +81,19 @@ class AsofRangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("argument validation raises") {
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(trades, quotes, Seq("sym"), "ts", direction = "sideways")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(trades, "price", quotes, "lo", "hi", bucketWidth = 0.0)
+    }
+    intercept[IllegalArgumentException] { // lo/hi clash with a left column name
+      Joins.rangeJoin(trades.withColumnRenamed("price", "lo"), "ts",
+        quotes.withColumnRenamed("quote", "lo"), "lo", "hi", 1.0)
+    }
+  }
+
   test("asofJoin on empty sides") {
     val empty = Seq.empty[(String, Long, Double)].toDF("sym", "ts", "quote")
     assert(Joins.asofJoin(trades, empty, Seq("sym"), "ts")
