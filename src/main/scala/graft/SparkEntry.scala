@@ -646,8 +646,8 @@ object SparkEntry {
   // with 2^b*8 >= count(*) (identical integer derivation to
   // Similarity.sizedSignBits); weight(t,j,p) = +1 iff first md5 nibble of
   // "42|t|j|p" is even (identical to Similarity.hyperplanes, seed 42).
-  // nTables must match the Spark-side call site (16 for bucketedTopK,
-  // 8 for Dedup.embeddingNearDupPairs).
+  // nTables must match the Spark-side call site (16 for BOTH bucketedTopK
+  // and Dedup.embeddingNearDupPairs since r3).
   private def sqlLshBuckets(nTables: Int) =
     s"""nb AS (SELECT min(b) AS bits FROM range(4, 25) r(b),
                 (SELECT count(*) AS n FROM embeddings) c

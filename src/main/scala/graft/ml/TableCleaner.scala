@@ -222,6 +222,12 @@ final class TableCleaner {
         // to_dict shape (its from_dict(**column) rejects unknown keys)
         if (c.dropFirst) o.put("drop_first", true)
         val cats = o.putArray("categories")
+        // label dicts carry the reference's 'Unknown' sentinel at [0]
+        // (`ml.py:17`: categories = ['Unknown'] + dic) so the JSON is
+        // byte-compatible with a reference-written dict AND round-trips
+        // exactly through our own fromJson (which strips the head) — even
+        // when a LEARNED category is the literal string "Unknown"
+        if (c.method == "label") cats.add("Unknown")
         c.categories.foreach(cats.add)
     }
     m.writeValueAsString(arr)
@@ -251,11 +257,13 @@ object TableCleaner {
           val catsNode = node.get("categories").asInstanceOf[ArrayNode]
           val method = node.get("method").asText()
           val raw = (0 until catsNode.size()).map(catsNode.get(_).asText())
-          // A reference-written dict of a FIT label column carries the
-          // 'Unknown' sentinel at [0] (`ml.py:17`: categories = ['Unknown']
-          // + dic, where code i+1 = dic[i]): honor it by dropping the head,
-          // which makes position i map to code i exactly as it did when the
-          // dict was exported. Our own toJson never writes the sentinel.
+          // A label dict — reference-written (`ml.py:17`: categories =
+          // ['Unknown'] + dic, where code i+1 = dic[i]) or our own toJson —
+          // always carries the 'Unknown' sentinel at [0]: drop the head so
+          // position i maps to code i exactly as when the dict was
+          // exported. toJson writes the sentinel unconditionally, so a
+          // genuine learned "Unknown" category (position 1+) survives the
+          // round-trip.
           val cats =
             if (method == "label" && raw.headOption.contains("Unknown")) raw.drop(1)
             else raw

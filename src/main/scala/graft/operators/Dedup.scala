@@ -136,17 +136,19 @@ object Dedup {
       corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // distinct (id, h) pairs directly — neither side needs the per-doc
-    // sorted ARRAY the pair operators build (collect_set + sort_array),
-    // just set membership and a per-doc distinct count
+    // the corpus side is NEVER shuffled wholesale: raw shingle occurrences
+    // stream map-side through the broadcast eval index, and the distinct
+    // count of shared shingles happens per (train, eval) pair AFTER the
+    // join — shuffle volume is the matching occurrences only, not the
+    // corpus (neither side needs the sorted ARRAY the pair ops build)
     val tr = shingleHashed(corpus, idCol, textCol, n)
-      .select(col("id").as("train_id"), col("h")).distinct()
+      .select(col("id").as("train_id"), col("h"))
     val evD = shingleHashed(evalSet, idCol, textCol, n)
       .select(col("id").as("eval_id"), col("h")).distinct()
     val evN = evD.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_nsh"))
     tr.join(broadcast(evD), Seq("h"))
       .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(countDistinct(col("h")).as("n_common"))
       .join(broadcast(evN), Seq("eval_id"))
       .withColumn("containment",
         col("n_common").cast("double") / col("eval_nsh").cast("double"))

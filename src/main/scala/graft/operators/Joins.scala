@@ -89,9 +89,13 @@ object Joins {
         col(tsCol).as("__ts"), lit(0).as("__side"),
         lit(null).cast(lStructT).as("__l"),
         struct((col(tsCol) +: rightVals.map(col)).toSeq: _*).as("__r")): _*)
+    // null-ts left rows must match NOTHING: they sort before every right
+    // row in both directions (asc defaults nulls-first; desc needs the
+    // explicit nulls-first — plain desc puts nulls LAST, where the window
+    // would hand a null-ts row the whole key group's minimum right ts)
     val ord =
-      if (direction == "backward") Seq(col("__ts").asc, col("__side").asc)
-      else Seq(col("__ts").desc, col("__side").asc)
+      if (direction == "backward") Seq(col("__ts").asc_nulls_first, col("__side").asc)
+      else Seq(col("__ts").desc_nulls_first, col("__side").asc)
     val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched0 = lSide.unionByName(rSide)

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * truncates or wraps the tail; this is the standard streaming-packing
   * approximation — exact first-fit packing is inherently sequential and
   * would serialize the corpus through one task). Deterministic: a pure
-  * window computation over (shard, order), identical on any engine/cluster.
+  * window computation over (shard, order), identical on any engine/cluster
+  * PROVIDED `orderCol` is unique within each shard (a doc id, not a
+  * timestamp with ties — tied rows make the running sum order-dependent).
   *
   * Scale shape: ONE window per shard — partition by the shard column so no
   * global sort exists; shards (e.g. [[Ops.shardByHash]] output, one per

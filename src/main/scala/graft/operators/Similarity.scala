@@ -122,8 +122,10 @@ object Similarity {
     * Hamming-1 perturbations. A near neighbor that lands one sign-bit away
     * from the query — by far the most likely miss — is then still found, so
     * probing buys most of the recall extra tables would, at ZERO extra index
-    * size; the candidate volume stays bucket-bounded (×(bits+1)). Applied to
-    * the small probe side only; interpreted-HOF cost is per probe row. */
+    * size; the candidate volume stays bucket-bounded (×(bits+1)).
+    * `bucketedTopK` applies it to the small query side (probe cost
+    * negligible); `Dedup.embeddingNearDupPairs` probes ONE side of its
+    * self-join — ×(bits+1) rows on that side, the documented trade there. */
   private[operators] def multiProbe(qb: DataFrame, idName: String, bits: Int): DataFrame =
     qb.select(col(idName), col("t"),
       explode(concat(array(col("bucket")),

@@ -122,6 +122,22 @@ class TableCleanerSpec extends SparkTestBase {
     assert(c.cleanTable(df).collect().map(_.getInt(0)).toSeq == Seq(1, 2, 0, 0))
   }
 
+  test("label toJson writes the sentinel; a GENUINE 'Unknown' category survives the round-trip") {
+    val data = Seq("Unknown", "cat", "dog").toDF("animal")
+    val c = new TableCleaner
+    c.registerLabel("animal")
+    c.fit(data)
+    // learned sorted categories: Unknown(1), cat(2), dog(3)
+    val json = c.toJson
+    // exported dict is reference-shaped: sentinel at [0], learned cats after
+    assert(json.contains(""""categories":["Unknown","Unknown","cat","dog"]"""))
+    val c2 = TableCleaner.fromJson(json)
+    val probe = Seq(Some("Unknown"), Some("cat"), Some("dog"), Some("zzz"), None).toDF("animal")
+    val want = c.cleanTable(probe).collect().map(_.getInt(0)).toSeq
+    assert(want == Seq(1, 2, 3, 0, 0))
+    assert(c2.cleanTable(probe).collect().map(_.getInt(0)).toSeq == want)
+  }
+
   test("high-cardinality label: broadcast lookup-join encode matches when-chain semantics") {
     val cats = (1 to 10000).map(i => f"cat_$i%05d")
     val c = new TableCleaner

@@ -94,6 +94,16 @@ class AsofRangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("asofJoin: null-ts left rows match nothing in BOTH directions") {
+    val l = Seq(("a", Some(5L), 1.0), ("a", None, 2.0)).toDF("sym", "ts", "price")
+    def matched(dir: String) =
+      Joins.asofJoin(l, quotes, Seq("sym"), "ts", direction = dir)
+        .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Long]) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(matched("backward") == Map(Some(5L) -> Some(2L), None -> None))
+    assert(matched("forward") == Map(Some(5L) -> Some(7L), None -> None))
+  }
+
   test("asofJoin on empty sides") {
     val empty = Seq.empty[(String, Long, Double)].toDF("sym", "ts", "quote")
     assert(Joins.asofJoin(trades, empty, Seq("sym"), "ts")
