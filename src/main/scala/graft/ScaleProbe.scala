@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Empirical scaling probe for the dedup pipeline (the suite's algorithmic
+  * core): replicates the documents corpus `factor`× in memory (id-offset
+  * clones) and times MinHash-LSH pair generation and connected components
+  * at growing N on the same hardware.
+  *
+  * Replication semantics: every original near-dup cluster of size m becomes
+  * one cluster of size m·factor (clones across batches near-dup each
+  * other), so pair count grows ~factor² within clusters — this
+  * deliberately stresses BOTH axes: signature/banding throughput (linear
+  * in docs) and component size (large-star/small-star round count is
+  * log-bounded). A flat seconds-per-doc curve plus bounded CC rounds is
+  * the evidence that the 100 TB story holds; a superlinear curve is a bug.
+  *
+  * Run: `sbt "runMain graft.ScaleProbe [sfDir] [factor...]"`. Prints one
+  * JSON line per factor.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect() // absorb session init
+
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    factors.foreach { factor =>
+      val docs = (0 until factor)
+        .map(k => base.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"), col("text")))
+        .reduce(_ union _)
+        .repartition(cpus.toInt).persist()
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      val nPairs = pairs.count() // pairs is eagerly checkpointed; count is cheap
+      val t1 = System.nanoTime()
+      val comps = Dedup.connectedComponents(pairs, docs, "doc_id")
+        .filter(col("id") =!= col("component")).count()
+      val t2 = System.nanoTime()
+      println(f"""{"factor":$factor,"docs":$n,"pairs":$nPairs,"folded":$comps,""" +
+        f""""lsh_sec":${(t1 - t0) / 1e9}%.2f,"cc_sec":${(t2 - t1) / 1e9}%.2f}""")
+      docs.unpersist(blocking = false)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}
