@@ -142,4 +142,22 @@ class StreamsSpec extends SparkTestBase {
       assert(spark.table("dedup_test").count() == 2)
     } finally q.stop()
   }
+
+  test("sampleByHash is streaming-safe: stream sample equals the batch sample") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // stateless pure-function filter -> valid in any streaming plan
+    val q = graft.operators.Ops.sampleByHash(mem.toDF(), "event_id", 0.0, 0.5)
+      .writeStream.format("memory").queryName("sample_test").outputMode("append").start()
+    try {
+      val evs = (1L to 40L).map(i => Ev(i, t(i.toInt % 30), 1, "click", 1.0))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_test").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Ops.sampleByHash(evs.toDF(), "event_id", 0.0, 0.5)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
