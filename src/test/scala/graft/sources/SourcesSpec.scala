@@ -31,6 +31,21 @@ class SourcesSpec extends SparkTestBase {
     assert(!plan.contains("Filter (k"))
   }
 
+  test("filter DSL predicates and projections push into the parquet scan") {
+    val dir = Files.createTempDirectory("graft_push").toString + "/p"
+    val df = (1L to 100L).map(i => (i, i * 2.0, s"s$i")).toDF("id", "v", "s")
+    Sources.writeParquet(df, dir)
+    val q = graft.operators.Ops.filters(Sources.parquet(spark, dir),
+      Seq(("v", ">", 50.0), ("id", "<=", 90L))).select("id", "v")
+    val scan = q.queryExecution.executedPlan.toString
+    // both DSL predicates reach PushedFilters, and the untouched string
+    // column is pruned out of ReadSchema
+    assert(scan.contains("GreaterThan(v,50.0)") && scan.contains("LessThanOrEqual(id,90)"),
+      s"predicates not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"column not pruned:\n$scan")
+  }
+
   test("bucketed table join avoids the shuffle exchange") {
     // warehouse.dir is a static conf — the shared session's default
     // (./spark-warehouse) is used; tables dropped below
