@@ -441,6 +441,18 @@ object SparkEntry {
           col("format"))
         .orderBy("media_id")
     }),
+    // the typed mapPartitions batch-decode path itself (stub decoder is
+    // deterministic md5 arithmetic, so DuckDB replays the whole pipeline —
+    // pack → per-partition feature extraction → typed output)
+    "q60_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.pack(Tables.documents(s, d), "doc_id", "text", "text/plain")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("content_md5"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"))
+        .orderBy("media_id")
+    }),
     // ----- ✚ scalar string/date function coverage --------------------------
     "q38_scalar_funcs" -> ((s, d) => {
       Tables.orders(s, d).select(
@@ -1218,6 +1230,18 @@ object SparkEntry {
       """SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 md5(text) AS content_md5, 'text/plain' AS format
          FROM documents ORDER BY media_id""",
+    "q60_multimodal_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           octet_length(encode(text))::BIGINT AS n_bytes,
+                           md5(text) AS h
+                    FROM documents)
+         SELECT media_id, n_bytes, h AS content_md5,
+                (instr('0123456789abcdef', substr(h, 2, 1)) * 64)::BIGINT AS width,
+                ((((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(h, 4, 1)) - 1) % 9 + 1) * 64)::BIGINT
+                  AS height,
+                ((n_bytes + 4095) // 4096)::BIGINT AS n_frames
+         FROM m ORDER BY media_id""",
     "q38_scalar_funcs" ->
       """SELECT o_orderkey,
                 upper(substr(o_orderpriority, 3, 10)) AS prio_word,
