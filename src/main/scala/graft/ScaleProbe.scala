@@ -37,9 +37,12 @@ object ScaleProbe {
     spark.range(1000).selectExpr("sum(id)").collect() // absorb session init
 
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // offset derived from the observed id range so clone batches can never
+    // collide, whatever id space the given corpus uses
+    val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
     factors.foreach { factor =>
       val docs = (0 until factor)
-        .map(k => base.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"), col("text")))
+        .map(k => base.select((col("doc_id") + lit(k * offset)).as("doc_id"), col("text")))
         .reduce(_ union _)
         .repartition(cpus.toInt).persist()
       val n = docs.count()

@@ -70,16 +70,16 @@ object Dedup {
     * self-join, both verify joins re-read the materialized sets instead of
     * re-deriving shingles from text) and unpersist it before returning —
     * at 100 TB this would be a DISK_ONLY cache or a staging table. */
-  /** (id, h) rows: one 60-bit hash per DISTINCT shingle of each doc.
-    * Within-doc duplicate shingles are dropped by `array_distinct` INSIDE
-    * the row before the explode — a doc's shingles never cross a partition
-    * boundary (narrow explode), so this is the shuffle-free place to dedup,
-    * and every consumer (set build, inverted index, containment counts)
-    * wants set semantics anyway. Hashing happens OUTSIDE any array lambda
-    * so md5/conv run in WholeStageCodegen. */
+  /** (id, h) rows: one 60-bit hash per distinct shingle STRING of each doc
+    * ([[Text.wordShingles]] array_distincts inside the row, before any
+    * shuffle). Distinctness at the HASH level is NOT guaranteed here — two
+    * shingles colliding in 60 bits yield two equal h rows (~1e-13; callers
+    * that promise the oracle hash-set semantics dedup hashes downstream:
+    * collect_set in [[shingled]], countDistinct in [[contaminationPairs]]).
+    * Hashing happens OUTSIDE any array lambda so md5/conv run in
+    * WholeStageCodegen. */
   private def shingleHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(Text.wordShingles(col(textCol), n))).as("s"))
+    df.select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("s"))
       .select(col("id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
 
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -141,21 +141,23 @@ object Dedup {
       corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // the corpus side is NEVER shuffled wholesale: per-doc-distinct shingle
-    // rows (deduped inside the row, no shuffle — see shingleHashed) stream
-    // map-side through the broadcast eval index, so each (train, eval,
-    // shingle) match appears exactly once and a plain map-side-combined
-    // count per pair IS the distinct overlap. The only shuffle is that
-    // pair-count agg, whose volume is the matching pairs — not the corpus
-    // (neither side needs the sorted ARRAY the pair ops build).
+    // the corpus side is NEVER shuffled wholesale: its shingle rows stream
+    // map-side through the broadcast eval index, and the only shuffle is
+    // the per-(train, eval) overlap agg, whose volume is the MATCHING
+    // occurrences — tiny next to the corpus when the eval set is a
+    // benchmark suite. countDistinct(h) there (not a plain count) keeps
+    // the result exact under duplicate corpus rows and 60-bit hash
+    // collisions — the same hash-set semantics the oracle computes.
+    // The eval side (small, broadcast) is deduped up front so the index
+    // is a set and per-doc sizes are a plain count.
     val tr = shingleHashed(corpus, idCol, textCol, n)
       .select(col("id").as("train_id"), col("h"))
     val evD = shingleHashed(evalSet, idCol, textCol, n)
-      .select(col("id").as("eval_id"), col("h"))
+      .select(col("id").as("eval_id"), col("h")).distinct()
     val evN = evD.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_nsh"))
     tr.join(broadcast(evD), Seq("h"))
       .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(countDistinct(col("h")).as("n_common"))
       .join(broadcast(evN), Seq("eval_id"))
       .withColumn("containment",
         col("n_common").cast("double") / col("eval_nsh").cast("double"))

@@ -54,6 +54,15 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.count() == 1) // Jaccard would be ~4/56, containment is 1.0
   }
 
+  test("contaminationPairs: duplicated corpus rows do not inflate containment past 1.0") {
+    val row = (1L, "alpha beta gamma delta epsilon zeta")
+    val corpus = Seq(row, row).toDF("doc_id", "text") // e.g. overlapping unioned shards
+    val eval = Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, eval, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(3) == 1.0)
+  }
+
   test("packSequences: greedy bins with boundary straddle") {
     val docs = Seq(
       (0L, 1L, 400L), (0L, 2L, 400L), (0L, 3L, 400L), // bin 0: 0,400,800(straddles)
