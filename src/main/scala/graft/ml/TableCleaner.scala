@@ -144,11 +144,36 @@ final class TableCleaner {
     columns += CategoricalColumn(name, "one_hot", categories, dropFirst)
 
   /** Fit any not-yet-measured column (fit-on-first-use, `ml.py:53-56,75-76`).
-    * One Spark job per unmeasured column; transforms are then shuffle-free. */
-  def fit(df: DataFrame): Unit =
+    * ALL unmeasured numeric columns share ONE aggregation scan (3 aggregates
+    * per column in a single job) — at 100 TB a per-column scan of the train
+    * table is the difference between 1 pass and #features passes.
+    * Categorical columns still fit one (cardinality-bounded) distinct job
+    * each; transforms are then shuffle-free. */
+  def fit(df: DataFrame): Unit = {
+    val numIdx = columns.indices.filter(i =>
+      !columns(i).measured && columns(i).isInstanceOf[NumericalColumn])
+    if (numIdx.nonEmpty) {
+      val aggs = numIdx.flatMap { i =>
+        val n = columns(i).name
+        Seq(avg(col(n).cast("double")).as(s"__mean_$i"),
+          min(col(n).cast("double")).as(s"__min_$i"),
+          max(col(n).cast("double")).as(s"__max_$i"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      numIdx.zipWithIndex.foreach { case (i, k) =>
+        val nc = columns(i).asInstanceOf[NumericalColumn]
+        // getDouble throws on null (all-null column) — same caller-error
+        // surfacing as the per-column fit path (EdgeCasesSpec pins it)
+        columns(i) = nc.copy(
+          vMean = Some(row.getDouble(3 * k)),
+          vMin = Some(row.getDouble(3 * k + 1)),
+          vMax = Some(row.getDouble(3 * k + 2)))
+      }
+    }
     columns.indices.foreach { i =>
       if (!columns(i).measured) columns(i) = columns(i).fit(df)
     }
+  }
 
   /** Transformed feature table: the registered columns in registration order
     * (`ml.py:112-121`). A pure projection, except label columns past the

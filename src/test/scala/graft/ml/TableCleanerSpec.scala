@@ -138,6 +138,23 @@ class TableCleanerSpec extends SparkTestBase {
     assert(c2.cleanTable(probe).collect().map(_.getInt(0)).toSeq == want)
   }
 
+  test("batched numeric fit equals per-column fit") {
+    val df = Seq((1.0, 10.0, Some(5.0)), (3.0, 30.0, None), (2.0, 20.0, Some(7.0)))
+      .toDF("a", "b", "c")
+    val batched = new TableCleaner
+    batched.registerNumeric("a"); batched.registerNumeric("b", impute = "min")
+    batched.registerNumeric("c", impute = "max")
+    batched.fit(df) // one scan fits all three
+    val perCol = new TableCleaner
+    perCol.registerNumeric("a"); perCol.registerNumeric("b", impute = "min")
+    perCol.registerNumeric("c", impute = "max")
+    perCol.columns.indices.foreach(i => perCol.columns(i) = perCol.columns(i).fit(df))
+    assert(batched.toJson == perCol.toJson)
+    // null in c imputes with its TRAIN max (7.0) under the batched stats
+    val out = batched.cleanTable(df).select("c").collect().map(_.getDouble(0)).sorted
+    assert(out.toSeq == Seq(5.0, 7.0, 7.0))
+  }
+
   test("high-cardinality label: broadcast lookup-join encode matches when-chain semantics") {
     val cats = (1 to 10000).map(i => f"cat_$i%05d")
     val c = new TableCleaner
