@@ -288,7 +288,14 @@ object TableCleaner {
           // position i maps to code i exactly as when the dict was
           // exported. toJson writes the sentinel unconditionally, so a
           // genuine learned "Unknown" category (position 1+) survives the
-          // round-trip.
+          // round-trip. FORMAT NOTE: exports from toJson versions that
+          // predate the sentinel (pre round-3) wrote the bare learned list;
+          // such a dict whose FIRST learned category happens to be the
+          // literal "Unknown" is indistinguishable from a sentinel-carrying
+          // one and loses its head here — re-export with the current toJson
+          // (the sentinel shape is also what the reference emits, so there
+          // is no marker field that could disambiguate without breaking
+          // reference from_dict compatibility).
           val cats =
             if (method == "label" && raw.headOption.contains("Unknown")) raw.drop(1)
             else raw

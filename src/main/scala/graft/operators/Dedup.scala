@@ -331,7 +331,10 @@ object Dedup {
         .distinct()
     }
     // one agg job both materializes the round's cache and fingerprints the
-    // edge SET (rows are distinct, so count + xor-of-hashes identifies it)
+    // edge SET (rows are distinct, so count + xor-of-hashes identifies it).
+    // The 64-bit fingerprint is a cheap SCREEN only: a match triggers an
+    // exact set-equality confirmation below, so a hash collision can cost
+    // one extra round but can never stop iteration early.
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)).as("c"), expr("bit_xor(xxhash64(u, v))").as("x")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -351,7 +354,11 @@ object Dedup {
       val next = round.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val nextDf = spark.createDataFrame(next, round.schema)
       val (c2, k2) = checksum(nextDf)
-      converged = c2 == cnt && k2 == chk
+      // checksum match → confirm exactly while BOTH rounds are still
+      // pinned: equal counts + distinct rows ⇒ one-sided exceptAll-empty
+      // proves set equality. Runs once at the (suspected) fixed point, so
+      // the exact check adds one job total, not one per round.
+      converged = c2 == cnt && k2 == chk && nextDf.exceptAll(edges).isEmpty
       cnt = c2; chk = k2
       cur.unpersist(blocking = false)
       cur = next

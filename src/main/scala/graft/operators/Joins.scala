@@ -76,6 +76,11 @@ object Joins {
       rightSuffix: String = "_r"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    val reserved = Seq("__ts", "__side", "__l", "__r", "__m")
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofJoin reserves internal column names ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
     val rightVals = right.columns.filterNot(c => on.contains(c) || c == tsCol).toSeq
     val lStructT = StructType(left.schema.fields)
     val rStructT = StructType(right.schema(tsCol) +: rightVals.map(right.schema(_)))
@@ -139,6 +144,8 @@ object Joins {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(!left.columns.contains(loCol) && !left.columns.contains(hiCol),
       s"$loCol/$hiCol must not clash with left column names")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "rangeJoin reserves the internal column name __bucket; rename the input column")
     val dup = right.columns.toSet.intersect(left.columns.toSet)
     val r0 = dup.foldLeft(right)((d, c) => d.drop(c))
     val l = left.filter(col(valCol).isNotNull)
@@ -162,6 +169,8 @@ object Joins {
   def saltedJoin(
       left: DataFrame, right: DataFrame, on: Seq[String],
       saltBuckets: Int = 8): DataFrame = {
+    require(!(left.columns ++ right.columns).contains("__graft_salt"),
+      "saltedJoin reserves the internal column name __graft_salt; rename the input column")
     val salted = left.withColumn("__graft_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
     val replicated = right

@@ -157,7 +157,13 @@ object Ops {
     require(0.0 <= lo && lo <= hi && hi <= 1.0, s"need 0 <= lo <= hi <= 1, got [$lo, $hi)")
     val space = math.pow(2.0, 60)
     val h = idHash60(col(idCol))
-    df.filter(h >= lit((lo * space).toLong) && h < lit((hi * space).toLong))
+    // band edges round-to-nearest (rint), matching SQL `CAST(f * pow(2,60)
+    // AS BIGINT)` semantics (DuckDB/ANSI round casts). For any fraction
+    // >= 2^-7 the product f*2^60 is an exact integer double (power-of-two
+    // scaling), so rint and truncation agree; rint makes the cross-engine
+    // contract hold for ALL fractions (e.g. 1e-9*2^60 = ...504.607, where
+    // truncation would keep one hash value a re-deriving engine excludes).
+    df.filter(h >= lit(math.rint(lo * space).toLong) && h < lit(math.rint(hi * space).toLong))
   }
 
   /** Deterministic shard assignment: [[idHash60]] mod `nShards`, appended

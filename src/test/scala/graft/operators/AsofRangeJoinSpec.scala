@@ -92,6 +92,20 @@ class AsofRangeJoinSpec extends SparkTestBase {
       Joins.rangeJoin(trades.withColumnRenamed("price", "lo"), "ts",
         quotes.withColumnRenamed("quote", "lo"), "lo", "hi", 1.0)
     }
+    intercept[IllegalArgumentException] { // reserved internal name on either side
+      Joins.asofJoin(trades.withColumnRenamed("price", "__ts"), quotes, Seq("sym"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(trades, quotes.withColumnRenamed("quote", "__m"), Seq("sym"), "ts")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(trades.withColumnRenamed("price", "__bucket"), "ts",
+        quotes, "lo", "hi", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(trades.withColumnRenamed("price", "__graft_salt"),
+        quotes, Seq("sym"))
+    }
   }
 
   test("asofJoin: null-ts left rows match nothing in BOTH directions") {

@@ -21,6 +21,20 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a2 == a)
   }
 
+  test("sampleByHash: band edges are round-to-nearest, matching SQL CAST") {
+    // 1e-9 * 2^60 = 1152921504.606847 — truncation and round-to-nearest
+    // disagree by one; the plan must carry the ROUNDED value so a
+    // re-deriving engine (CAST(1e-9 * pow(2,60) AS BIGINT)) draws the same
+    // boundary. (For fractions >= 2^-7 the product is an exact integer
+    // double and the two agree — this pins the general contract.)
+    val df = Seq(1L).toDF("id")
+    val plan = Ops.sampleByHash(df, "id", 0.0, 1e-9).queryExecution.analyzed.toString
+    val rounded = math.rint(1e-9 * math.pow(2.0, 60)).toLong
+    val truncated = (1e-9 * math.pow(2.0, 60)).toLong
+    assert(rounded == truncated + 1) // the regime where the two differ
+    assert(plan.contains(rounded.toString))
+  }
+
   test("shardByHash: complete, deterministic, within range") {
     val df = (0L until 300L).toDF("id")
     val shards = Ops.shardByHash(df, "id", 7).select("id", "shard")
