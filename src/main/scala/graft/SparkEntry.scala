@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Grouping, Joins, Ops, Pack, Similarity}
-import graft.functions.{Jsons, Multimodal, Text}
+import graft.operators.{Dedup, Grouping, Joins, Layout, Ops, Pack, Similarity, Sketches}
+import graft.functions.{Jsons, Multimodal, Pii, Repetition, Text}
 import graft.streaming.Streams
 
 /** Per-group iteration output row (q09_group_iter). */
@@ -396,6 +396,72 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
         .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
         .orderBy("lang", "source", "doc_id")
+    }),
+    // Gopher-style repetition signals: bigram coverage/duplication and
+    // duplicate-line fractions per doc, parts-per-million (integer DIV)
+    "q61_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bi = Repetition.ngramRepetition(docs, "doc_id", "text", 2)
+        .withColumnRenamed("n_ngrams", "n_bigrams")
+        .withColumnRenamed("top_ngram_cover_ppm", "top_bigram_cover_ppm")
+        .withColumnRenamed("dup_ngram_char_ppm", "dup_bigram_char_ppm")
+      val li = Repetition.lineRepetition(docs, "doc_id", "text")
+      bi.join(li, Seq("doc_id")).orderBy("doc_id")
+    }),
+    // PII scrub: seed each doc with deterministic synthetic PII (the corpus
+    // itself is word-soup), then count + redact with the Java∩RE2 patterns
+    "q62_pii_scrub" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org ip 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"), lit(" call +1 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("ft"))
+      seeded.select(col("doc_id"),
+          Pii.emailCount(col("ft")).cast(LongType).as("n_email"),
+          Pii.ipv4Count(col("ft")).cast(LongType).as("n_ip"),
+          Pii.phoneCount(col("ft")).cast(LongType).as("n_phone"),
+          md5(Pii.redact(col("ft"))).as("redacted_md5"),
+          length(Pii.redact(col("ft"))).cast(LongType).as("n_chars_redacted"))
+        .orderBy("doc_id")
+    }),
+    // domain mixing: cap each (lang, source) at a 3000-char budget, rows
+    // admitted in deterministic hash order
+    "q63_budget_sample" -> ((s, d) => {
+      Ops.sampleToBudget(Tables.documents(s, d), Seq("lang", "source"),
+          "doc_id", "n_chars", budget = 3000L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // mergeable-sketch distinct: per-shard HLL sketches of the token stream,
+    // unioned to a global estimate; the oracle asserts the error bound
+    // against the exact count (the estimate itself is approximate and not
+    // partitioning-deterministic — see Sketches scaladoc)
+    "q64_sketch_distinct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
+      val sk = Sketches.sketch(Ops.shardByHash(toks, "token", 8), Seq("shard"), "token")
+      val est = Sketches.mergeEstimate(sk, Nil)
+      val exact = toks.agg(countDistinct(col("token")).as("n_exact"))
+      exact.crossJoin(est).select(
+        lit(8L).as("n_shards"), col("n_exact"),
+        Sketches.withinTolerance(col("n_distinct_est"), col("n_exact"), 0.05)
+          .as("within_5pct"))
+    }),
+    // z-order layout: per coarse z-cell min/max of both dimensions — every
+    // cell is an 8×8 rectangle, the property that makes parquet footer
+    // min/max stats prune scans on EITHER column after a z-sorted write
+    "q65_zorder_stats" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(
+        (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y"))
+      l.withColumn("z", Layout.zValue2(col("x"), col("y"), 6))
+        .withColumn("bucket", expr("z DIV 64"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("bucket")
     }),
     // recall scorecard: per query, how many of the exact top-5 the LSH and
     // IVF paths recovered — the honesty metric for the two ANN structures
@@ -1196,6 +1262,91 @@ object SparkEntry {
                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
            FROM documents)
          WHERE rn <= 3 ORDER BY lang, source, doc_id""",
+    "q61_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+                FROM w WHERE len(w) >= 2),
+         bc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         ba AS (SELECT doc_id,
+                  CAST(sum(cnt) AS BIGINT) AS n_bg,
+                  CAST(max(cnt * length(g)) AS BIGINT) AS cover,
+                  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(g) END), 0) AS BIGINT) AS dupc
+                FROM bc GROUP BY 1),
+         ln0 AS (SELECT doc_id, trim(l) AS l
+                 FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+                 WHERE trim(l) <> ''),
+         lc AS (SELECT doc_id, l, count(*) AS cnt FROM ln0 GROUP BY 1, 2),
+         la AS (SELECT doc_id,
+                  CAST(sum(cnt) AS BIGINT) AS n_ln,
+                  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS ndup,
+                  CAST(sum(cnt * length(l)) AS BIGINT) AS allc,
+                  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(l) END), 0) AS BIGINT) AS dupl
+                FROM lc GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(ba.n_bg, 0) AS n_bigrams,
+                coalesce(ba.cover * 1000000 // length(d.text), 0) AS top_bigram_cover_ppm,
+                coalesce(ba.dupc * 1000000 // length(d.text), 0) AS dup_bigram_char_ppm,
+                coalesce(la.n_ln, 0) AS n_lines,
+                coalesce(la.ndup * 1000000 // la.n_ln, 0) AS dup_line_ppm,
+                coalesce(la.dupl * 1000000 // la.allc, 0) AS dup_line_char_ppm
+         FROM documents d
+         LEFT JOIN ba ON ba.doc_id = d.doc_id
+         LEFT JOIN la ON la.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q62_pii_scrub" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  text || ' contact u' || doc_id::VARCHAR || '@ex' || (doc_id % 7)::VARCHAR
+                       || '.org ip 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+                       || ' call +1 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                       || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS ft
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(ft, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                  len(regexp_extract_all(ft, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+                  len(regexp_extract_all(ft, '(\+1[- ]|\b1[- ])?\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS n_phone,
+                  regexp_replace(regexp_replace(regexp_replace(ft,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                    '(\+1[- ]|\b1[- ])?\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g') AS red
+           FROM f)
+         SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ip AS BIGINT) AS n_ip,
+                CAST(n_phone AS BIGINT) AS n_phone, md5(red) AS redacted_md5,
+                CAST(length(red) AS BIGINT) AS n_chars_redacted
+         FROM r ORDER BY doc_id""",
+    "q63_budget_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, source, n_chars,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, source, n_chars,
+                  CAST(sum(n_chars) OVER (PARTITION BY lang, source ORDER BY h60, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM h)
+         SELECT doc_id, lang, source, n_chars
+         FROM c WHERE cum - n_chars < 3000 ORDER BY doc_id""",
+    "q64_sketch_distinct" ->
+      """SELECT CAST(8 AS BIGINT) AS n_shards,
+                CAST(count(DISTINCT t) AS BIGINT) AS n_exact,
+                TRUE AS within_5pct
+         FROM (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+               FROM documents)""",
+    "q65_zorder_stats" ->
+      """WITH z0 AS (SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y FROM lineitem),
+         z1 AS (SELECT x, y,
+                  ((x >> 0) & 1) * 1    + ((y >> 0) & 1) * 2
+                + ((x >> 1) & 1) * 4    + ((y >> 1) & 1) * 8
+                + ((x >> 2) & 1) * 16   + ((y >> 2) & 1) * 32
+                + ((x >> 3) & 1) * 64   + ((y >> 3) & 1) * 128
+                + ((x >> 4) & 1) * 256  + ((y >> 4) & 1) * 512
+                + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 AS z
+                FROM z0)
+         SELECT z // 64 AS bucket, count(*) AS n,
+                min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         FROM z1 GROUP BY 1 ORDER BY 1""",
     "q34_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
                 event_type, count(*) AS n_events,

@@ -166,6 +166,32 @@ object Ops {
     df.filter(h >= lit(math.rint(lo * space).toLong) && h < lit(math.rint(hi * space).toLong))
   }
 
+  /** Deterministic per-group sampling to a weight budget: within each group
+    * (e.g. language, source domain), rows are admitted in [[idHash60]] order
+    * — an unbiased, engine-independent shuffle of the group — until the
+    * cumulative `weightCol` (token count, bytes) reaches `budget`. The
+    * domain-mixing primitive of corpus assembly: cap each source at N tokens
+    * without a bias toward any particular document property, reproducibly.
+    *
+    * A row is kept iff the budget was not exhausted BEFORE it (running sum
+    * minus own weight < budget), so each non-empty group keeps at least its
+    * first hash-ordered row even when that row alone exceeds the budget —
+    * the group is represented, and the overshoot is bounded by one document.
+    * One shuffle (the per-group window sort); the id tie-break makes the
+    * admission order total, so output is identical on any partitioning and
+    * any engine that re-derives the md5 hash order. */
+  def sampleToBudget(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(!df.columns.contains("__graft_cum"),
+      "sampleToBudget reserves the internal column name __graft_cum; rename the input column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idHash60(col(idCol)), col(idCol))
+    df.withColumn("__graft_cum", sum(col(weightCol)).over(w))
+      .filter(col("__graft_cum") - col(weightCol) < budget)
+      .drop("__graft_cum")
+  }
+
   /** Deterministic shard assignment: [[idHash60]] mod `nShards`, appended
     * as `shardCol`. The reproducible analog of `repartition` for
     * LAYOUT-meaningful splits (per-shard files, striped eval sets). */

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches for shard-parallel distinct counting —
+  * the HyperLogLog workflow a 100 TB pipeline actually runs: each shard/
+  * partition/day builds a small binary sketch once, sketches are stored or
+  * shipped (kilobytes, not keys), and ANY grouping of shards is answered
+  * later by unioning sketches — no re-scan of the data, no giant exact
+  * `count(distinct)` shuffle whose hash table must hold every key.
+  *
+  * Built on Spark's Apache DataSketches HLL functions (`hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate`, SQL functions since 3.5):
+  * partial aggregation happens map-side, the merged state is bounded
+  * (2^lgK 6-bit registers ≈ 10 KB at the default lgK=12), and the relative
+  * error is ~1.04/√(2^lgK) ≈ 1.6%.
+  *
+  * Treat the estimate as APPROXIMATE, not merely engine-specific: the
+  * sparse→dense promotion point depends on the partial-aggregation merge
+  * tree, so the same logical input can estimate slightly differently under
+  * different partitionings (measured: 1300 vs 1297 vs 1286 for a
+  * 1300-distinct input). Every consumer — and the q64 oracle — must assert
+  * the error BOUND against an exact count, never hash or equality-compare
+  * the estimate itself. */
+object Sketches {
+
+  /** Per-group HLL sketch of `valueCol` as a binary column `sketch`. */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Merge per-group sketches up to a coarser grouping (possibly global:
+    * `groupCols = Nil`) and estimate the distinct count. Note the merged
+    * estimate need not equal a direct single-pass sketch's: a small
+    * DataSketches HLL stays in exact sparse (coupon) mode, and the union
+    * promotes to the dense register array, which estimates — both answers
+    * honor the same ~1.04/√(2^lgK) bound, which is the contract callers
+    * should rely on (asserted by the q64 oracle). */
+  def mergeEstimate(sketches: DataFrame, groupCols: Seq[String],
+      estimateCol: String = "n_distinct_est"): DataFrame = {
+    val merged =
+      if (groupCols.isEmpty) sketches.agg(hll_union_agg(col("sketch")).as("sketch"))
+      else sketches.groupBy(groupCols.map(col): _*)
+        .agg(hll_union_agg(col("sketch")).as("sketch"))
+    merged.withColumn(estimateCol, hll_sketch_estimate(col("sketch")))
+      .drop("sketch")
+  }
+
+  /** |est − exact| ≤ tol·exact, the honesty assertion for an estimate. */
+  def withinTolerance(est: Column, exact: Column, tol: Double): Column =
+    abs(est.cast("double") - exact.cast("double")) <= lit(tol) * exact.cast("double")
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SketchesLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sketch + mergeEstimate: shard-union estimate within HLL error of exact") {
+    // 10k distinct values spread over 8 shards (values repeat across shards)
+    val df = (0 until 30000).map(i => (i % 8, (i * 2654435761L) % 10000))
+      .toDF("shard", "v")
+    val exact = df.select("v").distinct().count()
+    val perShard = Sketches.sketch(df, Seq("shard"), "v")
+    assert(perShard.count() == 8)
+    val est = Sketches.mergeEstimate(perShard, Nil)
+      .select("n_distinct_est").head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05,
+      s"estimate $est vs exact $exact")
+  }
+
+  test("sketch union: shard-merge and direct sketch both honor the error bound") {
+    // NOTE: the two estimates need NOT be equal — a small direct sketch stays
+    // in exact sparse mode (estimates 1300 exactly) while the shard union
+    // promotes to the dense register array (estimated ~1286 when written);
+    // the contract is the shared error bound, not estimate equality.
+    val df = (0 until 5000).map(i => (i % 4, i.toLong % 1300)).toDF("shard", "v")
+    val viaShards = Sketches.mergeEstimate(Sketches.sketch(df, Seq("shard"), "v"), Nil)
+      .head().getLong(0)
+    val direct = Sketches.mergeEstimate(
+      Sketches.sketch(df.repartition(11), Nil, "v"), Nil).head().getLong(0)
+    assert(math.abs(viaShards - 1300L) <= 65L, s"shard-merged estimate $viaShards")
+    assert(math.abs(direct - 1300L) <= 65L, s"direct estimate $direct")
+    // the estimate is NOT partitioning-deterministic either (the sparse→
+    // dense promotion point depends on the partial-agg merge tree — measured
+    // 1297 vs 1300 here), so all we assert under a third partitioning is the
+    // bound again; never equality-compare or hash sketch estimates
+    val viaShards2 = Sketches.mergeEstimate(
+      Sketches.sketch(df.repartition(17), Seq("shard"), "v"), Nil).head().getLong(0)
+    assert(math.abs(viaShards2 - 1300L) <= 65L, s"repartitioned estimate $viaShards2")
+  }
+
+  test("zValue2: known interleavings and two-sided monotonicity") {
+    val df = Seq((5L, 3L)).toDF("a", "b") // a=101, b=011
+    // interleave: a bits at even positions (1,0,1 -> 1+0+16), b at odd (1,1,0 -> 2+8)
+    val z = df.select(Layout.zValue2($"a", $"b", 3).as("z")).head().getLong(0)
+    assert(z == 27L)
+    // z is monotone in each coordinate when the other bits allow (spot grid)
+    val grid = (0 until 16).flatMap(a => (0 until 16).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val zs = grid.select($"a", $"b", Layout.zValue2($"a", $"b", 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(zs.values.toSet.size == 256)        // bijective on the 4-bit grid
+    assert(zs((0L, 0L)) == 0L && zs((15L, 15L)) == 255L)
+    assert(zs((1L, 0L)) == 1L && zs((0L, 1L)) == 2L)
+  }
+
+  test("zorderBy: range exchange on the z-value, rows preserved, files hold z-contiguous rectangles") {
+    val df = (0 until 1024).map(i => (i.toLong, (i * 7L) % 32, (i * 13L) % 32))
+      .toDF("id", "x", "y")
+    val laid = Layout.zorderBy(df, col("x"), col("y"), bits = 5, numFiles = 8)
+    assert(laid.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    assert(laid.count() == 1024)
+    // within each output partition, the z-range is contiguous: partitions'
+    // [min,max] z-intervals do not overlap
+    val ranges = laid
+      .withColumn("z", Layout.zValue2(col("x"), col("y"), 5))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("sampleToBudget: greedy hash-order admission per group, at least one row") {
+    val df = (0L until 200L).map(i => (if (i % 2 == 0) "a" else "b", i, 10L + i % 7))
+      .toDF("grp", "id", "w")
+    val out = Ops.sampleToBudget(df, Seq("grp"), "id", "w", budget = 100L)
+    // replicate the admission rule from the hash order
+    val order = df.select($"grp", $"id", $"w", Ops.idHash60($"id").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = order.values.flatMap { rows =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._2)).takeWhile { r =>
+        val admit = cum < 100L; cum += r._3; admit
+      }.map(_._2).toSeq
+    }.toSet
+    val got = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+    // each group keeps at least its first row even under a tiny budget
+    val tiny = Ops.sampleToBudget(df, Seq("grp"), "id", "w", budget = 1L)
+    assert(tiny.groupBy("grp").count().collect().map(_.getLong(1)).toSeq == Seq(1L, 1L))
+  }
+}
