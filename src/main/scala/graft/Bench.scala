@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 /** Benchmark main. One JSON line on stdout:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
@@ -14,15 +14,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(GraftSession.envCpus("32"), "graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
     // absorb session/codegen/scheduler init so the first query isn't charged for it
     spark.range(1000).selectExpr("sum(id)").collect()

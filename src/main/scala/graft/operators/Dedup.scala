@@ -248,15 +248,24 @@ object Dedup {
     * candidate volume per band is O(N²/65,536) instead of the 32-bit
     * version's O(N²/256), which is the difference between a web-scale
     * corpus deduping and quadratic blow-up. */
+  /** Explode a `(id, sh64)` simhash table into its 4×16-bit band index:
+    * (id, sh64, band, bandval). Any equal (band, bandval) between two hashes
+    * is a near-dup candidate — complete for Hamming distance ≤ 3 by
+    * pigeonhole. This is also the STATIC side of streaming ingest dedup
+    * ([[graft.streaming.Streams.dropNearDupsStream]]): build it once per
+    * corpus snapshot, then stream-static join against it. */
+  def simhashBandIndex(h: DataFrame): DataFrame =
+    h.select(col("id"), col("sh64"), posexplode(
+        array((0 until 4).map(bi =>
+          shiftright(col("sh64"), bi * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("band", "bandval")))
+
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit banding is only complete for maxHamming <= 3")
     val h = pin(simhashTable(df, idCol, textCol))
-    val banded = h.select(col("id"), col("sh64"), posexplode(
-        array((0 until 4).map(bi =>
-          shiftright(col("sh64"), bi * 16).bitwiseAND(lit(0xFFFFL))): _*))
-      .as(Seq("band", "bandval")))
+    val banded = simhashBandIndex(h)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
           col("x.id") < col("y.id"))

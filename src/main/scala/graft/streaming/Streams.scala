@@ -121,6 +121,40 @@ object Streams {
     stream.join(dup.foldLeft(dim)((d, c) => d.drop(c)), on, "left")
   }
 
+  /** Dedup-at-ingest: drop streaming documents that near-duplicate a STATIC
+    * reference corpus (Hamming ≤ `maxHamming` on 64-bit SimHash). The
+    * corpus side is [[graft.operators.Dedup.simhashBandIndex]] — built once
+    * per corpus snapshot with the fast relational batch path. The stream
+    * side computes its simhash PER ROW (`Text.simhash`, stateless
+    * interpreted fold): at ingest rates the per-row cost is irrelevant, and
+    * statelessness is what makes the whole operator legal on an unbounded
+    * stream — no watermark, no state store.
+    *
+    * Candidate matching is 4 CHAINED left-anti stream-static hash joins,
+    * one per 16-bit band (complete for maxHamming ≤ 3 by pigeonhole),
+    * instead of exploding the stream row into band rows — an exploded row
+    * that survives an anti join would reappear 4×, and re-deduplicating on
+    * a stream needs a state store. Each join is an equi-join on the band
+    * value with the Hamming check as residual condition; Spark broadcasts
+    * or hash-partitions the static band slice. Works identically on a
+    * batch frame (spec-verified against [[Dedup.simhashPairs]] semantics).
+    */
+  def dropNearDupsStream(stream: DataFrame, textCol: String,
+      corpusIndex: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "16-bit banding is only complete for maxHamming <= 3")
+    require(!stream.columns.contains("__sh"),
+      "dropNearDupsStream reserves the internal column name __sh; rename the input column")
+    val withSh = stream.withColumn("__sh", graft.functions.Text.simhash(col(textCol)))
+    (0 until 4).foldLeft(withSh) { (df, b) =>
+      val idx = corpusIndex.filter(col("band") === b)
+        .select(col("bandval").as("__cand_bv"), col("sh64").as("__cand_sh"))
+      df.join(idx,
+        shiftright(col("__sh"), b * 16).bitwiseAND(lit(0xFFFFL)) === col("__cand_bv") &&
+          bit_count(col("__sh").bitwiseXOR(col("__cand_sh"))) <= maxHamming,
+        "left_anti")
+    }.drop("__sh")
+  }
+
   /** Watermarked stream-stream inner join: pair each left event with right
     * events for the same key within `[0, windowMinutes]` AFTER it. Both
     * sides carry watermarks and the time-range predicate bounds the join

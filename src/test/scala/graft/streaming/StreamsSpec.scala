@@ -160,4 +160,47 @@ class StreamsSpec extends SparkTestBase {
       assert(streamed == batch && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("dropNearDupsStream: ingest rows near-duplicating the static corpus are dropped") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "spark shuffles hash partitions across executors for the join stage")
+    ).toDF("doc_id", "text")
+    val index = Dedup.simhashBandIndex(
+      Dedup.simhashTable(corpus, "doc_id", "text"))
+    val novel = "completely unrelated cooking recipe with butter flour sugar eggs vanilla"
+    // batch mode first: exact duplicate of corpus doc 1 dropped, novel kept
+    val batchIn = Seq((10L, corpus.head().getString(1)), (11L, novel)).toDF("id", "text")
+    val batchOut = Streams.dropNearDupsStream(batchIn, "text", index)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batchOut == Set(11L))
+    // same operator on an unbounded stream: stateless, no watermark needed
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dropNearDupsStream(mem.toDF().toDF("id", "text"), "text", index)
+      .writeStream.format("memory").queryName("ingest_dedup").outputMode("append").start()
+    try {
+      mem.addData((20L, corpus.collect()(1).getString(1)), (21L, novel))
+      q.processAllAvailable()
+      val out = spark.table("ingest_dedup").select("id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(21L))
+    } finally q.stop()
+  }
+
+  test("Pii redaction is streaming-safe: stateless projection runs unchanged on a stream") {
+    import graft.functions.Pii
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "text")
+      .select($"id", Pii.redact($"text").as("red"), Pii.emailCount($"text").as("n"))
+      .writeStream.format("memory").queryName("pii_test").outputMode("append").start()
+    try {
+      mem.addData((1L, "mail a@b.org now"), (2L, "clean"))
+      q.processAllAvailable()
+      val out = spark.table("pii_test").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(out(1L) == (("mail <EMAIL> now", 1)) && out(2L) == (("clean", 0)))
+    } finally q.stop()
+  }
 }
