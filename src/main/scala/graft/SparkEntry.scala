@@ -463,6 +463,46 @@ object SparkEntry {
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("bucket")
     }),
+    // one-pass column profiler (exact fields oracled; the HLL++ distinct
+    // estimate is approx-by-contract and spec-checked instead — q64 policy)
+    "q68_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast(LongType).as("price_cents"))
+      operators.Profile.profile(o)
+        .select("col_name", "n_rows", "n_nulls", "min_value", "max_value")
+        .orderBy("col_name")
+    }),
+    // nearest-direction as-of: closer of backward/forward click per purchase
+    // (ties resolve backward); oracled via two DuckDB ASOF joins + CASE
+    "q67_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("click_value"))
+      Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts", direction = "nearest")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("ts_r")).as("click_ts_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+    // capstone assembly composite: quality/language gate → per-source token
+    // budget (deterministic hash-order mixing) → writer shards → fixed-
+    // budget sequence bins. Every stage is one of the audited operators;
+    // the chain is what a training-data assembly job actually submits.
+    "q66_assembly" -> ((s, d) => {
+      val gated = Tables.documents(s, d)
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .withColumn("lang_id", Text.langId(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_id") === "en")
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+      val mixed = Ops.sampleToBudget(gated, Seq("source"), "doc_id", "n_tokens",
+        budget = 5000L)
+      val sharded = Ops.shardByHash(mixed, "doc_id", 4)
+      Pack.packSequences(sharded, "shard", "doc_id", "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("source"), col("shard"), col("bin"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // recall scorecard: per query, how many of the exact top-5 the LSH and
     // IVF paths recovered — the honesty metric for the two ANN structures
     "q52_ann_recall" -> ((s, d) => {
@@ -1347,6 +1387,88 @@ object SparkEntry {
          SELECT z // 64 AS bucket, count(*) AS n,
                 min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          FROM z1 GROUP BY 1 ORDER BY 1""",
+    "q68_profile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                    FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+                  (count(*) - count(o_orderkey))::BIGINT AS n_nulls,
+                  min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+           FROM o
+           UNION ALL
+           SELECT 'o_custkey', count(*)::BIGINT, (count(*) - count(o_custkey))::BIGINT,
+                  min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM o
+           UNION ALL
+           SELECT 'o_orderstatus', count(*)::BIGINT, (count(*) - count(o_orderstatus))::BIGINT,
+                  min(o_orderstatus)::VARCHAR, max(o_orderstatus)::VARCHAR FROM o
+           UNION ALL
+           SELECT 'price_cents', count(*)::BIGINT, (count(*) - count(price_cents))::BIGINT,
+                  min(price_cents)::VARCHAR, max(price_cents)::VARCHAR FROM o)
+         ORDER BY col_name""",
+    "q67_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         b AS (SELECT p.event_id, p.user_id, p.t, cb.t AS bt, cb.click_value AS bv
+               FROM p ASOF LEFT JOIN c cb ON p.user_id = cb.user_id AND p.t >= cb.t),
+         f AS (SELECT p.event_id, cf.t AS ft, cf.click_value AS fv
+               FROM p ASOF LEFT JOIN c cf ON p.user_id = cf.user_id AND p.t <= cf.t)
+         SELECT b.event_id, b.user_id, epoch_us(b.t) AS ts_us,
+                CASE WHEN bt IS NULL THEN epoch_us(ft)
+                     WHEN ft IS NULL THEN epoch_us(bt)
+                     WHEN epoch_us(ft) - epoch_us(b.t) < epoch_us(b.t) - epoch_us(bt)
+                       THEN epoch_us(ft) ELSE epoch_us(bt) END AS click_ts_us,
+                CASE WHEN bt IS NULL THEN fv
+                     WHEN ft IS NULL THEN bv
+                     WHEN epoch_us(ft) - epoch_us(b.t) < epoch_us(b.t) - epoch_us(bt)
+                       THEN fv ELSE bv END AS click_value
+         FROM b JOIN f USING (event_id)
+         ORDER BY event_id""",
+    "q66_assembly" ->
+      """WITH t AS (
+           SELECT doc_id, source, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS lt,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+         sc AS (
+           SELECT doc_id, source, text, n_tokens,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+             len(lt) AS ntok
+           FROM t),
+         g AS (
+           SELECT doc_id, source, n_tokens
+           FROM sc
+           WHERE s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0
+             AND 0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+               + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+               + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                        / length(text)::DOUBLE) >= 0.5),
+         h AS (
+           SELECT doc_id, source, n_tokens,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM g),
+         adm AS (
+           SELECT doc_id, source, n_tokens, h60,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h60, doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM h),
+         mixed AS (
+           SELECT doc_id, source, n_tokens, (h60 % 4)::BIGINT AS shard
+           FROM adm WHERE cum - n_tokens < 5000),
+         p AS (
+           SELECT doc_id, source, shard, n_tokens,
+                  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bfr
+           FROM mixed)
+         SELECT doc_id, source, shard, (bfr // 2048)::BIGINT AS bin, n_tokens
+         FROM p ORDER BY doc_id""",
     "q34_tumbling_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
                 event_type, count(*) AS n_events,

@@ -46,8 +46,10 @@ object Joins {
   /** As-of join (time-series point-in-time join — an operator the reference
     * and Spark both lack; pandas `merge_asof` semantics): for each left row,
     * the single right row with the greatest `tsCol` ≤ left's (`backward`,
-    * default) or smallest ≥ (`forward`) within the same `on` key. Left rows
-    * with no eligible right row keep nulls (left-join semantics).
+    * default), smallest ≥ (`forward`), or whichever of those two is closer
+    * in time (`nearest`, equal distances resolve backward) within the same
+    * `on` key. Left rows with no eligible right row keep nulls (left-join
+    * semantics).
     *
     * Execution is the scalable union trick, NOT a range join: tag both
     * sides, union, and run ONE window per key ordered by (ts, side) taking
@@ -74,9 +76,9 @@ object Joins {
       direction: String = "backward",
       tolerance: Option[Long] = None,
       rightSuffix: String = "_r"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
-    val reserved = Seq("__ts", "__side", "__l", "__r", "__m")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val reserved = Seq("__ts", "__side", "__l", "__r", "__m", "__mb", "__mf")
     val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
     require(clash.isEmpty,
       s"asofJoin reserves internal column names ${reserved.mkString("/")}; " +
@@ -98,21 +100,43 @@ object Joins {
     // row in both directions (asc defaults nulls-first; desc needs the
     // explicit nulls-first — plain desc puts nulls LAST, where the window
     // would hand a null-ts row the whole key group's minimum right ts)
-    val ord =
-      if (direction == "backward") Seq(col("__ts").asc_nulls_first, col("__side").asc)
-      else Seq(col("__ts").desc_nulls_first, col("__side").asc)
-    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched0 = lSide.unionByName(rSide)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    def dirWindow(d: String) = {
+      val ord =
+        if (d == "backward") Seq(col("__ts").asc_nulls_first, col("__side").asc)
+        else Seq(col("__ts").desc_nulls_first, col("__side").asc)
+      Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    def units(c: Column) = right.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(c)
+      case _             => c.cast("long")
+    }
+    val unioned = lSide.unionByName(rSide)
+    // `nearest`: the closer of the backward and forward matches, ties to
+    // backward. Both windows share the key hash shuffle (same partitioning);
+    // the second ordering costs one extra in-partition sort, no extra
+    // exchange.
+    val matched0 =
+      if (direction != "nearest")
+        unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(dirWindow(direction)))
+          .filter(col("__side") === 1)
+      else {
+        val both = unioned
+          .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(dirWindow("backward")))
+          .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(dirWindow("forward")))
+          .filter(col("__side") === 1)
+        val dBack = abs(units(col("__ts")) - units(col("__mb").getField(tsCol)))
+        val dFwd = abs(units(col("__mf").getField(tsCol)) - units(col("__ts")))
+        both.withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(dFwd < dBack, col("__mf"))
+              .otherwise(col("__mb")))
+          .drop("__mb", "__mf")
+      }
     val matched = tolerance match {
       case None => matched0
       case Some(tol) =>
-        def units(c: Column) = right.schema(tsCol).dataType match {
-          case TimestampType => unix_micros(c)
-          case _             => c.cast("long")
-        }
         matched0.withColumn("__m",
           when(abs(units(col("__ts")) - units(col("__m").getField(tsCol))) <= tol, col("__m")))
     }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass data profiling — the "what is in this table" primitive run
+  * before any curation decision (null density, cardinality, value ranges
+  * per column). The whole profile is ONE aggregation job regardless of
+  * column count: all per-column aggregates ride the same partial→final
+  * hash aggregation (a single scan of the input, map-side combined), then
+  * the one result row is exploded into a (column → stats) long format.
+  * At 100 TB that is exactly one pass over the data — never one job per
+  * column.
+  *
+  * Distinct counts are `approx_count_distinct` (HyperLogLog++, default
+  * relative error ~5%): an exact per-column distinct would multiply the
+  * shuffle by the column count (or Expand the input rows). Treat the
+  * estimate as approximate — the spec asserts the error bound; the q68
+  * oracle checks the exact fields and omits the estimate (same policy as
+  * [[Sketches]]). Min/max are computed on the NATIVE type (so numeric
+  * columns order numerically) and cast to string only for the uniform
+  * output schema. */
+object Profile {
+
+  /** Profile every column of `df`. Output, one row per column:
+    * (col_name, n_rows, n_nulls, n_distinct_approx, min_value, max_value).
+    * min/max are null for all-null columns; map/struct columns are not
+    * orderable — profile a projection that excludes them. */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    // positional aliases: immune to dots/spaces/case-twins in column names
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"__cnt_$i"),
+      min(col(c)).cast("string").as(s"__min_$i"),
+      max(col(c)).cast("string").as(s"__max_$i"),
+      approx_count_distinct(col(c)).as(s"__dist_$i"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.zipWithIndex.map { case (c, i) => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__cnt_$i")).as("n_nulls"),
+      col(s"__dist_$i").as("n_distinct_approx"),
+      col(s"__min_$i").as("min_value"),
+      col(s"__max_$i").as("max_value"))
+    }: _*)
+    row.select(explode(entries).as("p")).select("p.*")
+  }
+}

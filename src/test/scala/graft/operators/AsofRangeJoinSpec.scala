@@ -41,6 +41,36 @@ class AsofRangeJoinSpec extends SparkTestBase {
       ("b", 5L, Some(6L)), ("c", 9L, None)))
   }
 
+  test("asofJoin nearest: closer of backward/forward, ties resolve backward") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "ts", direction = "nearest")
+      .select("sym", "ts", "ts_r")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(out == Set(
+      ("a", 3L, Some(2L)),  // back 2 (d1) vs fwd 7 (d4)
+      ("a", 7L, Some(7L)),  // exact
+      ("a", 12L, Some(10L)),// only backward exists
+      ("b", 5L, Some(6L)),  // only forward exists
+      ("c", 9L, None)))
+    // tie: left at 5, rights at 4 and 6 -> backward (4) wins
+    import trades.sparkSession.implicits._
+    val l = Seq(("k", 5L)).toDF("sym", "ts")
+    val r2 = Seq(("k", 4L, 1.0), ("k", 6L, 2.0)).toDF("sym", "ts", "q")
+    val tie = Joins.asofJoin(l, r2, Seq("sym"), "ts", direction = "nearest")
+      .select("ts_r").head().getLong(0)
+    assert(tie == 4L)
+    // tolerance composes with nearest
+    val tol = Joins.asofJoin(trades, quotes, Seq("sym"), "ts",
+        direction = "nearest", tolerance = Some(1L))
+      .select("sym", "ts", "ts_r")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(tol == Set(
+      ("a", 3L, Some(2L)), ("a", 7L, Some(7L)), ("a", 12L, None),
+      ("b", 5L, Some(6L)), ("c", 9L, None)))
+  }
+
   test("asofJoin tolerance: matches farther than the bound are nulled") {
     val out = Joins.asofJoin(trades, quotes, Seq("sym"), "ts", tolerance = Some(1L))
       .select("sym", "ts", "ts_r")
@@ -59,6 +89,12 @@ class AsofRangeJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
     assert(!plan.contains("SortMergeJoin")) // union+window, not a join at all
+    // nearest evaluates two windows over the SAME key partitioning: still
+    // exactly one hash exchange (the second ordering re-sorts in place)
+    val near = Joins.asofJoin(trades, quotes, Seq("sym"), "ts", direction = "nearest")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(near).size == 1, near)
+    assert(!near.contains("BroadcastNestedLoopJoin") && !near.contains("SortMergeJoin"))
   }
 
   test("rangeJoin equals the naive inequality join") {

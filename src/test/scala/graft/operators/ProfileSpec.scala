@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile: exact stats per column, distinct estimate within bound") {
+    val df = Seq(
+      (1L, Option("a")), (2L, None), (3L, Option("b")), (3L, Option("a"))
+    ).toDF("id", "s")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    val (nr, nn, nd, mn, mx) = p("id")
+    assert(nr == 4L && nn == 0L && mn.contains("1") && mx.contains("3"))
+    assert(math.abs(nd - 3L) <= 1L) // HLL++ ~5% contract, tiny-n effectively exact
+    val (nr2, nn2, nd2, mn2, mx2) = p("s")
+    assert(nr2 == 4L && nn2 == 1L && mn2.contains("a") && mx2.contains("b"))
+    assert(math.abs(nd2 - 2L) <= 1L)
+  }
+
+  test("profile: all-null column yields null min/max, full null count") {
+    val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "s")
+    val row = Profile.profile(df).filter($"col_name" === "s").head()
+    assert(row.getLong(2) == 2L && row.isNullAt(4) && row.isNullAt(5))
+  }
+
+  test("profile plans ONE aggregation pass: single exchange, no Expand, no per-column jobs") {
+    val df = (0 until 100).map(i => (i.toLong, s"v$i", i % 7)).toDF("a", "b", "c")
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan) // one SinglePartition gather
+  }
+}
