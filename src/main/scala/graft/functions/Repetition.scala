@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * comparable hash loops. Cost is linear in corpus token count, the same
   * as tokenization itself, so the plan survives a 100 TB corpus.
   *
+  * Contract: `idCol` must be unique (one row per document) — the final
+  * re-join of stats onto the id projection duplicates output rows
+  * otherwise. Null text behaves as an empty document (all-zero signals).
+  *
+  * The n-gram ARRAYS are built per row with `transform` (interpreted):
+  * unlike the counting, a relational construction (posexplode + lead
+  * window, or a pos/pos+1 self-join) would add a full shuffle+sort of the
+  * exploded token stream purely to form adjacent pairs — at corpus scale
+  * the CPU-linear, shuffle-free per-row build is the right trade, and the
+  * counting that follows is where the data volume is.
+  *
   * Determinism notes (oracle contract):
   *  - "coverage of the most-repeated n-gram" is defined as
   *    max over distinct n-grams g of count(g) * chars(g) — the maximum of a

@@ -177,6 +177,8 @@ object Ops {
     * minus own weight < budget), so each non-empty group keeps at least its
     * first hash-ordered row even when that row alone exceeds the budget —
     * the group is represented, and the overshoot is bounded by one document.
+    * Rows with a null weight are dropped (null admission test), without
+    * affecting the running sum of their neighbors.
     * One shuffle (the per-group window sort); the id tie-break makes the
     * admission order total, so output is identical on any partitioning and
     * any engine that re-derives the md5 hash order. */

@@ -25,7 +25,8 @@ object Profile {
   /** Profile every column of `df`. Output, one row per column:
     * (col_name, n_rows, n_nulls, n_distinct_approx, min_value, max_value).
     * min/max are null for all-null columns; map/struct columns are not
-    * orderable — profile a projection that excludes them. */
+    * orderable, and duplicate column names are ambiguous — profile a
+    * projection that excludes/renames them. */
   def profile(df: DataFrame): DataFrame = {
     val cols = df.columns
     // positional aliases: immune to dots/spaces/case-twins in column names

@@ -67,4 +67,27 @@ class EdgeCasesSpec extends SparkTestBase {
     val f = Multimodal.extractFeatures(m).head()
     assert(f.n_bytes == 0L && f.width > 0)
   }
+
+  test("repetition/pii on null text: zero signals and null outputs, not errors") {
+    import graft.functions.{Pii, Repetition}
+    val df = Seq((1L, Option("a b a b")), (2L, Option.empty[String])).toDF("id", "text")
+    val rep = Repetition.ngramRepetition(df, "id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(2L) == 0L && rep(1L) == 3L) // null text = empty doc; ids survive
+    val line = Repetition.lineRepetition(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(line(2L) == 0L)
+    val pii = df.select($"id", Pii.emailCount($"text").as("n"), Pii.redact($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(pii(2L) == ((None, None))) // null in, null out (SQL semantics)
+  }
+
+  test("sampleToBudget: null-weight rows are dropped without breaking neighbors") {
+    import graft.operators.Ops
+    val df = Seq((1L, Option(5L)), (2L, Option.empty[Long]), (3L, Option(5L)))
+      .toDF("id", "w").withColumn("g", lit("x"))
+    val kept = Ops.sampleToBudget(df, Seq("g"), "id", "w", budget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(Set(1L, 3L)) && kept == Set(1L, 3L))
+  }
 }
