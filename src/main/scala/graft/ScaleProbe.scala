@@ -3,7 +3,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.functions.{Repetition, Text}
+import graft.operators.{Dedup, Ops, Pack}
 
 /** Empirical scaling probe for the dedup pipeline (the suite's algorithmic
   * core): replicates the documents corpus `factor`× in memory (id-offset
@@ -48,8 +49,24 @@ object ScaleProbe {
       val comps = Dedup.connectedComponents(pairs, docs, "doc_id")
         .filter(col("id") =!= col("component")).count()
       val t2 = System.nanoTime()
+      // assembly axis: repetition signals -> per-bucket token budget ->
+      // sequence packing. Pure explode/window/aggregate shapes — this curve
+      // must stay linear in docs (there is no pair blow-up to excuse).
+      val rep = Repetition.ngramRepetition(docs, "doc_id", "text", 2)
+      val withTok = docs.withColumn("n_tokens",
+          Text.tokenCount(col("text")).cast("long"))
+        .withColumn("grp", pmod(col("doc_id"), lit(16L)))
+      val mixed = Ops.sampleToBudget(withTok, Seq("grp"), "doc_id", "n_tokens",
+        budget = 50000L)
+      val packed = Pack.packSequences(
+        Ops.shardByHash(mixed, "doc_id", 16), "shard", "doc_id", "n_tokens", 4096L)
+      val nRep = rep.count()
+      val nPacked = packed.count()
+      val t3 = System.nanoTime()
       println(f"""{"factor":$factor,"docs":$n,"pairs":$nPairs,"folded":$comps,""" +
-        f""""lsh_sec":${(t1 - t0) / 1e9}%.2f,"cc_sec":${(t2 - t1) / 1e9}%.2f}""")
+        f""""lsh_sec":${(t1 - t0) / 1e9}%.2f,"cc_sec":${(t2 - t1) / 1e9}%.2f,""" +
+        f""""rep_rows":$nRep,"packed_rows":$nPacked,""" +
+        f""""assembly_sec":${(t3 - t2) / 1e9}%.2f}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -102,9 +102,15 @@ object Dedup {
     val s = pin(shingled(df, idCol, textCol, n).filter(col("nsh") > 0)) // already sorted
     // epsilon guards float rounding UP only (a longer prefix is still lossless)
     val prefLen = (col("nsh") - ceil(col("nsh") * (threshold - 1e-9)) + 1).cast("int")
-    val ex = s.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("shingle"))
+    val ex = s.select(col("id"), col("nsh"), explode(slice(col("sh"), lit(1), prefLen)).as("shingle"))
+    // PPJoin LENGTH filter (lossless): J(a,b) >= t forces
+    // min(|A|,|B|) >= t * max(|A|,|B|) — kill size-incompatible candidates
+    // at the index join, before the distinct and the full-set verify.
+    // Epsilon loosens only (a spared candidate is re-checked exactly).
     val cand = ex.as("x").join(ex.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
+          least(col("x.nsh"), col("y.nsh")).cast("double") >=
+            greatest(col("x.nsh"), col("y.nsh")) * lit(threshold - 1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val out = verifyJaccard(cand, s, threshold).localCheckpoint(true)
     s.unpersist(false)
