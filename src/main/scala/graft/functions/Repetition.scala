@@ -102,12 +102,17 @@ object Repetition {
     require(n >= 1, "n must be >= 1")
     val ex = df.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__unit"))
     val stats = unitStats(ex, idCol)
+    // nullif guards the n=1 + empty-text corner: "" tokenizes to [""], so a
+    // stats row EXISTS (cover 0) while doc chars = 0 — a bare DIV would
+    // throw DIVIDE_BY_ZERO under ANSI mode instead of the documented zeros
     df.select(col(idCol), length(col(textCol)).as("__doc_chars"))
       .join(stats, Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("n_units"), lit(0L)).as("n_ngrams"),
-        coalesce(expr("max_cover * 1000000 DIV __doc_chars"), lit(0L)).as("top_ngram_cover_ppm"),
-        coalesce(expr("dup_chars * 1000000 DIV __doc_chars"), lit(0L)).as("dup_ngram_char_ppm"))
+        coalesce(expr("max_cover * 1000000 DIV nullif(__doc_chars, 0)"), lit(0L))
+          .as("top_ngram_cover_ppm"),
+        coalesce(expr("dup_chars * 1000000 DIV nullif(__doc_chars, 0)"), lit(0L))
+          .as("dup_ngram_char_ppm"))
   }
 }

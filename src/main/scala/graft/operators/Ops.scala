@@ -157,13 +157,16 @@ object Ops {
     require(0.0 <= lo && lo <= hi && hi <= 1.0, s"need 0 <= lo <= hi <= 1, got [$lo, $hi)")
     val space = math.pow(2.0, 60)
     val h = idHash60(col(idCol))
-    // band edges round-to-nearest (rint), matching SQL `CAST(f * pow(2,60)
-    // AS BIGINT)` semantics (DuckDB/ANSI round casts). For any fraction
-    // >= 2^-7 the product f*2^60 is an exact integer double (power-of-two
-    // scaling), so rint and truncation agree; rint makes the cross-engine
-    // contract hold for ALL fractions (e.g. 1e-9*2^60 = ...504.607, where
-    // truncation would keep one hash value a re-deriving engine excludes).
-    df.filter(h >= lit(math.rint(lo * space).toLong) && h < lit(math.rint(hi * space).toLong))
+    // band edges round-to-nearest with ties AWAY from zero (floor(x+0.5) on
+    // non-negatives), matching SQL `CAST(f * pow(2,60) AS BIGINT)` semantics
+    // (DuckDB rounds casts, ties away — CAST(2.5 AS BIGINT) = 3, so
+    // math.rint's half-to-EVEN would disagree exactly at .5 ties, e.g.
+    // f = 5/2^61). For any fraction >= 2^-7 the product f*2^60 is an exact
+    // integer double (power-of-two scaling) and all roundings agree;
+    // explicit tie handling makes the cross-engine contract hold for ALL
+    // fractions.
+    def edge(f: Double): Long = math.floor(f * space + 0.5).toLong
+    df.filter(h >= lit(edge(lo)) && h < lit(edge(hi)))
   }
 
   /** Deterministic per-group sampling to a weight budget: within each group

@@ -142,8 +142,11 @@ object Streams {
   def dropNearDupsStream(stream: DataFrame, textCol: String,
       corpusIndex: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit banding is only complete for maxHamming <= 3")
-    require(!stream.columns.contains("__sh"),
-      "dropNearDupsStream reserves the internal column name __sh; rename the input column")
+    val reserved = Seq("__sh", "__cand_bv", "__cand_sh")
+    val clash = stream.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"dropNearDupsStream reserves internal column names ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
     val withSh = stream.withColumn("__sh", graft.functions.Text.simhash(col(textCol)))
     (0 until 4).foldLeft(withSh) { (df, b) =>
       val idx = corpusIndex.filter(col("band") === b)

@@ -30,6 +30,17 @@ class RepetitionPiiSpec extends SparkTestBase {
     assert(out(3L)._1 == 4L && out(3L)._3 == (2L * 5L) * 1000000L / 11L)
   }
 
+  test("ngramRepetition n=1 on an empty-string doc: zeros, no ANSI divide-by-zero") {
+    // "" tokenizes to [""] (split semantics), so a stats row EXISTS with
+    // doc chars 0 — the ppm division must yield zeros, not DIVIDE_BY_ZERO
+    val df = Seq((1L, ""), (2L, "a a b")).toDF("id", "text")
+    val out = Repetition.ngramRepetition(df, "id", "text", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._2 == 0L && out(1L)._3 == 0L)
+    // unigrams of "a a b": count(a)=2 → cover 2, dup 2; doc chars 5
+    assert(out(2L) == ((3L, 2L * 1000000L / 5L, 2L * 1000000L / 5L)))
+  }
+
   test("lineRepetition: duplicate-line fractions, blank lines dropped") {
     val df = Seq(
       (1L, "alpha\n\n  alpha  \nbeta"), // lines: alpha, alpha, beta

@@ -21,18 +21,24 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a2 == a)
   }
 
-  test("sampleByHash: band edges are round-to-nearest, matching SQL CAST") {
-    // 1e-9 * 2^60 = 1152921504.606847 — truncation and round-to-nearest
-    // disagree by one; the plan must carry the ROUNDED value so a
-    // re-deriving engine (CAST(1e-9 * pow(2,60) AS BIGINT)) draws the same
-    // boundary. (For fractions >= 2^-7 the product is an exact integer
-    // double and the two agree — this pins the general contract.)
+  test("sampleByHash: band edges round-to-nearest ties-away, matching SQL CAST") {
+    // 1e-9 * 2^60 = 1152921504.606847 — truncation and rounding disagree by
+    // one; the plan must carry the ROUNDED value so a re-deriving engine
+    // (CAST(1e-9 * pow(2,60) AS BIGINT)) draws the same boundary.
     val df = Seq(1L).toDF("id")
     val plan = Ops.sampleByHash(df, "id", 0.0, 1e-9).queryExecution.analyzed.toString
-    val rounded = math.rint(1e-9 * math.pow(2.0, 60)).toLong
-    val truncated = (1e-9 * math.pow(2.0, 60)).toLong
+    val space = math.pow(2.0, 60)
+    val rounded = math.floor(1e-9 * space + 0.5).toLong
+    val truncated = (1e-9 * space).toLong
     assert(rounded == truncated + 1) // the regime where the two differ
     assert(plan.contains(rounded.toString))
+    // exact .5 tie (f = 5/2^61 → f*2^60 = 2.5): SQL CAST rounds ties AWAY
+    // from zero (DuckDB CAST(2.5 AS BIGINT) = 3); rint's half-to-even would
+    // give 2 — pin the ties-away edge
+    val tieF = 5.0 / math.pow(2.0, 61)
+    assert(tieF * space == 2.5)
+    val tiePlan = Ops.sampleByHash(df, "id", 0.0, tieF).queryExecution.analyzed.toString
+    assert(tiePlan.contains(" 3)") || tiePlan.contains("< 3"), tiePlan)
   }
 
   test("shardByHash: complete, deterministic, within range") {

@@ -176,6 +176,9 @@ class StreamsSpec extends SparkTestBase {
     val batchOut = Streams.dropNearDupsStream(batchIn, "text", index)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(batchOut == Set(11L))
+    intercept[IllegalArgumentException] { // all internal names are guarded
+      Streams.dropNearDupsStream(batchIn.withColumn("__cand_bv", lit(1)), "text", index)
+    }
     // same operator on an unbounded stream: stateless, no watermark needed
     val mem = MemoryStream[(Long, String)]
     val q = Streams.dropNearDupsStream(mem.toDF().toDF("id", "text"), "text", index)
