@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Physical-plan audit: prints `explain("formatted")` for representative
   * queries so scan pushdown, join strategy, and WholeStageCodegen spans can
   * be reviewed. Run: `sbt "runMain graft.Plans [sfDir] [query...]"`. */
@@ -10,14 +8,11 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_filters", "q10_join_inner", "q22_pricing_summary",
-        "q00_compare_pipeline", "q29_minhash_lsh", "q31_ann_bruteforce")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+        "q00_compare_pipeline", "q29_minhash_lsh", "q31_ann_bruteforce",
+        // round-4 operators: relational repetition aggs, single-exchange
+        // profiler, one-shuffle nearest as-of, budget-sample window
+        "q61_repetition", "q63_budget_sample", "q67_asof_nearest", "q68_profile")
+    val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
