@@ -75,4 +75,37 @@ class DeterminismSpec extends SparkTestBase {
       Seq(col("doc_id").desc), 3))
     assert(cap(1) == cap(7))
   }
+
+  test("repetition signals: identical at 1 vs 7 partitions") {
+    val rep = docs.union(Seq((200L, "same same same same different tail here now")).toDF("doc_id", "text"))
+    def r(p: Int) = rowSet(graft.functions.Repetition
+      .ngramRepetition(rep.repartition(p), "doc_id", "text", 2))
+    assert(r(1) == r(7) && r(1).nonEmpty)
+  }
+
+  test("sampleToBudget: identical at 1 vs 7 partitions") {
+    val d = (0L until 150L).map(i => (s"g${i % 3}", i, 5L + i % 11)).toDF("g", "id", "w")
+    def s(p: Int) = rowSet(Ops.sampleToBudget(d.repartition(p), Seq("g"), "id", "w", 80L))
+    assert(s(1) == s(7) && s(1).nonEmpty)
+  }
+
+  test("z-values and profiler exact fields: identical at 1 vs 7 partitions") {
+    val d = (0L until 300L).map(i => (i, i % 31, (i * 7) % 29)).toDF("id", "x", "y")
+    def z(p: Int) = rowSet(d.repartition(p)
+      .select(col("id"), operators.Layout.zValue2(col("x"), col("y"), 5).as("z")))
+    assert(z(1) == z(7))
+    // profiler: exact fields only — the HLL++ estimate is approximate BY
+    // CONTRACT and may vary with the merge tree (see Sketches scaladoc)
+    def prof(p: Int) = rowSet(operators.Profile.profile(d.repartition(p))
+      .select("col_name", "n_rows", "n_nulls", "min_value", "max_value"))
+    assert(prof(1) == prof(7))
+  }
+
+  test("asofJoin nearest: identical at 1 vs 7 partitions") {
+    val l = (0L until 50L).map(i => (i % 5, i, i * 1.5)).toDF("k", "ts", "lv")
+    val r = (0L until 30L).map(i => (i % 5, i * 2 + 1, i * 10.0)).toDF("k", "ts", "rv")
+    def j(p: Int) = rowSet(Joins.asofJoin(l.repartition(p), r.repartition(p),
+      Seq("k"), "ts", direction = "nearest"))
+    assert(j(1) == j(7) && j(1).nonEmpty)
+  }
 }
