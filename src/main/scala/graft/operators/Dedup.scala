@@ -118,11 +118,16 @@ object Dedup {
   }
 
   /** Join candidate (id_a,id_b) pairs back to shingle sets and keep those
-    * with exact Jaccard ≥ threshold. */
+    * with exact Jaccard ≥ threshold. Size-incompatible candidates
+    * (J ≥ t forces min(|A|,|B|) ≥ t·max — the PPJoin length filter, lossless)
+    * are dropped BEFORE the O(|A|+|B|) array_intersect, which matters for
+    * LSH-banding candidates that never went through a prefix index. */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), Seq("id_b"))
+      .filter(least(col("nsh_a"), col("nsh_b")).cast("double") >=
+        greatest(col("nsh_a"), col("nsh_b")) * lit(threshold - 1e-9))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("nsh_a") + col("nsh_b") - col("common")))
