@@ -94,6 +94,61 @@ object Repetition {
         coalesce(expr("dup_chars * 1000000 DIV all_chars"), lit(0L)).as("dup_line_char_ppm"))
   }
 
+  /** Streaming-safe per-ROW n-gram repetition: the same three signals as
+    * [[ngramRepetition]] — (n_ngrams, top_ngram_cover_ppm,
+    * dup_ngram_char_ppm) as a struct column — computed entirely inside the
+    * row with an array_sort + linear fold, no aggregation. That makes it
+    * legal in an unbounded streaming plan (no state, no watermark), where
+    * the relational explode→groupBy form cannot run; the fold is an
+    * interpreted higher-order function, so per-document CPU is higher —
+    * the right trade at ingest rates, the wrong one for a batch corpus
+    * scan (use [[ngramRepetition]] there). Spec-asserted equal to the
+    * relational form on identical input.
+    *
+    * The fold walks the SORTED gram array tracking the current run; equal
+    * values are adjacent, so run length = occurrence count. max_cover keeps
+    * Σ-free semantics identical to the relational `max(cnt*chars)` and
+    * dup_chars to `Σ_{cnt>1} cnt*chars`. */
+  def ngramSignalsPerRow(c: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    val sorted = array_sort(wordNgrams(c, n))
+    def st(prev: Column, run: Column, dup: Column, cover: Column) = struct(
+      prev.as("prev"), run.as("run"), dup.as("dup"), cover.as("cover"))
+    // close the open run: fold its chars into dup (if run>1) and cover
+    def close(acc: Column) = {
+      val runChars = acc.getField("run") * length(acc.getField("prev"))
+      (when(acc.getField("run") > 1, acc.getField("dup") + runChars)
+          .otherwise(acc.getField("dup")),
+        when(acc.getField("prev").isNotNull,
+          greatest(acc.getField("cover"), runChars))
+          .otherwise(acc.getField("cover")))
+    }
+    val folded = aggregate(
+      sorted,
+      st(lit(null).cast("string"), lit(0L), lit(0L), lit(0L)),
+      (acc, g) => {
+        val (dup2, cover2) = close(acc)
+        when(acc.getField("prev") === g, // null prev → false → new run
+          st(acc.getField("prev"), acc.getField("run") + 1L,
+            acc.getField("dup"), acc.getField("cover")))
+          .otherwise(st(g, lit(1L), dup2, cover2))
+      },
+      acc => {
+        val (dup2, cover2) = close(acc)
+        struct(dup2.as("dup"), cover2.as("cover"))
+      })
+    val chars = length(c)
+    // floor(a/b) on positive longs below 2^53 equals integer DIV exactly
+    // (the double quotient is correctly rounded and 1/b dwarfs its ulp),
+    // so these match the relational form's DIV bit-for-bit
+    def ppm(x: Column) = coalesce(
+      when(chars > 0, floor(x * lit(1000000L) / chars).cast("long")), lit(0L))
+    struct(
+      size(sorted).cast("long").as("n_ngrams"),
+      ppm(folded.getField("cover")).as("top_ngram_cover_ppm"),
+      ppm(folded.getField("dup")).as("dup_ngram_char_ppm"))
+  }
+
   /** N-gram repetition signals per document:
     * (id, n_ngrams, top_ngram_cover_ppm, dup_ngram_char_ppm), fractions of
     * the DOCUMENT character length (Gopher's denominator), parts-per-million.

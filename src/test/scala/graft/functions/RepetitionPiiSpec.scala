@@ -77,6 +77,20 @@ class RepetitionPiiSpec extends SparkTestBase {
     assert(r.getAs[Int]("i") == 2)
   }
 
+  test("ngramSignalsPerRow equals the relational form on every doc (incl. degenerate)") {
+    val df = Seq(
+      (1L, "a b a b a b"), (2L, "all words here are unique"),
+      (3L, "x y z x y z"), (4L, ""), (5L, "one two"),
+      (6L, "s s s s s s s s")
+    ).toDF("id", "text")
+    val relational = Repetition.ngramRepetition(df, "id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val perRow = df.select($"id", Repetition.ngramSignalsPerRow($"text", 2).as("s"))
+      .select($"id", $"s.n_ngrams", $"s.top_ngram_cover_ppm", $"s.dup_ngram_char_ppm")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(perRow == relational)
+  }
+
   test("repetition plan is relational: no interpreted higher-order aggregate in the exploded path") {
     val df = Seq((1L, "a b a b")).toDF("id", "text")
     val plan = Repetition.ngramRepetition(df, "id", "text", 2)

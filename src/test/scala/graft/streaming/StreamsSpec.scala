@@ -206,4 +206,26 @@ class StreamsSpec extends SparkTestBase {
       assert(out(1L) == (("mail <EMAIL> now", 1)) && out(2L) == (("clean", 0)))
     } finally q.stop()
   }
+
+  test("curation-at-ingest: quality + repetition + PII gates in one stateless streaming plan") {
+    import graft.functions.{Pii, Repetition, Text}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "text")
+      .select($"id",
+        Text.qualityScore($"text").as("quality"),
+        Repetition.ngramSignalsPerRow($"text", 2).getField("dup_ngram_char_ppm").as("rep_ppm"),
+        Pii.redact($"text").as("clean_text"))
+      .filter($"rep_ppm" < 800000) // drop highly repetitious docs in-flight
+      .writeStream.format("memory").queryName("ingest_curation").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog at a@b.org today"),
+        (2L, "spam spam spam spam spam spam spam spam")) // dup ppm ~ 1e6 -> gated
+      q.processAllAvailable()
+      val rows = spark.table("ingest_curation").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L))
+      assert(rows.head.getAs[String]("clean_text").contains("<EMAIL>"))
+    } finally q.stop()
+  }
 }
