@@ -40,6 +40,20 @@ class SketchesLayoutSpec extends SparkTestBase {
     assert(math.abs(viaShards2 - 1300L) <= 65L, s"repartitioned estimate $viaShards2")
   }
 
+  test("sketches survive a parquet round-trip: write shards, read back, union later") {
+    // the workflow the operator exists for: build per-shard sketches once,
+    // STORE them (kilobytes), answer distinct-count questions later by
+    // unioning the stored state — no re-scan of the raw data
+    val df = (0 until 8000).map(i => (i % 4, (i * 131L) % 2100)).toDF("shard", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketches").toString
+    Sketches.sketch(df, Seq("shard"), "v").write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(reloaded.count() == 4)
+    val est = Sketches.mergeEstimate(reloaded, Nil).head().getLong(0)
+    val exact = df.select("v").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est $est vs exact $exact")
+  }
+
   test("zValue2: known interleavings and two-sided monotonicity") {
     val df = Seq((5L, 3L)).toDF("a", "b") // a=101, b=011
     // interleave: a bits at even positions (1,0,1 -> 1+0+16), b at odd (1,1,0 -> 2+8)
