@@ -126,9 +126,12 @@ object Streams {
     * corpus side is [[graft.operators.Dedup.simhashBandIndex]] — built once
     * per corpus snapshot with the fast relational batch path. The stream
     * side computes its simhash PER ROW (`Text.simhash`, stateless
-    * interpreted fold): at ingest rates the per-row cost is irrelevant, and
-    * statelessness is what makes the whole operator legal on an unbounded
-    * stream — no watermark, no state store.
+    * interpreted fold): statelessness is what makes the whole operator
+    * legal on an unbounded stream — no watermark, no state store. Measured
+    * cost of the interpreted fold: ~110 core-ms per ~120-word document
+    * (≈280 docs/s on 32 local cores) — ample for typical ingest rates; for
+    * bulk-rate streams, run the fast relational batch path per micro-batch
+    * via `foreachBatch` instead (each micro-batch is a plain DataFrame).
     *
     * Candidate matching is 4 CHAINED left-anti stream-static hash joins,
     * one per 16-bit band (complete for maxHamming ≤ 3 by pigeonhole),
