@@ -112,6 +112,18 @@ object Repetition {
   def ngramSignalsPerRow(c: Column, n: Int): Column = {
     require(n >= 1, "n must be >= 1")
     val sorted = array_sort(wordNgrams(c, n))
+    val chars = length(c)
+    // floor(a/b) on positive longs below 2^53 equals integer DIV exactly
+    // (the double quotient is correctly rounded and 1/b dwarfs its ulp),
+    // so these match the relational form's DIV bit-for-bit
+    def ppm(x: Column) = coalesce(
+      when(chars > 0, floor(x * lit(1000000L) / chars).cast("long")), lit(0L))
+    // n_ngrams from the token count, NOT size(sorted) — referencing the
+    // gram array in a second output field would re-run the interpreted
+    // transform+sort (subexpression elimination skips lambda-bearing trees)
+    val toks = Text.tokens(c)
+    val nNgrams = coalesce(
+      when(size(toks) >= n, (size(toks) - (n - 1)).cast("long")), lit(0L))
     def st(prev: Column, run: Column, dup: Column, cover: Column) = struct(
       prev.as("prev"), run.as("run"), dup.as("dup"), cover.as("cover"))
     // close the open run: fold its chars into dup (if run>1) and cover
@@ -123,7 +135,10 @@ object Repetition {
           greatest(acc.getField("cover"), runChars))
           .otherwise(acc.getField("cover")))
     }
-    val folded = aggregate(
+    // the output struct IS the aggregate's finish result, so the expensive
+    // gram-build/sort/fold appears exactly ONCE in the expression tree —
+    // three separate fields referencing it would evaluate it three times
+    aggregate(
       sorted,
       st(lit(null).cast("string"), lit(0L), lit(0L), lit(0L)),
       (acc, g) => {
@@ -135,18 +150,11 @@ object Repetition {
       },
       acc => {
         val (dup2, cover2) = close(acc)
-        struct(dup2.as("dup"), cover2.as("cover"))
+        struct(
+          nNgrams.as("n_ngrams"),
+          ppm(cover2).as("top_ngram_cover_ppm"),
+          ppm(dup2).as("dup_ngram_char_ppm"))
       })
-    val chars = length(c)
-    // floor(a/b) on positive longs below 2^53 equals integer DIV exactly
-    // (the double quotient is correctly rounded and 1/b dwarfs its ulp),
-    // so these match the relational form's DIV bit-for-bit
-    def ppm(x: Column) = coalesce(
-      when(chars > 0, floor(x * lit(1000000L) / chars).cast("long")), lit(0L))
-    struct(
-      size(sorted).cast("long").as("n_ngrams"),
-      ppm(folded.getField("cover")).as("top_ngram_cover_ppm"),
-      ppm(folded.getField("dup")).as("dup_ngram_char_ppm"))
   }
 
   /** N-gram repetition signals per document:

@@ -45,13 +45,20 @@ class SketchesLayoutSpec extends SparkTestBase {
     // STORE them (kilobytes), answer distinct-count questions later by
     // unioning the stored state — no re-scan of the raw data
     val df = (0 until 8000).map(i => (i % 4, (i * 131L) % 2100)).toDF("shard", "v")
-    val dir = java.nio.file.Files.createTempDirectory("graft_sketches").toString
-    Sketches.sketch(df, Seq("shard"), "v").write.mode("overwrite").parquet(dir)
-    val reloaded = spark.read.parquet(dir)
-    assert(reloaded.count() == 4)
-    val est = Sketches.mergeEstimate(reloaded, Nil).head().getLong(0)
-    val exact = df.select("v").distinct().count()
-    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est $est vs exact $exact")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_sketches")
+    try {
+      val dir = dirPath.toString
+      Sketches.sketch(df, Seq("shard"), "v").write.mode("overwrite").parquet(dir)
+      val reloaded = spark.read.parquet(dir)
+      assert(reloaded.count() == 4)
+      val est = Sketches.mergeEstimate(reloaded, Nil).head().getLong(0)
+      val exact = df.select("v").distinct().count()
+      assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est $est vs exact $exact")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("zValue2: known interleavings and two-sided monotonicity") {

@@ -216,15 +216,18 @@ class StreamsSpec extends SparkTestBase {
         Text.qualityScore($"text").as("quality"),
         Repetition.ngramSignalsPerRow($"text", 2).getField("dup_ngram_char_ppm").as("rep_ppm"),
         Pii.redact($"text").as("clean_text"))
-      .filter($"rep_ppm" < 800000) // drop highly repetitious docs in-flight
+      // BOTH gates live: repetition kills doc 2, quality kills doc 3
+      .filter($"rep_ppm" < 800000 && $"quality" >= 0.25)
       .writeStream.format("memory").queryName("ingest_curation").outputMode("append").start()
     try {
       mem.addData(
         (1L, "the quick brown fox jumps over the lazy dog at a@b.org today"),
-        (2L, "spam spam spam spam spam spam spam spam")) // dup ppm ~ 1e6 -> gated
+        (2L, "spam spam spam spam spam spam spam spam"), // dup ppm ~ 1e6 -> repetition-gated
+        (3L, "!!! ??? *** !!!")) // distinct bigrams but zero alnum -> quality-gated
       q.processAllAvailable()
       val rows = spark.table("ingest_curation").collect()
       assert(rows.map(_.getLong(0)).toSet == Set(1L))
+      assert(rows.head.getAs[Double]("quality") >= 0.25)
       assert(rows.head.getAs[String]("clean_text").contains("<EMAIL>"))
     } finally q.stop()
   }
