@@ -28,7 +28,7 @@ object Profile {
     * orderable, and duplicate column names are ambiguous — profile a
     * projection that excludes/renames them. */
   def profile(df: DataFrame): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     // positional aliases: immune to dots/spaces/case-twins in column names
     val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
       count(col(c)).as(s"__cnt_$i"),
