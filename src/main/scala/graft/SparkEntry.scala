@@ -1017,9 +1017,12 @@ object SparkEntry {
                      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
                      WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
                      ELSE 'und' END AS lang_id,
-                0.3 * least(ntok::DOUBLE / 100.0, 1.0)
-                  + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
-                  + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE) AS quality
+                CASE WHEN text IS NULL THEN NULL
+                     WHEN length(trim(text)) > 0 THEN
+                       0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                       + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                       + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+                     ELSE 0.0 END AS quality
          FROM sc ORDER BY doc_id""",
     "q51_token_budget" ->
       """SELECT doc_id,
@@ -1068,9 +1071,12 @@ object SparkEntry {
                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
                        WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
                        ELSE 'und' END AS lang_id,
-                  0.3 * least(ntok::DOUBLE / 100.0, 1.0)
-                    + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
-                    + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE) AS quality
+                  CASE WHEN text IS NULL THEN NULL
+                       WHEN length(trim(text)) > 0 THEN
+                         0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                         + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                         + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+                       ELSE 0.0 END AS quality
            FROM sc)
          SELECT lang_id, count(*) AS n_docs,
                 CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_sum_micro
@@ -1445,10 +1451,13 @@ object SparkEntry {
            SELECT doc_id, source, n_tokens
            FROM sc
            WHERE s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0
-             AND 0.3 * least(ntok::DOUBLE / 100.0, 1.0)
-               + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
-               + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
-                        / length(text)::DOUBLE) >= 0.5),
+             AND (CASE WHEN text IS NULL THEN NULL
+                       WHEN length(trim(text)) > 0 THEN
+                         0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                         + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                         + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                                  / length(text)::DOUBLE)
+                       ELSE 0.0 END) >= 0.5),
          h AS (
            SELECT doc_id, source, n_tokens,
                   list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
@@ -1649,10 +1658,12 @@ object SparkEntry {
                 FROM lt),
          gated AS (
            SELECT doc_id, source, text, ntok FROM sc
-           WHERE 0.3 * least(ntok::DOUBLE / 100.0, 1.0)
-                   + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
-                   + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
-                 >= 0.5
+           WHERE (CASE WHEN text IS NULL THEN NULL
+                       WHEN length(trim(text)) > 0 THEN
+                         0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                         + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                         + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+                       ELSE 0.0 END) >= 0.5
              AND (CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
                        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'

@@ -54,6 +54,21 @@ class TextSpec extends SparkTestBase {
     assert(s(0) > s(1))
   }
 
+  test("qualityScore: empty/whitespace docs score 0.0 (never NaN), null stays null") {
+    val df = Seq(Some(""), Some("   "), Some("\n\t "), None, Some("the cat sat"))
+      .toDF("t")
+    val s = df.select(Text.qualityScore(col("t")).as("q")).collect()
+    assert(s(0).getDouble(0) == 0.0) // empty: was 0.0/0.0 = NaN before the guard
+    assert(s(1).getDouble(0) == 0.0) // space-only (trim strips spaces on both engines)
+    // tab/newline-only: NOT caught by the space-only trim (same on DuckDB),
+    // but chars > 0 so no NaN was ever possible — just a tiny finite score
+    assert(!s(2).getDouble(0).isNaN && s(2).getDouble(0) < 0.05)
+    assert(s(3).isNullAt(0))         // null propagates (SQL semantics)
+    assert(s(4).getDouble(0) > 0.0 && !s(4).getDouble(0).isNaN)
+    // the gate property that motivated the fix: empty docs must NOT pass
+    assert(df.filter(Text.qualityScore(col("t")) >= 0.5).count() <= 1)
+  }
+
   test("simhash: deterministic, equal for equal token bags, uses full 64 bits") {
     val df = Seq("spark makes big data small", "spark makes big data small",
       "completely different words entirely here").toDF("t")
