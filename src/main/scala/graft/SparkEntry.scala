@@ -450,17 +450,21 @@ object SparkEntry {
         Sketches.withinTolerance(col("n_distinct_est"), col("n_exact"), 0.05)
           .as("within_5pct"))
     }),
-    // z-order layout: per coarse z-cell min/max of both dimensions — every
-    // cell is an 8×8 rectangle, the property that makes parquet footer
-    // min/max stats prune scans on EITHER column after a z-sorted write
+    // 3-D z-order layout: per coarse z-cell min/max of ALL THREE dimensions
+    // — every cell is a 4×4×4 box (64 z-values = 2 low bits per dim), the
+    // property that makes parquet footer min/max stats prune scans on ANY
+    // of the interleaved columns after a z-sorted write (r4 verdict: 2-D
+    // only; now exercises Layout.zValueN)
     "q65_zorder_stats" -> ((s, d) => {
       val l = Tables.lineitem(s, d).select(
-        (col("l_partkey") % 64).as("x"), (col("l_suppkey") % 64).as("y"))
-      l.withColumn("z", Layout.zValue2(col("x"), col("y"), 6))
+        (col("l_partkey") % 16).as("x"), (col("l_suppkey") % 16).as("y"),
+        (col("l_orderkey") % 16).as("w"))
+      l.withColumn("z", Layout.zValueN(Seq(col("x"), col("y"), col("w")), 4))
         .withColumn("bucket", expr("z DIV 64"))
         .groupBy("bucket").agg(count(lit(1)).as("n"),
           min("x").as("min_x"), max("x").as("max_x"),
-          min("y").as("min_y"), max("y").as("max_y"))
+          min("y").as("min_y"), max("y").as("max_y"),
+          min("w").as("min_w"), max("w").as("max_w"))
         .orderBy("bucket")
     }),
     // one-pass column profiler (exact fields oracled; the HLL++ distinct
@@ -1381,17 +1385,17 @@ object SparkEntry {
          FROM (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
                FROM documents)""",
     "q65_zorder_stats" ->
-      """WITH z0 AS (SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y FROM lineitem),
-         z1 AS (SELECT x, y,
-                  ((x >> 0) & 1) * 1    + ((y >> 0) & 1) * 2
-                + ((x >> 1) & 1) * 4    + ((y >> 1) & 1) * 8
-                + ((x >> 2) & 1) * 16   + ((y >> 2) & 1) * 32
-                + ((x >> 3) & 1) * 64   + ((y >> 3) & 1) * 128
-                + ((x >> 4) & 1) * 256  + ((y >> 4) & 1) * 512
-                + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 AS z
+      """WITH z0 AS (SELECT l_partkey % 16 AS x, l_suppkey % 16 AS y,
+                            l_orderkey % 16 AS w FROM lineitem),
+         z1 AS (SELECT x, y, w,
+                  ((x >> 0) & 1) * 1   + ((y >> 0) & 1) * 2    + ((w >> 0) & 1) * 4
+                + ((x >> 1) & 1) * 8   + ((y >> 1) & 1) * 16   + ((w >> 1) & 1) * 32
+                + ((x >> 2) & 1) * 64  + ((y >> 2) & 1) * 128  + ((w >> 2) & 1) * 256
+                + ((x >> 3) & 1) * 512 + ((y >> 3) & 1) * 1024 + ((w >> 3) & 1) * 2048 AS z
                 FROM z0)
          SELECT z // 64 AS bucket, count(*) AS n,
-                min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+                min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+                min(w) AS min_w, max(w) AS max_w
          FROM z1 GROUP BY 1 ORDER BY 1""",
     "q68_profile" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -19,16 +19,29 @@ import org.apache.spark.sql.functions._
   * deliberately rather than relying on the mask. */
 object Layout {
 
+  /** Interleaved (Morton) z-value of N ≥ 2 non-negative integer columns:
+    * bit i of dimension j lands at output position N·i + j (dimension 0
+    * holds the least-significant lane, matching [[zValue2]]'s layout).
+    * `bits · dims` ≤ 62 so the result stays inside a positive BIGINT.
+    * Statically unrolled shift/mask sum — codegen'd, engine-portable. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val d = dims.size
+    require(d >= 2, s"zValueN needs at least 2 dimensions, got $d")
+    require(bits >= 1 && bits * d <= 62,
+      s"bits*dims must be in [$d,62], got bits=$bits dims=$d")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + (shiftright(c.cast("long"), i) % 2L) * lit(1L << (d * i + j))
+      }
+    }
+  }
+
   /** Interleaved (Morton) z-value of two non-negative integer columns:
     * bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
     * `bits` ≤ 31 per dimension (62-bit result, well inside BIGINT). */
   def zValue2(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc +
-        (shiftright(a.cast("long"), i) % 2L) * lit(1L << (2 * i)) +
-        (shiftright(b.cast("long"), i) % 2L) * lit(1L << (2 * i + 1))
-    }
+    zValueN(Seq(a, b), bits)
   }
 
   /** Range-repartition + intra-partition sort by the z-value of (a, b):
@@ -38,11 +51,18 @@ object Layout {
     * in (a, b) space — which is exactly what makes footer min/max stats
     * selective on both columns. */
   def zorderBy(df: DataFrame, a: Column, b: Column, bits: Int,
+      numFiles: Int, zCol: String = "__graft_z"): DataFrame =
+    zorderByN(df, Seq(a, b), bits, numFiles, zCol)
+
+  /** N-dimensional [[zorderBy]] — e.g. a lang × source × quality-bucket
+    * curation layout, where any single-column predicate should still prune
+    * files. Same range-exchange + in-partition sort; cells are N-d boxes. */
+  def zorderByN(df: DataFrame, dims: Seq[Column], bits: Int,
       numFiles: Int, zCol: String = "__graft_z"): DataFrame = {
     require(numFiles > 0, "numFiles must be positive")
     require(!df.columns.contains(zCol),
       s"zorderBy reserves the column name $zCol; pass a different zCol")
-    df.withColumn(zCol, zValue2(a, b, bits))
+    df.withColumn(zCol, zValueN(dims, bits))
       .repartitionByRange(numFiles, col(zCol))
       .sortWithinPartitions(col(zCol))
       .drop(zCol)

@@ -76,6 +76,31 @@ class SketchesLayoutSpec extends SparkTestBase {
     assert(zs((1L, 0L)) == 1L && zs((0L, 1L)) == 2L)
   }
 
+  test("zValueN: 3-D interleaving, bijective on the grid, zValue2-compatible") {
+    // x=1 (001), y=1 (001), w=1 (001) -> bits at positions 0,1,2 -> 7
+    val one = Seq((1L, 1L, 1L)).toDF("x", "y", "w")
+    assert(one.select(Layout.zValueN(Seq($"x", $"y", $"w"), 3)).head().getLong(0) == 7L)
+    // x=4 (100) -> position 3*2+0 = 6 -> 64
+    val four = Seq((4L, 0L, 0L)).toDF("x", "y", "w")
+    assert(four.select(Layout.zValueN(Seq($"x", $"y", $"w"), 3)).head().getLong(0) == 64L)
+    // bijective on the 3-bit cube; corners map to 0 and 511
+    val cube = (for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("x", "y", "w")
+    val zs = cube.select(Layout.zValueN(Seq($"x", $"y", $"w"), 3).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.toSet.size == 512 && zs.min == 0L && zs.max == 511L)
+    // 2-D zValueN must equal the original zValue2 layout
+    val grid = (0 until 8).flatMap(a => (0 until 8).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val same = grid.select(
+      (Layout.zValueN(Seq($"a", $"b"), 3) === Layout.zValue2($"a", $"b", 3)).as("eq"))
+      .collect().forall(_.getBoolean(0))
+    assert(same)
+    // guard: result must fit a positive long
+    intercept[IllegalArgumentException](Layout.zValueN(Seq($"a", $"b", $"b"), 21))
+    intercept[IllegalArgumentException](Layout.zValueN(Seq($"a"), 3))
+  }
+
   test("zorderBy: range exchange on the z-value, rows preserved, files hold z-contiguous rectangles") {
     val df = (0 until 1024).map(i => (i.toLong, (i * 7L) % 32, (i * 13L) % 32))
       .toDF("id", "x", "y")
