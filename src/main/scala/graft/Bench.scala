@@ -54,7 +54,27 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    // scorecard echo (VERDICT r4 §wrong-3): the ANN/near-dup recall numbers
+    // AT THE BENCH SCALE FACTOR, tracked every round. Untimed — runs after
+    // the measurement loop; a failure leaves the object empty rather than
+    // failing the bench.
+    val recalls: Map[String, Double] = try {
+      import org.apache.spark.sql.functions.sum
+      release()
+      val r52 = SparkEntry.queries("q52_ann_recall")(spark, sfDir)
+        .agg(sum("k"), sum("n_hit_lsh"), sum("n_hit_ivf")).head()
+      val k = r52.getLong(0).toDouble
+      release()
+      val r53 = SparkEntry.queries("q53_neardup_recall")(spark, sfDir).head()
+      Map("lsh_topk" -> r52.getLong(1) / k, "ivf_topk" -> r52.getLong(2) / k,
+        "neardup_pairs" -> r53.getDouble(2))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] recall scorecard failed: ${e.getMessage}")
+      Map.empty
+    }
+    val rj = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"recall":$rj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

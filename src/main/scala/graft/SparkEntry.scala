@@ -306,12 +306,16 @@ object SparkEntry {
     }),
     // pair-recall scorecard for the near-dup path (q52's sibling, VERDICT r2
     // #4): LSH-found pairs vs an EXACT quantized-cosine threshold join. The
-    // exact side is a deliberate O(N²) nested-loop — it is the measurement's
-    // oracle and runs at verification SFs only; the found side is the scale
-    // path. Documented result at defaults (16 tables, Hamming-1 probing,
-    // threshold 0.3 — this corpus's pairs all sit in the hard 0.3–0.5
-    // cosine band): recall ≥ 0.9 at sf0.01, vs 0.34 for r2's 8-table
-    // no-probe configuration.
+    // found side is the scale path (full corpus). The exact side is a
+    // deliberate O(N²) nested-loop — the measurement's oracle — GATED to the
+    // `cap` corpus rows with the smallest md5(id) (VERDICT r4 §wrong-2: it
+    // used to run unbounded at the bench SF and would dominate any larger
+    // one). The cap is a deterministic, id-uniform subsample, so recall
+    // measured on its pairs is an unbiased estimate; at verification SFs
+    // (N ≤ cap) it is a no-op and the scorecard stays exact. Documented
+    // result at defaults (16 tables, Hamming-1 probing, threshold 0.3 —
+    // this corpus's pairs all sit in the hard 0.3–0.5 cosine band):
+    // recall ≥ 0.9 at sf0.01, 0.987 at sf0.1 (measured r4).
     "q53_neardup_recall" -> ((s, d) => {
       graft.expressions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
@@ -319,6 +323,8 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
       val v = e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
         .withColumn("nn", call_function("graft_qdot", col("q"), col("q")))
+        // TakeOrdered (per-partition heap) — never a global sort
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(800)
       val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
         .withColumn("cosine",
           call_function("graft_qdot", col("x.q"), col("y.q")).cast("double") /
@@ -817,7 +823,7 @@ object SparkEntry {
   // IVF chain mirroring Similarity.ivfTopK defaults: nCells = max(4,⌈√N⌉),
   // hash-ordered centroid seeding, 4 Lloyd rounds, corpus assigned to its
   // final cell, queries (vec_id < 10) probing their nprobe nearest cells,
-  // nprobe = max(min(cells, 16), 2*ceil(sqrt(cells))) (scales with the
+  // nprobe = max(min(cells, 32), 2*ceil(sqrt(cells))) (scales with the
   // index — identical derivation to Similarity.ivfTopK)
   private val sqlIvfChain =
     s"""nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*)::DOUBLE)) AS INT)) AS cells
@@ -841,7 +847,7 @@ object SparkEntry {
                    ORDER BY v.nn - 2 * list_sum([p[1] * p[2] for p in list_zip(v.q, c.cv)]) + c.cc,
                             c.cent_id) AS cr
           FROM v, c4 c WHERE v.vec_id < 10) t
-          WHERE cr <= (SELECT greatest(least(cells, 16), 2 * CAST(ceil(sqrt(cells::DOUBLE)) AS INT))
+          WHERE cr <= (SELECT greatest(least(cells, 32), 2 * CAST(ceil(sqrt(cells::DOUBLE)) AS INT))
                        FROM nc))"""
   // LSH top-k candidates for queries vec_id < 10 (multi-probed query buckets
   // against exact corpus buckets; rank over exact cosine)
@@ -1229,8 +1235,12 @@ object SparkEntry {
            JOIN v x ON x.vec_id = cand.id_a
            JOIN v y ON y.vec_id = cand.id_b) t
            WHERE cosine >= 0.3),
+         vcap AS (SELECT vec_id, q, nn FROM (
+                    SELECT vec_id, q, nn,
+                           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS sr
+                    FROM v) t WHERE sr <= 800),
          exact AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
-                   FROM v x JOIN v y ON x.vec_id < y.vec_id
+                   FROM vcap x JOIN vcap y ON x.vec_id < y.vec_id
                    WHERE list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
                          / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) >= 0.3)
          SELECT count(*) AS n_exact,

@@ -426,12 +426,19 @@ object Dedup {
     * perturbations against the other side's exact buckets — COMPLETE for
     * bucket pairs one sign-bit apart (a pair differing in exactly bit j has
     * the lower id's perturbation j land in the higher id's bucket), which
-    * is where most LSH misses live. Measured on q53's scorecard at sf0.01
-    * (pairs at cosine 0.3–0.5, the hardest band for hyperplane LSH): 8
-    * tables/no probing = 0.34 pair recall; 16 tables + probing ≥ 0.9.
-    * Probing costs ×(bits+1) probe-side rows — still a keyed equi-join
-    * (never a cross join), but the dial to turn first when index size
-    * matters more than recall at 100 TB. Deterministic and
+    * is where most LSH misses live. Measured on q53's scorecard (pairs at
+    * cosine 0.3–0.5, the hardest band for hyperplane LSH): 8 tables/no
+    * probing = 0.34 pair recall; 16 tables + probing = 0.99 at sf0.01
+    * (6 sign bits) and 0.86 at sf0.1 (8 bits; 24 tables measure 0.95 there
+    * at ~2× found-side cost — `Bench` re-measures the default every round).
+    * The decay with corpus size is inherent: sized sign bits cut per-table
+    * collision probability ~0.63^bits at this θ, so holding recall at a
+    * FIXED low threshold needs tables growing exponentially in bits —
+    * whereas at realistic near-dup cosines (≥ 0.7, per-table collision
+    * ≥ 0.12 at 8 bits before probing) the default holds ≥ 0.99 at any
+    * tested size. Probing costs ×(bits+1) probe-side rows — still a keyed
+    * equi-join (never a cross join); `nTables` is the dial when a low
+    * detection threshold matters more than index size at 100 TB. Deterministic and
     * oracle-reproducible; precision = 1 via the exact verify. Eager
     * (result checkpointed, caches released). */
   def embeddingNearDupPairs(
