@@ -280,6 +280,14 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    // exact-substring dedup (Lee et al. 2022): pairs sharing >= 1 verbatim
+    // 30-token run — the duplication mode a global-Jaccard threshold misses
+    // (k = 30 ≈ a quarter of these ~120-word docs: a shared block that long
+    // leaves the pair's Jaccard far below q28's 0.8 gate)
+    "q69_substring_dup" -> ((s, d) => {
+      Dedup.substringDupPairs(Tables.documents(s, d), "doc_id", "text", k = 30)
+        .orderBy("id_a", "id_b")
+    }),
     // ----- ✚ similarity search (embeddings) --------------------------------
     "q31_ann_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1175,6 +1183,18 @@ object SparkEntry {
          SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
          FROM cand
          WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY id_a, id_b""",
+    "q69_substring_dup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+29], ' ')
+                      for i in range(1, len(w) - 28)])) AS s
+                FROM w WHERE len(w) >= 30),
+         e AS (SELECT doc_id,
+                      list_sum([ (instr('0123456789abcdef', substr(md5(s), kk, 1)) - 1)
+                                 * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)]) AS h
+               FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY id_a, id_b""",
     "q31_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id,
                            [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,

@@ -134,6 +134,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Exact-substring duplicate pairs — the duplication mode Jaccard-based
+    * dedup MISSES (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022): a long page embedding one verbatim k-token
+    * boilerplate block sits below any global-Jaccard threshold yet is the
+    * most common real-world duplication. Flags (id_a, id_b, n_shared) pairs
+    * sharing ≥ `minShared` distinct k-token consecutive runs.
+    *
+    * Relational shape ([[contaminationPairs]]' inverted index, corpus ↔
+    * corpus): every k-token window (stride 1, deduped per doc) hashes to a
+    * 60-bit long; the self-join on the window hash IS the exact criterion —
+    * two docs share a window hash iff they share a verbatim k-token run
+    * (up to the documented ~1e-13 60-bit collision odds), so no verify pass
+    * exists. Both sides are keyed equi-joins; never a cross join.
+    *
+    * Scale notes: the index is one row per (doc, distinct window) ≈ one row
+    * per token — the same order as every shingle path here; the window
+    * STRINGS expand the projection ~k× transiently (inside one codegen'd
+    * stage, never shuffled — the shuffle carries 8-byte hashes). Stride
+    * must stay 1 on both sides of a self-join (strided windows sample
+    * different phases of the same run in different documents and would miss
+    * aligned copies). Pair volume is bounded by the duplication actually
+    * present: a window shared by m docs contributes m(m−1)/2 pairs — that
+    * quadratic IS the signal (a thousand-way boilerplate block is a
+    * thousand-way dup family); cap with a per-hash doc-frequency filter
+    * upstream if a corpus is known to carry degenerate mega-clusters. */
+  def substringDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minShared: Long = 1L): DataFrame = {
+    require(k >= 2, s"k must be >= 2 tokens, got $k")
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val e = pin(shingleHashed(df, idCol, textCol, k))
+    val out = e.as("x").join(e.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** Cross-corpus decontamination: (train doc, eval doc) pairs where the
     * TRAIN document contains at least `threshold` of the EVAL document's
     * n-gram shingles — containment |A∩B| / |B|, the standard test for a

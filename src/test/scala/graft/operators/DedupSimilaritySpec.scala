@@ -37,6 +37,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("substringDupPairs: verbatim block inside dissimilar docs — the mode Jaccard misses") {
+    // a 60-token verbatim block planted inside two otherwise-disjoint docs
+    val block = (0 until 60).map(i => s"boiler$i").mkString(" ")
+    val fillerA = (0 until 200).map(i => s"alpha$i").mkString(" ")
+    val fillerB = (0 until 200).map(i => s"beta$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$fillerA $block ${(0 until 40).map(i => s"tailA$i").mkString(" ")}"),
+      (1L, s"$fillerB $block ${(0 until 40).map(i => s"tailB$i").mkString(" ")}"),
+      (2L, (0 until 300).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // global Jaccard of (0,1) is ~60/540 << 0.8: the Jaccard path finds nothing
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8).isEmpty)
+    // the substring path flags exactly the planted pair; a 60-token block
+    // has 60 - 50 + 1 = 11 shared 50-token windows
+    val out = Dedup.substringDupPairs(d, "doc_id", "text", k = 50).collect()
+    assert(out.length == 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) == ((0L, 1L)))
+    assert(out.head.getLong(2) == 11L)
+    // minShared above the shared-window count suppresses the pair
+    assert(Dedup.substringDupPairs(d, "doc_id", "text", k = 50, minShared = 12L).isEmpty)
+    // k longer than the block: nothing to find
+    assert(Dedup.substringDupPairs(d, "doc_id", "text", k = 61).isEmpty)
+  }
+
   test("simhashTable equals the Column-level Text.simhash") {
     import graft.functions.Text
     val t = Dedup.simhashTable(docs, "doc_id", "text")
