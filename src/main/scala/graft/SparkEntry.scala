@@ -726,6 +726,19 @@ object SparkEntry {
         .filter(col("id") =!= col("component")) // only docs folded into a group
         .orderBy("id")
     }),
+    // quality-aware dedup representative: each near-dup cluster keeps its
+    // HIGHEST-quality member (tie → min doc_id) instead of the min id —
+    // what a curation pipeline wants from its dedup stage (r4 verdict #7)
+    "q70_dedup_best_rep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("quality", Text.qualityScore(col("text")))
+      Dedup.dedupedCorpus(docs, "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8,
+          keepBy = Seq(col("quality").desc, col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("quality") * 1000000).cast(LongType).as("quality_micro"))
+        .orderBy("doc_id")
+    }),
     // ----- ✚ TF-IDF top terms ----------------------------------------------
     "q44_tfidf" -> ((s, d) => {
       val toks = Tables.documents(s, d)
@@ -1626,6 +1639,65 @@ object SparkEntry {
                          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS id, min(b) AS component FROM reach
          GROUP BY a HAVING min(b) < a ORDER BY id""",
+    "q70_dedup_best_rep" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
+               FROM w),
+         s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+         ws AS (SELECT doc_id, unnest(sh)::VARCHAR AS x FROM s2),
+         ww AS (SELECT doc_id,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k + 8, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+                FROM ws),
+         sigl AS (SELECT doc_id, i, min((w0 + i * w1) % 2147483647) AS mh
+                  FROM ww, range(0, 12) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS bi,
+                          md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bk
+                   FROM sigl GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         pairs AS (SELECT id_a, id_b FROM (
+           SELECT c.ia AS id_a, c.ib AS id_b,
+                  len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))) AS jaccard
+           FROM cand c JOIN s2 x ON x.doc_id = c.ia JOIN s2 y ON y.doc_id = c.ib) t
+           WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         lt AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS lt
+                FROM documents),
+         qual AS (SELECT doc_id,
+                    CASE WHEN text IS NULL THEN NULL
+                         WHEN length(trim(text)) > 0 THEN
+                           0.3 * least(len(lt)::DOUBLE / 100.0, 1.0)
+                           + 0.4 * least(5.0 * (len(list_filter(lt,
+                               x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                               / len(lt)::DOUBLE), 1.0)
+                           + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                                    / length(text)::DOUBLE)
+                         ELSE 0.0 END AS quality
+                  FROM lt),
+         lab AS (SELECT d.doc_id, d.lang, d.source,
+                        coalesce(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         ranked AS (SELECT l.doc_id, l.lang, l.source, q.quality,
+                           row_number() OVER (PARTITION BY l.component
+                             ORDER BY q.quality DESC, l.doc_id) AS rk
+                    FROM lab l JOIN qual q ON q.doc_id = l.doc_id)
+         SELECT doc_id, lang, source,
+                CAST(round(quality * 1000000) AS BIGINT) AS quality_micro
+         FROM ranked WHERE rk = 1 ORDER BY doc_id""",
     "q44_tfidf" ->
       """WITH toks AS (
            SELECT doc_id,

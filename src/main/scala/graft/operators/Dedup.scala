@@ -445,19 +445,45 @@ object Dedup {
   }
 
   /** One-call corpus dedup: MinHash-LSH near-dup pairs → connected
-    * components → anti-join the folded members out. Keeps each cluster's
-    * minimum-id document plus all documents never seen in a pair. This is
-    * the operator a curation pipeline actually invokes (q49 composes it
-    * with quality/language gates). */
+    * components → one representative per cluster (plus every document never
+    * seen in a pair). This is the operator a curation pipeline actually
+    * invokes (q49 composes it with quality/language gates).
+    *
+    * Representative rule: with `keepBy` empty (default), each cluster keeps
+    * its minimum-id member via an anti-join of the folded ids — the cheap
+    * path (no window). With `keepBy` given (e.g. `Seq(col("quality").desc,
+    * col(idCol))` — what a real curation run wants: keep each dup family's
+    * BEST member, not its accidental first), each cluster keeps its first
+    * row under that ordering; append a unique tie-breaker for deterministic
+    * output. Cost: one extra keyed window over the component label — the
+    * same single-shuffle shape as the anti-join it replaces. */
   def dedupedCorpus(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, keepBy: Seq[Column] = Nil): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n, bands, rowsPerBand, threshold)
-    val folded = connectedComponents(pairs, df, idCol)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    Joins.join(df, folded, Seq(idCol), "anti")
+    if (keepBy.isEmpty) {
+      val folded = connectedComponents(pairs, df, idCol)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol))
+      Joins.join(df, folded, Seq(idCol), "anti")
+    } else {
+      val reserved = Seq("__graft_comp", "__graft_rk")
+      val clash = df.columns.filter(reserved.contains)
+      require(clash.isEmpty,
+        s"dedupedCorpus(keepBy) reserves ${reserved.mkString("/")}; " +
+          s"rename input column(s): ${clash.mkString(", ")}")
+      // labels cover EVERY doc (singletons label themselves), so the window
+      // ranks each cluster once and keeps singletons trivially
+      val labels = connectedComponents(pairs, df, idCol)
+        .select(col("id").as(idCol), col("component").as("__graft_comp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__graft_comp")).orderBy(keepBy: _*)
+      df.join(labels, Seq(idCol))
+        .withColumn("__graft_rk", row_number().over(w))
+        .filter(col("__graft_rk") === 1)
+        .drop("__graft_rk", "__graft_comp")
+    }
   }
 
   /** Embedding near-dup: multi-table random-hyperplane LSH candidates

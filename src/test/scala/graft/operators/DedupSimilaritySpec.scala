@@ -37,6 +37,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("dedupedCorpus: default keeps min id; keepBy keeps the best-ranked member") {
+    val defaultKept = Dedup.dedupedCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(defaultKept == Seq(0L, 2L)) // cluster {0,1} keeps min id 0
+    // keepBy inverts the preference: cluster {0,1} keeps 1; singleton 2 stays
+    val bestKept = Dedup.dedupedCorpus(docs, "doc_id", "text", threshold = 0.5,
+        keepBy = Seq(col("doc_id").desc))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bestKept == Seq(1L, 2L))
+    // reserved-name clash guard
+    intercept[IllegalArgumentException](
+      Dedup.dedupedCorpus(docs.withColumn("__graft_comp", lit(1)), "doc_id", "text",
+        keepBy = Seq(col("doc_id"))))
+  }
+
   test("substringDupPairs: verbatim block inside dissimilar docs — the mode Jaccard misses") {
     // a 60-token verbatim block planted inside two otherwise-disjoint docs
     val block = (0 until 60).map(i => s"boiler$i").mkString(" ")
