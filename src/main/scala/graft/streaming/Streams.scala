@@ -144,13 +144,25 @@ object Streams {
     */
   def dropNearDupsStream(stream: DataFrame, textCol: String,
       corpusIndex: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "16-bit banding is only complete for maxHamming <= 3")
-    val reserved = Seq("__sh", "__cand_bv", "__cand_sh")
+    guardNearDupNames(stream)
+    val withSh = stream.withColumn("__sh", graft.functions.Text.simhash(col(textCol)))
+    antiJoinBands(withSh, corpusIndex, maxHamming).drop("__sh")
+  }
+
+  private def guardNearDupNames(stream: DataFrame): Unit = {
+    val reserved = Seq("__sh", "__cand_bv", "__cand_sh", "__sdid")
     val clash = stream.columns.filter(reserved.contains)
     require(clash.isEmpty,
-      s"dropNearDupsStream reserves internal column names ${reserved.mkString("/")}; " +
+      s"near-dup ingest dedup reserves internal column names ${reserved.mkString("/")}; " +
         s"rename input column(s): ${clash.mkString(", ")}")
-    val withSh = stream.withColumn("__sh", graft.functions.Text.simhash(col(textCol)))
+  }
+
+  /** The 4 chained per-band left-anti stream-static joins over a `__sh`
+    * column (see [[dropNearDupsStream]] for why chained anti joins, not an
+    * explode). Shared by the per-row and the `foreachBatch` bulk paths. */
+  private def antiJoinBands(withSh: DataFrame, corpusIndex: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "16-bit banding is only complete for maxHamming <= 3")
     (0 until 4).foldLeft(withSh) { (df, b) =>
       val idx = corpusIndex.filter(col("band") === b)
         .select(col("bandval").as("__cand_bv"), col("sh64").as("__cand_sh"))
@@ -158,8 +170,41 @@ object Streams {
         shiftright(col("__sh"), b * 16).bitwiseAND(lit(0xFFFFL)) === col("__cand_bv") &&
           bit_count(col("__sh").bitwiseXOR(col("__cand_sh"))) <= maxHamming,
         "left_anti")
-    }.drop("__sh")
+    }
   }
+
+  /** Bulk-rate twin of [[dropNearDupsStream]] for ONE micro-batch (a plain
+    * DataFrame): computes the simhash RELATIONALLY
+    * ([[graft.operators.Dedup.simhashTable]] — explode + two
+    * WholeStageCodegen hash-aggs, spec'd bit-equal to the per-row
+    * `Text.simhash` fold) instead of per row. The per-row fold measures
+    * ~280 docs/s on 32 cores (fine for trickle ingest, a scale-killer for
+    * bulk streams); the relational path is the same shape as batch corpus
+    * dedup and scales with executors. Requires a unique `idCol` to join the
+    * hashes back (any real event stream has one). Null-text rows keep a
+    * null hash and so survive every anti join — identical to the per-row
+    * path's null semantics. */
+  def dropNearDupsBatch(batch: DataFrame, idCol: String, textCol: String,
+      corpusIndex: DataFrame, maxHamming: Int = 3): DataFrame = {
+    guardNearDupNames(batch)
+    val sh = graft.operators.Dedup.simhashTable(batch, idCol, textCol)
+      .select(col("id").as("__sdid"), col("sh64").as("__sh"))
+    val withSh = batch.join(sh, col(idCol) === col("__sdid"), "left").drop("__sdid")
+    antiJoinBands(withSh, corpusIndex, maxHamming).drop("__sh")
+  }
+
+  /** [[dropNearDupsStream]] at bulk rates: a `foreachBatch` writer that runs
+    * the relational [[dropNearDupsBatch]] on every micro-batch and hands the
+    * survivors to `sink` (the prose escape hatch of r4, now shipped as
+    * code). Stateless across batches exactly like the per-row operator —
+    * each micro-batch is matched against the static corpus index only.
+    * Caller sets trigger/options and `.start()`s the returned writer. */
+  def dropNearDupsStreamBulk(stream: DataFrame, idCol: String, textCol: String,
+      corpusIndex: DataFrame, maxHamming: Int = 3)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(dropNearDupsBatch(batch.toDF(), idCol, textCol, corpusIndex, maxHamming))
+    }
 
   /** Watermarked stream-stream inner join: pair each left event with right
     * events for the same key within `[0, windowMinutes]` AFTER it. Both

@@ -191,6 +191,39 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropNearDupsStreamBulk: foreachBatch relational path equals the per-row path") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "spark shuffles hash partitions across executors for the join stage")
+    ).toDF("doc_id", "text")
+    val index = Dedup.simhashBandIndex(Dedup.simhashTable(corpus, "doc_id", "text"))
+    val rows = Seq(
+      (10L, corpus.head().getString(1)), // exact dup of corpus doc 1
+      (11L, "completely unrelated cooking recipe with butter flour sugar eggs vanilla"),
+      (12L, "spark shuffles hash partitions across executors for the join phase"))
+    val batchIn = rows.toDF("id", "text")
+    val perRow = Streams.dropNearDupsStream(batchIn, "text", index)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bulk = Streams.dropNearDupsBatch(batchIn, "id", "text", index)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bulk == perRow)                                   // the equality contract
+    assert(perRow.contains(11L) && !perRow.contains(10L))    // and it does real work
+    // the same relational path through a REAL StreamingQuery via foreachBatch
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dropNearDupsStreamBulk(
+        mem.toDF().toDF("id", "text"), "id", "text", index) { out =>
+      got ++= out.select("id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(got.toSet == perRow)
+    } finally q.stop()
+  }
+
   test("Pii redaction is streaming-safe: stateless projection runs unchanged on a stream") {
     import graft.functions.Pii
     implicit val sqlCtx = spark.sqlContext
