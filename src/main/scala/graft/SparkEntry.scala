@@ -726,6 +726,24 @@ object SparkEntry {
         .filter(col("id") =!= col("component")) // only docs folded into a group
         .orderBy("id")
     }),
+    // cross-doc boilerplate line removal: seed every doc with a shared
+    // footer (and every even doc with a second one — the corpus itself is
+    // single-line word-soup, so the repeated lines are planted
+    // deterministically, q62-style), then strip lines appearing in >= 2
+    // distinct docs and reassemble survivors in order
+    "q71_boilerplate_lines" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit("\nSubscribe to our newsletter today"),
+        lit("\nunique note "), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("\nCopyright 2024 Example Corp"))
+          .otherwise(lit(""))).as("t"))
+      Dedup.stripBoilerplateLines(seeded, "doc_id", "t", minDocFreq = 2)
+        .select(col("doc_id"), col("n_lines_kept"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast(LongType).as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
     // quality-aware dedup representative: each near-dup cluster keeps its
     // HIGHEST-quality member (tie → min doc_id) instead of the min id —
     // what a curation pipeline wants from its dedup stage (r4 verdict #7)
@@ -1639,6 +1657,28 @@ object SparkEntry {
                          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS id, min(b) AS component FROM reach
          GROUP BY a HAVING min(b) < a ORDER BY id""",
+    "q71_boilerplate_lines" ->
+      """WITH f AS (SELECT doc_id,
+             text || chr(10) || 'Subscribe to our newsletter today'
+                  || chr(10) || 'unique note ' || doc_id::VARCHAR
+                  || (CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'Copyright 2024 Example Corp'
+                           ELSE '' END) AS t
+           FROM documents),
+         bl AS (SELECT DISTINCT doc_id, trim(l) AS tl
+                FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM f)
+                WHERE trim(l) <> ''),
+         bf AS (SELECT tl FROM bl GROUP BY tl HAVING count(*) >= 2),
+         bls AS (SELECT coalesce(list(tl), []) AS ls FROM bf),
+         clean AS (SELECT doc_id,
+             array_to_string(list_filter([trim(x) for x in string_split(t, chr(10))],
+               x -> x <> '' AND NOT list_contains(ls, x)), chr(10)) AS ct,
+             len(list_filter([trim(x) for x in string_split(t, chr(10))],
+               x -> x <> '' AND NOT list_contains(ls, x)))::BIGINT AS n_lines_kept
+           FROM f, bls)
+         SELECT doc_id, n_lines_kept, md5(ct) AS clean_md5,
+                length(ct)::BIGINT AS n_chars_clean
+         FROM clean ORDER BY doc_id""",
     "q70_dedup_best_rep" ->
       """WITH RECURSIVE
          w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),

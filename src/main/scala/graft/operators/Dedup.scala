@@ -218,6 +218,63 @@ object Dedup {
       .select("train_id", "eval_id", "n_common", "containment")
   }
 
+  /** Cross-document boilerplate removal at LINE granularity — the curation
+    * stage between whole-doc dedup and span dedup (CCNet / RefinedWeb style:
+    * navigation chrome, cookie banners, copyright footers repeat across
+    * pages of a site without making the pages near-duplicates). Every line
+    * whose trimmed form appears in ≥ `minDocFreq` DISTINCT documents is
+    * dropped from every document; survivors are reassembled in original
+    * order, joined by "\n". Blank lines are dropped (reassembly is
+    * whitespace-normalizing); a document whose every line was boilerplate
+    * survives with `outCol` = "" and `nKeptCol` = 0 (callers gate on it);
+    * null text stays null.
+    *
+    * Scale shape: explode lines (linear) → doc-frequency hash-agg on the
+    * line hash (one map-side-combined shuffle of 8-byte hashes) →
+    * anti-join lines against the boilerplate hashes (keyed equi-join) →
+    * per-doc reassembly agg. No driver-side set, no cross join; the
+    * boilerplate table lives distributed and is only as large as the
+    * repeated-line vocabulary. Line matching is md5-based so the DuckDB
+    * oracle reproduces the decision bit-for-bit. */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int = 2,
+      outCol: String = "clean_text", nKeptCol: String = "n_lines_kept"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2 (got $minDocFreq)")
+    val reserved = Seq("__bid", "__pos", "__line", "__tl", "__lh", outCol, nKeptCol)
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"stripBoilerplateLines reserves ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    val lines = df
+      .select(col(idCol).as("__bid"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__tl", trim(col("__line")))
+      .filter(col("__tl") =!= "")
+      .withColumn("__lh", md5(col("__tl")))
+    // doc frequency over DISTINCT (doc, line): repetition WITHIN one doc is
+    // Repetition.lineRepetition's signal, not boilerplate
+    val boiler = lines.select(col("__bid"), col("__lh")).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__lh")
+    val rebuilt = lines.join(boiler, Seq("__lh"), "left_anti")
+      .groupBy(col("__bid"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__tl")))),
+            e => e.getField("__tl"))).as(outCol),
+        count(lit(1)).as(nKeptCol))
+    df.join(rebuilt, df(idCol) === rebuilt("__bid"), "left")
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col(outCol), lit(""))))
+      .withColumn(nKeptCol,
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col(nKeptCol), lit(0L))))
+      .drop("__bid")
+  }
+
   /** MinHash signatures via Kirsch–Mitzenmacher double hashing: per shingle
     * ONE md5 supplies two independent 32-bit words (w0, w1); hash i is
     * (w0 + i·w1) mod (2^31−1). Computed relationally — explode shingles,

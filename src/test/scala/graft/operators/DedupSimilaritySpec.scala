@@ -52,6 +52,28 @@ class DedupSimilaritySpec extends SparkTestBase {
         keepBy = Seq(col("doc_id"))))
   }
 
+  test("stripBoilerplateLines: cross-doc lines removed, order kept, edge docs handled") {
+    val d = Seq(
+      (1L, "alpha unique content\nSubscribe now\nmore alpha"),
+      (2L, "beta body text\nSubscribe now\n  \nCopyright 2024"),
+      (3L, "Subscribe now\nCopyright 2024"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "alpha unique content\nmore alpha")
+    assert(out(0).getAs[Long]("n_lines_kept") == 2L)
+    assert(out(1).getAs[String]("clean_text") == "beta body text") // blank line dropped too
+    assert(out(2).getAs[String]("clean_text") == "")               // all-boiler doc survives empty
+    assert(out(2).getAs[Long]("n_lines_kept") == 0L)
+    assert(out(3).isNullAt(out(3).fieldIndex("clean_text")))       // null text stays null
+    // repetition WITHIN one doc alone is not boilerplate
+    val solo = Seq((1L, "same line\nsame line\nother")).toDF("doc_id", "text")
+    assert(Dedup.stripBoilerplateLines(solo, "doc_id", "text")
+      .head().getAs[Long]("n_lines_kept") == 3L)
+    intercept[IllegalArgumentException](
+      Dedup.stripBoilerplateLines(d.withColumn("__lh", lit(1)), "doc_id", "text"))
+  }
+
   test("substringDupPairs: verbatim block inside dissimilar docs — the mode Jaccard misses") {
     // a 60-token verbatim block planted inside two otherwise-disjoint docs
     val block = (0 until 60).map(i => s"boiler$i").mkString(" ")
