@@ -726,6 +726,18 @@ object SparkEntry {
         .filter(col("id") =!= col("component")) // only docs folded into a group
         .orderBy("id")
     }),
+    // incremental dedup: hash-shard 0 plays today's DELTA, the rest the
+    // standing corpus; near-dups found by banding delta AGAINST corpus —
+    // the big side is never self-joined (the daily-ingest shape at 100 TB)
+    "q72_delta_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sharded = Ops.shardByHash(docs, "doc_id", 5)
+      val delta = sharded.filter(col("shard") === 0).drop("shard")
+      val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      Dedup.minhashLshPairsBetween(delta, corpus, "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
     // cross-doc boilerplate line removal: seed every doc with a shared
     // footer (and every even doc with a second one — the corpus itself is
     // single-line word-soup, so the repeated lines are planted
@@ -1657,6 +1669,45 @@ object SparkEntry {
                          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS id, min(b) AS component FROM reach
          GROUP BY a HAVING min(b) < a ORDER BY id""",
+    "q72_delta_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
+               FROM w),
+         s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+         hs AS (SELECT doc_id,
+                       (list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 5)
+                         AS shard
+                FROM documents),
+         ws AS (SELECT doc_id, unnest(sh)::VARCHAR AS x FROM s2),
+         ww AS (SELECT doc_id,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k + 8, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+                FROM ws),
+         sigl AS (SELECT doc_id, i, min((w0 + i * w1) % 2147483647) AS mh
+                  FROM ww, range(0, 12) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS bi,
+                          md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bk
+                   FROM sigl GROUP BY doc_id, i // 3),
+         bd AS (SELECT b.doc_id, b.bi, b.bk FROM bands b JOIN hs ON b.doc_id = hs.doc_id
+                WHERE hs.shard = 0),
+         bc AS (SELECT b.doc_id, b.bi, b.bk FROM bands b JOIN hs ON b.doc_id = hs.doc_id
+                WHERE hs.shard != 0),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM bd a JOIN bc b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id <> b.doc_id)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT c.ia AS id_a, c.ib AS id_b,
+                  len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))) AS jaccard
+           FROM cand c JOIN s2 x ON x.doc_id = c.ia JOIN s2 y ON y.doc_id = c.ib) t
+         WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
     "q71_boilerplate_lines" ->
       """WITH f AS (SELECT doc_id,
              text || chr(10) || 'Subscribe to our newsletter today'

@@ -123,9 +123,15 @@ object Dedup {
     * are dropped BEFORE the O(|A|+|B|) array_intersect, which matters for
     * LSH-banding candidates that never went through a prefix index. */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard2(cand, sets, sets, threshold)
+
+  /** [[verifyJaccard]] with distinct set frames per pair side (the
+    * delta↔corpus case of [[minhashLshPairsBetween]]). */
+  private def verifyJaccard2(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      threshold: Double): DataFrame =
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), Seq("id_b"))
+      .join(setsA.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), Seq("id_a"))
+      .join(setsB.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), Seq("id_b"))
       .filter(least(col("nsh_a"), col("nsh_b")).cast("double") >=
         greatest(col("nsh_a"), col("nsh_b")) * lit(threshold - 1e-9))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -323,6 +329,44 @@ object Dedup {
     val out = verifyJaccard(cand, s, threshold).localCheckpoint(true)
     banded.unpersist(false)
     s.unpersist(false)
+    out
+  }
+
+  /** Incremental (delta ↔ corpus) MinHash-LSH near-dup pairs: the daily-
+    * ingest shape of corpus dedup at 100 TB — band-join the NEW batch
+    * against the standing corpus instead of self-joining the whole corpus
+    * again. Output: (id_a = left/delta id, id_b = right/corpus id, jaccard),
+    * same-id pairs excluded (overlapping id spaces). The MinHash family
+    * depends only on shingle values, so signatures computed here for the
+    * corpus side are bit-identical to any previous run's — in a real
+    * pipeline the corpus's banded signatures are computed ONCE, stored as a
+    * table keyed by (band, band_key), and each delta joins against that
+    * index; this method takes the raw frame and derives them for the
+    * oracle's sake, which changes cost, not results. Candidate volume is
+    * |delta bands| ⋈ |corpus bands| bucket-bounded — never a self-join of
+    * the big side. Eager (result checkpointed, caches released). */
+  def minhashLshPairsBetween(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sL = pin(shingled(left, idCol, textCol, n).filter(col("nsh") > 0))
+    val sR = pin(shingled(right, idCol, textCol, n).filter(col("nsh") > 0))
+    def banded(sig: DataFrame): DataFrame = {
+      val bandKeys = (0 until bands).map(bi =>
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(j => col(s"mh${bi * rowsPerBand + j}").cast("string")): _*)))
+      sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    }
+    val bL = pin(banded(minhashSignatures(sL, numHashes)))
+    val bR = pin(banded(minhashSignatures(sR, numHashes)))
+    val cand = bL.as("x").join(bR.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val out = verifyJaccard2(cand, sL, sR, threshold).localCheckpoint(true)
+    bL.unpersist(false); bR.unpersist(false)
+    sL.unpersist(false); sR.unpersist(false)
     out
   }
 

@@ -37,6 +37,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("minhashLshPairsBetween: delta vs corpus finds the cross pair, never corpus-internal ones") {
+    val delta = docs.filter(col("doc_id") === 0)
+    // corpus holds BOTH a near-dup of the delta doc (1) and an internal
+    // exact-dup pair (2, 3) — only the cross pair may be reported
+    val corpus = docs.filter(col("doc_id") =!= 0)
+      .union(Seq((3L, "completely unrelated text about cooking pasta with fresh tomatoes basil"))
+        .toDF("doc_id", "text"))
+    val out = Dedup.minhashLshPairsBetween(delta, corpus, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    // same jaccard as the self-join operator computes for that pair
+    assert(math.abs(out.head.getDouble(2) - 7.0 / 9.0) < 1e-12)
+  }
+
   test("dedupedCorpus: default keeps min id; keepBy keeps the best-ranked member") {
     val defaultKept = Dedup.dedupedCorpus(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
