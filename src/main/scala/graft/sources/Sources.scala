@@ -28,6 +28,17 @@ object Sources {
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** ORC — the other columnar lakehouse format Spark reads natively
+    * (vectorized, predicate/column pushdown like parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Parquet sink, optionally hive-partitioned by low-cardinality columns so
     * downstream scans prune whole directories. */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,

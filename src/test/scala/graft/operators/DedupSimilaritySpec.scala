@@ -37,6 +37,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("new dedup operators plan as keyed joins — no cartesian, no nested loop") {
+    // eager operators checkpoint internally, so audit the CANDIDATE stage
+    // plans they are built from (the join-shape risk lives there)
+    val subPlan = {
+      val e = docs.select(col("doc_id").as("id"),
+        explode(graft.functions.Text.wordShingles(col("text"), 5)).as("s"))
+        .select(col("id"), md5(col("s")).as("h"))
+      e.as("x").join(e.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(!subPlan.contains("CartesianProduct") && !subPlan.contains("BroadcastNestedLoopJoin"),
+      s"substring candidate join must be a keyed equi-join:\n$subPlan")
+    val boilerPlan = Dedup.stripBoilerplateLines(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!boilerPlan.contains("CartesianProduct") && !boilerPlan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate plan must be keyed joins only:\n$boilerPlan")
+  }
+
   test("minhashLshPairsBetween: delta vs corpus finds the cross pair, never corpus-internal ones") {
     val delta = docs.filter(col("doc_id") === 0)
     // corpus holds BOTH a near-dup of the delta doc (1) and an internal

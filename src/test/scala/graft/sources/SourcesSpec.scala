@@ -20,6 +20,17 @@ class SourcesSpec extends SparkTestBase {
     assert(Sources.text(spark, s"$dir/t").count() == 2)
   }
 
+  test("orc round-trip with partition pruning and predicate pushdown") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/o"
+    val df = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0)).toDF("id", "k", "v")
+    Sources.writeOrc(df, dir, partitionBy = Seq("k"))
+    val back = Sources.orc(spark, dir).filter(col("k") === "x" && col("v") > 1.5)
+    assert(back.count() == 1)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter (k"))                       // partition pruned
+    assert(plan.contains("GreaterThan(v,1.5)"), s"no pushdown:\n$plan") // ORC pushdown
+  }
+
   test("partitioned parquet write prunes directories on read") {
     val dir = Files.createTempDirectory("graft_part").toString + "/p"
     val df = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0)).toDF("id", "k", "v")
