@@ -726,6 +726,14 @@ object SparkEntry {
         .filter(col("id") =!= col("component")) // only docs folded into a group
         .orderBy("id")
     }),
+    // longest shared verbatim span per pair: k=10 positional windows, runs
+    // reassembled per (pair, diagonal) — detects and MEASURES spans >= 30
+    // tokens exactly (q69's fixed-k windows only count, they can't size)
+    "q73_substring_spans" -> ((s, d) => {
+      Dedup.substringDupSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 10, minRunTokens = 30)
+        .orderBy("id_a", "id_b")
+    }),
     // incremental dedup: hash-shard 0 plays today's DELTA, the rest the
     // standing corpus; near-dups found by banding delta AGAINST corpus —
     // the big side is never self-joined (the daily-ingest shape at 100 TB)
@@ -1669,6 +1677,24 @@ object SparkEntry {
                          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS id, min(b) AS component FROM reach
          GROUP BY a HAVING min(b) < a ORDER BY id""",
+    "q73_substring_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         e AS (SELECT doc_id, u.p AS p,
+                      list_sum([ (instr('0123456789abcdef', substr(md5(u.s), kk, 1)) - 1)
+                                 * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)]) AS h
+               FROM (SELECT doc_id, unnest([{'p': i, 's': array_to_string(w[i:i+9], ' ')}
+                                            for i in range(1, len(w) - 8)]) AS u
+                     FROM w) t),
+         m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+               FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+         r AS (SELECT id_a, id_b, pa - pb AS d, pa,
+                      pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                              ORDER BY pa) AS grp
+               FROM m),
+         runs AS (SELECT id_a, id_b, count(*) AS rw FROM r GROUP BY id_a, id_b, d, grp)
+         SELECT id_a, id_b, (max(rw) + 9)::BIGINT AS longest_run_tokens
+         FROM runs GROUP BY id_a, id_b
+         HAVING max(rw) + 9 >= 30 ORDER BY id_a, id_b""",
     "q72_delta_dedup" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          s AS (SELECT doc_id,

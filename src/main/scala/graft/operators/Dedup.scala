@@ -182,6 +182,54 @@ object Dedup {
     out
   }
 
+  /** Longest shared verbatim SPAN per document pair — the exact quantity
+    * Lee et al. 2022 threshold on (~50 consecutive tokens), where
+    * [[substringDupPairs]] only counts shared windows of a fixed k. Windows
+    * of a SMALL k are matched WITH their positions; on each (pair,
+    * pa−pb diagonal), maximal chains of consecutive matches are
+    * reassembled with the islands trick (pa − row_number is constant
+    * within a chain): two documents share a run of exactly L ≥ k equal
+    * consecutive tokens iff some diagonal carries L−k+1 consecutive window
+    * matches, so `longest_run_tokens = max_chain + k − 1` is EXACT (up to
+    * the documented 60-bit hash odds). k trades index size against the
+    * shortest detectable run (k=10 detects any run ≥ 10 yet thresholds at
+    * `minRunTokens` ≥ 50 precisely — a k=50 window index cannot tell 50
+    * from 59). Same scale shape as [[substringDupPairs]]: the shuffle
+    * carries (8-byte hash, int position) rows; the diagonal windows
+    * partition by (pair, diagonal) so chain assembly spreads across
+    * executors; match volume is bounded by the true shared-window count. */
+  def substringDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minRunTokens: Int = 50): DataFrame = {
+    require(k >= 2, s"k must be >= 2 tokens, got $k")
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    val toks = Text.tokens(col(textCol))
+    // positional windows — NOT deduped (chains need every occurrence)
+    val wins = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val e = pin(df.select(col(idCol).as("id"), posexplode(wins).as(Seq("p", "s")))
+      .select(col("id"), col("p"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h")))
+    val m = e.as("x").join(e.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pa"))
+    val runs = m.withColumn("d", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("rw"))
+    val out = runs.groupBy("id_a", "id_b")
+      .agg((max(col("rw")) + lit(k - 1)).as("longest_run_tokens"))
+      .filter(col("longest_run_tokens") >= minRunTokens)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** Cross-corpus decontamination: (train doc, eval doc) pairs where the
     * TRAIN document contains at least `threshold` of the EVAL document's
     * n-gram shingles — containment |A∩B| / |B|, the standard test for a

@@ -130,6 +130,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Dedup.substringDupPairs(d, "doc_id", "text", k = 61).isEmpty)
   }
 
+  test("substringDupSpans: longest shared run measured EXACTLY via diagonal islands") {
+    val block = (0 until 35).map(i => s"span$i").mkString(" ") // 35-token shared block
+    val nine = (0 until 9).map(i => s"nine$i").mkString(" ")   // 9 tokens: below k=10
+    val d = Seq(
+      (0L, s"${(0 until 50).map(i => s"a$i").mkString(" ")} $block ${(0 until 20).map(i => s"aa$i").mkString(" ")} $nine"),
+      (1L, s"${(0 until 30).map(i => s"b$i").mkString(" ")} $block $nine x ${(0 until 10).map(i => s"bb$i").mkString(" ")}"),
+      (2L, (0 until 80).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(d, "doc_id", "text", k = 10, minRunTokens = 20).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((0L, 1L)))
+    // the 35-token block is the longest run, measured exactly; the shared
+    // 9-token 'nine' phrase sits below k and contributes nothing
+    assert(r.getLong(2) == 35L)
+    // thresholds above the block length suppress the pair
+    assert(Dedup.substringDupSpans(d, "doc_id", "text", k = 10, minRunTokens = 36).isEmpty)
+  }
+
   test("simhashTable equals the Column-level Text.simhash") {
     import graft.functions.Text
     val t = Dedup.simhashTable(docs, "doc_id", "text")
