@@ -22,9 +22,13 @@ object Bench {
 
     def release(): Unit = {
       // queries are independent: drop Dataset caches AND raw pinned RDDs
-      // (Dedup's iterative state) so cache pressure doesn't skew timings
+      // (Dedup's iterative state) so cache pressure doesn't skew timings;
+      // the explicit GC keeps one query's garbage from being collected on a
+      // neighbor's clock (r5: q49 read 13.4 s inside the full loop vs 6.3 s
+      // isolated — heap pressure, not plan). Untimed (outside the t0 clock).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
     }
 
     // optional comma-separated filter for local iteration (driver leaves unset)
