@@ -11,7 +11,11 @@ object Plans {
         "q00_compare_pipeline", "q29_minhash_lsh", "q31_ann_bruteforce",
         // round-4 operators: relational repetition aggs, single-exchange
         // profiler, one-shuffle nearest as-of, budget-sample window
-        "q61_repetition", "q63_budget_sample", "q67_asof_nearest", "q68_profile")
+        "q61_repetition", "q63_budget_sample", "q67_asof_nearest", "q68_profile",
+        // round-5 operators: substring window index joins, delta banding,
+        // boilerplate doc-frequency anti-join
+        "q69_substring_dup", "q73_substring_spans", "q72_delta_dedup",
+        "q71_boilerplate_lines")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -64,6 +64,20 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("substringDupSpans: planted shared block of length L measures exactly L") =
+    forAll(Gen.chooseNum(10, 40), Gen.chooseNum(0, 30), Gen.chooseNum(0, 30)) {
+      (blockLen, padA, padB) =>
+        import spark.implicits._
+        // disjoint filler alphabets: the ONLY shared content is the block
+        val block = (0 until blockLen).map(i => s"s$i").mkString(" ")
+        val a = ((0 until padA).map(i => s"a$i") :+ block) ++ (0 until 12).map(i => s"aa$i")
+        val b = ((0 until padB).map(i => s"b$i") :+ block) ++ (0 until 12).map(i => s"bb$i")
+        val d = Seq((0L, a.mkString(" ")), (1L, b.mkString(" "))).toDF("doc_id", "text")
+        val out = Dedup.substringDupSpans(d, "doc_id", "text", k = 10, minRunTokens = 10)
+          .collect()
+        out.length == 1 && out.head.getLong(2) == blockLen.toLong
+    }
+
   property("connectedComponents: same component iff connected (vs union-find)") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { edges0 =>
       val edges = edges0.filter(e => e._1 != e._2)
