@@ -63,10 +63,17 @@ object ScaleProbe {
       val nRep = rep.count()
       val nPacked = packed.count()
       val t3 = System.nanoTime()
+      // substring axis (r5): window-index self-join. Clone replication makes
+      // every copy pair share ALL its windows, so match volume grows with
+      // factor² per cluster — the deliberate worst case for the index join.
+      val spans = Dedup.substringDupPairs(docs, "doc_id", "text", k = 30)
+      val nSpanPairs = spans.count()
+      val t4 = System.nanoTime()
       println(f"""{"factor":$factor,"docs":$n,"pairs":$nPairs,"folded":$comps,""" +
         f""""lsh_sec":${(t1 - t0) / 1e9}%.2f,"cc_sec":${(t2 - t1) / 1e9}%.2f,""" +
         f""""rep_rows":$nRep,"packed_rows":$nPacked,""" +
-        f""""assembly_sec":${(t3 - t2) / 1e9}%.2f}""")
+        f""""assembly_sec":${(t3 - t2) / 1e9}%.2f,""" +
+        f""""substr_pairs":$nSpanPairs,"substr_sec":${(t4 - t3) / 1e9}%.2f}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
