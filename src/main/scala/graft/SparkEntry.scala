@@ -726,6 +726,18 @@ object SparkEntry {
         .filter(col("id") =!= col("component")) // only docs folded into a group
         .orderBy("id")
     }),
+    // span-based decontamination: longest verbatim run each TRAIN doc
+    // shares with an EVAL doc (hash-shard 0 again plays the benchmark) —
+    // the run-length criterion, next to q57's set-containment one
+    "q74_decontamination_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sharded = Ops.shardByHash(docs, "doc_id", 5)
+      val evalSet = sharded.filter(col("shard") === 0).drop("shard")
+      val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      Dedup.substringSpansBetween(corpus, evalSet, "doc_id", "text",
+          k = 10, minRunTokens = 20)
+        .orderBy("train_id", "eval_id")
+    }),
     // longest shared verbatim span per pair: k=10 positional windows, runs
     // reassembled per (pair, diagonal) — detects and MEASURES spans >= 30
     // tokens exactly (q69's fixed-k windows only count, they can't size)
@@ -1677,6 +1689,32 @@ object SparkEntry {
                          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS id, min(b) AS component FROM reach
          GROUP BY a HAVING min(b) < a ORDER BY id""",
+    "q74_decontamination_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         e AS (SELECT doc_id, u.p AS p,
+                      list_sum([ (instr('0123456789abcdef', substr(md5(u.s), kk, 1)) - 1)
+                                 * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)]) AS h
+               FROM (SELECT doc_id, unnest([{'p': i, 's': array_to_string(w[i:i+9], ' ')}
+                                            for i in range(1, len(w) - 8)]) AS u
+                     FROM w) t),
+         hs AS (SELECT doc_id,
+                       (list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), kk, 1)) - 1)
+                                   * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)])::BIGINT % 5)
+                         AS shard
+                FROM documents),
+         et AS (SELECT e.* FROM e JOIN hs ON e.doc_id = hs.doc_id WHERE hs.shard != 0),
+         ee AS (SELECT e.* FROM e JOIN hs ON e.doc_id = hs.doc_id WHERE hs.shard = 0),
+         m AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, a.p AS pa, b.p AS pb
+               FROM et a JOIN ee b ON a.h = b.h AND a.doc_id <> b.doc_id),
+         r AS (SELECT train_id, eval_id, pa - pb AS d, pa,
+                      pa - row_number() OVER (PARTITION BY train_id, eval_id, pa - pb
+                                              ORDER BY pa) AS grp
+               FROM m),
+         runs AS (SELECT train_id, eval_id, count(*) AS rw
+                  FROM r GROUP BY train_id, eval_id, d, grp)
+         SELECT train_id, eval_id, (max(rw) + 9)::BIGINT AS longest_run_tokens
+         FROM runs GROUP BY train_id, eval_id
+         HAVING max(rw) + 9 >= 20 ORDER BY train_id, eval_id""",
     "q73_substring_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          e AS (SELECT doc_id, u.p AS p,

@@ -203,31 +203,70 @@ object Dedup {
       k: Int = 10, minRunTokens: Int = 50): DataFrame = {
     require(k >= 2, s"k must be >= 2 tokens, got $k")
     require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    val e = pin(positionalWindowHashes(df, idCol, textCol, k))
+    val out = spansFromMatches(
+      e.as("x").join(e.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id")),
+      k, minRunTokens)
+    e.unpersist(false)
+    out
+  }
+
+  /** Span-based DECONTAMINATION: for each (train, eval) pair, the longest
+    * verbatim token run the train document shares with the eval document —
+    * the length-thresholded overlap criterion evaluation hygiene actually
+    * uses (a train page quoting ≥ L consecutive tokens of a benchmark item
+    * is contaminated regardless of its global Jaccard). Same diagonal-
+    * islands machinery as [[substringDupSpans]] over two frames; the
+    * measured length lets callers pick the threshold per eval set rather
+    * than bake it into the index. [[contaminationPairs]] remains the
+    * set-containment (fraction) criterion; this is the span (run-length)
+    * one. Output: (train_id, eval_id, longest_run_tokens). */
+  def substringSpansBetween(
+      corpus: DataFrame, evalSet: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minRunTokens: Int = 50): DataFrame = {
+    require(k >= 2, s"k must be >= 2 tokens, got $k")
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    val eT = pin(positionalWindowHashes(corpus, idCol, textCol, k))
+    val eE = pin(positionalWindowHashes(evalSet, idCol, textCol, k))
+    val out = spansFromMatches(
+      eT.as("x").join(eE.as("y"),
+        col("x.h") === col("y.h") && col("x.id") =!= col("y.id")),
+      k, minRunTokens)
+      .withColumnRenamed("id_a", "train_id").withColumnRenamed("id_b", "eval_id")
+    eT.unpersist(false); eE.unpersist(false)
+    out
+  }
+
+  /** (id, p, h) rows: one 60-bit hash per k-token window WITH its position
+    * (stride 1, NOT deduped — chain reassembly needs every occurrence). */
+  private def positionalWindowHashes(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    // positional windows — NOT deduped (chains need every occurrence)
     val wins = when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
       .otherwise(array().cast("array<string>"))
-    val e = pin(df.select(col(idCol).as("id"), posexplode(wins).as(Seq("p", "s")))
+    df.select(col(idCol).as("id"), posexplode(wins).as(Seq("p", "s")))
       .select(col("id"), col("p"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h")))
-    val m = e.as("x").join(e.as("y"),
-        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.p").as("pa"), col("y.p").as("pb"))
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  /** Diagonal islands over an x↔y window-hash match join → per-pair longest
+    * run (eager; see [[substringDupSpans]] for the argument). */
+  private def spansFromMatches(matches: DataFrame, k: Int, minRunTokens: Int): DataFrame = {
+    val m = matches.select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+      col("x.p").as("pa"), col("y.p").as("pb"))
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("d")).orderBy(col("pa"))
     val runs = m.withColumn("d", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(byDiag))
       .groupBy(col("id_a"), col("id_b"), col("d"), col("grp"))
       .agg(count(lit(1)).as("rw"))
-    val out = runs.groupBy("id_a", "id_b")
+    runs.groupBy("id_a", "id_b")
       .agg((max(col("rw")) + lit(k - 1)).as("longest_run_tokens"))
       .filter(col("longest_run_tokens") >= minRunTokens)
       .localCheckpoint(true)
-    e.unpersist(false)
-    out
   }
 
   /** Cross-corpus decontamination: (train doc, eval doc) pairs where the

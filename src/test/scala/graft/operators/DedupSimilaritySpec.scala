@@ -149,6 +149,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Dedup.substringDupSpans(d, "doc_id", "text", k = 10, minRunTokens = 36).isEmpty)
   }
 
+  test("substringSpansBetween: eval quote inside a train doc measured; eval-internal pairs invisible") {
+    val quote = (0 until 25).map(i => s"q$i").mkString(" ")
+    val train = Seq(
+      (0L, s"${(0 until 40).map(i => s"t$i").mkString(" ")} $quote ${(0 until 15).map(i => s"tt$i").mkString(" ")}"),
+      (1L, (0 until 60).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, s"${(0 until 5).map(i => s"e$i").mkString(" ")} $quote"),
+      (101L, s"${(0 until 5).map(i => s"e$i").mkString(" ")} $quote") // eval-internal dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpansBetween(train, evalSet, "doc_id", "text",
+      k = 10, minRunTokens = 20).orderBy("train_id", "eval_id").collect()
+    // train 0 quotes BOTH eval docs at exactly 25 tokens; eval 100↔101's
+    // mutual 30-token overlap is eval-internal and must not appear
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 100L, 25L), (0L, 101L, 25L)))
+  }
+
   test("simhashTable equals the Column-level Text.simhash") {
     import graft.functions.Text
     val t = Dedup.simhashTable(docs, "doc_id", "text")
