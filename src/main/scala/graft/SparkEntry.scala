@@ -608,6 +608,17 @@ object SparkEntry {
         .orderBy("l_quantity", "l_returnflag", "l_linestatus_F", "l_linestatus_O")
         .limit(1000)
     }),
+    // feature scaling ✚: standard-scale quantity (integral-valued -> exact
+    // sums -> engine-identical mean/std via the fixed-order formula) and
+    // min-max-scale linenumber; fit on the full table
+    "q75_cleaner_scaled" -> ((s, d) => {
+      val cleaner = new graft.ml.TableCleaner
+      cleaner.registerNumeric("l_quantity", scale = "standard")
+      cleaner.registerNumeric("l_linenumber", scale = "minmax")
+      cleaner.cleanTable(Tables.lineitem(s, d))
+        .orderBy("l_quantity", "l_linenumber")
+        .limit(1000)
+    }),
     // ----- ✚ sliding-window batch twin -------------------------------------
     "q40_sliding_window" -> ((s, d) => {
       Streams.slidingAgg(Tables.events(s, d), "2 hours", "1 hour")
@@ -1643,6 +1654,21 @@ object SparkEntry {
                 coalesce(l_linestatus = 'O', false) AS l_linestatus_O
          FROM lineitem, stats
          ORDER BY 1, 2, 3, 4 LIMIT 1000""",
+    "q75_cleaner_scaled" ->
+      """WITH st AS (
+           SELECT avg(l_quantity) AS m,
+                  sqrt(greatest(0.0,
+                    (sum(l_quantity * l_quantity)
+                      - sum(l_quantity) * sum(l_quantity) / count(l_quantity))
+                    / count(l_quantity))) AS s,
+                  min(l_quantity) AS qlo, max(l_quantity) AS qhi,
+                  min(l_linenumber) AS nlo, max(l_linenumber) AS nhi
+           FROM lineitem)
+         SELECT (least(greatest(l_quantity, qlo), qhi) - m) / s AS l_quantity,
+                (least(greatest(l_linenumber::DOUBLE, nlo::DOUBLE), nhi::DOUBLE)
+                  - nlo::DOUBLE) / (nhi::DOUBLE - nlo::DOUBLE) AS l_linenumber
+         FROM lineitem, st
+         ORDER BY 1, 2 LIMIT 1000""",
     "q40_sliding_window" ->
       """SELECT epoch_us(w) AS window_start_us, count(*) AS n_events FROM (
            SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,

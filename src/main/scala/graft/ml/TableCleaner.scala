@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   *    `{"name","type":"numerical","impute","clip","v_min","v_mean","v_max"}` /
   *    `{"name","type":"categorical","method","categories"}` objects.
   *
+  * ✚ Extension beyond the reference surface: per-column feature SCALING
+  * (`registerNumeric(..., scale = "standard" | "minmax")`), applied after
+  * impute+clip. Standard uses the population std derived from plain sums in
+  * a fixed operation order ([[NumericalColumn.stdFromSums]]) so the learned
+  * statistic — unlike built-in streaming `stddev` — is partition-order
+  * independent and replayable by the SQL oracle; constant columns scale to
+  * 0.0 under both modes. `scale`/`v_std` round-trip through to_dict JSON
+  * but are written only when active, keeping unscaled dicts byte-compatible
+  * with the reference.
+  *
   * Documented divergences: learned categories are SORTED distinct non-null
   * (the reference uses nondeterministic first-appearance order and mutates
   * its category list with an 'Unknown' sentinel between cleans — a bug we
@@ -50,9 +60,13 @@ final case class NumericalColumn(
     name: String,
     impute: String = "mean",
     clip: Boolean = true,
+    scale: String = "none", // "none" | "standard" | "minmax" (✚ extension)
     vMin: Option[Double] = None,
     vMean: Option[Double] = None,
-    vMax: Option[Double] = None) extends CleanColumn {
+    vMax: Option[Double] = None,
+    vStd: Option[Double] = None) extends CleanColumn {
+  require(Seq("none", "standard", "minmax").contains(scale),
+    s"scale must be none|standard|minmax, got $scale")
 
   def measured: Boolean = vMin.isDefined || vMean.isDefined || vMax.isDefined
 
@@ -60,9 +74,14 @@ final case class NumericalColumn(
     val row = df.agg(
       avg(col(name).cast("double")).as("mean"),
       min(col(name).cast("double")).as("min"),
-      max(col(name).cast("double")).as("max")).head()
+      max(col(name).cast("double")).as("max"),
+      sum(col(name).cast("double")).as("sx"),
+      sum(col(name).cast("double") * col(name).cast("double")).as("sx2"),
+      count(col(name)).as("n")).head()
     copy(vMin = Some(row.getDouble(1)), vMean = Some(row.getDouble(0)),
-      vMax = Some(row.getDouble(2)))
+      vMax = Some(row.getDouble(2)),
+      vStd = Some(NumericalColumn.stdFromSums(
+        row.getDouble(3), row.getDouble(4), row.getLong(5))))
   }
 
   private def imputeValue: Double = impute match {
@@ -74,11 +93,35 @@ final case class NumericalColumn(
 
   def exprs: Seq[Column] = {
     val base = coalesce(col(name).cast("double"), lit(imputeValue))
-    val out =
+    val clipped =
       if (clip) least(greatest(base, lit(vMin.getOrElse(0.0))), lit(vMax.getOrElse(0.0)))
       else base
+    val out = scale match {
+      case "none" => clipped
+      case "standard" =>
+        val s = vStd.getOrElse(0.0)
+        if (s == 0.0) lit(0.0) // constant column: every value IS the mean
+        else (clipped - lit(vMean.getOrElse(0.0))) / lit(s)
+      case "minmax" =>
+        val (lo, hi) = (vMin.getOrElse(0.0), vMax.getOrElse(0.0))
+        if (hi == lo) lit(0.0)
+        else (clipped - lit(lo)) / lit(hi - lo)
+    }
     Seq(out.as(name))
   }
+}
+
+object NumericalColumn {
+  /** Population std from plain sums, in a FIXED operation order —
+    * sqrt((Σx² − Σx·Σx/n) / n) — so any engine replaying the same three
+    * exact sums produces the bit-identical double (Spark's/DuckDB's
+    * built-in `stddev` use streaming central-moment merges whose float
+    * result depends on partition order — unusable under the oracle
+    * contract). Exact whenever the sums are (integral-valued columns up to
+    * 2^53, or cents-quantized inputs); max(0, ·) guards the tiny negative
+    * residual rounding can leave on near-constant columns. */
+  def stdFromSums(sx: Double, sx2: Double, n: Long): Double =
+    if (n == 0L) 0.0 else math.sqrt(math.max(0.0, (sx2 - sx * sx / n) / n))
 }
 
 final case class CategoricalColumn(
@@ -134,8 +177,9 @@ final case class CategoricalColumn(
 final class TableCleaner {
   private[ml] val columns = ArrayBuffer.empty[CleanColumn]
 
-  def registerNumeric(name: String, impute: String = "mean", clip: Boolean = true): Unit =
-    columns += NumericalColumn(name, impute, clip)
+  def registerNumeric(name: String, impute: String = "mean", clip: Boolean = true,
+      scale: String = "none"): Unit =
+    columns += NumericalColumn(name, impute, clip, scale)
 
   def registerLabel(name: String, categories: Seq[String] = Nil): Unit =
     columns += CategoricalColumn(name, "label", categories)
@@ -157,7 +201,10 @@ final class TableCleaner {
         val n = columns(i).name
         Seq(avg(col(n).cast("double")).as(s"__mean_$i"),
           min(col(n).cast("double")).as(s"__min_$i"),
-          max(col(n).cast("double")).as(s"__max_$i"))
+          max(col(n).cast("double")).as(s"__max_$i"),
+          sum(col(n).cast("double")).as(s"__sx_$i"),
+          sum(col(n).cast("double") * col(n).cast("double")).as(s"__sx2_$i"),
+          count(col(n)).as(s"__n_$i"))
       }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       numIdx.zipWithIndex.foreach { case (i, k) =>
@@ -165,9 +212,11 @@ final class TableCleaner {
         // getDouble throws on null (all-null column) — same caller-error
         // surfacing as the per-column fit path (EdgeCasesSpec pins it)
         columns(i) = nc.copy(
-          vMean = Some(row.getDouble(3 * k)),
-          vMin = Some(row.getDouble(3 * k + 1)),
-          vMax = Some(row.getDouble(3 * k + 2)))
+          vMean = Some(row.getDouble(6 * k)),
+          vMin = Some(row.getDouble(6 * k + 1)),
+          vMax = Some(row.getDouble(6 * k + 2)),
+          vStd = Some(NumericalColumn.stdFromSums(
+            row.getDouble(6 * k + 3), row.getDouble(6 * k + 4), row.getLong(6 * k + 5))))
       }
     }
     columns.indices.foreach { i =>
@@ -236,6 +285,13 @@ final class TableCleaner {
         val o = arr.addObject()
         o.put("name", n.name).put("type", "numerical").put("impute", n.impute)
           .put("clip", n.clip)
+        // scale/v_std are our extension; written only when active so an
+        // unscaled dict stays byte-compatible with the reference's to_dict
+        // shape (its from_dict(**column) rejects unknown keys)
+        if (n.scale != "none") {
+          o.put("scale", n.scale)
+          o.put("v_std", n.vStd.getOrElse(0.0))
+        }
         o.put("v_min", n.vMin.getOrElse(0.0))
         o.put("v_mean", n.vMean.getOrElse(0.0))
         o.put("v_max", n.vMax.getOrElse(0.0))
@@ -275,9 +331,11 @@ object TableCleaner {
             node.get("name").asText(),
             node.get("impute").asText(),
             node.get("clip").asBoolean(),
+            Option(node.get("scale")).map(_.asText()).getOrElse("none"),
             Some(node.get("v_min").asDouble()),
             Some(node.get("v_mean").asDouble()),
-            Some(node.get("v_max").asDouble()))
+            Some(node.get("v_max").asDouble()),
+            Option(node.get("v_std")).map(n => Some(n.asDouble())).getOrElse(None))
         case "categorical" =>
           val catsNode = node.get("categories").asInstanceOf[ArrayNode]
           val method = node.get("method").asText()

@@ -36,6 +36,38 @@ class TableCleanerSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { bad.cleanTable(train) }
   }
 
+  test("scaling ✚: standard = (x-mean)/pop-std, minmax = (x-min)/(max-min), constants -> 0.0") {
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val cs = new TableCleaner
+    cs.registerNumeric("x", scale = "standard")
+    val std = cs.cleanTable(d).collect().map(_.getDouble(0))
+    val popStd = math.sqrt(2.0) // mean 3, pop variance 2
+    assert(std.zip(Seq(1.0, 2.0, 3.0, 4.0, 5.0)).forall {
+      case (got, x) => math.abs(got - (x - 3.0) / popStd) < 1e-12
+    })
+    val cm = new TableCleaner
+    cm.registerNumeric("x", scale = "minmax")
+    val mm = cm.cleanTable(d).collect().map(_.getDouble(0))
+    assert(mm.toSeq == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // constant column: both modes emit 0.0, no division by zero
+    val const = Seq(7.0, 7.0).toDF("x")
+    val cc = new TableCleaner
+    cc.registerNumeric("x", scale = "standard")
+    assert(cc.cleanTable(const).collect().map(_.getDouble(0)).toSeq == Seq(0.0, 0.0))
+    // invalid mode rejected at registration
+    intercept[IllegalArgumentException](
+      (new TableCleaner).registerNumeric("x", scale = "zscore"))
+    // scale + v_std survive the JSON round-trip; unscaled dicts omit both
+    val json = cs.toJson
+    assert(json.contains("\"scale\"") && json.contains("\"v_std\""))
+    val back = TableCleaner.fromJson(json)
+    assert(back.cleanTable(d).collect().map(_.getDouble(0)).toSeq == std.toSeq)
+    val plain = new TableCleaner
+    plain.registerNumeric("x")
+    plain.fit(d)
+    assert(!plain.toJson.contains("scale")) // unscaled stays reference-shaped
+  }
+
   test("label encode with given categories: idx+1, unknown->0, null->0, keeps name (ml.py:9-17)") {
     val c = new TableCleaner
     c.registerLabel("animal", Seq("Goose", "Falcon"))
