@@ -832,6 +832,14 @@ object SparkEntry {
           count(when(col("first_click") > col("first_signup"), 1)).as("n_click_after_signup"),
           count(when(col("first_purchase") > col("first_signup"), 1)).as("n_purchase_after_signup"))
     }),
+    // exact per-group correlation ✚: Pearson r from fixed-order plain sums
+    // (integral columns -> exact sums -> engine-identical doubles), where
+    // built-in streaming corr is partition-order dependent
+    "q76_corr_exact" -> ((s, d) => {
+      Grouping.groupby(Tables.lineitem(s, d), Seq("l_returnflag"))
+        .corrExact("l_quantity", "l_linenumber", "corr_qty_line")
+        .orderBy("l_returnflag")
+    }),
     // ----- ✚ vector analytics: exact per-label centroids via integer sums --
     "q42_label_centroids" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2001,6 +2009,21 @@ object SparkEntry {
                 count(CASE WHEN c > s THEN 1 END) AS n_click_after_signup,
                 count(CASE WHEN p > s THEN 1 END) AS n_purchase_after_signup
          FROM pu""",
+    "q76_corr_exact" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+                  sum(l_quantity) AS sx, sum(l_linenumber::DOUBLE) AS sy,
+                  sum(l_quantity * l_linenumber::DOUBLE) AS sxy,
+                  sum(l_quantity * l_quantity) AS sx2,
+                  sum(l_linenumber::DOUBLE * l_linenumber::DOUBLE) AS sy2,
+                  count(*)::DOUBLE AS n
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                CASE WHEN n >= 2 AND n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+                     THEN (n * sxy - sx * sy)
+                          / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+                END AS corr_qty_line
+         FROM a ORDER BY l_returnflag""",
     "q42_label_centroids" ->
       """SELECT label, i - 1 AS dim,
                 CAST(sum(round(embedding[i]::DOUBLE * 1000)::BIGINT) AS DOUBLE) / count(*) AS centroid_milli

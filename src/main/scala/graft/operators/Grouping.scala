@@ -105,6 +105,34 @@ final case class Grouping(df: DataFrame, by: Seq[String]) {
   def count(): DataFrame =
     df.groupBy(by.map(col): _*).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
 
+  /** Per-group exact Pearson correlation (✚ extension): r derived from
+    * plain pairwise-complete sums in ONE fixed-order expression,
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)),
+    * instead of the built-in streaming `corr`, whose central-moment merges
+    * make the float result partition-order dependent. With integral or
+    * quantized inputs the sums are exact and associative, so the result is
+    * reproducible on any cluster size and bit-identical to a SQL engine
+    * replaying the formula (the q76 oracle contract). Groups with < 2
+    * pairwise-complete rows or a zero-variance side yield null (SQL
+    * `corr` convention, not NaN). One map-side-combined hash-agg shuffle. */
+  def corrExact(xCol: String, yCol: String, outCol: String = "corr"): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val both = x.isNotNull && y.isNotNull
+    def s(c: Column) = org.apache.spark.sql.functions.sum(when(both, c))
+    val n = org.apache.spark.sql.functions.count(when(both, lit(1))).cast("double")
+    val agged = df.groupBy(by.map(col): _*).agg(
+      s(x).as("__sx"), s(y).as("__sy"), s(x * y).as("__sxy"),
+      s(x * x).as("__sx2"), s(y * y).as("__sy2"), n.as("__n"))
+    val varX = col("__n") * col("__sx2") - col("__sx") * col("__sx")
+    val varY = col("__n") * col("__sy2") - col("__sy") * col("__sy")
+    agged.withColumn(outCol,
+        when(col("__n") >= 2 && varX > 0 && varY > 0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (sqrt(varX) * sqrt(varY))))
+      .drop("__sx", "__sy", "__sxy", "__sx2", "__sy2", "__n")
+  }
+
   /** Per-group iteration (`group.py:29-32`) — the UDTF analog. Distributed:
     * groups are co-located by a hash shuffle on the TYPED key, then each
     * group's rows stream through `f` on the executor (no driver collect).

@@ -103,6 +103,21 @@ class GroupingSpec extends SparkTestBase {
       (null, "x", 4L), ("t", "", 5L), ("t", null, 6L)))
   }
 
+  test("corrExact: known r per group; degenerate groups null") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),   // perfectly linear: r = 1
+      ("b", 1.0, 3.0), ("b", 2.0, 1.0), ("b", 3.0, 2.0),   // r = -0.5
+      ("c", 1.0, 7.0), ("c", 2.0, 7.0),                    // zero variance in y -> null
+      ("d", 5.0, 5.0)                                      // single row -> null
+    ).toDF("k", "x", "y")
+    val out = Grouping.groupby(d, Seq("k")).corrExact("x", "y")
+      .orderBy("k").collect()
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(out(1).getDouble(1) - (-0.5)) < 1e-12)
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
   test("aggExprs accepts arbitrary Column aggregations") {
     val out = Grouping.groupby(animals, Seq("animal"))
       .aggExprs(countDistinct(col("max_speed")).as("nd"))
