@@ -491,6 +491,15 @@ object SparkEntry {
         .select("col_name", "n_rows", "n_nulls", "min_value", "max_value")
         .orderBy("col_name")
     }),
+    // equi-width histogram ✚: 20 fixed bins over order totals in cents —
+    // fixed bounds keep bins comparable across runs and the bin function
+    // engine-portable; sentinel bins -1/-2/-3 catch out-of-range and nulls
+    "q77_histogram" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast(LongType).as("price_cents"))
+      operators.Profile.histogram(o, "price_cents", 0.0, 60000000.0, 20)
+        .orderBy("bin")
+    }),
     // nearest-direction as-of: closer of backward/forward click per purchase
     // (ties resolve backward); oracled via two DuckDB ASOF joins + CASE
     "q67_asof_nearest" -> ((s, d) => {
@@ -1528,6 +1537,23 @@ object SparkEntry {
            SELECT 'price_cents', count(*)::BIGINT, (count(*) - count(price_cents))::BIGINT,
                   min(price_cents)::VARCHAR, max(price_cents)::VARCHAR FROM o)
          ORDER BY col_name""",
+    "q77_histogram" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                    FROM orders),
+         t AS (SELECT CASE WHEN price_cents IS NULL THEN -3
+                           WHEN price_cents < 0 THEN -1
+                           WHEN price_cents > 60000000 THEN -2
+                           WHEN price_cents = 60000000 THEN 19
+                           ELSE CAST(floor((price_cents::DOUBLE - 0.0) / 3000000.0) AS BIGINT)
+                      END AS bin
+               FROM o)
+         SELECT bin,
+                CASE WHEN bin >= 0
+                     THEN 0.0::DOUBLE + bin::DOUBLE * 3000000.0::DOUBLE END AS bin_lo,
+                CASE WHEN bin >= 0
+                     THEN 0.0::DOUBLE + (bin + 1)::DOUBLE * 3000000.0::DOUBLE END AS bin_hi,
+                count(*) AS n
+         FROM t GROUP BY bin ORDER BY bin""",
     "q67_asof_nearest" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
                     FROM events WHERE event_type = 'purchase'),

@@ -47,4 +47,34 @@ object Profile {
     }: _*)
     row.select(explode(entries).as("p")).select("p.*")
   }
+
+  /** Equi-width histogram of one numeric column over FIXED [lo, hi) bounds:
+    * (bin, bin_lo, bin_hi, n). Explicit bounds — not data-derived — keep it
+    * one scan, make bins comparable across tables/days, and make the bin
+    * function engine-portable (bin = floor((x − lo) / width), one fixed
+    * double division). Values at exactly `hi` land in the last bin
+    * (inclusive upper edge, numpy.histogram convention); values outside
+    * [lo, hi] and nulls are counted under sentinel bins −1 (below), −2
+    * (above), −3 (null) with null bounds rather than dropped silently — a
+    * histogram that quietly loses rows misleads at 100 TB.
+    * Output rows exist only for non-empty bins (sparse; a dense axis is a
+    * `sequence` join away). One map-side-combined hash-agg. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / nBins
+    val x = col(c).cast("double")
+    val bin = when(x === hi, lit(nBins - 1).cast("long"))
+      .otherwise(floor((x - lit(lo)) / lit(width)))
+    val tagged = df.select(
+      when(x.isNull, lit(-3L))
+        .when(x < lo, lit(-1L))
+        .when(x > hi, lit(-2L))
+        .otherwise(bin).as("bin"))
+    tagged.groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        when(col("bin") >= 0, lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        when(col("bin") >= 0, lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
+        col("n"))
+  }
 }

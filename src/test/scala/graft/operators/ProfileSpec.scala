@@ -26,6 +26,22 @@ class ProfileSpec extends SparkTestBase {
     assert(row.getLong(2) == 2L && row.isNullAt(4) && row.isNullAt(5))
   }
 
+  test("histogram: known bins, inclusive hi edge, out-of-range/null sentinels, no lost rows") {
+    val df = Seq(Some(0.0), Some(1.0), Some(2.5), Some(5.0), Some(9.9), Some(10.0),
+      Some(-1.0), Some(11.0), None).toDF("x")
+    val h = Profile.histogram(df, "x", 0.0, 10.0, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // width 2.5: bins [0,2.5) {0,1}, [2.5,5) {2.5}, [5,7.5) {5}, [7.5,10] {9.9, 10.0}
+    assert(h == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L, -1L -> 1L, -2L -> 1L, -3L -> 1L))
+    assert(h.values.sum == 9L) // every input row is accounted for
+    val bounds = Profile.histogram(df, "x", 0.0, 10.0, 4)
+      .filter($"bin" === 1L).head()
+    assert(bounds.getDouble(1) == 2.5 && bounds.getDouble(2) == 5.0)
+    assert(Profile.histogram(df, "x", 0.0, 10.0, 4)
+      .filter($"bin" < 0).collect().forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    intercept[IllegalArgumentException](Profile.histogram(df, "x", 5.0, 5.0, 4))
+  }
+
   test("profile plans ONE aggregation pass: single exchange, no Expand, no per-column jobs") {
     val df = (0 until 100).map(i => (i.toLong, s"v$i", i % 7)).toDF("a", "b", "c")
     val plan = Profile.profile(df).queryExecution.executedPlan.toString
