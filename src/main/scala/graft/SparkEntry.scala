@@ -554,6 +554,13 @@ object SparkEntry {
       Streams.tumblingAgg(Tables.events(s, d), "1 hour")
         .orderBy("window_start_us", "event_type")
     }),
+    // dense resample ✚: 6-hour buckets with explicit zero rows for empty
+    // intervals (pandas resample+asfreq analog; spine size = range/step,
+    // independent of event volume)
+    "q78_resample_dense" -> ((s, d) => {
+      Streams.resampleDense(Tables.events(s, d), "ts", "value", everyMinutes = 360)
+        .orderBy("bucket_us")
+    }),
     "q35_sessionize" -> ((s, d) => {
       Streams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
         .orderBy("user_id", "session_id")
@@ -1625,6 +1632,22 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q78_resample_dense" ->
+      """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(CAST(ts AS TIMESTAMP)) % 21600000000 AS bucket_us,
+                           value
+                    FROM events),
+         a AS (SELECT bucket_us, count(*) AS n_events,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+               FROM b GROUP BY bucket_us),
+         mm AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM a),
+         spine AS (SELECT unnest(range(lo, hi + 21600000000, 21600000000)) AS bucket_us
+                   FROM mm)
+         SELECT s.bucket_us,
+                coalesce(a.n_events, 0) AS n_events,
+                coalesce(a.value_cents, 0) AS value_cents
+         FROM spine s LEFT JOIN a ON s.bucket_us = a.bucket_us
+         ORDER BY s.bucket_us""",
     "q35_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

@@ -39,6 +39,34 @@ object Streams {
       .select(unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
   }
 
+  /** Dense resample (the pandas `resample().agg()` + `asfreq()` analog —
+    * ✚ extension): bucket events into fixed `everyMinutes` intervals
+    * (bucket = µs − µs mod step: pure integer ops, engine-portable — no
+    * float division near 2^53), aggregate count + cents-quantized value
+    * sum, then LEFT-JOIN a dense bucket spine so EMPTY intervals appear as
+    * explicit zero rows — what gap detection, charting, and downstream
+    * window math need (a missing row silently reads as "no data", a zero
+    * row as "measured zero"). The spine derives from the AGGREGATED
+    * frame's min/max (no second scan of the data) and its size is time
+    * range / step — independent of event volume, so densification stays
+    * trivial at 100 TB. Batch-side companion to [[tumblingAgg]]. */
+  def resampleDense(events: DataFrame, tsCol: String, valueCol: String,
+      everyMinutes: Int): DataFrame = {
+    require(everyMinutes > 0, "everyMinutes must be positive")
+    val stepUs = everyMinutes.toLong * 60L * 1000000L
+    val us = unix_micros(col(tsCol))
+    val b = events.select((us - pmod(us, lit(stepUs))).as("bucket_us"), col(valueCol))
+    val agged = b.groupBy("bucket_us").agg(
+      count(lit(1)).as("n_events"),
+      sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+    val spine = agged.agg(min("bucket_us").as("lo"), max("bucket_us").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(stepUs))).as("bucket_us"))
+    spine.join(agged, Seq("bucket_us"), "left")
+      .select(col("bucket_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+  }
+
   /** Batch sessionization: a session is a maximal run of a user's events with
     * gaps ≤ `gapMinutes`. Two window passes over (user_id): lag to flag
     * session starts, running sum to number sessions — one shuffle on user_id,

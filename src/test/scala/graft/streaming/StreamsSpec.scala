@@ -29,6 +29,21 @@ class StreamsSpec extends SparkTestBase {
     assert(s1.getLong(3) == t(0).getTime * 1000 && s1.getLong(4) == t(10).getTime * 1000)
   }
 
+  test("resampleDense: empty intervals appear as explicit zero rows, totals conserved") {
+    val evs = Seq(
+      Ev(1, t(0), 1, "click", 1.0), Ev(2, t(5), 1, "click", 2.0), // bucket 00:00
+      Ev(3, t(45), 1, "view", 3.0)                                // bucket 00:40 (gap at 00:10..00:30)
+    ).toDF()
+    val out = Streams.resampleDense(evs, "ts", "value", everyMinutes = 10)
+      .orderBy("bucket_us").collect()
+    assert(out.length == 5) // 00:00 .. 00:40 inclusive, every bucket present
+    val us0 = t(0).getTime * 1000
+    assert(out.map(_.getLong(0)).toSeq ==
+      (0 until 5).map(i => us0 + i * 600000000L).toSeq)
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 0L, 1L)) // gaps are ZERO rows
+    assert(out.map(_.getLong(2)).sum == 600L)                      // cents conserved
+  }
+
   test("tumblingAgg batch: hourly buckets with cents-quantized sums") {
     val out = Streams.tumblingAgg(batchEvents, "1 hour").collect()
     assert(out.length == 2) // click and view in hour 0
