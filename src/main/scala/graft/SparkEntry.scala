@@ -554,6 +554,20 @@ object SparkEntry {
       Streams.tumblingAgg(Tables.events(s, d), "1 hour")
         .orderBy("window_start_us", "event_type")
     }),
+    // time-RANGE window frames ✚: per-user rolling 2-hour event count and
+    // cents sum at every event (rangeBetween on event-time micros — the
+    // value-based frame q17's ROWS frames don't exercise; one key shuffle)
+    "q79_rolling_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-7200000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("n_2h", count(lit(1)).over(w))
+        .withColumn("cents_2h", sum(col("cents")).over(w))
+        .select("event_id", "user_id", "ts_us", "n_2h", "cents_2h")
+        .orderBy("event_id")
+    }),
     // dense resample ✚: 6-hour buckets with explicit zero rows for empty
     // intervals (pandas resample+asfreq analog; spine size = range/step,
     // independent of event volume)
@@ -1632,6 +1646,16 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q79_rolling_range" ->
+      """SELECT event_id, user_id, ts_us,
+                count(*) OVER w AS n_2h,
+                CAST(sum(cents) OVER w AS BIGINT) AS cents_2h
+         FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q78_resample_dense" ->
       """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))
                       - epoch_us(CAST(ts AS TIMESTAMP)) % 21600000000 AS bucket_us,
