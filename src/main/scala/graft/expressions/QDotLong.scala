@@ -82,12 +82,22 @@ object GraftFunctions {
     new ExpressionInfo(classOf[QDotLong].getName, "graft_qdot"),
     (children: Seq[Expression]) => QDotLong(children(0), children(1)))
 
-  def register(spark: SparkSession): Unit =
+  val normalizeInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_normalize"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+    UnicodeNormalize.fromChildren)
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_qdot", children => QDotLong(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize", UnicodeNormalize.fromChildren, "scala_udf")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.qdotInfo)
+    ext.injectFunction(GraftFunctions.normalizeInfo)
+  }
 }

@@ -17,6 +17,15 @@ object Text {
   /** Whitespace tokenizer. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Unicode normalization (UAX #15) — codegen'd native expression; see
+    * [[graft.expressions.UnicodeNormalize]]. Requires
+    * `GraftFunctions.register(spark)` (or the `GraftExtensions` injection)
+    * once per session. Run it before [[fingerprint]]/[[wordShingles]] when
+    * a corpus may mix composed and decomposed encodings — byte-different,
+    * render-identical text otherwise defeats exact dedup. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    call_function("graft_normalize", c, lit(form))
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-style subword pre-tokenization (the GPT-2-family pattern shape,
