@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
 import graft.operators.{Dedup, Grouping, Joins, Layout, Ops, Pack, Similarity, Sketches}
-import graft.functions.{Jsons, Multimodal, Pii, Repetition, Text}
+import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
 /** Per-group iteration output row (q09_group_iter). */
@@ -232,6 +232,36 @@ object SparkEntry {
           Text.fingerprint(col("text")).as("fingerprint"),
           Text.langId(col("text")).as("lang_id"),
           Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // Unicode NFC normalization ✚ (codegen'd native expression): a decomposed
+    // combining-accent prefix is planted on every document so the oracle
+    // exercises real composition (the synthetic corpus is ASCII, where NFC
+    // is the quick-checked identity fast path)
+    "q80_unicode_nfc" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("Cafe\u0301 doc "), col("doc_id").cast("string"), lit(" "),
+            substring(col("text"), 1, 40)).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          Text.normalizeUnicode(col("raw"), "NFC").as("nfc"))
+        .select(col("doc_id"),
+          length(col("raw")).cast(LongType).as("len_raw"),
+          length(col("nfc")).cast(LongType).as("len_nfc"),
+          md5(col("nfc")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+    // full Gopher rule battery ✚ (Rae et al. 2021 table A1): per-rule
+    // booleans so a curation job can audit WHY documents drop; word-count
+    // gate splits this corpus (10-99 words vs the >=50 threshold)
+    "q81_gopher_rules" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), Quality.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.ok_word_count"),
+          col("g.ok_mean_word_len"), col("g.ok_symbol_ratio"),
+          col("g.ok_bullet_lines"), col("g.ok_ellipsis_lines"),
+          col("g.ok_alpha_words"), col("g.ok_stopwords"), col("g.pass"))
         .orderBy("doc_id")
     }),
     "q51_token_budget" -> ((s, d) => {
@@ -1154,6 +1184,77 @@ object SparkEntry {
                        + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
                      ELSE 0.0 END AS quality
          FROM sc ORDER BY doc_id""",
+    "q80_unicode_nfc" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  'Cafe' || chr(769) || ' doc ' || doc_id::VARCHAR || ' '
+                    || substr(text, 1, 40) AS raw
+           FROM documents)
+         SELECT doc_id,
+                length(raw)::BIGINT AS len_raw,
+                length(nfc_normalize(raw))::BIGINT AS len_nfc,
+                md5(nfc_normalize(raw)) AS nfc_md5
+         FROM r ORDER BY doc_id""",
+    "q81_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  string_split(text, chr(10)) AS lines,
+                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, toks, lines, ltoks,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(toks) END)::BIGINT AS n
+           FROM t),
+         r AS (
+           SELECT doc_id, text, n,
+             CASE WHEN n > 0 THEN
+               list_sum(list_transform(toks, x -> length(x)))::DOUBLE / n::DOUBLE END AS mean_len,
+             CASE WHEN n > 0 THEN
+               ((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+               / n::DOUBLE END AS sym_ratio,
+             len(list_filter(lines, l -> starts_with(trim(l), '-')
+                   OR starts_with(trim(l), '*')
+                   OR starts_with(trim(l), chr(8226))))::DOUBLE
+               / len(lines)::DOUBLE AS bullet_frac,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::DOUBLE
+               / len(lines)::DOUBLE AS ell_frac,
+             CASE WHEN n > 0 THEN
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / n::DOUBLE END AS alpha_frac,
+             (list_contains(ltoks, 'the')::INT + list_contains(ltoks, 'be')::INT
+              + list_contains(ltoks, 'to')::INT + list_contains(ltoks, 'of')::INT
+              + list_contains(ltoks, 'and')::INT + list_contains(ltoks, 'that')::INT
+              + list_contains(ltoks, 'have')::INT + list_contains(ltoks, 'with')::INT)
+               AS stop_hits
+           FROM c)
+         SELECT doc_id,
+                CASE WHEN text IS NULL THEN NULL ELSE n END AS n_words,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE n >= 50 AND n <= 100000 END AS ok_word_count,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE coalesce(mean_len >= 3.0 AND mean_len <= 10.0, false) END
+                  AS ok_mean_word_len,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE coalesce(sym_ratio <= 0.1, false) END AS ok_symbol_ratio,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE bullet_frac < 0.9 END AS ok_bullet_lines,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE ell_frac < 0.3 END AS ok_ellipsis_lines,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE coalesce(alpha_frac > 0.8, false) END AS ok_alpha_words,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE stop_hits >= 2 END AS ok_stopwords,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE (n >= 50 AND n <= 100000)
+                      AND coalesce(mean_len >= 3.0 AND mean_len <= 10.0, false)
+                      AND coalesce(sym_ratio <= 0.1, false)
+                      AND bullet_frac < 0.9 AND ell_frac < 0.3
+                      AND coalesce(alpha_frac > 0.8, false)
+                      AND stop_hits >= 2 END AS pass
+         FROM r ORDER BY doc_id""",
     "q51_token_budget" ->
       """SELECT doc_id,
                 len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_whitespace,

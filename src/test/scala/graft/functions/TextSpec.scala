@@ -78,4 +78,33 @@ class TextSpec extends SparkTestBase {
     // the high word (bits 32-63) must actually be populated
     assert(h.exists(v => (v >>> 32) != 0L))
   }
+
+  test("normalizeUnicode: NFC composes, NFKC folds compatibility forms, null propagates") {
+    graft.expressions.GraftFunctions.register(spark)
+    // "Cafe" + combining acute (decomposed, 5 chars) vs precomposed (4 chars)
+    val df = Seq(Some("Cafe\u0301"), Some("plain ascii"), Some("\ufb01le \uff10"), None)
+      .toDF("t")
+    val nfc = df.select(Text.normalizeUnicode(col("t")),
+      length(Text.normalizeUnicode(col("t")))).collect()
+    assert(nfc(0).getString(0) == "Caf\u00e9")
+    assert(nfc(0).getInt(1) == 4)
+    assert(nfc(1).getString(0) == "plain ascii") // quick-check identity path
+    assert(nfc(2).getString(0) == "\ufb01le \uff10") // NFC keeps compatibility chars
+    assert(nfc(3).isNullAt(0))
+    val nfkc = df.select(Text.normalizeUnicode(col("t"), "NFKC")).collect()
+    assert(nfkc(2).getString(0) == "file 0") // ligature fi + fullwidth 0 folded
+    // exact-dedup motivation: byte-different, render-identical docs converge
+    val fp = Seq("Cafe\u0301", "Caf\u00e9").toDF("t")
+      .select(Text.fingerprint(Text.normalizeUnicode(col("t")))).collect()
+    assert(fp(0).getString(0) == fp(1).getString(0))
+  }
+
+  test("normalizeUnicode: invalid form rejected at construction") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq("x").toDF("t")
+    val e = intercept[Exception] {
+      df.select(Text.normalizeUnicode(col("t"), "NFX")).collect()
+    }
+    assert(e.getMessage.contains("NFC") || e.getMessage.contains("form"))
+  }
 }
