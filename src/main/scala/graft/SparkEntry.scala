@@ -405,6 +405,25 @@ object SparkEntry {
         .groupBy(col("band")).agg(count(lit(1)).as("n"))
         .orderBy("band")
     }),
+    // interval-OVERLAP join ✚ (both sides are intervals, unlike q55's
+    // point-in-interval): click/purchase pairs within 30 minutes per user,
+    // expressed as overlapping 30-minute windows — each pair meets in
+    // exactly one bucket (the intersection start's), so no dedup pass
+    "q82_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val halfHourUs = 1800000000L
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("c_lo"), (col("us") + halfHourUs).as("c_hi"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("p_lo"), (col("us") + halfHourUs).as("p_hi"))
+      Joins.intervalJoin(clicks, "c_lo", "c_hi", purchases, "p_lo", "p_hi",
+          bucketWidth = 1800000000.0, on = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     // ----- ✚ corpus assembly: hash sampling, decontamination, packing ----
     // deterministic hash sample + shard: pure function of the id, so the
     // split re-derives identically on any engine/cluster (unlike sample())
@@ -1497,6 +1516,19 @@ object SparkEntry {
          SELECT band, count(*) AS n
          FROM orders o JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
          GROUP BY band ORDER BY band""",
+    "q82_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS c_lo,
+                           epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS c_hi
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS p_lo,
+                      epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS p_hi
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, click_id, purchase_id
+         FROM c JOIN p ON c.user_id = p.user_id
+                      AND c_lo <= p_hi AND p_lo <= c_hi
+         ORDER BY 1, 2, 3""",
     "q56_hash_sample" ->
       """WITH h AS (
            SELECT doc_id,

@@ -184,6 +184,40 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Bucketized interval-OVERLAP join: pairs where [left.loL, hiL] and
+    * [right.loR, hiR] intersect (closed intervals: touching endpoints
+    * match), optionally within equi-key groups (`on`). The raw predicate
+    * `loL <= hiR AND loR <= hiL` plans as a nested-loop/cartesian; instead
+    * BOTH sides explode into the `bucketWidth` buckets their interval
+    * covers and meet in a keyed equi-join. An overlapping pair shares every
+    * bucket in the intersection — to emit it exactly once (no dedup pass),
+    * a match only counts in the bucket of `greatest(loL, loR)`, the
+    * intersection's start, which both sides provably cover. Cost scales
+    * with Σ(span / bucketWidth) per side: pick bucketWidth near the typical
+    * interval length. Null/inverted intervals drop out; output is left
+    * columns then right's novel columns (left-wins like [[join]]). */
+  def intervalJoin(
+      left: DataFrame, loL: String, hiL: String,
+      right: DataFrame, loR: String, hiR: String,
+      bucketWidth: Double, on: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!left.columns.contains(loR) && !left.columns.contains(hiR),
+      s"$loR/$hiR must not clash with left column names")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "intervalJoin reserves the internal column name __bucket; rename the input column")
+    val dup = right.columns.toSet.intersect(left.columns.toSet) -- on.toSet
+    val r0 = dup.foldLeft(right)((d, c) => d.drop(c))
+    def buckets(d: DataFrame, lo: String, hi: String) =
+      d.filter(col(lo).isNotNull && col(hi).isNotNull && col(hi) >= col(lo))
+        .withColumn("__bucket", explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    buckets(left, loL, hiL).join(buckets(r0, loR, hiR), on :+ "__bucket")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        floor(greatest(col(loL), col(loR)) / bucketWidth).cast("long") === col("__bucket"))
+      .drop("__bucket")
+  }
+
   /** Skew-mitigated inner equi-join: salt the skewed (left) side's key into
     * `saltBuckets` shards and replicate the right side once per shard, so a
     * hot key's rows spread over `saltBuckets` reducers instead of one.

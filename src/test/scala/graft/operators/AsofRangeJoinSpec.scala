@@ -117,6 +117,47 @@ class AsofRangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("intervalJoin equals the naive overlap join, each pair exactly once") {
+    // random-ish intervals with heavy mutual overlap and shared ends
+    val l = (0 until 120).map(i => (i.toLong, (i * 7 % 50).toDouble, (i * 7 % 50 + i % 13).toDouble))
+      .toDF("lid", "a_lo", "a_hi")
+    val r = (0 until 80).map(i => (i.toLong, (i * 11 % 60).toDouble, (i * 11 % 60 + i % 9).toDouble))
+      .toDF("rid", "b_lo", "b_hi")
+    val got = Joins.intervalJoin(l, "a_lo", "a_hi", r, "b_lo", "b_hi", bucketWidth = 6.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want = l.crossJoin(r)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.toSet == want && want.nonEmpty)
+    assert(got.length == got.toSet.size) // exactly-once: no dedup pass needed
+  }
+
+  test("intervalJoin with equi keys restricts pairs to the key group") {
+    val l = Seq(("u1", 0.0, 10.0, 1L), ("u2", 0.0, 10.0, 2L)).toDF("u", "a_lo", "a_hi", "lid")
+    val r = Seq(("u1", 5.0, 15.0, 7L)).toDF("u", "b_lo", "b_hi", "rid")
+    val out = Joins.intervalJoin(l, "a_lo", "a_hi", r, "b_lo", "b_hi",
+        bucketWidth = 4.0, on = Seq("u"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((1L, 7L)))
+  }
+
+  test("intervalJoin: touching endpoints match; inverted/null intervals drop") {
+    val l = Seq((1L, Some(0.0), Some(5.0)), (2L, Some(9.0), Some(3.0)), (3L, None, Some(4.0)))
+      .toDF("lid", "a_lo", "a_hi")
+    val r = Seq((7L, 5.0, 8.0)).toDF("rid", "b_lo", "b_hi")
+    val out = Joins.intervalJoin(l, "a_lo", "a_hi", r, "b_lo", "b_hi", bucketWidth = 2.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((1L, 7L))) // [0,5] touches [5,8]; inverted + null drop
+  }
+
+  test("intervalJoin plans an equi-join on the bucket key, not a cartesian") {
+    val l = (0 until 50).map(i => (i.toLong, i.toDouble, i + 2.0)).toDF("lid", "a_lo", "a_hi")
+    val r = Seq((1L, 0.0, 10.0)).toDF("rid", "b_lo", "b_hi")
+    val plan = Joins.intervalJoin(l, "a_lo", "a_hi", r, "b_lo", "b_hi", bucketWidth = 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("argument validation raises") {
     intercept[IllegalArgumentException] {
       Joins.asofJoin(trades, quotes, Seq("sym"), "ts", direction = "sideways")
