@@ -15,7 +15,11 @@ object Plans {
         // round-5 operators: substring window index joins, delta banding,
         // boilerplate doc-frequency anti-join
         "q69_substring_dup", "q73_substring_spans", "q72_delta_dedup",
-        "q71_boilerplate_lines")
+        "q71_boilerplate_lines",
+        // late-round-5 operators: inverted-index sparse cosine, broadcast
+        // value→bin map, one-window stratified sample, salted join
+        "q83_sparse_cosine", "q84_quantile_bins", "q85_stratified_sample",
+        "q86_salted_join")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

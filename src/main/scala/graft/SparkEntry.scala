@@ -342,6 +342,16 @@ object SparkEntry {
           threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
+    // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
+    // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
+    // exact integer dots/norms -> engine-identical cosine, micro-quantized
+    "q83_sparse_cosine" -> ((s, d) => {
+      Similarity.sparseCosinePairs(Tables.documents(s, d), "doc_id",
+          Text.wordShingles(col("text"), 3), threshold = 0.6, maxDf = 10)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("cosine") * 1e6).cast(LongType).as("cosine_micro"))
+        .orderBy("doc_a", "doc_b")
+    }),
     // pair-recall scorecard for the near-dup path (q52's sibling, VERDICT r2
     // #4): LSH-found pairs vs an EXACT quantized-cosine threshold join. The
     // found side is the scale path (full corpus). The exact side is a
@@ -424,6 +434,16 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
+    // salted skew join ✚: the fact side's rows spread over 8 salt shards,
+    // the dim side replicated once per shard — a hot key's rows land on 8
+    // reducers instead of one; result identical to the plain inner join
+    "q86_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      Joins.saltedJoin(o, c, Seq("o_custkey"), saltBuckets = 8)
+        .orderBy("o_orderkey")
+    }),
     // ----- ✚ corpus assembly: hash sampling, decontamination, packing ----
     // deterministic hash sample + shard: pure function of the id, so the
     // split re-derives identically on any engine/cluster (unlike sample())
@@ -431,6 +451,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Ops.shardByHash(Ops.sampleByHash(docs, "doc_id", 0.0, 0.25), "doc_id", 10)
         .select(col("doc_id"), col("shard"))
+        .orderBy("doc_id")
+    }),
+    // stratified sample ✚: exactly 5 docs per (lang, source) stratum, taken
+    // in id-hash order — the same md5-derived hash q56 re-derives, so the
+    // selected set is a pure function of the data on any engine
+    "q85_stratified_sample" -> ((s, d) => {
+      Ops.sampleNPerGroup(Tables.documents(s, d), Seq("lang", "source"), "doc_id", 5)
+        .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
     // decontamination: hash-shard 0 stands in for the eval benchmark; flag
@@ -547,6 +575,16 @@ object SparkEntry {
       val o = Tables.orders(s, d).select(
         round(col("o_totalprice") * 100).cast(LongType).as("price_cents"))
       operators.Profile.histogram(o, "price_cents", 0.0, 60000000.0, 20)
+        .orderBy("bin")
+    }),
+    // equal-frequency binning ✚: rank-percentile bins derived from the
+    // per-VALUE count table (ntile semantics minus its engine-specific tie
+    // split); rows are never globally sorted — the tiny value->bin map
+    // broadcast-joins back onto the input
+    "q84_quantile_bins" -> ((s, d) => {
+      operators.Profile.equalFrequencyBins(Tables.lineitem(s, d), "l_quantity", 8)
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
         .orderBy("bin")
     }),
     // nearest-direction as-of: closer of backward/forward click per purchase
@@ -1475,6 +1513,25 @@ object SparkEntry {
            JOIN v x ON x.vec_id = cand.id_a
            JOIN v y ON y.vec_id = cand.id_b) t
          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+    "q83_sparse_cosine" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)]) AS sh
+               FROM w),
+         tf AS (SELECT doc_id AS doc, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(sh) AS term FROM s) GROUP BY 1, 2),
+         kept AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= 10),
+         ktf AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+         n2 AS (SELECT doc, sum(tf * tf) AS n2 FROM ktf GROUP BY 1),
+         dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b, sum(a.tf * b.tf) AS dot
+                  FROM ktf a JOIN ktf b USING (term)
+                  WHERE a.doc < b.doc GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b,
+                      dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cosine
+               FROM dots JOIN n2 na ON na.doc = doc_a JOIN n2 nb ON nb.doc = doc_b)
+         SELECT doc_a, doc_b, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro
+         FROM c WHERE cosine >= 0.6 ORDER BY doc_a, doc_b""",
     "q53_neardup_recall" ->
       s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbesAll,
          found AS (SELECT id_a, id_b FROM (
@@ -1529,6 +1586,10 @@ object SparkEntry {
          FROM c JOIN p ON c.user_id = p.user_id
                       AND c_lo <= p_hi AND p_lo <= c_hi
          ORDER BY 1, 2, 3""",
+    "q86_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_orderkey""",
     "q56_hash_sample" ->
       """WITH h AS (
            SELECT doc_id,
@@ -1538,6 +1599,17 @@ object SparkEntry {
          SELECT doc_id, (h60 % 10)::BIGINT AS shard
          FROM h WHERE h60 >= 0 AND h60 < CAST(0.25 * pow(2, 60) AS BIGINT)
          ORDER BY doc_id""",
+    "q85_stratified_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, source,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents),
+         r AS (SELECT doc_id, lang, source,
+                      row_number() OVER (PARTITION BY lang, source
+                                         ORDER BY h60, doc_id) AS rn
+               FROM h)
+         SELECT doc_id, lang, source FROM r WHERE rn <= 5 ORDER BY doc_id""",
     "q57_decontamination" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          s AS (SELECT doc_id,
@@ -1708,6 +1780,17 @@ object SparkEntry {
                      THEN 0.0::DOUBLE + (bin + 1)::DOUBLE * 3000000.0::DOUBLE END AS bin_hi,
                 count(*) AS n
          FROM t GROUP BY bin ORDER BY bin""",
+    "q84_quantile_bins" ->
+      """WITH vc AS (SELECT l_quantity AS v, count(*) AS n FROM lineitem
+                     WHERE l_quantity IS NOT NULL GROUP BY 1),
+         b AS (SELECT v,
+                      CAST((coalesce(sum(n) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 8)
+                        // sum(n) OVER () AS BIGINT) AS bin
+               FROM vc)
+         SELECT bin, count(*) AS n, min(l_quantity) AS lo, max(l_quantity) AS hi
+         FROM lineitem JOIN b ON l_quantity = b.v
+         GROUP BY 1 ORDER BY 1""",
     "q67_asof_nearest" ->
       """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
                     FROM events WHERE event_type = 'purchase'),

@@ -205,4 +205,27 @@ object Ops {
     require(nShards > 0, "nShards must be positive")
     df.withColumn(shardCol, pmod(idHash60(col(idCol)), lit(nShards.toLong)))
   }
+
+  /** Deterministic stratified sample: exactly min(n, |group|) rows from
+    * each group, taken in [[idHash60]] order — an unbiased,
+    * engine-independent shuffle of each group (the id tie-break makes the
+    * order total, so the selected SET is a pure function of the data).
+    * The per-strata counterpart of [[sampleByHash]]'s global band: balanced
+    * eval slices, per-language/per-source audit samples, debug extracts
+    * that stay stable run over run. One shuffle (the per-group window);
+    * no group ever needs more than n rows of window state beyond the sort,
+    * and rows, not groups, bound the work — skewed strata cost their row
+    * count, never |group|². */
+  def sampleNPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!df.columns.contains("__graft_rn"),
+      "sampleNPerGroup reserves the internal column name __graft_rn; rename the input column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idHash60(col(idCol)), col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= n)
+      .drop("__graft_rn")
+  }
 }

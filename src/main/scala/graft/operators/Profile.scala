@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass data profiling — the "what is in this table" primitive run
@@ -76,5 +77,41 @@ object Profile {
         when(col("bin") >= 0, lit(lo) + col("bin") * lit(width)).as("bin_lo"),
         when(col("bin") >= 0, lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
         col("n"))
+  }
+
+  /** Equal-frequency (quantile) binning of one orderable column, appended
+    * as `binCol` ∈ [0, nBins): bin = (rows strictly below the value) ·
+    * nBins ÷ N, integer division — i.e. the bin of the value's rank
+    * percentile. Ties share a value and therefore a bin (a value never
+    * straddles two bins), so bin populations are equal only up to tie mass
+    * — the same contract as SQL `ntile` minus its arbitrary tie splitting,
+    * which is what makes this engine-portable where `ntile` is not.
+    * Null values keep a null bin.
+    *
+    * Shape: ranks come from a running sum over the per-VALUE count table,
+    * not the rows — the single-partition window is bounded by distinct-value
+    * cardinality (fine for the discretization use case: codes, quantities,
+    * scores; for a continuous unbounded column, quantize first — e.g.
+    * `round(x, 3)` — which is a modeling decision, not an engine limit).
+    * The tiny (value → bin) map broadcast-joins back onto the input: rows
+    * are never globally sorted. Everything before the final double-free
+    * integer division is a count — exact on any engine. */
+  def equalFrequencyBins(df: DataFrame, c: String, nBins: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(!df.columns.contains(binCol), s"input already has a '$binCol' column")
+    val vc = df.filter(col(c).isNotNull).groupBy(col(c).as("__graft_v"))
+      .agg(count(lit(1)).as("__graft_n"))
+    val w = Window.orderBy(col("__graft_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = Window.orderBy(col("__graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bins = vc
+      .withColumn("__graft_below", coalesce(sum(col("__graft_n")).over(w), lit(0L)))
+      .withColumn("__graft_total", sum(col("__graft_n")).over(total))
+      .select(col("__graft_v"),
+        expr(s"(__graft_below * $nBins) div __graft_total").as(binCol))
+    df.join(broadcast(bins), df(c) === bins("__graft_v"), "left")
+      .drop("__graft_v")
   }
 }

@@ -321,4 +321,53 @@ object Similarity {
     c.unpersist(false)
     out
   }
+
+  /** Sparse cosine all-pairs via a term inverted index — the sparse-text
+    * analog of the dense ANN paths above (Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW 2007). `termsCol` is a caller-supplied
+    * array column (raw tokens → tf cosine; distinct shingles → set cosine),
+    * so the same operator serves bag-of-words and shingle spaces.
+    *
+    * The vector space is the df-capped vocabulary: terms occurring in more
+    * than `maxDf` documents are dropped BEFORE pairing. A term's candidate
+    * fan-out is df² (every co-occurring pair meets on it), so the cap turns
+    * the worst case from |corpus|² into maxDf²·|vocab| — the stop-term
+    * guard every sparse all-pairs system ships; at 100 TB a single
+    * boilerplate term would otherwise recreate the cross join. Candidates
+    * come from the inverted index self-joined on term (doc_a < doc_b) —
+    * a pair is scored only if it shares a kept term, so wholly-dissimilar
+    * documents never meet. Dots and squared norms are exact integer sums
+    * (order-independent, engine-exact); the one double division per pair
+    * is correctly rounded, so results are bit-identical on any engine.
+    * The kept-postings table is pinned (one tokenize+tf pass feeds all four
+    * of its consumers — both self-join sides and both norm lookups — instead
+    * of four corpus re-scans); two shuffles follow: the term self-join and
+    * the per-pair dot aggregation (map-side combined). Eager (result
+    * checkpointed, cache released). */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, termsCol: Column,
+      threshold: Double, maxDf: Long): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
+    val tf = docs.select(col(idCol).as("doc"), explode(termsCol).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    // df gate: one extra hash-agg over the (already-shuffled) postings;
+    // rare terms survive, boilerplate dies here instead of in the join
+    val kept = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("term")
+    val ktf = pin(tf.join(kept, Seq("term")))
+    val n2 = ktf.groupBy("doc").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = ktf.select(col("term"), col("doc").as("doc_a"), col("tf").as("tf_a"))
+      .join(ktf.select(col("term"), col("doc").as("doc_b"), col("tf").as("tf_b")), Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    val out = dots
+      .join(n2.select(col("doc").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(n2.select(col("doc").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+      .localCheckpoint(true)
+    ktf.unpersist(false)
+    out
+  }
 }

@@ -27,6 +27,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("sparseCosinePairs: exact tf cosine on shared terms, nothing else") {
+    import graft.functions.Text
+    // unigram tf space: A=(a:2, b:1), B=(a:1, b:2) → dot 4, |A|=|B|=√5,
+    // cosine 4/(√5·√5) — the exact IEEE value (√5² = 5 + 1ulp), which any
+    // engine doing the same correctly-rounded ops reproduces bit-for-bit;
+    // C shares no term with A or B → never a candidate
+    val d = Seq((1L, "a a b"), (2L, "a b b"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Similarity.sparseCosinePairs(d, "doc_id", Text.tokens(col("text")),
+        threshold = 0.0, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))))
+  }
+
+  test("sparseCosinePairs: df cap drops boilerplate terms before pairing") {
+    import graft.functions.Text
+    // 'the' occurs in all 4 docs; with maxDf=3 it is dropped, so docs that
+    // share ONLY 'the' never meet — and doc 4, left with no kept terms,
+    // pairs with nobody (rather than scoring 1.0 on boilerplate alone)
+    val d = Seq((1L, "the alpha beta"), (2L, "the alpha beta"),
+      (3L, "the gamma delta"), (4L, "the")).toDF("doc_id", "text")
+    val out = Similarity.sparseCosinePairs(d, "doc_id", Text.tokens(col("text")),
+        threshold = 0.5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+    intercept[IllegalArgumentException](
+      Similarity.sparseCosinePairs(d, "doc_id", Text.tokens(col("text")), 0.5, 0))
+  }
+
   test("minhashLshPairs agrees with exact jaccard on the planted pair") {
     val out = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5).collect()

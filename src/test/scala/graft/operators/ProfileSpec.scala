@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
 import graft.SparkTestBase
 
 class ProfileSpec extends SparkTestBase {
@@ -40,6 +41,35 @@ class ProfileSpec extends SparkTestBase {
     assert(Profile.histogram(df, "x", 0.0, 10.0, 4)
       .filter($"bin" < 0).collect().forall(r => r.isNullAt(1) && r.isNullAt(2)))
     intercept[IllegalArgumentException](Profile.histogram(df, "x", 5.0, 5.0, 4))
+  }
+
+  test("equalFrequencyBins: rank-percentile bins, ties share a bin, nulls keep null") {
+    val df = Seq(Some(1L), Some(1L), Some(1L), Some(1L), Some(2L), Some(2L),
+      Some(3L), Some(3L), None).toDF("x")
+    // N=8 non-null; below(1)=0 → bin 0; below(2)=4 → 4·2/8 = 1; below(3)=6 → 1
+    val bins = Profile.equalFrequencyBins(df, "x", 2).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(bins.toSet == Set(Some(1L) -> Some(0L), Some(2L) -> Some(1L),
+      Some(3L) -> Some(1L), None -> None))
+    // finer grain: below(2)=4 → 4·4/8 = 2, below(3)=6 → 3 — every value its
+    // own bin once nBins resolves the tie mass
+    val b4 = Profile.equalFrequencyBins(df, "x", 4)
+      .filter($"x".isNotNull).collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(b4 == Set(1L -> 0L, 2L -> 2L, 3L -> 3L))
+    intercept[IllegalArgumentException](Profile.equalFrequencyBins(df, "x", 0))
+    intercept[IllegalArgumentException](
+      Profile.equalFrequencyBins(df.withColumn("bin", lit(1)), "x", 2))
+  }
+
+  test("equalFrequencyBins: bin assignment is partition-independent") {
+    val df = (0L until 1000L).map(i => i % 97).toDF("x")
+    val a = Profile.equalFrequencyBins(df, "x", 10).groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Profile.equalFrequencyBins(df.repartition(13), "x", 10).groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.keySet == (0L until 10L).toSet) // 97 distinct values spread all 10 bins
   }
 
   test("profile plans ONE aggregation pass: single exchange, no Expand, no per-column jobs") {
