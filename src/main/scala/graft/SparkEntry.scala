@@ -957,6 +957,23 @@ object SparkEntry {
         .corrExact("l_quantity", "l_linenumber", "corr_qty_line")
         .orderBy("l_returnflag")
     }),
+    // exact discrete percentile ✚: the value AT rank ⌈p·n⌉ — pure integer
+    // selection, no engine-ordered float interpolation (q41's approx twin
+    // checks bounds; this one hash-matches exactly)
+    "q87_percentile_disc" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      Grouping.groupby(l, Seq("l_returnflag"))
+        .percentileDisc("cents", 0.95, "p95_cents")
+        .orderBy("l_returnflag")
+    }),
+    // exact mode ✚: most frequent value, ties toward the smallest — a total
+    // rule where the built-in `mode` documents ties as non-deterministic
+    "q88_mode" -> ((s, d) => {
+      Grouping.groupby(Tables.lineitem(s, d), Seq("l_returnflag"))
+        .modeExact("l_quantity", "mode_qty")
+        .orderBy("l_returnflag")
+    }),
     // ----- ✚ vector analytics: exact per-label centroids via integer sums --
     "q42_label_centroids" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2313,6 +2330,25 @@ object SparkEntry {
                           / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
                 END AS corr_qty_line
          FROM a ORDER BY l_returnflag""",
+    "q87_percentile_disc" ->
+      """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS cnt
+               FROM x)
+         SELECT l_returnflag, cents AS p95_cents FROM r
+         WHERE rn = greatest(1, CAST(ceil(0.95 * cnt) AS BIGINT))
+         ORDER BY l_returnflag""",
+    "q88_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS v, count(*) AS n
+                    FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, v,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY n DESC, v) AS rk
+               FROM c)
+         SELECT l_returnflag, v AS mode_qty FROM r WHERE rk = 1
+         ORDER BY l_returnflag""",
     "q42_label_centroids" ->
       """SELECT label, i - 1 AS dim,
                 CAST(sum(round(embedding[i]::DOUBLE * 1000)::BIGINT) AS DOUBLE) / count(*) AS centroid_milli

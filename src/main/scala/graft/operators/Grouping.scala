@@ -133,6 +133,49 @@ final case class Grouping(df: DataFrame, by: Seq[String]) {
       .drop("__sx", "__sy", "__sxy", "__sx2", "__sy2", "__n")
   }
 
+  /** Exact discrete (type-1) percentile per group (✚ extension, the
+    * `.quantile` analog): the value at position max(1, ⌈p·n⌉) of the
+    * group's non-null sorted column — an actual data value, never an
+    * interpolation. Interpolating percentiles mix two values with
+    * float weights whose evaluation order is engine-specific; the discrete
+    * rank is pure integer selection (the one double op, ⌈p·n⌉, is a single
+    * correctly-rounded multiply both engines share), so results are
+    * bit-identical anywhere. The k-th VALUE of a sorted multiset is
+    * well-defined no matter how row_number permutes ties. Same window
+    * shape as [[medianByWindow]]: parallel across groups, spillable sort
+    * within. Output: group keys + `outCol`, one row per group with ≥ 1
+    * non-null value. */
+  def percentileDisc(c: String, p: Double, outCol: String = "percentile"): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"need 0 <= p <= 1, got $p")
+    val keys = by.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*).orderBy(col(c))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    df.filter(col(c).isNotNull)
+      .select((keys :+ col(c)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", org.apache.spark.sql.functions.count(lit(1)).over(cw))
+      .filter(col("__rn").cast("long") === greatest(lit(1L), ceil(lit(p) * col("__cnt"))))
+      .select(keys :+ col(c).as(outCol): _*)
+  }
+
+  /** Exact mode per group (✚ extension, the `.mode` analog): the most
+    * frequent non-null value, ties broken toward the SMALLEST value — a
+    * total rule, unlike the built-in `mode`, which documents ties as
+    * non-deterministic (useless for reproducible pipelines and un-oracle-
+    * able). Two map-side-combined shuffles: the (group, value) count and
+    * the per-group argmax window over distinct values (window input is one
+    * row per distinct value, not per row). */
+  def modeExact(c: String, outCol: String = "mode"): DataFrame = {
+    val keys = by.map(col)
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy((keys :+ col(c)): _*).agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+      .orderBy(col("__n").desc, col(c))
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(keys :+ col(c).as(outCol): _*)
+  }
+
   /** Per-group iteration (`group.py:29-32`) — the UDTF analog. Distributed:
     * groups are co-located by a hash shuffle on the TYPED key, then each
     * group's rows stream through `f` on the executor (no driver collect).

@@ -118,6 +118,29 @@ class GroupingSpec extends SparkTestBase {
     assert(out(2).isNullAt(1) && out(3).isNullAt(1))
   }
 
+  test("percentileDisc: value at rank ceil(p*n), nulls skipped, p=0 clamps to min") {
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)), ("a", Some(40L)),
+      ("a", None), ("b", Some(7L))).toDF("g", "v")
+    def p(q: Double) = Grouping.groupby(df, Seq("g")).percentileDisc("v", q, "pv")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=4: ceil(.5*4)=2 → 20; ceil(.75*4)=3 → 30; ceil(.9*4)=4 → 40; p=0 → rank 1
+    assert(p(0.5) == Map("a" -> 20L, "b" -> 7L))
+    assert(p(0.75) == Map("a" -> 30L, "b" -> 7L))
+    assert(p(0.9) == Map("a" -> 40L, "b" -> 7L))
+    assert(p(0.0) == Map("a" -> 10L, "b" -> 7L))
+    assert(p(1.0) == Map("a" -> 40L, "b" -> 7L))
+    intercept[IllegalArgumentException](Grouping.groupby(df, Seq("g")).percentileDisc("v", 1.5))
+  }
+
+  test("modeExact: most frequent value, ties break to the smallest") {
+    val df = Seq(("a", Some(3L)), ("a", Some(3L)), ("a", Some(1L)),
+      ("b", Some(5L)), ("b", Some(2L)), // tie: 5 and 2 both once → 2 wins
+      ("c", None), ("c", Some(9L))).toDF("g", "v")
+    val m = Grouping.groupby(df, Seq("g")).modeExact("v", "mv")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 9L))
+  }
+
   test("aggExprs accepts arbitrary Column aggregations") {
     val out = Grouping.groupby(animals, Seq("animal"))
       .aggExprs(countDistinct(col("max_speed")).as("nd"))
