@@ -108,4 +108,27 @@ class DeterminismSpec extends SparkTestBase {
       Seq("k"), "ts", direction = "nearest"))
     assert(j(1) == j(7) && j(1).nonEmpty)
   }
+
+  test("sparse cosine pairs: identical at 1 vs 7 partitions") {
+    val dup = docs.union(Seq((100L, "alpha beta gamma delta epsilon zeta eta theta token3 iota kappa lambda"))
+      .toDF("doc_id", "text"))
+    def pairs(p: Int) = rowSet(Similarity.sparseCosinePairs(dup.repartition(p),
+      "doc_id", graft.functions.Text.wordShingles(col("text"), 3),
+      threshold = 0.5, maxDf = 10))
+    assert(pairs(1) == pairs(7) && pairs(1).nonEmpty)
+  }
+
+  test("stratified sample, quantile bins, percentile, mode: identical at 1 vs 7 partitions") {
+    val d = (0L until 300L).map(i => (i, s"g${i % 4}", i % 23)).toDF("id", "g", "v")
+    def strat(p: Int) = rowSet(Ops.sampleNPerGroup(d.repartition(p), Seq("g"), "id", 9))
+    assert(strat(1) == strat(7) && strat(1).size == 36)
+    def bins(p: Int) = rowSet(operators.Profile.equalFrequencyBins(d.repartition(p), "v", 5))
+    assert(bins(1) == bins(7))
+    def pct(p: Int) = rowSet(operators.Grouping.groupby(d.repartition(p), Seq("g"))
+      .percentileDisc("v", 0.9, "p90"))
+    assert(pct(1) == pct(7))
+    def md(p: Int) = rowSet(operators.Grouping.groupby(d.repartition(p), Seq("g"))
+      .modeExact("v", "mv"))
+    assert(md(1) == md(7))
+  }
 }

@@ -78,6 +78,28 @@ object GraftProperties extends Properties("graft") {
         out.length == 1 && out.head.getLong(2) == blockLen.toLong
     }
 
+  property("percentileDisc + modeExact: match in-memory sorted-rank / argmax definitions") =
+    forAll(rowsGen, Gen.chooseNum(1, 99)) { (rows, pp) =>
+      val p = pp / 100.0
+      val g = graft.operators.Grouping.groupby(df(rows), Seq("k"))
+      val gotP = g.percentileDisc("v", p, "pv").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val gotM = g.modeExact("v", "mv").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val byKey = rows.groupBy(_._1)
+      val expP = byKey.map { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        // the operator's exact formula: value at rank max(1, ceil(p·n))
+        k -> sorted(math.max(1L, math.ceil(p * sorted.size).toLong).toInt - 1)
+      }
+      val expM = byKey.map { case (k, vs) =>
+        val counts = vs.groupBy(_._2).map { case (v, g2) => v -> g2.size }
+        val mx = counts.values.max
+        k -> counts.collect { case (v, c) if c == mx => v }.min
+      }
+      gotP == expP && gotM == expM
+    }
+
   property("connectedComponents: same component iff connected (vs union-find)") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { edges0 =>
       val edges = edges0.filter(e => e._1 != e._2)
