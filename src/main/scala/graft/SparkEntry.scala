@@ -736,6 +736,16 @@ object SparkEntry {
         .orderBy("l_quantity", "l_linenumber")
         .limit(1000)
     }),
+    // quantile discretizer ✚: TRAIN-learned type-1 quantile boundaries
+    // (pure integer rank selection), transform is a codegen'd comparison
+    // fold; summarized per bin so the oracle replays boundary learning
+    "q89_cleaner_binned" -> ((s, d) => {
+      val cleaner = new graft.ml.TableCleaner
+      cleaner.registerBinned("l_quantity", 8)
+      cleaner.cleanTable(Tables.lineitem(s, d))
+        .groupBy(col("l_quantity").as("bin")).agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
     // ----- ✚ sliding-window batch twin -------------------------------------
     "q40_sliding_window" -> ((s, d) => {
       Streams.slidingAgg(Tables.events(s, d), "2 hours", "1 hour")
@@ -1983,6 +1993,23 @@ object SparkEntry {
                   - nlo::DOUBLE) / (nhi::DOUBLE - nlo::DOUBLE) AS l_linenumber
          FROM lineitem, st
          ORDER BY 1, 2 LIMIT 1000""",
+    "q89_cleaner_binned" ->
+      """WITH x AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                    WHERE l_quantity IS NOT NULL),
+         vc AS (SELECT v, count(*) AS n FROM x GROUP BY 1),
+         c AS (SELECT v, n, sum(n) OVER (ORDER BY v) AS cum,
+                      sum(n) OVER () AS total
+               FROM vc),
+         b AS (SELECT j.j, c.v FROM c, range(1, 8) j(j)
+               WHERE cum >= (j.j * total + 7) // 8
+                 AND cum - n < (j.j * total + 7) // 8),
+         binned AS (SELECT CASE WHEN l_quantity IS NULL THEN -1
+                                ELSE (SELECT count(*) FROM b
+                                      WHERE CAST(l_quantity AS DOUBLE) > b.v)
+                           END AS bin
+                    FROM lineitem)
+         SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n
+         FROM binned GROUP BY 1 ORDER BY 1""",
     "q40_sliding_window" ->
       """SELECT epoch_us(w) AS window_start_us, count(*) AS n_events FROM (
            SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,

@@ -174,6 +174,64 @@ final case class CategoricalColumn(
   }
 }
 
+/** ✚ Extension: equal-frequency discretizer (the KBinsDiscretizer
+  * `strategy="quantile"` analog; the reference has no binning). Fit learns
+  * the nBins−1 interior boundaries as DISCRETE (type-1) quantiles of the
+  * train column — boundary_j is the value at rank ⌈j·N/nBins⌉, an actual
+  * data value selected by pure integer arithmetic, so the learned state is
+  * engine-replayable like every other fit statistic here. Transform is
+  * bin(x) = #{j : x > boundary_j} — a pure projection (the nBins−1
+  * comparisons fold into one codegen'd expression; the `MaxBins` cap keeps
+  * the when-chain far from giant-plan territory). Nulls map to bin −1 (an
+  * explicit missing bucket, mirroring label-encode's reserved 0). TRAIN
+  * decides the boundaries; a skewed test set bins by the train quantiles —
+  * the fit/transform distinction that separates this from
+  * [[graft.operators.Profile.equalFrequencyBins]], which ranks the dataset
+  * against itself. Heavy ties can collapse adjacent bins (duplicate
+  * boundaries → empty bins), the standard quantile-binning behavior. */
+final case class BinnedColumn(
+    name: String,
+    nBins: Int,
+    boundaries: Seq[Double] = Nil) extends CleanColumn {
+  require(nBins > 1 && nBins <= TableCleaner.MaxBins,
+    s"nBins must be in [2, ${TableCleaner.MaxBins}], got $nBins")
+
+  def measured: Boolean = boundaries.nonEmpty
+
+  /** One job over the per-VALUE count table (distinct-value cardinality,
+    * not rows, bounds the window state — same shape as
+    * `Profile.equalFrequencyBins`); collects exactly nBins−1 boundary rows.
+    * All-null/empty columns throw, like the numeric fit path. */
+  def fit(df: DataFrame): BinnedColumn = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.filter(col(name).isNotNull)
+      .groupBy(col(name).cast("double").as("__v")).agg(count(lit(1)).as("__n"))
+    val cum = vc
+      .withColumn("__cum", sum(col("__n")).over(
+        Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__total", sum(col("__n")).over(
+        Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // boundary_j = the value whose cumulative count first reaches rank
+    // r_j = ⌈j·N/nBins⌉ = (j·N + nBins − 1) div nBins — integer-exact
+    val r = expr(s"(__j * __total + ${nBins - 1}) div $nBins")
+    val rows = cum.withColumn("__j", explode(sequence(lit(1), lit(nBins - 1))))
+      .filter(col("__cum") >= r && (col("__cum") - col("__n")) < r)
+      .select(col("__j").cast("int"), col("__v")).collect()
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(
+        s"column '$name' has no non-null values - cannot fit quantile bins")
+    copy(boundaries = rows.sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq)
+  }
+
+  def exprs: Seq[Column] = {
+    val x = col(name).cast("double")
+    val bin = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(x > lit(b), lit(1)).otherwise(lit(0))
+    }
+    Seq(when(x.isNull, lit(-1)).otherwise(bin).as(name))
+  }
+}
+
 final class TableCleaner {
   private[ml] val columns = ArrayBuffer.empty[CleanColumn]
 
@@ -186,6 +244,9 @@ final class TableCleaner {
 
   def registerOneHot(name: String, categories: Seq[String] = Nil, dropFirst: Boolean = false): Unit =
     columns += CategoricalColumn(name, "one_hot", categories, dropFirst)
+
+  def registerBinned(name: String, nBins: Int, boundaries: Seq[Double] = Nil): Unit =
+    columns += BinnedColumn(name, nBins, boundaries)
 
   /** Fit any not-yet-measured column (fit-on-first-use, `ml.py:53-56,75-76`).
     * ALL unmeasured numeric columns share ONE aggregation scan (3 aggregates
@@ -295,6 +356,14 @@ final class TableCleaner {
         o.put("v_min", n.vMin.getOrElse(0.0))
         o.put("v_mean", n.vMean.getOrElse(0.0))
         o.put("v_max", n.vMax.getOrElse(0.0))
+      case b: BinnedColumn =>
+        // "binned" is our extension type — reference-written dicts never
+        // contain it, and a dict carrying it is (intentionally) rejected by
+        // the reference's from_dict rather than silently misread
+        val o = arr.addObject()
+        o.put("name", b.name).put("type", "binned").put("n_bins", b.nBins)
+        val bs = o.putArray("boundaries")
+        b.boundaries.foreach(bs.add)
       case c: CategoricalColumn =>
         val o = arr.addObject()
         o.put("name", c.name).put("type", "categorical").put("method", c.method)
@@ -320,6 +389,11 @@ object TableCleaner {
     * raise deliberately if a genuinely wide categorical is intended. */
   @volatile var MaxCategories: Int = 65536
 
+  /** Bin-count cap for [[BinnedColumn]] (keeps the transform's comparison
+    * chain a small codegen'd expression; 256 bins is already far past any
+    * sensible discretization). */
+  val MaxBins: Int = 256
+
   def fromJson(json: String): TableCleaner = {
     val m = new ObjectMapper()
     val root = m.readTree(json).asInstanceOf[ArrayNode]
@@ -336,6 +410,12 @@ object TableCleaner {
             Some(node.get("v_mean").asDouble()),
             Some(node.get("v_max").asDouble()),
             Option(node.get("v_std")).map(n => Some(n.asDouble())).getOrElse(None))
+        case "binned" =>
+          val bNode = node.get("boundaries").asInstanceOf[ArrayNode]
+          cleaner.columns += BinnedColumn(
+            node.get("name").asText(),
+            node.get("n_bins").asInt(),
+            (0 until bNode.size()).map(bNode.get(_).asDouble()))
         case "categorical" =>
           val catsNode = node.get("categories").asInstanceOf[ArrayNode]
           val method = node.get("method").asText()

@@ -170,6 +170,28 @@ class TableCleanerSpec extends SparkTestBase {
     assert(c2.cleanTable(probe).collect().map(_.getInt(0)).toSeq == want)
   }
 
+  test("binned: TRAIN-learned quantile bins, predict binned by train boundaries, null -> -1") {
+    val c = new TableCleaner
+    c.registerBinned("v", 4)
+    val tr = (1 to 8).map(i => Some(i.toDouble)).toDF("v")
+    // N=8, nBins=4: boundary ranks ceil(j·8/4) = 2,4,6 → boundaries 2.0,4.0,6.0
+    val out = c.cleanTable(tr).collect().map(_.getInt(0))
+    assert(out.sorted.toSeq == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // predict-time: train boundaries apply; out-of-range clamps to edge bins
+    val p = c.cleanTable(Seq(Some(0.5), Some(4.5), Some(100.0), None).toDF("v"))
+      .collect().map(_.getInt(0))
+    assert(p.toSeq == Seq(0, 2, 3, -1))
+    // boundaries survive the dict round-trip (type "binned", our extension)
+    val p2 = TableCleaner.fromJson(c.toJson)
+      .cleanTable(Seq(Some(4.5), Some(1.0)).toDF("v")).collect().map(_.getInt(0))
+    assert(p2.toSeq == Seq(2, 0))
+    intercept[IllegalArgumentException](c.registerBinned("v", 1))
+    val allNull = new TableCleaner
+    allNull.registerBinned("v", 4)
+    intercept[IllegalArgumentException](
+      allNull.cleanTable(Seq(Option.empty[Double], None).toDF("v")))
+  }
+
   test("batched numeric fit equals per-column fit") {
     val df = Seq((1.0, 10.0, Some(5.0)), (3.0, 30.0, None), (2.0, 20.0, Some(7.0)))
       .toDF("a", "b", "c")
