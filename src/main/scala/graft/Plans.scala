@@ -19,7 +19,11 @@ object Plans {
         // late-round-5 operators: inverted-index sparse cosine, broadcast
         // value→bin map, one-window stratified sample, salted join
         "q83_sparse_cosine", "q84_quantile_bins", "q85_stratified_sample",
-        "q86_salted_join")
+        "q86_salted_join",
+        // r5 batch 2: shuffle-free chunk explode, vocab-join LM scoring,
+        // postings-pruned BM25, iterated-join PageRank
+        "q90_chunk_sliding", "q91_unigram_surprisal", "q92_bm25",
+        "q93_pagerank", "q94_domain_kl")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Grouping, Joins, Layout, Ops, Pack, Similarity, Sketches}
+import graft.operators.{Dedup, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -993,6 +993,45 @@ object SparkEntry {
       e.groupBy(col("label"), col("dim"))
         .agg((sum(col("milli")).cast("double") / count(lit(1)).cast("double")).as("centroid_milli"))
         .orderBy("label", "dim")
+    }),
+    // ----- ✚ r5 batch 2: chunking / LM scoring / lexical search / graph ----
+    // sliding-window chunking (RAG preprocessing): 64-token windows every
+    // 32 tokens; pure projection + explode, zero shuffles
+    "q90_chunk_sliding" -> ((s, d) => {
+      Pack.chunkSliding(Tables.documents(s, d), "doc_id", "text",
+          window = 64, stride = 32)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    // unigram-LM surprisal (CCNet-style perplexity filter); exact micro-nat
+    // longs — see Lm.surprisal's quantization contract
+    "q91_unigram_surprisal" -> ((s, d) => {
+      Lm.surprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Okapi BM25 top-20 for a 3-term query over the corpus vocabulary
+    "q92_bm25" -> ((s, d) => {
+      Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "join", "window"), k = 20)
+        .orderBy("rank")
+    }),
+    // 5-iteration fixed-point PageRank on the (symmetrized) customer—supplier
+    // trade graph from orders ⋈ lineitem; customers get even node ids,
+    // suppliers odd, so one long key namespaces both sides
+    "q93_pagerank" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy(col("rank_micro").desc, col("node")).limit(20)
+    }),
+    // per-source KL(P_source ‖ P_corpus) over unigram distributions — the
+    // domain-mix audit metric; exact micro-nat longs
+    "q94_domain_kl" -> ((s, d) => {
+      Lm.domainKl(Tables.documents(s, d), "source", "text")
+        .orderBy("source")
     }),
   )
 
@@ -2381,5 +2420,103 @@ object SparkEntry {
                 CAST(sum(round(embedding[i]::DOUBLE * 1000)::BIGINT) AS DOUBLE) / count(*) AS centroid_milli
          FROM embeddings, range(1, 65) r(i)
          GROUP BY label, i ORDER BY label, dim""",
+    // sequence(1, max(1, n-63), 32) in Spark = generate_series(1, greatest(1,
+    // len-63), 32) in DuckDB (both inclusive-stop stepped ranges); slice and
+    // list_slice both clamp at the array end
+    "q90_chunk_sliding" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE length(trim(text)) > 0),
+         st AS (SELECT doc_id, w,
+                       unnest(generate_series(1, greatest(1, len(w) - 63), 32)) AS cs
+                FROM w),
+         c AS (SELECT doc_id, CAST((cs - 1) // 32 AS BIGINT) AS chunk_idx,
+                      CAST(cs AS BIGINT) AS chunk_start,
+                      list_slice(w, cs, cs + 63) AS chunk
+               FROM st)
+         SELECT doc_id, chunk_idx, chunk_start, CAST(len(chunk) AS BIGINT) AS n_tok,
+                md5(array_to_string(chunk, ' ')) AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_idx""",
+    // add-one-smoothed unigram LM fit on the corpus itself; the ln values
+    // are quantized to micro-nat BIGINTs BEFORE any sum (order-independent)
+    "q91_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents),
+         counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS T, count(*) AS V FROM counts),
+         per AS (SELECT doc_id, CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS s_micro
+                 FROM toks JOIN counts USING (token)),
+         agg AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(s_micro) AS BIGINT) AS sum_c_micro
+                 FROM per GROUP BY doc_id)
+         SELECT doc_id, n_tok,
+                n_tok * CAST(round(ln(T + V) * 1000000) AS BIGINT) - sum_c_micro AS surprisal_micro
+         FROM agg, tot ORDER BY doc_id""",
+    // BM25: the idf/tf expression is written with EXACTLY the Spark tree's
+    // association (left-to-right * and /) so the one rounded double per
+    // (doc, term) is bit-identical; per-doc sums are then exact BIGINTs
+    "q92_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         corpus AS (SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS TT FROM dl),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('spark', 'join', 'window') GROUP BY doc_id, token),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         contrib AS (SELECT tf.doc_id,
+                            CAST(round(ln(1.0 + (N - df + 0.5) / (df + 0.5)) * tf * 2.2
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / (TT::DOUBLE / N))) * 1000000) AS BIGINT) AS c_micro
+                     FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), corpus),
+         sel AS (SELECT doc_id, count(*) AS n_hit_terms, CAST(sum(c_micro) AS BIGINT) AS score_micro
+                 FROM contrib GROUP BY doc_id),
+         r AS (SELECT doc_id, n_hit_terms, score_micro,
+                      row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+               FROM sel)
+         SELECT doc_id, n_hit_terms, score_micro, rank FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q93_pagerank" -> pagerankOracleSql(5),
+    // same quantize-then-sum contract as q91; term order matches the Spark
+    // expression tree term-for-term
+    "q94_domain_kl" ->
+      """WITH toks AS (SELECT source,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents),
+         dt AS (SELECT source, token, count(*) AS cst FROM toks GROUP BY source, token),
+         ds AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ts FROM dt GROUP BY source),
+         ct AS (SELECT token, CAST(sum(cst) AS BIGINT) AS ctok FROM dt GROUP BY token),
+         tt AS (SELECT CAST(sum(ctok) AS BIGINT) AS ttot FROM ct),
+         term AS (SELECT dt.source,
+                         CAST(round((ln(cst) - ln(ts) - ln(ctok) + ln(ttot)) * cst * 1000000) AS BIGINT) AS term_micro,
+                         ts
+                  FROM dt JOIN ct USING (token) JOIN ds USING (source) CROSS JOIN tt)
+         SELECT source, max(ts) AS n_tokens, CAST(sum(term_micro) AS BIGINT) AS kl_sum_micro
+         FROM term GROUP BY source ORDER BY source""",
   )
+
+  /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled
+    * as `iters` chained CTE pairs (contribs, ranks) — every arithmetic step
+    * mirrors [[graft.operators.Graph.pageRank]] exactly (BIGINT transfer
+    * floors, BIGINT sums, floored base), so the result hash-matches. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nn AS (SELECT count(*) AS N FROM nodes),
+         r0 AS (SELECT node, CAST(floor(1000000 / N) AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
+    val iterations = (1 to iters).map { i =>
+      s""",
+         c$i AS (SELECT e.dst AS node,
+                      CAST(sum(CAST(floor(p.r * 85 / (100 * deg.outdeg)) AS BIGINT)) AS BIGINT) AS inm
+               FROM r${i - 1} p JOIN e ON p.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst),
+         r$i AS (SELECT nodes.node,
+                      CAST(floor(15000000 / (100 * N)) AS BIGINT)
+                        + coalesce(c$i.inm, CAST(0 AS BIGINT)) AS r
+               FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.node)"""
+    }.mkString
+    head + iterations +
+      s"\n         SELECT node, r AS rank_micro FROM r$iters ORDER BY rank_micro DESC, node LIMIT 20"
+  }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.LongType
+
+/** Graph analytics over relational edge lists. [[Dedup.connectedComponents]]
+  * covers the clustering half; this adds the importance-scoring half —
+  * PageRank (Brin & Page 1998) with a FIXED iteration count, the form a
+  * batch pipeline actually runs (power iteration to convergence is a
+  * driver-synced loop; k fixed rounds is one declarative plan Catalyst can
+  * see end-to-end, and k≈5–10 is within 1% of converged rank order on
+  * power-law graphs).
+  *
+  * Determinism at scale: ranks are integer MICRO-probabilities (longs).
+  * Each transfer is floor(r·dampNum / (dampDen·outdeg)) — integer-exact on
+  * any engine (the double division of two ≤2^53 integers is either exact or
+  * ≥1/denominator away from an integer, so its floor never straddles an
+  * engine boundary) — and every aggregation is a long sum:
+  * partition-order independent, bit-identical across engines and clusters.
+  * The floored remainders leak ≤1 micro of mass per (node, round) — the
+  * documented price of exactness; rank ORDER is unaffected at micro scale.
+  *
+  * Storage discipline (same as [[Dedup]]): the edge+degree list and node
+  * list are pinned (persist + materialize) ONCE — every iteration then
+  * reads the cached blocks instead of re-deriving them (lazy evaluation
+  * would otherwise re-run the edge derivation per round: the first cut of
+  * this operator showed 272 parquet scans in one q93 plan). The result is
+  * `localCheckpoint(true)`-materialized and all intermediates unpersisted
+  * before returning; on a multi-node cluster swap the final checkpoint for
+  * a table write (localCheckpoint blocks are not fault-tolerant).
+  *
+  * Scale shape per iteration: one shuffle join (ranks ⋈ cached edges on
+  * src) + one map-side-combined agg on dst. Both hash-partition on the
+  * SAME node key, so consecutive iterations reuse the partitioning; k
+  * iterations = k joins in one materialization, no per-round driver
+  * round-trips beyond the two pin jobs. Dangling nodes (outdeg 0) keep
+  * only their base rank — callers wanting mass conservation should
+  * symmetrize edges first (an undirected graph has no dangling nodes). */
+object Graph {
+
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
+  /** k-iteration fixed-point PageRank over `edges` (srcCol, dstCol longs).
+    * Damping = dampNum/dampDen (default 85/100). Ranks start at
+    * floor(1e6/N) micro; each round: r(v) = floor((dampDen-dampNum)·1e6 /
+    * (dampDen·N)) + Σ_{u→v} floor(r(u)·dampNum/(dampDen·outdeg(u))).
+    * Output: node, rank_micro (long), both exact. */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, iterations: Int,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
+    val e = pin(edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct())
+    // outdeg is node-cardinality — attach it to the edge list ONCE with a
+    // plain shuffle join (both sides hash on src; never broadcast: a
+    // web-graph's node table does not fit an executor)
+    val eDeg = pin(e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
+    val nodeList = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    e.unpersist(blocking = false) // eDeg + nodeList carry all the loop needs
+    // N rides along as a broadcast scalar — never collected to the driver
+    val n = nodeList.agg(count(lit(1)).as("N"))
+    val base = floor(lit((dampDen - dampNum).toLong * 1000000L) / (lit(dampDen) * col("N")))
+      .cast(LongType)
+    var ranks = nodeList.crossJoin(broadcast(n))
+      .select(col("node"), floor(lit(1000000L) / col("N")).cast(LongType).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(eDeg, ranks("node") === eDeg("src"))
+        .select(col("dst").as("node"),
+          floor(col("rank_micro") * lit(dampNum.toLong) / (lit(dampDen.toLong) * col("outdeg")))
+            .cast(LongType).as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("in_micro"))
+      ranks = nodeList.crossJoin(broadcast(n))
+        .select(col("node"), base.as("base"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + coalesce(col("in_micro"), lit(0L))).as("rank_micro"))
+    }
+    val out = ranks.localCheckpoint(true) // executes the k-join plan ONCE
+    eDeg.unpersist(blocking = false)
+    nodeList.unpersist(blocking = false)
+    out
+  }
+}

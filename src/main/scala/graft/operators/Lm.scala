@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Text
+
+/** Unigram language-model surprisal scoring — the perplexity-style quality
+  * filter every large-scale curation pipeline runs (CCNet, Wenzek et al.
+  * 2020: documents are ranked by LM perplexity and the tails dropped; the
+  * reference engine has no text ops at all, this is north-star extension
+  * surface like [[graft.functions.Text]]).
+  *
+  * Model: add-one-smoothed unigram LM fit on the corpus itself.
+  * For token t with corpus count c(t), total token count T and vocabulary
+  * size V, the per-token surprisal is -ln p(t) = ln(T+V) - ln(c(t)+1);
+  * a document's score is the mean surprisal of its tokens (high = the
+  * document's tokens are rare in this corpus = "surprising" — boilerplate
+  * and in-domain text score low, noise and out-of-domain text score high).
+  *
+  * Determinism at scale: floating-point SUMS are partition-order dependent,
+  * so instead of avg(ln ...) the per-token surprisal is quantized to
+  * integer micro-nats FIRST — round(1e6*ln(c+1)) — and the per-document
+  * total is then an exact long sum, identical on any engine, cluster, or
+  * partitioning (the same integer-quantization rule the aggregate queries
+  * use; rounding the one-per-distinct-token ln value is the only float
+  * step, and it happens before any order-dependent accumulation).
+  * Output surprisal_micro = n_tok * round(1e6*ln(T+V)) - Σ_t round(1e6*ln(c(t)+1)),
+  * i.e. 1e6 × total surprisal in nats; divide by n_tok for the mean.
+  *
+  * Scale shape: fit is one explode + map-side-combined hash agg over tokens
+  * (the shuffled volume is the VOCABULARY, not the corpus); scoring joins
+  * the exploded corpus to the vocab on the token key — a plain shuffle
+  * equi-join that AQE turns into a broadcast when the vocab is small, and
+  * that stays a sort-merge join when it is not (a web-scale vocab does NOT
+  * fit on the driver, so nothing here ever collects it). The (T, V) scalars
+  * ride along as a broadcast single-row cross join. Two shuffles total.
+  */
+object Lm {
+
+  /** Corpus unigram counts: one row per distinct token of the normalized
+    * text, with its occurrence count. The "fit" half of the LM. */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** Score each document by total/mean unigram surprisal under the
+    * add-one-smoothed LM fit on `df` itself.
+    * Output: idCol, n_tok (long), surprisal_micro (long — exact; see
+    * object doc for the quantization contract). Documents with no tokens
+    * after normalization are dropped (no tokens ⇒ no LM evidence). */
+  def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = unigramCounts(df, textCol)
+    // T and V are exact longs; ln(T+V) is one double rounded once
+    val totals = counts.agg(
+      sum(col("c")).as("T"), count(lit(1)).as("V"))
+    val toks = df
+      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+    toks
+      .join(counts, Seq("token"))
+      .select(col(idCol),
+        round(log(col("c") + lit(1)) * lit(1000000L)).cast(LongType).as("s_micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), sum(col("s_micro")).as("sum_c_micro"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_tok"),
+        (col("n_tok") * round(log(col("T") + col("V")) * lit(1000000L)).cast(LongType)
+          - col("sum_c_micro")).as("surprisal_micro"))
+  }
+
+  /** Per-domain distribution shift: KL(P_domain ‖ P_corpus) over unigram
+    * distributions, one row per value of `domainCol` — the mixing-audit
+    * metric a curation pipeline logs next to [[Ops.mixByBudget]] (a domain
+    * whose token distribution diverges hard from the corpus is either a
+    * contamination signal or an under-sampled source).
+    *
+    * KL = Σ_t (c_st/T_s)·ln((c_st·T)/(T_s·c_t)) where c_st is token t's
+    * count within domain s and c_t/T are corpus-wide. Always ≥ 0; 0 iff the
+    * domain's distribution equals the corpus's. Reported as
+    * kl_sum_micro = Σ_t round((ln c_st − ln T_s − ln c_t + ln T)·c_st·1e6)
+    * — each term is one fixed-shape double expression rounded ONCE to a
+    * long before the (exact, order-independent) sum, the same quantization
+    * contract as [[surprisal]]; mean KL in nats = kl_sum_micro/(1e6·T_s).
+    *
+    * Scale shape: two map-side-combined aggs (domain×token, token) + one
+    * shuffle join on the token key; domain totals join broadcast (one row
+    * per domain). Nothing is collected. */
+  def domainKl(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val domTok = df
+      .select(col(domainCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+      .groupBy(domainCol, "token").agg(count(lit(1)).as("cst"))
+    val domTotal = domTok.groupBy(domainCol).agg(sum(col("cst")).as("Ts"))
+    val corpusTok = domTok.groupBy("token").agg(sum(col("cst")).as("ct"))
+    val corpusTotal = corpusTok.agg(sum(col("ct")).as("TT"))
+    domTok
+      .join(corpusTok, Seq("token"))
+      .join(broadcast(domTotal), Seq(domainCol))
+      .crossJoin(broadcast(corpusTotal))
+      .select(col(domainCol),
+        round((log(col("cst")) - log(col("Ts")) - log(col("ct")) + log(col("TT")))
+          * col("cst") * lit(1000000L)).cast(LongType).as("term_micro"),
+        col("Ts"))
+      .groupBy(domainCol)
+      .agg(max(col("Ts")).as("n_tokens"), sum(col("term_micro")).as("kl_sum_micro"))
+  }
+}

@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Text
 
 /** Sequence packing for training-data assembly (north-star extension): group
   * documents into fixed-token-budget context bins, the step that turns a
@@ -39,5 +42,44 @@ object Pack {
     df.withColumn("bin_tokens_before",
         coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("bin_tokens_before") / lit(budget)))
+  }
+
+  /** Sliding-window document chunking (the RAG / long-context preprocessing
+    * step): split each document's whitespace tokens into windows of `window`
+    * tokens starting every `stride` tokens, one output row per chunk.
+    *
+    * Chunk starts are 1, 1+stride, 1+2*stride, … up to max(1, n-window+1),
+    * so every chunk is full-width except when the document itself is shorter
+    * than `window` (then its single chunk holds all n tokens). With
+    * stride < window consecutive chunks overlap by window-stride tokens —
+    * the standard retrieval-chunking recipe. Empty/whitespace-only
+    * documents yield no chunks.
+    *
+    * Scale shape: a pure per-row projection + explode — no shuffle at all;
+    * output order and values are engine-identical (chunk_idx is derived
+    * from the start offset, and `chunk_hash` is md5 over the
+    * space-joined tokens so an oracle can reproduce it bit-for-bit).
+    * Output: idCol, chunk_idx, chunk_start (1-based token offset),
+    * n_tok, chunk_hash. */
+  def chunkSliding(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0, "stride must be positive")
+    val toks = Text.tokens(col(textCol))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(1),
+          greatest(lit(1), size(col("__toks")) - lit(window) + lit(1)),
+          lit(stride))))
+      .select(
+        col(idCol),
+        ((col("chunk_start") - 1) / lit(stride)).cast(LongType).as("chunk_idx"),
+        col("chunk_start").cast(LongType),
+        slice(col("__toks"), col("chunk_start"), lit(window)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        size(col("__chunk")).cast(LongType).as("n_tok"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
   }
 }

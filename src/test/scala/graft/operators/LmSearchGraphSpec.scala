@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Sliding-window chunking, unigram-LM surprisal, BM25, fixed-point
+  * PageRank, and per-domain KL divergence (the r5 batch-2 operators). */
+class LmSearchGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Pack.chunkSliding --------------------------------------------------
+
+  test("chunkSliding: starts every stride, full windows, truncated tail only for short docs") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"),                            // shorter than the window
+      (3L, "   ")                             // whitespace-only: no chunks
+    ).toDF("doc_id", "text")
+    val out = Pack.chunkSliding(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_start", "n_tok")
+    assert(rowList(out) == Seq(
+      Seq(1L, 0L, 1L, 4L), // t1..t4
+      Seq(1L, 1L, 4L, 4L), // t4..t7 (overlap of window-stride = 1)
+      Seq(1L, 2L, 7L, 4L), // t7..t10
+      Seq(2L, 0L, 1L, 2L)))
+    // chunk content is the hash of the space-joined token slice
+    val h = Pack.chunkSliding(df, "doc_id", "text", 4, 3)
+      .filter($"doc_id" === 1L && $"chunk_idx" === 1L)
+      .select("chunk_hash").collect().head.getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("t4 t5 t6 t7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == expected)
+    intercept[IllegalArgumentException](Pack.chunkSliding(df, "doc_id", "text", 0, 3))
+    intercept[IllegalArgumentException](Pack.chunkSliding(df, "doc_id", "text", 4, 0))
+  }
+
+  test("chunkSliding: partition-independent (pure projection)") {
+    val df = (0L until 40L).map(i => (i, (0 to i.toInt % 17).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = rowSet(Pack.chunkSliding(df, "doc_id", "text", 5, 2))
+    val b = rowSet(Pack.chunkSliding(df.repartition(7), "doc_id", "text", 5, 2))
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ---- Lm.surprisal -------------------------------------------------------
+
+  test("surprisal: exact micro-nat totals under the add-one unigram LM") {
+    // corpus: d1 = a a b, d2 = b c  ⇒ counts a:2 b:2 c:1, T=5, V=3
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Lm.surprisal(df, "doc_id", "text").orderBy("doc_id")
+    val ln3 = math.round(math.log(3) * 1e6) // s_micro for counts 2 (a, b)
+    val ln2 = math.round(math.log(2) * 1e6) // s_micro for count 1 (c)
+    val ln8 = math.round(math.log(8) * 1e6) // ln(T+V)
+    assert(rowList(out) == Seq(
+      Seq(1L, 3L, 3 * ln8 - (2 * ln3 + ln3)),
+      Seq(2L, 2L, 2 * ln8 - (ln3 + ln2))))
+    // rarer tokens ⇒ higher mean surprisal: d2 contains the rare 'c'
+    val rows = out.collect()
+    assert(rows(1).getLong(2).toDouble / 2 > rows(0).getLong(2).toDouble / 3)
+  }
+
+  test("surprisal: partition-independent exact longs") {
+    val df = (0L until 200L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 11} shared"))
+      .toDF("doc_id", "text")
+    val a = rowSet(Lm.surprisal(df, "doc_id", "text"))
+    val b = rowSet(Lm.surprisal(df.repartition(13), "doc_id", "text"))
+    assert(a == b && a.size == 200)
+  }
+
+  // ---- Search.bm25TopK ----------------------------------------------------
+
+  test("bm25TopK: matches an independently-computed reference, tf raises rank") {
+    val df = Seq(
+      (1L, "spark spark spark fast engine"),
+      (2L, "spark is a data engine"),
+      (3L, "rows and columns only"),
+      (4L, "spark engine engine engine engine engine engine engine engine engine")
+    ).toDF("doc_id", "text")
+    val out = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 10)
+      .select("doc_id", "n_hit_terms", "score_micro", "rank").orderBy("rank")
+    val rows = rowList(out)
+    // doc 3 has no query term: absent
+    assert(rows.map(_.head) == Seq(1L, 2L, 4L))
+    // reference computation (same formula, same double order)
+    val n = 4.0; val dfT = 3.0
+    val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+    val avgdl = 24.0 / 4.0 // dl: 5 + 5 + 4 + 10
+    def score(tf: Double, dl: Double): Long =
+      math.round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+    assert(rows.map(r => (r(0), r(2))).toSet ==
+      Set((1L, score(3, 5)), (2L, score(1, 5)), (4L, score(1, 10))))
+    // tf=3 over tf=1 at equal length wins; longer doc is penalized below
+    // the short one at equal tf
+    assert(rows.map(_.head) == Seq(1L, 2L, 4L))
+    intercept[IllegalArgumentException](Search.bm25TopK(df, "doc_id", "text", Nil, 5))
+    intercept[IllegalArgumentException](Search.bm25TopK(df, "doc_id", "text", Seq("x"), 0))
+  }
+
+  // ---- Graph.pageRank -----------------------------------------------------
+
+  test("pageRank: symmetric cycle stays uniform; star concentrates on the hub") {
+    // 3-cycle, symmetrized: perfectly regular graph ⇒ all ranks equal
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(cyc, "src", "dst", iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.toSet.size == 1)
+    // floored micro mass: within 3 micro of 1.0 per node's own leak bound
+    assert(r.values.forall(v => v > 320000 && v <= 333334))
+
+    // star: hub 0 ↔ leaves 1..4
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val s = Graph.pageRank(star, "src", "dst", iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 4L).map(s).toSet.size == 1) // leaves symmetric
+    assert(s(0L) > 2 * s(1L))                 // hub dominates
+    // total mass conserved up to the documented floor leak
+    assert(s.values.sum <= 1000000L && s.values.sum > 990000L)
+    intercept[IllegalArgumentException](Graph.pageRank(star, "src", "dst", 0))
+    intercept[IllegalArgumentException](Graph.pageRank(star, "src", "dst", 3, 100, 100))
+  }
+
+  test("pageRank: partition-independent exact longs; dangling nodes keep base rank") {
+    val e = (0L until 60L).map(i => (i % 12, (i * 7) % 12)).filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val a = rowSet(Graph.pageRank(e, "src", "dst", 4))
+    val b = rowSet(Graph.pageRank(e.repartition(9), "src", "dst", 4))
+    assert(a == b && a.nonEmpty)
+    // a pure sink (in-edges only): rank = base + inflow, never null
+    val sink = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(sink, "src", "dst", 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L) && r(2L) > r(1L) && r(1L) == r(3L))
+  }
+
+  // ---- Lm.domainKl --------------------------------------------------------
+
+  test("domainKl: identical distributions give exactly 0; skew gives positive divergence") {
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    val r0 = Lm.domainKl(same, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r0 == Map("a" -> 0L, "b" -> 0L))
+    val skew = Seq(("a", "x x x x y"), ("b", "y y y y x")).toDF("source", "text")
+    val r1 = Lm.domainKl(skew, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r1("a") > 0L && r1("b") > 0L)
+    // n_tokens is the domain's token total
+    val nt = Lm.domainKl(skew, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nt == Map("a" -> 5L, "b" -> 5L))
+  }
+}
