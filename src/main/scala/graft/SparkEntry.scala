@@ -1033,6 +1033,14 @@ object SparkEntry {
       Lm.domainKl(Tables.documents(s, d), "source", "text")
         .orderBy("source")
     }),
+    // deterministic weighted sampling ✚ (Efraimidis–Spirakis A-ES with the
+    // idHash60 uniform): 50 docs weighted by length — inclusion ∝ n_chars,
+    // identical set on any engine
+    "q95_weighted_sample" -> ((s, d) => {
+      Ops.sampleWeighted(Tables.documents(s, d), "doc_id", "n_chars", k = 50)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- shared DuckDB CTE fragments for the embeddings family --------------
@@ -2490,6 +2498,19 @@ object SparkEntry {
                   FROM dt JOIN ct USING (token) JOIN ds USING (source) CROSS JOIN tt)
          SELECT source, max(ts) AS n_tokens, CAST(sum(term_micro) AS BIGINT) AS kl_sum_micro
          FROM term GROUP BY source ORDER BY source""",
+    // A-ES key ln(u)/w re-derived from the same md5 hash; u = (h60+1)/2^60
+    // is an exact double on both engines (power-of-two scaling), keys of
+    // distinct docs are far beyond ulp apart, id tie-break totalizes
+    "q95_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, n_chars,
+                      row_number() OVER (ORDER BY ln((h60 + 1) / pow(2, 60)) / n_chars DESC, doc_id) AS rk
+               FROM h)
+         SELECT doc_id, n_chars FROM r WHERE rk <= 50 ORDER BY doc_id""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

@@ -228,4 +228,30 @@ object Ops {
       .filter(col("__graft_rn") <= n)
       .drop("__graft_rn")
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006 "A-ES": keep the k rows with the largest u^(1/w)): the
+    * uniform draw is the reproducible u = ([[idHash60]](id)+1)/2^60 ∈ (0,1]
+    * instead of an RNG, and rows are ranked by the monotone-equivalent
+    * ln(u)/w — so the selected SET is a pure function of (id, weight),
+    * stable across runs, engines, partitionings and cluster sizes, while
+    * still giving each row inclusion probability proportional to its
+    * weight over the hash ensemble. The curation use: quality- or
+    * length-weighted corpus subsets that audit identically everywhere.
+    * Rows with null or non-positive weight are excluded (A-ES needs w > 0;
+    * zero weight = never sampled).
+    * Scale shape: a stateless projection + TakeOrderedAndProject — no
+    * shuffle, no global sort; k rows of heap state per partition. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!df.columns.contains("__graft_wkey"),
+      "sampleWeighted reserves the internal column name __graft_wkey; rename the input column")
+    val u = (idHash60(col(idCol)) + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__graft_wkey", log(u) / col(weightCol))
+      .orderBy(col("__graft_wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__graft_wkey")
+  }
 }

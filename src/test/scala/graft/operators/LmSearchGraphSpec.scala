@@ -135,6 +135,33 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(r.keySet == Set(1L, 2L, 3L) && r(2L) > r(1L) && r(1L) == r(3L))
   }
 
+  // ---- Ops.sampleWeighted -------------------------------------------------
+
+  test("sampleWeighted: A-ES selection is weight-monotone, deterministic, partition-independent") {
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 100L)).toDF("id", "w")
+      .union(Seq((400L, 0L), (401L, -3L)).toDF("id", "w")) // never sampled
+    val out = Ops.sampleWeighted(df, "id", "w", 50)
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids.size == 50 && !ids.contains(400L) && !ids.contains(401L))
+    // heavy rows (w=100, ids 200..399) should dominate the winners
+    assert(ids.count(_ >= 200) > 40)
+    // pure function of (id, weight): identical set on any partitioning
+    val b = Ops.sampleWeighted(df.repartition(13), "id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(b == ids)
+    // matches a local replay of the key formula
+    val space = math.pow(2.0, 60)
+    def h60(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val expect = (0L until 400L).map { i =>
+      val w = if (i < 200) 1.0 else 100.0
+      (i, math.log((h60(i) + 1).toDouble / space) / w)
+    }.sortBy { case (i, key) => (-key, i) }.take(50).map(_._1).toSet
+    assert(ids == expect)
+    intercept[IllegalArgumentException](Ops.sampleWeighted(df, "id", "w", 0))
+  }
+
   // ---- Lm.domainKl --------------------------------------------------------
 
   test("domainKl: identical distributions give exactly 0; skew gives positive divergence") {
