@@ -1041,6 +1041,16 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     }),
+    // frozen-LM delta scoring ✚: LM fit on hash shards [0.1, 1.0), the
+    // incoming [0, 0.1) batch scored against it (unseen tokens take the
+    // add-one max-surprisal floor) — the incremental-curation shape
+    "q96_delta_surprisal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Ops.sampleByHash(docs, "doc_id", 0.1, 1.0)
+      val delta = Ops.sampleByHash(docs, "doc_id", 0.0, 0.1)
+      Lm.surprisalAgainst(Lm.unigramCounts(corpus, "text"), delta, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- shared DuckDB CTE fragments for the embeddings family --------------
@@ -2511,6 +2521,30 @@ object SparkEntry {
                       row_number() OVER (ORDER BY ln((h60 + 1) / pow(2, 60)) / n_chars DESC, doc_id) AS rk
                FROM h)
          SELECT doc_id, n_chars FROM r WHERE rk <= 50 ORDER BY doc_id""",
+    // frozen-LM split re-derived from the same md5 hash band; unseen tokens
+    // coalesce to count 0 → ln(1) = 0 → the full ln(T+V) surprisal
+    "q96_delta_surprisal" ->
+      """WITH h AS (
+           SELECT doc_id, text,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents),
+         corpus AS (SELECT text FROM h WHERE h60 >= CAST(0.1 * pow(2, 60) AS BIGINT)),
+         delta AS (SELECT doc_id, text FROM h WHERE h60 < CAST(0.1 * pow(2, 60) AS BIGINT)),
+         ctoks AS (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+                   FROM corpus),
+         counts AS (SELECT token, count(*) AS c FROM ctoks GROUP BY token),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS T, count(*) AS V FROM counts),
+         dtoks AS (SELECT doc_id,
+                          unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+                   FROM delta),
+         per AS (SELECT doc_id, CAST(round(ln(coalesce(c, 0) + 1) * 1000000) AS BIGINT) AS s_micro
+                 FROM dtoks LEFT JOIN counts USING (token)),
+         agg AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(s_micro) AS BIGINT) AS sum_c_micro
+                 FROM per GROUP BY doc_id)
+         SELECT doc_id, n_tok,
+                n_tok * CAST(round(ln(T + V) * 1000000) AS BIGINT) - sum_c_micro AS surprisal_micro
+         FROM agg, tot ORDER BY doc_id""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

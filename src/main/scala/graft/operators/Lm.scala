@@ -50,17 +50,32 @@ object Lm {
     * Output: idCol, n_tok (long), surprisal_micro (long — exact; see
     * object doc for the quantization contract). Documents with no tokens
     * after normalization are dropped (no tokens ⇒ no LM evidence). */
-  def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = unigramCounts(df, textCol)
+  def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    surprisalAgainst(unigramCounts(df, textCol), df, idCol, textCol)
+
+  /** Score documents against a FROZEN unigram LM — the production split of
+    * [[surprisal]] (fit once on the standing corpus via [[unigramCounts]],
+    * store that vocab table, score every incoming batch against it: the LM
+    * analog of `Dedup.minhashLshPairsBetween`'s delta-vs-corpus shape).
+    * `counts` must be a (token, c) frame as produced by [[unigramCounts]];
+    * T and V are re-derived from it in one agg job, so callers persist only
+    * the counts table between batches. Tokens the LM never saw take the
+    * add-one floor p = 1/(T+V) — maximum surprisal ln(T+V) — so
+    * out-of-domain text scores HIGH, which is exactly the filter's intent.
+    * On the fit corpus itself this equals [[surprisal]] bit-for-bit (every
+    * token is seen; the left join degenerates to the inner one). */
+  def surprisalAgainst(counts: DataFrame, df: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     // T and V are exact longs; ln(T+V) is one double rounded once
     val totals = counts.agg(
       sum(col("c")).as("T"), count(lit(1)).as("V"))
     val toks = df
       .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
     toks
-      .join(counts, Seq("token"))
+      .join(counts, Seq("token"), "left")
       .select(col(idCol),
-        round(log(col("c") + lit(1)) * lit(1000000L)).cast(LongType).as("s_micro"))
+        round(log(coalesce(col("c"), lit(0L)) + lit(1)) * lit(1000000L))
+          .cast(LongType).as("s_micro"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tok"), sum(col("s_micro")).as("sum_c_micro"))
       .crossJoin(broadcast(totals))

@@ -69,6 +69,18 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(a == b && a.size == 200)
   }
 
+  test("surprisalAgainst: equals surprisal on the fit corpus; unseen tokens take the max floor") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val counts = Lm.unigramCounts(corpus, "text")
+    assert(rowSet(Lm.surprisalAgainst(counts, corpus, "doc_id", "text")) ==
+      rowSet(Lm.surprisal(corpus, "doc_id", "text")))
+    // a wholly out-of-vocabulary doc: every token at the ln(T+V) ceiling
+    val delta = Seq((9L, "zz qq")).toDF("doc_id", "text")
+    val lnTV = math.round(math.log(5 + 3) * 1e6) // T=5, V=3 from the corpus
+    assert(rowList(Lm.surprisalAgainst(counts, delta, "doc_id", "text")) ==
+      Seq(Seq(9L, 2L, 2 * lnTV)))
+  }
+
   // ---- Search.bm25TopK ----------------------------------------------------
 
   test("bm25TopK: matches an independently-computed reference, tf raises rank") {
