@@ -1041,6 +1041,17 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     }),
+    // batch multi-query BM25 ✚: one corpus pass scores every query; top-10
+    // per query via keyed window (scores bit-identical to q92's path)
+    "q97_bm25_multi" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark"), ("q1", "join"),
+          ("q2", "window"), ("q2", "merge"), ("q2", "sort"))
+        .toDF("query_id", "term")
+      Search.bm25PerQuery(Tables.documents(s, d), "doc_id", "text",
+          qs, "query_id", "term", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // frozen-LM delta scoring ✚: LM fit on hash shards [0.1, 1.0), the
     // incoming [0, 0.1) batch scored against it (unseen tokens take the
     // add-one max-surprisal floor) — the incremental-curation shape
@@ -2545,6 +2556,33 @@ object SparkEntry {
          SELECT doc_id, n_tok,
                 n_tok * CAST(round(ln(T + V) * 1000000) AS BIGINT) - sum_c_micro AS surprisal_micro
          FROM agg, tot ORDER BY doc_id""",
+    // same contribution tree as q92, fanned out per query via the q join;
+    // top-10 per query by (score, doc id)
+    "q97_bm25_multi" ->
+      """WITH q AS (SELECT * FROM (VALUES ('q1', 'spark'), ('q1', 'join'),
+                                          ('q2', 'window'), ('q2', 'merge'), ('q2', 'sort'))
+                    AS t(query_id, token)),
+         toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         corpus AS (SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS TT FROM dl),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN (SELECT token FROM q) GROUP BY doc_id, token),
+         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         contrib AS (SELECT tf.doc_id, tf.token,
+                            CAST(round(ln(1.0 + (N - df + 0.5) / (df + 0.5)) * tf * 2.2
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / (TT::DOUBLE / N))) * 1000000) AS BIGINT) AS c_micro
+                     FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), corpus),
+         sel AS (SELECT q.query_id, c.doc_id, count(*) AS n_hit_terms,
+                        CAST(sum(c.c_micro) AS BIGINT) AS score_micro
+                 FROM contrib c JOIN q USING (token) GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, n_hit_terms, score_micro,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_micro DESC, doc_id) AS rank
+               FROM sel)
+         SELECT query_id, doc_id, n_hit_terms, score_micro, rank FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

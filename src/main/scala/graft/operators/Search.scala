@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -20,12 +21,47 @@ import graft.functions.Text
   * integer micro-units BEFORE the per-document sum, which is then an exact
   * long — partition-order independent, same contract as [[Lm.surprisal]].
   *
-  * Scale shape: the exploded corpus is filtered to the query terms FIRST
-  * (an `isin` literal filter that pushes ahead of every shuffle — the
-  * shuffled volume is only the matching postings, not the corpus); df/N/avgdl
-  * are one map-side-combined agg each; the ≤|Q|-row term-stats frame joins
-  * broadcast. Top-k is TakeOrderedAndProject, never a global sort. */
+  * Scale shape: the exploded corpus is pruned to the query terms FIRST —
+  * an `isin` literal filter ([[bm25TopK]]) or a broadcast semi-join
+  * ([[bm25PerQuery]]) that runs ahead of every shuffle, so the shuffled
+  * volume is only the matching postings, not the corpus; df/N/avgdl are
+  * one map-side-combined agg each; the ≤|terms|-row stats frames join
+  * broadcast. Top-k is TakeOrderedAndProject (single query) or a keyed
+  * window (per query) — never a global sort. */
 object Search {
+
+  /** The BM25 (doc, term) contribution in integer micro-units — ONE
+    * fixed-shape double expression rounded once, shared by both entry
+    * points so their scores are bit-identical (and match the DuckDB
+    * oracle's literal transcription of this tree). */
+  private def contribMicro(tf: Column, df: Column, dl: Column,
+      n: Column, tt: Column, k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+    val avgdl = tt.cast("double") / n
+    round(idf * tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+      * lit(1000000L)).cast(LongType)
+  }
+
+  /** (doc, token, c_micro) contributions for every posting whose token
+    * survives `prune` (applied BEFORE the tf shuffle). */
+  private def contribs(df: DataFrame, idCol: String, textCol: String,
+      prune: DataFrame => DataFrame, k1: Double, b: Double): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+    // corpus stats: N docs, total tokens (for avgdl) — exact longs
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("N"), sum(col("dl")).as("TT"))
+    val tf = prune(toks)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), col("token"),
+        contribMicro(col("tf"), col("df"), col("dl"), col("N"), col("TT"), k1, b)
+          .as("c_micro"))
+  }
 
   /** BM25 top-k: the `k` highest-scoring documents for `queryTerms`.
     * Output: idCol, n_hit_terms (long — distinct query terms present),
@@ -38,32 +74,42 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, "k must be positive")
-    val toks = df
-      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
-    // corpus stats: N docs, total tokens (for avgdl) — exact longs
-    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("N"), sum(col("dl")).as("TT"))
-    // postings pruned to the query terms BEFORE any shuffle
-    val tf = toks.filter(col("token").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(dfreq), Seq("token"))
-      .join(dl, Seq(idCol))
-      .crossJoin(broadcast(corpus))
-      .withColumn("idf",
-        log(lit(1.0) + (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("avgdl", col("TT").cast("double") / col("N"))
-      .withColumn("c_micro",
-        round(col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-          * lit(1000000L)).cast(LongType))
-    contrib.groupBy(idCol)
+    contribs(df, idCol, textCol, _.filter(col("token").isin(queryTerms: _*)), k1, b)
+      .groupBy(idCol)
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(k)
       .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_micro").desc, col(idCol))).cast(LongType))
+        row_number().over(Window.orderBy(col("score_micro").desc, col(idCol)))
+          .cast(LongType))
+  }
+
+  /** Batch keyword search: BM25 top-k for MANY queries in one job.
+    * `queries` is a (queryIdCol, termCol) table; [[bm25TopK]] is the
+    * single-query special case (their scores are bit-identical — shared
+    * contribution expression). Postings are pruned by a broadcast
+    * semi-join on the distinct term set before any shuffle; per-(doc,term)
+    * contributions are computed ONCE and fanned out to every query using
+    * the term, so a thousand queries cost one corpus pass plus the
+    * (postings × matching-queries) join. Top-k per query is a keyed
+    * window — no global sort.
+    * Output: queryIdCol, idCol, n_hit_terms, score_micro, rank (≤ k). */
+  def bm25PerQuery(
+      df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries
+      .select(col(queryIdCol), col(termCol).as("token")).distinct()
+    val terms = qterms.select("token").distinct()
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score_micro").desc, col(idCol))
+    contribs(df, idCol, textCol,
+        _.join(broadcast(terms), Seq("token"), "left_semi"), k1, b)
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
   }
 }

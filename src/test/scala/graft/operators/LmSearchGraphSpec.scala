@@ -110,6 +110,22 @@ class LmSearchGraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Search.bm25TopK(df, "doc_id", "text", Seq("x"), 0))
   }
 
+  test("bm25PerQuery: single-query batch is bit-identical to bm25TopK; queries are independent") {
+    val df = Seq(
+      (1L, "spark spark spark fast engine"),
+      (2L, "spark is a data engine"),
+      (3L, "rows and columns only"),
+      (4L, "spark engine engine engine engine engine engine engine engine engine")
+    ).toDF("doc_id", "text")
+    val qs = Seq(("a", "spark"), ("b", "rows"), ("b", "columns")).toDF("qid", "term")
+    val multi = Search.bm25PerQuery(df, "doc_id", "text", qs, "qid", "term", k = 10)
+    val single = Search.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 10)
+    assert(rowSet(multi.filter($"qid" === "a").drop("qid")) == rowSet(single))
+    // query b only matches doc 3, on both its terms
+    assert(rowList(multi.filter($"qid" === "b").select("doc_id", "n_hit_terms")) ==
+      Seq(Seq(3L, 2L)))
+  }
+
   // ---- Graph.pageRank -----------------------------------------------------
 
   test("pageRank: symmetric cycle stays uniform; star concentrates on the hub") {
