@@ -60,8 +60,12 @@ object Graph {
       col(dstCol).cast(LongType).as("dst")).distinct())
     // outdeg is node-cardinality — attach it to the edge list ONCE with a
     // plain shuffle join (both sides hash on src; never broadcast: a
-    // web-graph's node table does not fit an executor)
-    val eDeg = pin(e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
+    // web-graph's node table does not fit an executor). The cached layout
+    // is hash-partitioned AND sorted on src, so every iteration's
+    // sort-merge join streams the big cached side with NO exchange and NO
+    // re-sort — only the (node-cardinality) rank frame moves per round.
+    val eDeg = pin(e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")).sortWithinPartitions("src"))
     val nodeList = pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     e.unpersist(blocking = false) // eDeg + nodeList carry all the loop needs
@@ -69,6 +73,10 @@ object Graph {
     val n = nodeList.agg(count(lit(1)).as("N"))
     val base = floor(lit((dampDen - dampNum).toLong * 1000000L) / (lit(dampDen) * col("N")))
       .cast(LongType)
+    // built ONCE: the (node, base) frame every round left-joins its inflow
+    // onto (the one broadcast of n is reused across all k occurrences)
+    val nodeBase = nodeList.crossJoin(broadcast(n))
+      .select(col("node"), base.as("base"))
     var ranks = nodeList.crossJoin(broadcast(n))
       .select(col("node"), floor(lit(1000000L) / col("N")).cast(LongType).as("rank_micro"))
     for (_ <- 1 to iterations) {
@@ -78,8 +86,7 @@ object Graph {
           floor(col("rank_micro") * lit(dampNum.toLong) / (lit(dampDen.toLong) * col("outdeg")))
             .cast(LongType).as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("in_micro"))
-      ranks = nodeList.crossJoin(broadcast(n))
-        .select(col("node"), base.as("base"))
+      ranks = nodeBase
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (col("base") + coalesce(col("in_micro"), lit(0L))).as("rank_micro"))
