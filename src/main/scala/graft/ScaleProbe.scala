@@ -4,7 +4,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Repetition, Text}
-import graft.operators.{Dedup, Ops, Pack}
+import graft.operators.{Dedup, Lm, Ops, Pack}
 
 /** Empirical scaling probe for the dedup pipeline (the suite's algorithmic
   * core): replicates the documents corpus `factor`× in memory (id-offset
@@ -69,11 +69,18 @@ object ScaleProbe {
       val spans = Dedup.substringDupPairs(docs, "doc_id", "text", k = 30)
       val nSpanPairs = spans.count()
       val t4 = System.nanoTime()
+      // LM axis (r5 batch 2): fit + score = two explode passes and a
+      // vocab join. Replication multiplies token counts by `factor` but the
+      // vocab is FIXED, so the curve must stay linear in docs — the fit
+      // agg's shuffled volume (the vocab) does not grow at all.
+      val nScored = Lm.surprisal(docs, "doc_id", "text").count()
+      val t5 = System.nanoTime()
       println(f"""{"factor":$factor,"docs":$n,"pairs":$nPairs,"folded":$comps,""" +
         f""""lsh_sec":${(t1 - t0) / 1e9}%.2f,"cc_sec":${(t2 - t1) / 1e9}%.2f,""" +
         f""""rep_rows":$nRep,"packed_rows":$nPacked,""" +
         f""""assembly_sec":${(t3 - t2) / 1e9}%.2f,""" +
-        f""""substr_pairs":$nSpanPairs,"substr_sec":${(t4 - t3) / 1e9}%.2f}""")
+        f""""substr_pairs":$nSpanPairs,"substr_sec":${(t4 - t3) / 1e9}%.2f,""" +
+        f""""lm_docs":$nScored,"lm_sec":${(t5 - t4) / 1e9}%.2f}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
