@@ -1052,6 +1052,34 @@ object SparkEntry {
           qs, "query_id", "term", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // per-stratum weighted sampling ✚: 5 docs per language, inclusion ∝
+    // n_chars — the balanced-but-importance-weighted audit slice
+    "q98_weighted_per_group" -> ((s, d) => {
+      Ops.sampleWeightedPerGroup(Tables.documents(s, d), Seq("lang"),
+          "doc_id", "n_chars", n = 5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // TPC-H Q10 flavor ✚: returned-item revenue per customer — lineitem
+    // filter pushed to the scan, orders shuffle-joined, customer and nation
+    // dimensions broadcast, cents-exact revenue, top-20 by revenue
+    "q99_returned_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_nationkey"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      Joins.join(Joins.join(Joins.join(l, o, Seq("o_orderkey")),
+          c, Seq("o_custkey"), "inner", broadcastRight = true),
+          n, Seq("c_nationkey"), "inner", broadcastRight = true)
+        .groupBy(col("o_custkey").as("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast(LongType)).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
     // frozen-LM delta scoring ✚: LM fit on hash shards [0.1, 1.0), the
     // incoming [0, 0.1) batch scored against it (unseen tokens take the
     // add-one max-surprisal floor) — the incremental-curation shape
@@ -2583,6 +2611,27 @@ object SparkEntry {
                FROM sel)
          SELECT query_id, doc_id, n_hit_terms, score_micro, rank FROM r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q98_weighted_per_group" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY ln((h60 + 1) / pow(2, 60)) / n_chars DESC, doc_id) AS rk
+               FROM h)
+         SELECT doc_id, lang, n_chars FROM r WHERE rk <= 5 ORDER BY doc_id""",
+    "q99_returned_revenue" ->
+      """SELECT o_custkey AS c_custkey, c_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

@@ -254,4 +254,28 @@ object Ops {
       .limit(k)
       .drop("__graft_wkey")
   }
+
+  /** Per-stratum [[sampleWeighted]]: the n best A-ES keys within EACH group
+    * — weighted-by-importance where [[sampleNPerGroup]] is uniform (e.g.
+    * "5 docs per language, longer/higher-quality ones proportionally more
+    * likely"). Same determinism contract; one keyed window, no global
+    * sort, rank state ≤ n per group. */
+  def sampleWeightedPerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val reserved = Seq("__graft_wkey", "__graft_rn")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"sampleWeightedPerGroup reserves ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    val u = (idHash60(col(idCol)) + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__graft_wkey").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__graft_wkey", log(u) / col(weightCol))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= n)
+      .drop("__graft_wkey", "__graft_rn")
+  }
 }

@@ -234,6 +234,42 @@ object Streams {
       sink(dropNearDupsBatch(batch.toDF(), idCol, textCol, corpusIndex, maxHamming))
     }
 
+  /** Quality-gate-at-ingest for ONE micro-batch (a plain DataFrame): score
+    * documents against a FROZEN unigram LM ([[graft.operators.Lm
+    * .surprisalAgainst]] over a static `unigramCounts` snapshot) and keep
+    * only those whose MEAN surprisal stays at or under
+    * `maxMeanSurprisalMicro` (micro-nats/token) — CCNet-style perplexity
+    * filtering as an ingest stage, next to [[dropNearDupsBatch]]'s dedup
+    * gate. The mean test is total ≤ n_tok · threshold: exact long
+    * arithmetic, no division, engine-identical. Stateless across batches
+    * (the LM is rebuilt only when the corpus snapshot is). Null-text rows
+    * score no tokens and are DROPPED — a quality gate fails closed. */
+  def surprisalGateBatch(batch: DataFrame, idCol: String, textCol: String,
+      lmCounts: DataFrame, maxMeanSurprisalMicro: Long): DataFrame = {
+    val reserved = Seq("__sgid", "n_tok", "surprisal_micro")
+    val clash = batch.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"surprisalGateBatch reserves column names ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    val scored = graft.operators.Lm.surprisalAgainst(lmCounts, batch, idCol, textCol)
+      .select(col(idCol).as("__sgid"), col("n_tok"), col("surprisal_micro"))
+    batch.join(scored, col(idCol) === col("__sgid"), "left")
+      .filter(col("surprisal_micro") <= col("n_tok") * lit(maxMeanSurprisalMicro))
+      .drop("__sgid", "n_tok", "surprisal_micro")
+  }
+
+  /** [[surprisalGateBatch]] as a streaming stage: a `foreachBatch` writer
+    * that scores every micro-batch against the frozen LM and hands the
+    * keepers to `sink`. Same contract as [[dropNearDupsStreamBulk]] —
+    * caller sets trigger/options and `.start()`s the returned writer. */
+  def surprisalGateStream(stream: DataFrame, idCol: String, textCol: String,
+      lmCounts: DataFrame, maxMeanSurprisalMicro: Long)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(surprisalGateBatch(batch.toDF(), idCol, textCol, lmCounts,
+        maxMeanSurprisalMicro))
+    }
+
   /** Watermarked stream-stream inner join: pair each left event with right
     * events for the same key within `[0, windowMinutes]` AFTER it. Both
     * sides carry watermarks and the time-range predicate bounds the join

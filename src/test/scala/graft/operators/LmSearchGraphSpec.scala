@@ -190,6 +190,21 @@ class LmSearchGraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Ops.sampleWeighted(df, "id", "w", 0))
   }
 
+  test("sampleWeightedPerGroup: n per stratum, weight-biased within, partition-independent") {
+    val df = (0L until 300L)
+      .map(i => (i, s"g${i % 3}", if (i % 2 == 0) 1L else 200L))
+      .toDF("id", "g", "w")
+    val out = Ops.sampleWeightedPerGroup(df, Seq("g"), "id", "w", 5)
+    val byG = out.collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(byG.keySet == Set("g0", "g1", "g2") && byG.values.forall(_.length == 5))
+    // heavy rows (odd ids, w=200) dominate every stratum's pick
+    assert(out.collect().count(_.getLong(0) % 2 == 1) >= 12)
+    val b = Ops.sampleWeightedPerGroup(df.repartition(11), Seq("g"), "id", "w", 5)
+    assert(rowSet(b) == rowSet(out))
+    intercept[IllegalArgumentException](
+      Ops.sampleWeightedPerGroup(df, Nil, "id", "w", 5))
+  }
+
   // ---- Lm.domainKl --------------------------------------------------------
 
   test("domainKl: identical distributions give exactly 0; skew gives positive divergence") {

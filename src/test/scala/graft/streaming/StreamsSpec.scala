@@ -279,4 +279,41 @@ class StreamsSpec extends SparkTestBase {
       assert(rows.head.getAs[String]("clean_text").contains("<EMAIL>"))
     } finally q.stop()
   }
+
+  test("surprisalGateStream: frozen-LM perplexity filter keeps in-domain docs, drops OOV noise") {
+    import graft.operators.Lm
+    implicit val sqlCtx = spark.sqlContext
+    // corpus defines "in-domain": plain english-ish tokens
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the dog sleeps under the brown tree all day"))
+      .toDF("doc_id", "text")
+    val lm = Lm.unigramCounts(corpus, "text")
+    // threshold: halfway between in-vocab and fully-OOV mean surprisal —
+    // T=18, V=13 ⇒ ceiling ln(31); common tokens sit far below it
+    val ceilMicro = math.round(math.log(31) * 1e6)
+    val thr = ceilMicro - 300000L
+    val batch = Seq(
+      (10L, "the quick dog"),                  // all in-vocab: mean well under thr
+      (11L, "zzz qqq xxx www yyy"))            // fully OOV: mean = ceiling > thr
+      .toDF("id", "text")
+    val kept = Streams.surprisalGateBatch(batch, "id", "text", lm, thr)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L))
+    // the same gate through a REAL StreamingQuery via foreachBatch
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.surprisalGateStream(
+        mem.toDF().toDF("id", "text"), "id", "text", lm, thr) { out =>
+      got ++= out.select("id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData((10L, "the quick dog"), (11L, "zzz qqq xxx www yyy"))
+      q.processAllAvailable()
+      assert(got.toSet == Set(10L))
+    } finally q.stop()
+    // reserved-name guard
+    intercept[IllegalArgumentException](
+      Streams.surprisalGateBatch(batch.withColumn("n_tok", lit(1)), "id", "text", lm, thr))
+  }
 }
