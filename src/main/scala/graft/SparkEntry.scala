@@ -2478,18 +2478,22 @@ object SparkEntry {
          FROM embeddings, range(1, 65) r(i)
          GROUP BY label, i ORDER BY label, dim""",
     // sequence(1, max(1, n-63), 32) in Spark = generate_series(1, greatest(1,
-    // len-63), 32) in DuckDB (both inclusive-stop stepped ranges); slice and
-    // list_slice both clamp at the array end
+    // len-63), 32) in DuckDB (both inclusive-stop stepped ranges); the
+    // end-aligned tail start (stop itself) is UNIONed in on both engines;
+    // chunk_idx = rank of the start within the doc; slice and list_slice
+    // both clamp at the array end
     "q90_chunk_sliding" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                           greatest(1, len(string_split_regex(trim(text), '\s+')) - 63) AS stop
                     FROM documents WHERE length(trim(text)) > 0),
-         st AS (SELECT doc_id, w,
-                       unnest(generate_series(1, greatest(1, len(w) - 63), 32)) AS cs
-                FROM w),
-         c AS (SELECT doc_id, CAST((cs - 1) // 32 AS BIGINT) AS chunk_idx,
+         st AS (SELECT DISTINCT doc_id, cs FROM (
+                  SELECT doc_id, unnest(generate_series(1, stop, 32)) AS cs FROM w
+                  UNION ALL SELECT doc_id, stop AS cs FROM w)),
+         c AS (SELECT st.doc_id,
+                      CAST(row_number() OVER (PARTITION BY st.doc_id ORDER BY cs) - 1 AS BIGINT) AS chunk_idx,
                       CAST(cs AS BIGINT) AS chunk_start,
-                      list_slice(w, cs, cs + 63) AS chunk
-               FROM st)
+                      list_slice(w.w, cs, cs + 63) AS chunk
+               FROM st JOIN w USING (doc_id))
          SELECT doc_id, chunk_idx, chunk_start, CAST(len(chunk) AS BIGINT) AS n_tok,
                 md5(array_to_string(chunk, ' ')) AS chunk_hash
          FROM c ORDER BY doc_id, chunk_idx""",

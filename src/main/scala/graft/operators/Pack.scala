@@ -48,17 +48,20 @@ object Pack {
     * step): split each document's whitespace tokens into windows of `window`
     * tokens starting every `stride` tokens, one output row per chunk.
     *
-    * Chunk starts are 1, 1+stride, 1+2*stride, … up to max(1, n-window+1),
-    * so every chunk is full-width except when the document itself is shorter
-    * than `window` (then its single chunk holds all n tokens). With
-    * stride < window consecutive chunks overlap by window-stride tokens —
-    * the standard retrieval-chunking recipe. Empty/whitespace-only
-    * documents yield no chunks.
+    * Chunk starts are 1, 1+stride, 1+2·stride, … up to stop = max(1,
+    * n-window+1), PLUS `stop` itself when the stride grid does not land on
+    * it — the final chunk is always end-ALIGNED, so no token is ever
+    * silently dropped (a strided grid alone leaves up to stride-1 tail
+    * tokens chunkless; a ScalaCheck coverage property caught exactly that).
+    * Every chunk is full-width except when the document itself is shorter
+    * than `window`. With stride ≤ window coverage is complete: consecutive
+    * strided chunks abut or overlap, and the tail chunk overlaps the last
+    * strided one. Empty/whitespace-only documents yield no chunks.
     *
-    * Scale shape: a pure per-row projection + explode — no shuffle at all;
-    * output order and values are engine-identical (chunk_idx is derived
-    * from the start offset, and `chunk_hash` is md5 over the
-    * space-joined tokens so an oracle can reproduce it bit-for-bit).
+    * Scale shape: a pure per-row projection + posexplode — no shuffle at
+    * all; output order and values are engine-identical (chunk_idx is the
+    * position in the per-document start list, and `chunk_hash` is md5 over
+    * the space-joined tokens so an oracle can reproduce it bit-for-bit).
     * Output: idCol, chunk_idx, chunk_start (1-based token offset),
     * n_tok, chunk_hash. */
   def chunkSliding(
@@ -67,15 +70,16 @@ object Pack {
     require(window > 0, "window must be positive")
     require(stride > 0, "stride must be positive")
     val toks = Text.tokens(col(textCol))
+    val stop = greatest(lit(1), size(col("__toks")) - lit(window) + lit(1))
     df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), toks.as("__toks"))
-      .withColumn("chunk_start",
-        explode(sequence(lit(1),
-          greatest(lit(1), size(col("__toks")) - lit(window) + lit(1)),
-          lit(stride))))
+      .select(col(idCol), col("__toks"),
+        posexplode(array_distinct(concat(
+          sequence(lit(1), stop, lit(stride)), array(stop))))
+          .as(Seq("chunk_idx", "chunk_start")))
       .select(
         col(idCol),
-        ((col("chunk_start") - 1) / lit(stride)).cast(LongType).as("chunk_idx"),
+        col("chunk_idx").cast(LongType),
         col("chunk_start").cast(LongType),
         slice(col("__toks"), col("chunk_start"), lit(window)).as("__chunk"))
       .select(col(idCol), col("chunk_idx"), col("chunk_start"),

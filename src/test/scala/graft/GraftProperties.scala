@@ -100,6 +100,58 @@ object GraftProperties extends Properties("graft") {
       gotP == expP && gotM == expM
     }
 
+  property("chunkSliding: chunk grid matches the start/length arithmetic; stride <= window covers every token") =
+    forAll(Gen.chooseNum(1, 50), Gen.chooseNum(1, 12), Gen.chooseNum(1, 12)) { (n, w, s) =>
+      // shrinking can step outside the generator bounds — degenerate values
+      // are vacuously true (the operator require()s w, s >= 1; n = 0 is the
+      // empty doc, spec-covered separately)
+      n < 1 || w < 1 || s < 1 || {
+      import spark.implicits._
+      val doc = (1 to n).map(i => s"t$i").mkString(" ")
+      val out = graft.operators.Pack
+        .chunkSliding(Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", w, s)
+        .select("chunk_start", "n_tok").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toList
+      val stop = math.max(1, n - w + 1)
+      val expect = ((1 to stop by s).toList :+ stop).distinct
+        .map(st => (st.toLong, math.min(w, n - st + 1).toLong))
+      val covered = expect.flatMap { case (st, len) => st until (st + len) }.toSet
+      out == expect && (s > w || covered == (1L to n.toLong).toSet)
+      }
+    }
+
+  property("pageRank: relational fixed-point equals a local integer replay") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 5L)))) { edges0 =>
+      val es = edges0.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+      es.isEmpty || {
+        import spark.implicits._
+        val got = graft.operators.Graph.pageRank(es.toDF("src", "dst"), "src", "dst", 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // local replay of the EXACT recurrence (same double-floor transfers)
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val outdeg = es.groupBy(_._1).map { case (k, v) => k -> v.size }
+        val base = math.floor(15000000.0 / (100 * nodes.size)).toLong
+        var r = nodes.map(_ -> math.floor(1000000.0 / nodes.size).toLong).toMap
+        for (_ <- 1 to 3) {
+          val in = es.groupBy(_._2).map { case (v, in0) =>
+            v -> in0.map { case (u, _) =>
+              math.floor(r(u) * 85.0 / (100.0 * outdeg(u))).toLong }.sum
+          }
+          r = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+        }
+        got == r
+      }
+    }
+
+  property("sampleWeighted: k >= #positive-weight rows returns exactly those rows") =
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val ided = rows.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      val out = Ops.sampleWeighted(ided.toDF("id", "w"), "id", "w", 30)
+        .collect().map(_.getLong(0)).toSet
+      out == ided.filter(_._2 > 0).map(_._1).toSet
+    }
+
   property("connectedComponents: same component iff connected (vs union-find)") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { edges0 =>
       val edges = edges0.filter(e => e._1 != e._2)

@@ -22,8 +22,14 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(rowList(out) == Seq(
       Seq(1L, 0L, 1L, 4L), // t1..t4
       Seq(1L, 1L, 4L, 4L), // t4..t7 (overlap of window-stride = 1)
-      Seq(1L, 2L, 7L, 4L), // t7..t10
+      Seq(1L, 2L, 7L, 4L), // t7..t10 (stop = 7 lands on the stride grid)
       Seq(2L, 0L, 1L, 2L)))
+    // misaligned tail: 12 tokens, W=5, S=4 → strided starts 1, 5 end at
+    // token 9; the end-aligned chunk at stop=8 covers tokens 8..12
+    val tail = Seq((1L, (1 to 12).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    assert(rowList(Pack.chunkSliding(tail, "doc_id", "text", 5, 4)
+        .select("chunk_idx", "chunk_start", "n_tok").orderBy("chunk_idx")) ==
+      Seq(Seq(0L, 1L, 5L), Seq(1L, 5L, 5L), Seq(2L, 8L, 5L)))
     // chunk content is the hash of the space-joined token slice
     val h = Pack.chunkSliding(df, "doc_id", "text", 4, 3)
       .filter($"doc_id" === 1L && $"chunk_idx" === 1L)
