@@ -1080,6 +1080,27 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
     }),
+    // bigram-LM surprisal ✚: transition-level fluency scoring (word salad
+    // has plausible unigrams but improbable bigrams); exact micro-nat longs
+    "q100_bigram_surprisal" -> ((s, d) => {
+      Lm.bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // cohort retention ✚: users grouped by first-seen ISO week, distinct
+    // active users per whole-week offset — the standard retention triangle
+    "q101_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val first = e.groupBy("user_id").agg(min(col("ts")).as("ft"))
+      e.join(first, Seq("user_id"))
+        .select(
+          date_trunc("week", col("ft")).cast("date").as("cohort_week"),
+          floor(datediff(col("ts").cast("date"), col("ft").cast("date")) / lit(7))
+            .cast(LongType).as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // frozen-LM delta scoring ✚: LM fit on hash shards [0.1, 1.0), the
     // incoming [0, 0.1) batch scored against it (unseen tokens take the
     // add-one max-surprisal floor) — the incremental-curation shape
@@ -2636,6 +2657,30 @@ object SparkEntry {
          WHERE l_returnflag = 'R'
          GROUP BY 1, 2, 3
          ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+    // bigram positions = two parallel array slices zipped (DuckDB zips
+    // same-length unnests); same quantize-then-sum contract as q91
+    "q100_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+              FROM documents),
+         uni AS (SELECT count(DISTINCT t) AS V FROM (SELECT unnest(w) AS t FROM toks)),
+         bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+                FROM toks WHERE len(w) >= 2),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         per AS (SELECT doc_id,
+                        CAST(round(ln(c1 + V) * 1000000) AS BIGINT)
+                          - CAST(round(ln(c2 + 1) * 1000000) AS BIGINT) AS s_micro
+                 FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), uni)
+         SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s_micro) AS BIGINT) AS surprisal_micro
+         FROM per GROUP BY doc_id ORDER BY doc_id""",
+    "q101_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id)
+         SELECT CAST(date_trunc('week', ft) AS DATE) AS cohort_week,
+                CAST(floor(date_diff('day', CAST(ft AS DATE), CAST(ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+                count(DISTINCT e.user_id) AS n_active
+         FROM events e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

@@ -84,6 +84,48 @@ object Lm {
           - col("sum_c_micro")).as("surprisal_micro"))
   }
 
+  /** Bigram-LM surprisal — the next step up from [[surprisal]]'s unigram
+    * model and a much sharper fluency signal (word-salad text has plausible
+    * unigrams but improbable transitions). Model: add-one-smoothed bigram
+    * conditional p(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V), where c(w₁) is w₁'s
+    * count as a CONTEXT (Σ_w c(w₁,w)) and V the unigram vocabulary size —
+    * the classic Laplace bigram estimator. A document's score is
+    * Σ −ln p over its n−1 bigram positions.
+    *
+    * Same determinism contract as [[surprisal]]: each position's surprisal
+    * is round(1e6·ln(c₁+V)) − round(1e6·ln(c₂+1)) — two per-distinct-count
+    * rounded doubles — and the per-document total is an exact long sum.
+    * Documents with fewer than two tokens have no bigrams and are dropped.
+    *
+    * Scale shape: bigram positions come from zipping two array slices
+    * (no self-join of the token stream); the fit is one hash-agg on the
+    * (w₁,w₂) key (shuffled volume = the bigram VOCABULARY); scoring joins
+    * positions to the bigram and context tables on their keys. Three
+    * shuffles total, all map-side combined. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(Text.normalize(col(textCol)))
+    val bg = df
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - lit(1)).as("w1"),
+        slice(col("__t"), lit(2), size(col("__t")) - lit(1)).as("w2"))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = df
+      .select(explode(toks).as("t")).agg(countDistinct(col("t")).as("V"))
+    bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (round(log(col("c1") + col("V")) * lit(1000000L)).cast(LongType)
+          - round(log(col("c2") + lit(1)) * lit(1000000L)).cast(LongType)).as("s_micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("surprisal_micro"))
+  }
+
   /** Per-domain distribution shift: KL(P_domain ‖ P_corpus) over unigram
     * distributions, one row per value of `domainCol` — the mixing-audit
     * metric a curation pipeline logs next to [[Ops.mixByBudget]] (a domain

@@ -87,6 +87,35 @@ class LmSearchGraphSpec extends SparkTestBase {
       Seq(Seq(9L, 2L, 2 * lnTV)))
   }
 
+  test("bigramSurprisal: exact Laplace bigram totals; sub-2-token docs dropped") {
+    // doc1 bigrams: (a,b),(b,a),(a,b) ⇒ c2(a,b)=2, c2(b,a)=1, c1(a)=2,
+    // c1(b)=1; doc2 has no bigrams but its token 'x' widens V to 3
+    val df = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = rowList(Lm.bigramSurprisal(df, "doc_id", "text"))
+    def r(x: Double) = math.round(math.log(x) * 1e6)
+    val expect = 2 * (r(2 + 3) - r(2 + 1)) + (r(1 + 3) - r(1 + 1))
+    assert(out == Seq(Seq(1L, 3L, expect)))
+    // word salad scores higher than fluent repetition at equal unigrams
+    val fluent = "the cat sat on the mat and the cat sat on the mat"
+    val salad = "mat the on sat cat the and mat sat the cat on the"
+    val s = Lm.bigramSurprisal(
+        Seq((1L, fluent), (2L, salad)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(s(2L) > s(1L))
+  }
+
+  test("plan shapes: chunking is exchange-free; bm25 top-k never global-sorts") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val cp = Pack.chunkSliding(df, "doc_id", "text", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("Exchange"))
+    // top-k is TakeOrderedAndProject (k-row heaps per partition); the only
+    // Sort above it is the k-row window that assigns ranks
+    val bp = Search.bm25TopK(df, "doc_id", "text", Seq("a"), 5)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("TakeOrderedAndProject"))
+  }
+
   // ---- Search.bm25TopK ----------------------------------------------------
 
   test("bm25TopK: matches an independently-computed reference, tf raises rank") {
