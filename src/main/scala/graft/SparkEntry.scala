@@ -1080,6 +1080,15 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
     }),
+    // kNN majority-vote classification ✚: modal label of the 5 exact
+    // nearest neighbors for the first 50 vectors, ties toward the smaller
+    // label — the label-propagation end-use of the ANN stack
+    "q102_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 50),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    }),
     // bigram-LM surprisal ✚: transition-level fluency scoring (word salad
     // has plausible unigrams but improbable bigrams); exact micro-nat longs
     "q100_bigram_surprisal" -> ((s, d) => {
@@ -2681,6 +2690,28 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS n_active
          FROM events e JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // exact-kNN vote replay: same quantized cosine and (votes desc, label)
+    // tie rule as Similarity.knnClassify
+    "q102_knn_classify" ->
+      """WITH v AS (SELECT vec_id,
+                           [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+                           list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT for x in embedding]) AS nn
+                    FROM embeddings),
+         knn AS (SELECT query_id, nbr_id FROM (
+                   SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                          row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                       / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) DESC,
+                                     c.vec_id) AS rank
+                   FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id) t
+                 WHERE rank <= 5),
+         votes AS (SELECT query_id, label, count(*) AS n_votes
+                   FROM knn JOIN embeddings ON nbr_id = vec_id GROUP BY 1, 2)
+         SELECT query_id, label AS pred_label, n_votes FROM (
+           SELECT query_id, label, n_votes,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, label) AS rk
+           FROM votes) t WHERE rk = 1 ORDER BY query_id""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

@@ -370,4 +370,36 @@ object Similarity {
     ktf.unpersist(false)
     out
   }
+
+  /** k-NN majority-vote classification — the standard end-use of the ANN
+    * stack (label propagation onto unlabeled embeddings: weak supervision,
+    * eval-set label audits, cluster naming). Each query takes the modal
+    * label of its k nearest corpus neighbors; vote ties break toward the
+    * smallest label (a total rule, like [[Grouping.modeExact]]).
+    *
+    * `method` picks the neighbor engine: "brute" (exact, for verification
+    * scales) or "lsh" ([[bucketedTopK]] — the 100-TB path; same output
+    * schema, approximate neighbor set). The vote itself is one hash-agg +
+    * one k-row-per-query window, both keyed by query — negligible next to
+    * neighbor generation.
+    * Output: query_id, pred_label, n_votes (long). */
+  def knnClassify(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      method: String = "brute"): DataFrame = {
+    val knn = method match {
+      case "brute" => bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      case "lsh"   => bucketedTopK(corpus, queries, idCol, vecCol, k)
+      case other   => throw new IllegalArgumentException(
+        s"unknown method '$other' (expected brute or lsh)")
+    }
+    val lbl = corpus.select(col(idCol).as("nbr_id"), col(labelCol))
+    val votes = knn.join(lbl, Seq("nbr_id"))
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col(labelCol))
+    votes.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"), col("n_votes"))
+  }
 }

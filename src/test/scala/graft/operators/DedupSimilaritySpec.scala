@@ -271,6 +271,36 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ivf == brute)
   }
 
+  test("knnClassify: modal neighbor label wins; ties toward smaller label; lsh path agrees here") {
+    // labeled clusters: even ids (x-axis) label 1, odd ids (y-axis) label 2
+    val labeled = Seq.tabulate(10) { i =>
+      val eps = 0.01f * i
+      if (i % 2 == 0) (i.toLong, Array(1.0f, eps, 0.0f), 1)
+      else (i.toLong, Array(eps, 1.0f, 0.0f), 2)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = labeled.filter(col("vec_id") < 2)
+    val got = Similarity.knnClassify(labeled, qs, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // query 0 (cluster A) → label 1 unanimously; query 1 (cluster B) → label 2
+    assert(got == Set((0L, 1, 3L), (1L, 2, 3L)))
+    // k=4 on this geometry still yields a 3-1 majority, not a tie
+    val lsh = Similarity.knnClassify(labeled, qs, "vec_id", "embedding", "label",
+      k = 3, method = "lsh")
+    assert(lsh.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((0L, 1), (1L, 2)))
+    // vote tie: two labels with one vote each → smaller label wins
+    val tie = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 7),
+      (1L, Array(0.9f, 0.1f, 0.0f), 5),
+      (2L, Array(0.8f, 0.2f, 0.0f), 9)).toDF("vec_id", "embedding", "label")
+    val t = Similarity.knnClassify(tie, tie.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 2)
+      .head()
+    assert(t.getInt(1) == 5 && t.getLong(2) == 1L)
+    intercept[IllegalArgumentException](
+      Similarity.knnClassify(tie, tie, "vec_id", "embedding", "label", 2, method = "bogus"))
+  }
+
   test("qdot/qcosine: quantized integer dot is exact") {
     val df = Seq((Array(0.5, -0.25), Array(0.5, 0.25))).toDF("a", "b")
     val r = df.select(
