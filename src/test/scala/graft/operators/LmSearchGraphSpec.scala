@@ -240,6 +240,24 @@ class LmSearchGraphSpec extends SparkTestBase {
       Ops.sampleWeightedPerGroup(df, Nil, "id", "w", 5))
   }
 
+  test("degenerate inputs: null/empty text, empty edge lists, absent query terms") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "only")).toDF("doc_id", "text")
+    // chunking: null and empty docs yield no chunks; 1-token doc yields one
+    val ch = Pack.chunkSliding(docs, "doc_id", "text", 4, 2).collect()
+    assert(ch.map(_.getLong(0)).toSeq == Seq(3L) && ch.head.getLong(3) == 1L)
+    // surprisal: null text drops (no tokens); empty text tokenizes to [""]
+    // on both engines (split semantics) and scores like any token
+    val s = Lm.surprisal(docs, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(s == Set(2L, 3L))
+    // bigrams need 2+ tokens: nothing here qualifies
+    assert(Lm.bigramSurprisal(docs, "doc_id", "text").isEmpty)
+    // bm25 with a term absent from the corpus: empty, not an error
+    assert(Search.bm25TopK(docs, "doc_id", "text", Seq("zzz"), 5).isEmpty)
+    // pageRank on an empty edge list: empty, no division-by-zero
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(none, "src", "dst", 2).isEmpty)
+  }
+
   // ---- Lm.domainKl --------------------------------------------------------
 
   test("domainKl: identical distributions give exactly 0; skew gives positive divergence") {
