@@ -1080,6 +1080,19 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
     }),
+    // ranking-window breadth ✚: ntile / percent_rank / cume_dist share one
+    // total order (price desc, key) so every rank function is deterministic;
+    // percent_rank and cume_dist are exact rational doubles on both engines
+    "q103_window_breadth" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
     // kNN majority-vote classification ✚: modal label of the 5 exact
     // nearest neighbors for the first 50 vectors, ties toward the smaller
     // label — the label-propagation end-use of the ANN stack
@@ -2712,6 +2725,14 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY n_votes DESC, label) AS rk
            FROM votes) t WHERE rk = 1 ORDER BY query_id""",
+    "q103_window_breadth" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderkey""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled
