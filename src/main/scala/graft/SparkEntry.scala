@@ -1080,6 +1080,23 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("c_custkey"))
         .limit(20)
     }),
+    // TPC-H Q14 flavor ✚ (and the one query on the `part` table): per-brand
+    // revenue with the promo split — cents-exact longs, no ratio column, so
+    // the row hashes exactly; part is the broadcast dimension
+    "q104_promo_share" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"), col("l_discount"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"), col("p_brand"))
+      val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast(LongType)
+      Joins.join(l, p, Seq("p_partkey"), "inner", broadcastRight = true)
+        .groupBy("p_brand")
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L))).as("promo_cents"),
+          sum(cents).as("total_cents"),
+          countDistinct(col("p_partkey")).as("n_parts"))
+        .orderBy("p_brand")
+    }),
     // ranking-window breadth ✚: ntile / percent_rank / cume_dist share one
     // total order (price desc, key) so every rank function is deterministic;
     // percent_rank and cume_dist are exact rational doubles on both engines
@@ -2733,6 +2750,15 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
          ORDER BY o_orderkey""",
+    "q104_promo_share" ->
+      """SELECT p_brand,
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                count(DISTINCT p_partkey) AS n_parts
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled
