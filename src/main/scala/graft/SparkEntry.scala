@@ -364,27 +364,7 @@ object SparkEntry {
     // result at defaults (16 tables, Hamming-1 probing, threshold 0.3 —
     // this corpus's pairs all sit in the hard 0.3–0.5 cosine band):
     // recall ≥ 0.9 at sf0.01, 0.987 at sf0.1 (measured r4).
-    "q53_neardup_recall" -> ((s, d) => {
-      graft.expressions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      val found = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
-        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
-      val v = e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
-        .withColumn("nn", call_function("graft_qdot", col("q"), col("q")))
-        // TakeOrdered (per-partition heap) — never a global sort
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(800)
-      val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .withColumn("cosine",
-          call_function("graft_qdot", col("x.q"), col("y.q")).cast("double") /
-            (sqrt(col("x.nn").cast("double")) * sqrt(col("y.nn").cast("double"))))
-        .filter(col("cosine") >= 0.3)
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      exact.join(found, Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
-        .select(col("n_exact"), col("n_found"),
-          (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
-    }),
+    "q53_neardup_recall" -> ((s, d) => neardupRecallAt(s, d, nTables = 16)),
     // ----- ✚ as-of join (point-in-time) + bucketized range join ----------
     // attribution: each purchase matched to the user's most recent prior
     // view (merge_asof semantics; right side pre-aggregated to unique
@@ -1151,6 +1131,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
   )
+
+  /** q53's body, parameterized on the LSH table count so `Bench` can echo
+    * the documented 24-table recall dial at the bench SF every round (the
+    * oracle row always uses the 16-table default). The exact side is the
+    * deterministic ≤800-row cap — verification-bounded at any SF. */
+  def neardupRecallAt(s: SparkSession, d: String, nTables: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val found = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+        nTables = nTables, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    val v = e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .withColumn("nn", call_function("graft_qdot", col("q"), col("q")))
+      // TakeOrdered (per-partition heap) — never a global sort
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(800)
+    val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        call_function("graft_qdot", col("x.q"), col("y.q")).cast("double") /
+          (sqrt(col("x.nn").cast("double")) * sqrt(col("y.nn").cast("double"))))
+      .filter(col("cosine") >= 0.3)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
 
   // ---- shared DuckDB CTE fragments for the embeddings family --------------
   // quantized vectors + exact integer norms (dim = 64 in the test tables)
