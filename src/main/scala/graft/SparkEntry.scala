@@ -957,6 +957,16 @@ object SparkEntry {
         .percentileDisc("cents", 0.95, "p95_cents")
         .orderBy("l_returnflag")
     }),
+    // one-pass multi-percentile ✚: p50/p90/p99 from a single sorted window
+    // + one agg — not one shuffle per percentile
+    "q105_percentiles_multi" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      Grouping.groupby(l, Seq("l_returnflag"))
+        .percentilesDisc("cents",
+          Seq(0.5 -> "p50_cents", 0.9 -> "p90_cents", 0.99 -> "p99_cents"))
+        .orderBy("l_returnflag")
+    }),
     // exact mode ✚: most frequent value, ties toward the smallest — a total
     // rule where the built-in `mode` documents ties as non-deterministic
     "q88_mode" -> ((s, d) => {
@@ -2766,6 +2776,18 @@ object SparkEntry {
                 count(DISTINCT p_partkey) AS n_parts
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    "q105_percentiles_multi" ->
+      """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS cnt
+               FROM x)
+         SELECT l_returnflag,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * cnt) AS BIGINT)) THEN cents END) AS p50_cents,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * cnt) AS BIGINT)) THEN cents END) AS p90_cents,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * cnt) AS BIGINT)) THEN cents END) AS p99_cents
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

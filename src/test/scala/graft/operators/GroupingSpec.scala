@@ -132,6 +132,23 @@ class GroupingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Grouping.groupby(df, Seq("g")).percentileDisc("v", 1.5))
   }
 
+  test("percentilesDisc: one pass equals per-p percentileDisc; single agg plan") {
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)), ("a", Some(40L)),
+      ("a", None), ("b", Some(7L))).toDF("g", "v")
+    val g = Grouping.groupby(df, Seq("g"))
+    val multi = g.percentilesDisc("v", Seq(0.5 -> "p50", 0.9 -> "p90", 1.0 -> "pmax"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def one(p: Double) = g.percentileDisc("v", p, "x")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(multi.keySet == Set("a", "b"))
+    multi.foreach { case (k, (p50, p90, pmax)) =>
+      assert(p50 == one(0.5)(k) && p90 == one(0.9)(k) && pmax == one(1.0)(k))
+    }
+    intercept[IllegalArgumentException](g.percentilesDisc("v", Nil))
+    intercept[IllegalArgumentException](g.percentilesDisc("v", Seq(0.5 -> "x", 0.9 -> "x")))
+    intercept[IllegalArgumentException](g.percentilesDisc("v", Seq(1.5 -> "x")))
+  }
+
   test("modeExact: most frequent value, ties break to the smallest") {
     val df = Seq(("a", Some(3L)), ("a", Some(3L)), ("a", Some(1L)),
       ("b", Some(5L)), ("b", Some(2L)), // tie: 5 and 2 both once → 2 wins
