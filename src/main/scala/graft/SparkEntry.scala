@@ -726,6 +726,24 @@ object SparkEntry {
         .groupBy(col("l_quantity").as("bin")).agg(count(lit(1)).as("n"))
         .orderBy("bin")
     }),
+    // streaming-twin approx distinct per window ✚: exact per-window count
+    // hash-checked, HLL estimate bound-asserted (q41 pattern — the sketch
+    // value itself is engine-specific and never hash-compared)
+    "q106_window_distinct" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val approx = Streams.approxDistinctPerWindow(e, "user_id", "1 hour", rsd = 0.02)
+      val exact = e
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+        .select(unix_micros(col("w.start")).as("window_start_us"), col("n_distinct_exact"))
+      // bound: 5% relative with an absolute floor of 2 — rsd is a standard
+      // deviation, and on a 16-key window a ±1 estimate is already > 5%
+      exact.join(approx, Seq("window_start_us"))
+        .select(col("window_start_us"), col("n_distinct_exact"),
+          (abs(col("n_distinct_approx") - col("n_distinct_exact"))
+            <= greatest(lit(2.0), col("n_distinct_exact") * 0.05)).as("approx_ok"))
+        .orderBy("window_start_us")
+    }),
     // ----- ✚ sliding-window batch twin -------------------------------------
     "q40_sliding_window" -> ((s, d) => {
       Streams.slidingAgg(Tables.events(s, d), "2 hours", "1 hour")
@@ -2776,6 +2794,13 @@ object SparkEntry {
                 count(DISTINCT p_partkey) AS n_parts
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    // the HLL estimate is engine-specific: the oracle checks the EXACT
+    // column and emits TRUE for the bound column (Spark asserts the bound)
+    "q106_window_distinct" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+                count(DISTINCT user_id) AS n_distinct_exact,
+                TRUE AS approx_ok
+         FROM events GROUP BY 1 ORDER BY window_start_us""",
     "q105_percentiles_multi" ->
       """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
                     FROM lineitem WHERE l_extendedprice IS NOT NULL),

@@ -30,6 +30,23 @@ object Streams {
         col("event_type"), col("n_events"), col("value_cents"))
   }
 
+  /** Distinct keys per tumbling window via HLL++ (`approx_count_distinct`)
+    * — approximate BY DESIGN on a stream: exact streaming distinct needs a
+    * per-window set of every key seen (unbounded state); the sketch is
+    * fixed-size per window and merges across partitions and micro-batches,
+    * so state stays bounded at any rate. The classic "distinct users per
+    * hour" job. Same code runs on a batch frame (the q106 oracle
+    * bound-asserts it against the exact count, the q41 pattern). */
+  def approxDistinctPerWindow(events: DataFrame, keyCol: String,
+      windowLen: String, rsd: Double = 0.05,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("n_distinct_approx"))
+  }
+
   /** Sliding-window event counts (1h window every 30min on a stream). */
   def slidingAgg(events: DataFrame, windowLen: String, slide: String,
       watermark: Option[String] = None): DataFrame = {

@@ -280,6 +280,30 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("approxDistinctPerWindow: streaming HLL windows equal the batch twin on small exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 3 distinct users in hour 0, 2 in hour 1 (small counts: HLL exact)
+    val rows = Seq((0L, 1L), (5L, 2L), (10L, 3L), (20L, 1L), (70L, 4L), (80L, 5L), (90L, 4L))
+      .map { case (minute, user) => (new java.sql.Timestamp(base + minute * 60000L), user) }
+    val batch = rows.toDF("ts", "user_id")
+    val expect = Streams.approxDistinctPerWindow(batch, "user_id", "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.map(_._2) == Set(3L, 2L))
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streams.approxDistinctPerWindow(
+        mem.toDF().toDF("ts", "user_id"), "user_id", "1 hour",
+        watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("win_distinct").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_distinct").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("surprisalGateStream: frozen-LM perplexity filter keeps in-domain docs, drops OOV noise") {
     import graft.operators.Lm
     implicit val sqlCtx = spark.sqlContext
