@@ -975,6 +975,18 @@ object SparkEntry {
         .percentileDisc("cents", 0.95, "p95_cents")
         .orderBy("l_returnflag")
     }),
+    // type-7 interpolated percentile ✚ (the pandas/numpy default): the
+    // interpolation tree is constructed explicitly from integer-rank
+    // values, so the double hash-matches after micro-rounding
+    "q107_percentile_cont" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      Grouping.groupby(l, Seq("l_returnflag"))
+        .percentileCont("cents", 0.95, "p95")
+        .select(col("l_returnflag"),
+          round(col("p95") * 1000000).cast(LongType).as("p95_microcents"))
+        .orderBy("l_returnflag")
+    }),
     // one-pass multi-percentile ✚: p50/p90/p99 from a single sorted window
     // + one agg — not one shuffle per percentile
     "q105_percentiles_multi" -> ((s, d) => {
@@ -2813,6 +2825,23 @@ object SparkEntry {
                 max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * cnt) AS BIGINT)) THEN cents END) AS p90_cents,
                 max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * cnt) AS BIGINT)) THEN cents END) AS p99_cents
          FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the same explicit type-7 tree: h = p·(n−1), bracketing values by
+    // integer rank, vlo + frac·(vhi − vlo), micro-rounded once
+    "q107_percentile_cont" ->
+      """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                      0.95 * (count(*) OVER (PARTITION BY l_returnflag) - 1) AS h
+               FROM x),
+         a AS (SELECT l_returnflag,
+                      max(CASE WHEN rn = CAST(floor(h) AS BIGINT) + 1 THEN cents END) AS vlo,
+                      max(CASE WHEN rn = CAST(floor(h) AS BIGINT) + 2 THEN cents END) AS vhi,
+                      max(h - floor(h)) AS frac
+               FROM r GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                CAST(round((vlo + frac * (coalesce(vhi, vlo) - vlo)) * 1000000) AS BIGINT) AS p95_microcents
+         FROM a ORDER BY l_returnflag""",
   )
 
   /** DuckDB twin of q93: the same fixed-point micro-unit PageRank unrolled

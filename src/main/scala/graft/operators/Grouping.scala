@@ -158,6 +158,38 @@ final case class Grouping(df: DataFrame, by: Seq[String]) {
       .select(keys :+ col(c).as(outCol): _*)
   }
 
+  /** Interpolated (type-7, the pandas/numpy default) percentile per group
+    * (✚ extension): h = (n−1)·p, result = v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1] −
+    * v[⌊h⌋]) over the sorted non-null values. Built-in interpolating
+    * percentiles are un-oracle-able (each engine's internal op order
+    * differs in the last ulp); HERE the interpolation tree is constructed
+    * explicitly — floor/frac from one double multiply, the two bracketing
+    * VALUES selected by integer rank — so any engine replaying the same
+    * tree produces the identical double. Callers wanting a hash-stable
+    * integer can round the result themselves (the q107 twin rounds to
+    * micro-units). Same one-window + one-agg shape as [[percentilesDisc]].
+    * Output: group keys + `outCol` (double). */
+  def percentileCont(c: String, p: Double, outCol: String = "percentile"): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"need 0 <= p <= 1, got $p")
+    val keys = by.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*).orderBy(col(c))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val fmax = org.apache.spark.sql.functions.max(_: Column)
+    val ranked = df.filter(col(c).isNotNull)
+      .select((keys :+ col(c)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__h", lit(p) * (org.apache.spark.sql.functions.count(lit(1)).over(cw) - lit(1)))
+    // bracketing ranks are 1-based: lo = floor(h)+1, hi = lo+1 (h integral → lo only)
+    val lo = floor(col("__h")).cast("long") + lit(1L)
+    ranked.groupBy(keys: _*).agg(
+      fmax(when(col("__rn").cast("long") === lo, col(c))).as("__vlo"),
+      fmax(when(col("__rn").cast("long") === lo + lit(1L), col(c))).as("__vhi"),
+      fmax(col("__h") - floor(col("__h"))).as("__frac"))
+      .select(keys :+
+        (col("__vlo") + col("__frac") *
+          (coalesce(col("__vhi"), col("__vlo")) - col("__vlo"))).as(outCol): _*)
+  }
+
   /** Every percentile in `ps` from ONE window pass (✚ extension): the naive
     * shape runs [[percentileDisc]] once per p — one sorted shuffle each —
     * where a p50/p95/p99 dashboard query only ever needs ONE. Same ranked

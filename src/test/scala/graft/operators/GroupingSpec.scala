@@ -149,6 +149,20 @@ class GroupingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](g.percentilesDisc("v", Seq(1.5 -> "x")))
   }
 
+  test("percentileCont: type-7 interpolation matches numpy/pandas hand-values") {
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)), ("a", Some(40L)),
+      ("a", None), ("b", Some(7L))).toDF("g", "v")
+    def p(q: Double) = Grouping.groupby(df, Seq("g")).percentileCont("v", q, "pv")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // n=4: h=(n−1)p → p=.5: h=1.5 → 20+0.5·10=25; p=.25: h=0.75 → 17.5;
+    // p=1: h=3 → 40 (integral h: no vhi needed); singleton group → itself
+    assert(p(0.5) == Map("a" -> 25.0, "b" -> 7.0))
+    assert(p(0.25) == Map("a" -> 17.5, "b" -> 7.0))
+    assert(p(1.0) == Map("a" -> 40.0, "b" -> 7.0))
+    assert(p(0.0) == Map("a" -> 10.0, "b" -> 7.0))
+    intercept[IllegalArgumentException](Grouping.groupby(df, Seq("g")).percentileCont("v", -0.1))
+  }
+
   test("modeExact: most frequent value, ties break to the smallest") {
     val df = Seq(("a", Some(3L)), ("a", Some(3L)), ("a", Some(1L)),
       ("b", Some(5L)), ("b", Some(2L)), // tie: 5 and 2 both once → 2 wins
