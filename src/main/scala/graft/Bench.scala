@@ -54,7 +54,8 @@ object Bench {
       }
     val results = outcomes.collect { case (n, t, false) => n -> t }
     val failedNames = outcomes.collect { case (n, _, true) => n }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def ms(v: Double): String = f"$v%.3f" // ms precision keeps the line short
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fj = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -70,21 +71,27 @@ object Bench {
       val k = r52.getLong(0).toDouble
       release()
       val r53 = SparkEntry.queries("q53_neardup_recall")(spark, sfDir).head()
-      // the documented recall dial (Dedup.embeddingNearDupPairs scaladoc:
-      // 24 tables ≈ 0.95 at ~2× candidate cost): measure it at the bench SF
-      // every round so the dial's claim stays an observed number, not prose
+      // the non-default recall dial (Dedup.embeddingNearDupPairs scaladoc:
+      // the r6 threshold-adaptive default picks 24 tables at θ=0.3, so echo
+      // the cheaper 16-table dial): measured at the bench SF every round so
+      // the dial's cost/recall trade stays an observed number, not prose
       release()
-      val r53d = SparkEntry.neardupRecallAt(spark, sfDir, nTables = 24).head()
+      val r53d = SparkEntry.neardupRecallAt(spark, sfDir, nTables = 16).head()
       Map("lsh_topk" -> r52.getLong(1) / k, "ivf_topk" -> r52.getLong(2) / k,
         "neardup_pairs" -> r53.getDouble(2),
-        "neardup_pairs_24t" -> r53d.getDouble(2))
+        "neardup_pairs_16t" -> r53d.getDouble(2))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall scorecard failed: ${e.getMessage}")
       Map.empty
     }
-    val rj = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
+    val rj = recalls.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"recall":$rj,"sf":"$sfDir"}""")
+    // Field order matters (VERDICT r5 §wrong-4): the driver's capture keeps
+    // the TAIL of stdout and r4/r5 artifacts lost the leading half of this
+    // line (total + ~50 queries). Put the long per-query map FIRST and the
+    // scalar summary (total/recall/sf) LAST so a truncated capture still
+    // retains the headline numbers; times rounded to ms to shorten the line.
+    println(s"""{"queries":$qs,"failed":$fj,"recall":$rj,"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}""")
     spark.stop()
   }
 }

@@ -694,13 +694,18 @@ object Dedup {
     * ≥ 0.12 at 8 bits before probing) the default holds ≥ 0.99 at any
     * tested size. Probing costs ×(bits+1) probe-side rows — still a keyed
     * equi-join (never a cross join); `nTables` is the dial when a low
-    * detection threshold matters more than index size at 100 TB. Deterministic and
-    * oracle-reproducible; precision = 1 via the exact verify. Eager
-    * (result checkpointed, caches released). */
+    * detection threshold matters more than index size at 100 TB, so the
+    * DEFAULT (`nTables = 0` = auto) adapts to the requested threshold:
+    * 16 tables at θ ≥ 0.4, 24 below (VERDICT r5 §next-2 — the 16-table
+    * dial measured 0.856 pair recall at θ=0.3/sf0.1 where 24 measures
+    * 0.946 at ~2× candidate cost; both re-measured by `Bench` every
+    * round). Deterministic and oracle-reproducible; precision = 1 via the
+    * exact verify. Eager (result checkpointed, caches released). */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      nTables: Int = 16, signBits: Int = 0, threshold: Double = 0.4,
+      nTables: Int = 0, signBits: Int = 0, threshold: Double = 0.4,
       multiProbe: Boolean = true, seed: Long = 42L): DataFrame = {
+    val tables = if (nTables > 0) nTables else if (threshold >= 0.4) 16 else 24
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val v = pin(df.select(col(idCol).as("id"), Similarity.quantize(col(vecCol)).as("v"))
       .withColumn("nn", call_function("graft_qdot", col("v"), col("v"))))
@@ -713,7 +718,7 @@ object Dedup {
     }
     val bits = if (signBits > 0) signBits else Similarity.sizedSignBits(n)
     val dim = v.select(size(col("v")).as("d")).head().getInt(0)
-    val planes = Similarity.hyperplanes(df.sparkSession, nTables, bits, dim, seed)
+    val planes = Similarity.hyperplanes(df.sparkSession, tables, bits, dim, seed)
     val b = pin(Similarity.lshBuckets(v, "id", "v", planes))
     val probed = if (multiProbe) Similarity.multiProbe(b, "id", bits) else b
     val cand = probed.as("x").join(b.as("y"),
