@@ -75,12 +75,23 @@ object ScaleProbe {
       // agg's shuffled volume (the vocab) does not grow at all.
       val nScored = Lm.surprisal(docs, "doc_id", "text").count()
       val t5 = System.nanoTime()
+      // sparse-cosine axis (r6): Bayardo prefix-index join + codegen'd
+      // merge-dot verify. Clone replication multiplies each kept term's df
+      // by `factor` (clones share all shingles), so df-capped postings
+      // SHRINK per batch while candidate volume within surviving terms
+      // grows ~factor² — the curve tracks candidates, not docs²; the df
+      // cap scales with factor to keep the kept vocabulary comparable.
+      val nCosPairs = graft.operators.Similarity.sparseCosinePairs(docs, "doc_id",
+        Text.wordShingles(col("text"), 3), threshold = 0.6,
+        maxDf = 10L * factor).count()
+      val t6 = System.nanoTime()
       println(f"""{"factor":$factor,"docs":$n,"pairs":$nPairs,"folded":$comps,""" +
         f""""lsh_sec":${(t1 - t0) / 1e9}%.2f,"cc_sec":${(t2 - t1) / 1e9}%.2f,""" +
         f""""rep_rows":$nRep,"packed_rows":$nPacked,""" +
         f""""assembly_sec":${(t3 - t2) / 1e9}%.2f,""" +
         f""""substr_pairs":$nSpanPairs,"substr_sec":${(t4 - t3) / 1e9}%.2f,""" +
-        f""""lm_docs":$nScored,"lm_sec":${(t5 - t4) / 1e9}%.2f}""")
+        f""""lm_docs":$nScored,"lm_sec":${(t5 - t4) / 1e9}%.2f,""" +
+        f""""cos_pairs":$nCosPairs,"cos_sec":${(t6 - t5) / 1e9}%.2f}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -87,11 +87,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
     UnicodeNormalize.fromChildren)
 
+  val sdotInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sdot"),
+    new ExpressionInfo(classOf[SparseDotLong].getName, "graft_sdot"),
+    (children: Seq[Expression]) => SparseDotLong(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_qdot", children => QDotLong(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize", UnicodeNormalize.fromChildren, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sdot", children => SparseDotLong(children(0), children(1)), "scala_udf")
   }
 }
 
@@ -99,5 +106,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.qdotInfo)
     ext.injectFunction(GraftFunctions.normalizeInfo)
+    ext.injectFunction(GraftFunctions.sdotInfo)
   }
 }

@@ -333,35 +333,106 @@ object Similarity {
     * fan-out is df² (every co-occurring pair meets on it), so the cap turns
     * the worst case from |corpus|² into maxDf²·|vocab| — the stop-term
     * guard every sparse all-pairs system ships; at 100 TB a single
-    * boilerplate term would otherwise recreate the cross join. Candidates
-    * come from the inverted index self-joined on term (doc_a < doc_b) —
-    * a pair is scored only if it shares a kept term, so wholly-dissimilar
-    * documents never meet. Dots and squared norms are exact integer sums
-    * (order-independent, engine-exact); the one double division per pair
-    * is correctly rounded, so results are bit-identical on any engine.
-    * The kept-postings table is pinned (one tokenize+tf pass feeds all four
-    * of its consumers — both self-join sides and both norm lookups — instead
-    * of four corpus re-scans); two shuffles follow: the term self-join and
-    * the per-pair dot aggregation (map-side combined). Eager (result
-    * checkpointed, cache released). */
+    * boilerplate term would otherwise recreate the cross join.
+    *
+    * Candidate generation is THRESHOLD-AWARE (Bayardo's prefix filter,
+    * lossless — VERDICT r5 §next-3): with every vector's terms in one
+    * global order (df ascending, term lexicographic — rarest first), only
+    * the PREFIX whose inclusive suffix norm can still reach `threshold` is
+    * indexed. Proof of completeness: if a pair (a,b) shares NO indexed
+    * term of b, every shared term t sits in b's unindexed tail, where by
+    * construction ‖b̂_tail‖ < threshold; then cos(a,b) = ⟨â, b̂_tail∩a⟩ ≤
+    * ‖â‖·‖b̂_tail‖ < threshold (Cauchy–Schwarz). So every qualifying pair
+    * is caught by joining FULL postings (probe side, lower doc id) against
+    * PREFIX postings (index side, higher doc id) on the term. Because the
+    * global order puts FREQUENT terms in the unindexed tail, the df²
+    * fan-out of common terms disappears from the join entirely — the
+    * volume win grows with the threshold and with term-frequency skew
+    * (at θ=0 the prefix is the whole vector and this degrades gracefully
+    * to the plain inverted-index join). Candidates are then verified with
+    * the EXACT integer dot over the full vectors (PPJoin's verify shape,
+    * [[Dedup.ngramJaccardPairs]]).
+    *
+    * Term strings are 64-bit-hashed (xxhash64) immediately after the
+    * explode, so no shuffle, group key, or per-doc vector ever carries a
+    * term string — the postings pipeline moves 8-byte longs (measured ~2×
+    * on the tf build alone at sf0.1 for 3-word shingle terms). A hash
+    * collision within one compared pair could inflate its dot — the same
+    * documented ~1e-13-per-corpus odds as the 60-bit window hashes of
+    * [[Dedup.substringDupPairs]]; the DuckDB oracle computes over raw
+    * strings and hash-matches, confirming zero collisions at test SFs.
+    * Each doc's verify vector is its postings as one interleaved
+    * `[hash, tf, …]` long array sorted by hash; the per-candidate dot is
+    * the codegen'd two-pointer merge [[graft.expressions.SparseDotLong]]
+    * (`graft_sdot`) — O(|a|+|b|) primitive-long work per candidate inside
+    * WholeStageCodegen (the interpreted `aggregate`-over-map formulation
+    * measured 10 s at sf0.1 where this is negligible). Dots and squared
+    * norms are exact integer sums (order-independent, engine-exact); the
+    * one double division per pair is correctly rounded, so results are
+    * bit-identical on any engine. The raw postings table is pinned (the
+    * tokenize+hash+tf pass — the most expensive stage — runs ONCE and
+    * feeds both the df gate and the join's probe side), and the kept
+    * postings are pinned with n2 and the suffix norm attached by two
+    * window passes over one doc-keyed exchange; shuffles: the
+    * prefix-index join, the candidate distinct, and the two vector
+    * lookups — all keyed equi-joins. Eager (result checkpointed, caches
+    * released). */
   def sparseCosinePairs(docs: DataFrame, idCol: String, termsCol: Column,
       threshold: Double, maxDf: Long): DataFrame = {
     require(maxDf > 0, "maxDf must be positive")
-    val tf = docs.select(col(idCol).as("doc"), explode(termsCol).as("term"))
-      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    require(threshold >= 0, "threshold must be non-negative")
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    // The term explode is the one CPU-heavy NARROW stage (regex shingling
+    // runs before any exchange, so it inherits the INPUT's parallelism) —
+    // a small corpus read as one parquet split would shingle on one core.
+    // Spread it only when the input has fewer splits than the cluster has
+    // slots; at 100 TB the scan already has thousands of splits and this
+    // is a no-op (never shuffle full text at scale for free).
+    val slots = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
+    val tf = pin(spread.select(col(idCol).as("doc"), explode(termsCol).as("term"))
+      .select(col("doc"), xxhash64(col("term")).as("h"))
+      .groupBy("doc", "h").agg(count(lit(1)).as("tf")))
     // df gate: one extra hash-agg over the (already-shuffled) postings;
-    // rare terms survive, boilerplate dies here instead of in the join
-    val kept = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("term")
-    val ktf = pin(tf.join(kept, Seq("term")))
-    val n2 = ktf.groupBy("doc").agg(sum(col("tf") * col("tf")).as("n2"))
-    val dots = ktf.select(col("term"), col("doc").as("doc_a"), col("tf").as("tf_a"))
-      .join(ktf.select(col("term"), col("doc").as("doc_b"), col("tf").as("tf_b")), Seq("term"))
+    // rare terms survive, boilerplate dies here instead of in the join.
+    // df rides along — it is also the prefix filter's global term order.
+    val kept = tf.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // Bayardo prefix: inclusive suffix norm² in (df asc, h asc) order;
+    // a term is indexed iff the suffix from it could still reach the
+    // threshold against a unit vector: suf2 ≥ t²·n2. The 1e-9 slack loosens
+    // only (a spared posting adds a candidate that exact verify re-checks).
+    // n2 and suf2 share one exchange on doc (two window specs, same key).
+    val wDoc = Window.partitionBy(col("doc"))
+    val wSuf = Window.partitionBy(col("doc"))
+      .orderBy(col("df").asc, col("h").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ktf = pin(tf.join(kept, Seq("h"))
+      .withColumn("n2", sum(col("tf") * col("tf")).over(wDoc))
+      .withColumn("suf2", sum(col("tf") * col("tf")).over(wSuf)))
+    tf.unpersist(false)
+    val prefix = ktf
+      .filter(col("suf2").cast("double") >=
+        col("n2").cast("double") * lit(threshold * threshold - 1e-9))
+      .select(col("h"), col("doc"))
+    val cand = ktf.select(col("h"), col("doc").as("doc_a"))
+      .join(prefix.select(col("h"), col("doc").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-    val out = dots
-      .join(n2.select(col("doc").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
-      .join(n2.select(col("doc").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify on full vectors: sort_array orders struct(h, tf) by h
+    // (h is unique per doc — it is the tf group key), flatten interleaves;
+    // n2 rides in the same frame so the verify needs only two joins
+    val vecs = ktf.groupBy("doc")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("h"), col("tf")))),
+        e => array(e.getField("h"), e.getField("tf")))).as("vec"),
+        max(col("n2")).as("n2"))
+    val out = cand
+      .join(vecs.select(col("doc").as("doc_a"), col("vec").as("vec_a"),
+        col("n2").as("n2_a")), Seq("doc_a"))
+      .join(vecs.select(col("doc").as("doc_b"), col("vec").as("vec_b"),
+        col("n2").as("n2_b")), Seq("doc_b"))
+      .withColumn("dot", call_function("graft_sdot", col("vec_a"), col("vec_b")))
       .withColumn("cosine", col("dot").cast("double") /
         (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cosine") >= threshold)
