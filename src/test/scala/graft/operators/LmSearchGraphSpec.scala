@@ -161,6 +161,30 @@ class LmSearchGraphSpec extends SparkTestBase {
       Seq(Seq(3L, 2L)))
   }
 
+  test("fuseRrf: exact nano sums, rank-based fusion, docs in both lists rise") {
+    // list 1 ranks docs 1,2,3; list 2 ranks docs 3,4 — doc 3 is in both
+    val l1 = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("qid", "doc", "rank")
+    val l2 = Seq(("q", 3L, 1L), ("q", 4L, 2L)).toDF("qid", "doc", "rank")
+    val out = Search.fuseRrf(Seq(l1, l2), "qid", "doc", k = 10)
+    val rows = rowList(out.select("doc", "n_lists", "rrf_nano", "rank").orderBy("rank"))
+    def c(r: Long) = 1000000000L / (60L + r)
+    // doc 3: ranked 3rd and 1st -> two contributions, tops the fused list
+    assert(rows == Seq(
+      Seq(3L, 2L, c(3) + c(1), 1L),
+      Seq(1L, 1L, c(1), 2L),
+      Seq(2L, 1L, c(2), 3L),
+      Seq(4L, 1L, c(2), 4L)))
+    // ties (docs 2 and 4, both c(2)) break by ascending doc id
+    // k truncates per query
+    assert(Search.fuseRrf(Seq(l1, l2), "qid", "doc", k = 2).count() == 2L)
+    // degenerate: single list is a rank-preserving re-score
+    val solo = Search.fuseRrf(Seq(l1), "qid", "doc", k = 10)
+    assert(rowList(solo.select("doc").orderBy("rank")).flatten == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException](Search.fuseRrf(Nil, "qid", "doc", 5))
+    intercept[IllegalArgumentException](Search.fuseRrf(Seq(l1), "qid", "doc", 0))
+  }
+
   // ---- Graph.pageRank -----------------------------------------------------
 
   test("pageRank: symmetric cycle stays uniform; star concentrates on the hub") {
