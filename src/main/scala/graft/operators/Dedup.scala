@@ -553,8 +553,42 @@ object Dedup {
     * singletons (nodes outside `nodes` ∩ pairs) keep themselves. */
   def connectedComponents(
       pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
+      maxIter: Int = 50): DataFrame =
+    foldComponents(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")), nodes, idCol, maxIter)
+
+  /** INCREMENTAL [[connectedComponents]]: fold a delta batch's pairs into
+    * standing labels WITHOUT re-contracting the full corpus (VERDICT r5
+    * §next-5 — the missing half of the [[minhashLshPairsBetween]] story:
+    * banding gives delta↔corpus edges, but recomputing labels from the full
+    * edge set made every batch pay the whole history).
+    *
+    * `priorLabels` is a previous run's (id, component) output. Each label
+    * row IS an edge to the component root, and a labeling is by definition
+    * a fully-contracted star forest — so seeding the star contraction with
+    * (labels-as-edges ∪ delta pairs) reaches the same fixed point as
+    * re-running over (all historical pairs ∪ delta pairs): the label edges
+    * connect exactly the same components the historical pairs did.
+    * Convergence needs only the rounds to fold the DELTA in — O(log of the
+    * largest newly-merged chain), independent of corpus history; a batch
+    * touching nothing converges in one confirmation round. Output contract
+    * is identical to [[connectedComponents]] over the union
+    * ([[graft.operators]] ComponentsSpec asserts equality with the full
+    * recompute; q109's oracle checks it against a recursive-CTE closure).
+    * Roots can only DECREASE across batches (a merge relabels to the
+    * union's min id) — stable keys for a standing dedup store. */
+  def connectedComponentsIncremental(
+      priorLabels: DataFrame, deltaPairs: DataFrame,
+      nodes: DataFrame, idCol: String, maxIter: Int = 50): DataFrame =
+    foldComponents(
+      priorLabels.select(col("id").as("u"), col("component").as("v"))
+        .union(deltaPairs.select(col("id_a").as("u"), col("id_b").as("v"))),
+      nodes, idCol, maxIter)
+
+  private def foldComponents(
+      rawEdges: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int): DataFrame = {
+    val spark = rawEdges.sparkSession
 
     // large-star(u): m = min over u's full neighborhood (symmetrized) and u
     // itself; every neighbor v > u re-links to m. Emitted edges keep u > v
@@ -590,9 +624,9 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    val init = pairs.select(
-        greatest(col("id_a"), col("id_b")).as("u"),
-        least(col("id_a"), col("id_b")).as("v"))
+    val init = rawEdges.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     var cur = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     var edges = spark.createDataFrame(cur, init.schema)

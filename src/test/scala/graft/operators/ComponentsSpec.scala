@@ -42,4 +42,31 @@ class ComponentsSpec extends SparkTestBase {
       .filter(col("id") =!= col("component"))
     assert(out.count() == 0)
   }
+
+  test("connectedComponentsIncremental: equals the full recompute") {
+    // history: {1,2,3} and {5,6}; delta merges the two via 3-5 and adds a
+    // brand-new pair {10,11} plus an untouched singleton 9
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val oldNodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val prior = Dedup.connectedComponents(oldPairs, oldNodes, "doc_id")
+    val deltaPairs = Seq((3L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    val allNodes = Seq(1L, 2L, 3L, 5L, 6L, 9L, 10L, 11L).toDF("doc_id")
+    val inc = Dedup.connectedComponentsIncremental(prior, deltaPairs, allNodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(oldPairs.union(deltaPairs), allNodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    // the merge relabels the {5,6} family down to root 1
+    assert(inc(5L) == 1L && inc(6L) == 1L && inc(9L) == 9L && inc(11L) == 10L)
+  }
+
+  test("connectedComponentsIncremental: empty delta is a no-op relabel") {
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 5L, 6L).toDF("doc_id")
+    val prior = Dedup.connectedComponents(oldPairs, nodes, "doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(prior, none, nodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
 }
