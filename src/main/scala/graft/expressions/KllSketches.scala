@@ -1,0 +1,135 @@
+package graft.expressions
+
+import org.apache.datasketches.kll.KllLongsSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Mergeable KLL quantile sketches (Karnin, Lang & Liberty, FOCS 2016) over
+  * LONG values, via the Apache DataSketches library Spark itself ships for
+  * its HLL functions — the quantile sibling of [[graft.operators.Sketches]]'
+  * cardinality workflow (VERDICT r5 §next-6): build a ≈3 KB sketch per
+  * shard/day ONCE, store or ship sketches, answer percentiles over ANY
+  * later grouping by merging — no re-scan, and no raw-row window like the
+  * exact [[graft.operators.Grouping.percentilesDisc]] needs at query time.
+  *
+  * Spark 4 exposes no KLL SQL functions (only HLL), so these are native
+  * `TypedImperativeAggregate`s — the same execution shape as the built-in
+  * `hll_sketch_agg` (ObjectHashAggregate with map-side partials; the
+  * sketch buffer IS the partial state, so shuffled volume is sketches,
+  * never values). Values are LONGS by design: quantize first (cents /
+  * micros — the suite-wide exactness contract) and the sketch's retained
+  * items stay exact integers; only RANKS are approximate.
+  *
+  * Error contract: a k=200 KLL sketch bounds normalized RANK error at
+  * ~1.65% (two-sided, 99% confidence), and merging preserves the bound.
+  * Like the HLL estimate, a merged quantile is engine- and merge-tree-
+  * specific: consumers must assert the exact-rank BRACKET (value at rank
+  * p±ε) — never hash-compare the estimate (q110's oracle emits TRUE for
+  * the bound columns and hash-checks only the exact side). */
+case class KllSketchAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllLongsSketch] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_kll_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): KllLongsSketch =
+    KllLongsSketch.newHeapInstance(k)
+
+  override def update(buffer: KllLongsSketch, input: InternalRow): KllLongsSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KllLongsSketch, other: KllLongsSketch): KllLongsSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllLongsSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllLongsSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllLongsSketch =
+    KllLongsSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Union of serialized KLL sketches (the group-later half of the store-and-
+  * merge workflow). Input rows are `binary` sketches from [[KllSketchAgg]];
+  * the merge buffer inherits the LARGEST k seen (DataSketches downgrades
+  * accuracy to the smallest input k, exactly like HLL union semantics). */
+case class KllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllLongsSketch] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_kll_merge"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): KllLongsSketch =
+    KllLongsSketch.newHeapInstance()
+
+  override def update(buffer: KllLongsSketch, input: InternalRow): KllLongsSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(KllLongsSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: KllLongsSketch, other: KllLongsSketch): KllLongsSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllLongsSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllLongsSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllLongsSketch =
+    KllLongsSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
+    copy(child = newChild)
+}
+
+/** Scalar: the estimated quantile at normalized rank `right` (double in
+  * [0,1]) from a serialized KLL sketch — INCLUSIVE search criteria (the
+  * value at the smallest rank ≥ p, matching SQL type-1 percentiles).
+  * Interpreted-only (`CodegenFallback`): one call per GROUP, not per row —
+  * never in a hot loop. Null for an empty sketch (no rows in the group). */
+case class KllQuantileLong(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_kll_quantile"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(sketchBytes: Any, p: Any): Any = {
+    val s = KllLongsSketch.heapify(Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
+    if (s.isEmpty) null
+    else s.getQuantile(p.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantileLong =
+    copy(left = newLeft, right = newRight)
+}

@@ -99,6 +99,15 @@ object GraftFunctions {
       "graft_normalize", UnicodeNormalize.fromChildren, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sdot", children => SparseDotLong(children(0), children(1)), "scala_udf")
+    // KLL aggregates: the analyzer wraps a returned AggregateFunction in
+    // its AggregateExpression automatically; k must be a literal int
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_agg", children => KllSketchAgg(children(0),
+        children(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_merge", children => KllMergeAgg(children(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_quantile", children => KllQuantileLong(children(0), children(1)), "scala_udf")
   }
 }
 

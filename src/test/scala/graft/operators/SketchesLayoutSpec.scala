@@ -61,6 +61,41 @@ class SketchesLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("quantileSketch + mergeQuantiles: merged estimate within rank brackets of exact") {
+    // values 1..10000 per shard-interleaved frame: every quantile is known
+    val df = (1L to 10000L).map(i => (i % 8, i)).toDF("shard", "v")
+    val sk = Sketches.quantileSketch(df, Seq("shard"), "v")
+    assert(sk.count() == 8)
+    val est = Sketches.mergeQuantiles(sk, Nil, Seq(0.5, 0.99)).head()
+    // k=200 bounds rank error at ~1.65%; assert a 2.5% bracket on values
+    // (values are uniform 1..10000 so value brackets == rank brackets)
+    val q50 = est.getLong(est.fieldIndex("q50"))
+    val q99 = est.getLong(est.fieldIndex("q99"))
+    assert(q50 >= 4750L && q50 <= 5250L, s"q50=$q50")
+    assert(q99 >= 9650L && q99 <= 10000L, s"q99=$q99")
+    // grouped merge: per-parity groups carry only even/odd values
+    val df2 = (1L to 10000L).map(i => (i % 2, i % 8, i)).toDF("par", "shard", "v")
+    val sk2 = Sketches.quantileSketch(df2, Seq("par", "shard"), "v")
+    val g = Sketches.mergeQuantiles(sk2, Seq("par"), Seq(0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(0L) >= 4750L && g(0L) <= 5250L && g(0L) % 2 == 0) // evens only
+    assert(g(1L) >= 4750L && g(1L) <= 5250L && g(1L) % 2 == 1) // odds only
+  }
+
+  test("quantileSketch: retained values are exact longs; parquet round-trip merges") {
+    val df = Seq(1L, 1L, 1L, 1000000L).map(v => ("s", v)).toDF("shard", "v")
+    val sk = Sketches.quantileSketch(df, Seq("shard"), "v")
+    // tiny input → sketch retains everything exactly
+    val q = Sketches.mergeQuantiles(sk, Nil, Seq(0.5, 1.0)).head()
+    assert(q.getLong(q.fieldIndex("q50")) == 1L)
+    assert(q.getLong(q.fieldIndex("q100")) == 1000000L)
+    // store-and-merge: sketches written to parquet, read back, merged later
+    val dir = java.nio.file.Files.createTempDirectory("kll").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val q2 = Sketches.mergeQuantiles(spark.read.parquet(dir), Nil, Seq(1.0)).head()
+    assert(q2.getLong(q2.fieldIndex("q100")) == 1000000L)
+  }
+
   test("zValue2: known interleavings and two-sided monotonicity") {
     val df = Seq((5L, 3L)).toDF("a", "b") // a=101, b=011
     // interleave: a bits at even positions (1,0,1 -> 1+0+16), b at odd (1,1,0 -> 2+8)
