@@ -911,18 +911,24 @@ object SparkEntry {
       val sharded = Ops.shardByHash(docs, "doc_id", 5)
       val delta = sharded.filter(col("shard") === 0).drop("shard")
       val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      // the standing corpus's index is built ONCE (in production: loaded
+      // from its stored table) and serves both the prior self-join and the
+      // delta's band-join; the delta index serves its cross- and self-joins
+      val ixC = Dedup.minhashIndex(corpus, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3)
+      val ixD = Dedup.minhashIndex(delta, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3)
       val prior = Dedup.connectedComponents(
-        Dedup.minhashLshPairs(corpus, "doc_id", "text",
-          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8),
-        corpus, "doc_id")
-      val deltaEdges = Dedup.minhashLshPairsBetween(delta, corpus, "doc_id", "text",
-          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+        Dedup.minhashLshPairsIndexed(ixC, threshold = 0.8), corpus, "doc_id")
+      val deltaEdges = Dedup.minhashLshPairsBetweenIndexed(ixD, ixC, threshold = 0.8)
         .select("id_a", "id_b")
-        .unionByName(Dedup.minhashLshPairs(delta, "doc_id", "text",
-          n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8).select("id_a", "id_b"))
-      Dedup.connectedComponentsIncremental(prior, deltaEdges, docs, "doc_id")
+        .unionByName(Dedup.minhashLshPairsIndexed(ixD, threshold = 0.8)
+          .select("id_a", "id_b"))
+      val out = Dedup.connectedComponentsIncremental(prior, deltaEdges, docs, "doc_id")
         .filter(col("id") =!= col("component")) // only docs folded into a group
         .orderBy("id")
+      ixC.release(); ixD.release()
+      out
     }),
     // cross-doc boilerplate line removal: seed every doc with a shared
     // footer (and every even doc with a second one — the corpus itself is

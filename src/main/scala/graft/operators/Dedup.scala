@@ -388,6 +388,40 @@ object Dedup {
     ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** A reusable MinHash-LSH index over one corpus: the pinned shingle sets
+    * (exact-verify side) and the pinned banded signature keys (candidate-
+    * generation side). THIS is the state a standing-corpus pipeline stores —
+    * signatures depend only on each doc's text, so an index built once
+    * serves the corpus self-join, every delta's band-join against it, and
+    * the incremental-components fold, without re-shingling the big side
+    * (in a real deployment both frames are tables keyed by id / (band,
+    * band_key); here they are pinned caches). `release()` when done. */
+  final case class MinhashIndex private[operators] (
+      shingles: DataFrame, bandedKeys: DataFrame) {
+    def release(): Unit = {
+      bandedKeys.unpersist(false); shingles.unpersist(false)
+    }
+  }
+
+  /** Build a [[MinhashIndex]]: one shingle pass, one signature hash-agg
+    * (the expensive job — map-side combined, one shuffle on the doc id),
+    * bands exploded to (id, band, band_key) rows. Both frames pinned. */
+  def minhashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): MinhashIndex = {
+    val numHashes = bands * rowsPerBand
+    val s = pin(shingled(df, idCol, textCol, n).filter(col("nsh") > 0))
+    val sig = minhashSignatures(s, numHashes)
+    val bandKeys = (0 until bands).map(bi =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(j => col(s"mh${bi * rowsPerBand + j}").cast("string")): _*)))
+    // pinned: without it the candidate self-join executes the signature
+    // pipeline on BOTH sides (this alone halved q29's wall time)
+    val banded = pin(
+      sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))))
+    MinhashIndex(s, banded)
+  }
+
   /** MinHash + LSH near-dup pairs.
     * numHashes = bands * rowsPerBand; a pair is a candidate iff all rows of
     * some band agree (band key = md5 of the joined band slice). Candidates
@@ -398,25 +432,21 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val s = pin(shingled(df, idCol, textCol, n).filter(col("nsh") > 0))
-    val sig = minhashSignatures(s, numHashes)
-    val bandKeys = (0 until bands).map(bi =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(j => col(s"mh${bi * rowsPerBand + j}").cast("string")): _*)))
-    // pinned: the signature hash-agg (the expensive job) runs ONCE — without
-    // it, the candidate self-join below executes the pipeline on BOTH sides
-    // (this alone halved q29's wall time)
-    val banded = pin(
-      sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))))
+    val ix = minhashIndex(df, idCol, textCol, n, bands, rowsPerBand)
+    val out = minhashLshPairsIndexed(ix, threshold)
+    ix.release()
+    out
+  }
+
+  /** [[minhashLshPairs]] over a prebuilt [[MinhashIndex]] — the index is
+    * NOT released (the caller owns it and may reuse it, q109-style). */
+  def minhashLshPairsIndexed(ix: MinhashIndex, threshold: Double): DataFrame = {
+    val banded = ix.bandedKeys
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val out = verifyJaccard(cand, s, threshold).localCheckpoint(true)
-    banded.unpersist(false)
-    s.unpersist(false)
-    out
+    verifyJaccard(cand, ix.shingles, threshold).localCheckpoint(true)
   }
 
   /** Incremental (delta ↔ corpus) MinHash-LSH near-dup pairs: the daily-
@@ -436,25 +466,24 @@ object Dedup {
       left: DataFrame, right: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sL = pin(shingled(left, idCol, textCol, n).filter(col("nsh") > 0))
-    val sR = pin(shingled(right, idCol, textCol, n).filter(col("nsh") > 0))
-    def banded(sig: DataFrame): DataFrame = {
-      val bandKeys = (0 until bands).map(bi =>
-        md5(concat_ws("|",
-          (0 until rowsPerBand).map(j => col(s"mh${bi * rowsPerBand + j}").cast("string")): _*)))
-      sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-    }
-    val bL = pin(banded(minhashSignatures(sL, numHashes)))
-    val bR = pin(banded(minhashSignatures(sR, numHashes)))
-    val cand = bL.as("x").join(bR.as("y"),
+    val ixL = minhashIndex(left, idCol, textCol, n, bands, rowsPerBand)
+    val ixR = minhashIndex(right, idCol, textCol, n, bands, rowsPerBand)
+    val out = minhashLshPairsBetweenIndexed(ixL, ixR, threshold)
+    ixL.release(); ixR.release()
+    out
+  }
+
+  /** [[minhashLshPairsBetween]] over prebuilt indexes — the standing-corpus
+    * shape made literal: the big side's [[MinhashIndex]] is built (or
+    * loaded) ONCE and every delta batch band-joins against it; neither
+    * index is released here. */
+  def minhashLshPairsBetweenIndexed(
+      left: MinhashIndex, right: MinhashIndex, threshold: Double): DataFrame = {
+    val cand = left.bandedKeys.as("x").join(right.bandedKeys.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.id") =!= col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val out = verifyJaccard2(cand, sL, sR, threshold).localCheckpoint(true)
-    bL.unpersist(false); bR.unpersist(false)
-    sL.unpersist(false); sR.unpersist(false)
-    out
+    verifyJaccard2(cand, left.shingles, right.shingles, threshold).localCheckpoint(true)
   }
 
   /** Relational 64-bit SimHash: explode tokens, hash each ONCE (codegen'd

@@ -83,6 +83,23 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"boilerplate plan must be keyed joins only:\n$boilerPlan")
   }
 
+  test("minhashIndex: one prebuilt index serves self-join AND delta-join, equal to the direct calls") {
+    val delta = docs.filter(col("doc_id") === 0)
+    val corpus = docs.filter(col("doc_id") =!= 0)
+    val ixC = Dedup.minhashIndex(corpus, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 3)
+    val ixD = Dedup.minhashIndex(delta, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 3)
+    val selfIx = Dedup.minhashLshPairsIndexed(ixC, threshold = 0.5)
+    val selfDirect = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+    assert(rowSet(selfIx) == rowSet(selfDirect))
+    val betweenIx = Dedup.minhashLshPairsBetweenIndexed(ixD, ixC, threshold = 0.5)
+    val betweenDirect = Dedup.minhashLshPairsBetween(delta, corpus, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+    assert(rowSet(betweenIx) == rowSet(betweenDirect))
+    assert(betweenIx.count() == 1) // the planted cross pair
+    ixC.release(); ixD.release()
+  }
+
   test("minhashLshPairsBetween: delta vs corpus finds the cross pair, never corpus-internal ones") {
     val delta = docs.filter(col("doc_id") === 0)
     // corpus holds BOTH a near-dup of the delta doc (1) and an internal
