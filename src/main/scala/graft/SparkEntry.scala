@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
+import graft.operators.{Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -291,6 +291,29 @@ object SparkEntry {
         .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+    // heavy hitters ✚ (q64/q110's third sketch family): per-shard frequency
+    // sketches of the hashed token stream, merged globally; the exact
+    // top-20 (q26's query, hash-compared) probes the merged sketch and
+    // asserts the sketch's DETERMINISTIC lower ≤ exact ≤ upper guarantee
+    // (estimates are merge-tree-specific and never hash-compared)
+    "q112_heavy_hitters" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
+      val hashed = toks.withColumn("h", xxhash64(col("token")))
+      val sk = Sketches.frequencySketch(
+        Ops.shardByHash(hashed, "token", 8), Seq("shard"), "h")
+      val merged = Sketches.mergeFrequency(sk, Nil)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+      top.crossJoin(broadcast(merged))
+        .withColumn("b",
+          call_function("graft_freq_bounds", col("fsketch"), xxhash64(col("token"))))
+        .select(col("token"), col("n"),
+          (element_at(col("b"), 2) <= col("n") &&
+            col("n") <= element_at(col("b"), 3)).as("ok_bounds"))
+        .orderBy(col("n").desc, col("token"))
     }),
     // ----- ✚ dedup family (documents) --------------------------------------
     "q27_dedup_exact" -> ((s, d) => {
@@ -1134,6 +1157,17 @@ object SparkEntry {
           qs, "query_id", "term", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // DSIR importance resampling ✚ (Xie et al. 2023): hashed-n-gram bag
+    // models of a TARGET (English docs) vs the RAW pool (the rest); each
+    // raw doc scored by the exact micro-nat log importance ratio, then
+    // A-ES-resampled in log space — "pick crawl pages that look like the
+    // target", deterministic and fully replayed by the oracle
+    "q111_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dsir.select(docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"), "doc_id", "text", k = 50)
+        .orderBy("doc_id")
+    }),
     // hybrid retrieval fusion ✚ (VERDICT r5 §next-4): RRF-fuse the lexical
     // BM25 top-10 with the vector LSH top-5 for the same two queries
     // (query N's embedding is vec N — the shared id space). Rank-based
@@ -1725,6 +1759,13 @@ object SparkEntry {
          FROM q GROUP BY lang_id ORDER BY lang_id""",
     "q26_token_freq" ->
       """SELECT t AS token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents)
+         GROUP BY t ORDER BY n DESC, t LIMIT 20""",
+    // exact top-20 replayed (q26); the frequency-sketch brackets are the
+    // sketch's deterministic guarantee, asserted Spark-side, TRUE here
+    "q112_heavy_hitters" ->
+      """SELECT t AS token, count(*) AS n, TRUE AS ok_bounds FROM (
            SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
            FROM documents)
          GROUP BY t ORDER BY n DESC, t LIMIT 20""",
@@ -2817,6 +2858,42 @@ object SparkEntry {
                FROM sel)
          SELECT query_id, doc_id, n_hit_terms, score_micro, rank FROM r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // DSIR replay: unigram+bigram features → md5-60-bit bucket % 65536,
+    // add-one models over the bucket space, q94's four-ln tree rounded
+    // once per (doc, bucket), A-ES log-space key from the q95 h60 uniform
+    "q111_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang,
+                string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS ts
+              FROM documents),
+         feats AS (
+           SELECT doc_id, lang, unnest(ts) AS f FROM tok
+           UNION ALL
+           SELECT doc_id, lang, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS f
+           FROM tok WHERE len(ts) >= 2),
+         fb AS (SELECT doc_id, lang,
+                       (list_sum([ (instr('0123456789abcdef', substr(md5(f), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 65536) AS bucket
+                FROM feats),
+         rfc AS (SELECT doc_id, bucket, count(*) AS c FROM fb WHERE lang <> 'en' GROUP BY 1, 2),
+         tb AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+         rb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM rfc GROUP BY 1),
+         tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tot_t FROM tb),
+         rt AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tot_r FROM rb),
+         w AS (SELECT rfc.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                      CAST(sum(CAST(round((ln(coalesce(ct, 0) + 1) - ln(tot_t + 65536)
+                                           - ln(cr + 1) + ln(tot_r + 65536)) * c * 1000000) AS BIGINT)) AS BIGINT) AS logw_micro
+               FROM rfc LEFT JOIN tb USING (bucket) JOIN rb USING (bucket)
+               CROSS JOIN tt CROSS JOIN rt
+               GROUP BY rfc.doc_id),
+         h AS (SELECT doc_id, n_feats, logw_micro,
+                      list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                                 * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+               FROM w),
+         sel AS (SELECT doc_id, n_feats, logw_micro,
+                        row_number() OVER (ORDER BY ln(-ln((h60 + 1) / pow(2, 60))) - logw_micro / 1000000.0,
+                                           doc_id) AS rk
+                 FROM h)
+         SELECT doc_id, n_feats, logw_micro FROM sel WHERE rk <= 50 ORDER BY doc_id""",
     // RRF fusion: q97's BM25 tree (BIGINT query ids) + q32's LSH top-k
     // chain, fused with the same exact integer floor(1e9/(60+rank)) sums
     // as Search.fuseRrf; ties by ascending doc id

@@ -185,6 +185,45 @@ class LmSearchGraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Search.fuseRrf(Seq(l1), "qid", "doc", 0))
   }
 
+  // ---- Dsir ---------------------------------------------------------------
+
+  test("dsir: target-like raw docs get higher importance weights; features counted exactly") {
+    val target = Seq((100L, "alpha beta alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val ab = Seq.fill(24)("alpha beta").mkString(" ")
+    val gd = Seq.fill(24)("gamma delta").mkString(" ")
+    val raw = Seq((1L, ab), (2L, gd)).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 48 tokens -> 48 unigram + 47 bigram feature instances
+    assert(w(1L)._1 == 95L && w(2L)._1 == 95L)
+    // doc 1 shares every feature with the target, doc 2 none
+    assert(w(1L)._2 > w(2L)._2)
+    // the A-ES log-space noise term ln(−ln u) spans at most
+    // (ln(60·ln2) − ln(2^-60)) ≈ 45.3 nats across ANY pair of hash
+    // uniforms, so a weight contrast above that can never be flipped by
+    // the noise — resampling k=1 MUST pick the target-like doc
+    assert((w(1L)._2 - w(2L)._2) > 46L * 1000000L)
+    val picked = Dsir.select(raw, target, "doc_id", "text", k = 1)
+      .select("doc_id").head().getLong(0)
+    assert(picked == 1L)
+  }
+
+  test("dsir: weights are partition-independent exact longs; select composes") {
+    val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta gamma alpha" else "delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val a = Dsir.importanceWeights(raw, target, "doc_id", "text")
+    val b = Dsir.importanceWeights(raw.repartition(7), target, "doc_id", "text")
+    assert(rowSet(a) == rowSet(b))
+    assert(rowSet(Dsir.select(raw, target, "doc_id", "text", k = 5)) ==
+      rowSet(Dsir.resampleTopK(a, "doc_id", 5)))
+    // empty target: every bucket takes the add-one floor, weights still defined
+    val noT = Dsir.importanceWeights(raw, target.limit(0), "doc_id", "text")
+    assert(noT.count() == 20)
+  }
+
   // ---- Graph.pageRank -----------------------------------------------------
 
   test("pageRank: symmetric cycle stays uniform; star concentrates on the hub") {
