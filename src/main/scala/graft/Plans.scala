@@ -23,7 +23,12 @@ object Plans {
         // r5 batch 2: shuffle-free chunk explode, vocab-join LM scoring,
         // postings-pruned BM25, iterated-join PageRank
         "q90_chunk_sliding", "q91_unigram_surprisal", "q92_bm25",
-        "q93_pagerank", "q94_domain_kl")
+        "q93_pagerank", "q94_domain_kl",
+        // r6: RRF fusion, incremental CC over a shared MinHash index,
+        // sketch-probe heavy hitters, DSIR selection (q83's rewritten
+        // Bayardo prefix-index plan is audited via its entry above)
+        "q108_hybrid_rrf", "q109_incremental_cc",
+        "q111_dsir_select", "q112_heavy_hitters")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

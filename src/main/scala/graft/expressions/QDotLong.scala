@@ -108,6 +108,13 @@ object GraftFunctions {
       "graft_kll_merge", children => KllMergeAgg(children(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_quantile", children => KllQuantileLong(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_agg", children => FreqSketchAgg(children(0),
+        children(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_merge", children => FreqMergeAgg(children(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_bounds", children => FreqBoundsLong(children(0), children(1)), "scala_udf")
   }
 }
 

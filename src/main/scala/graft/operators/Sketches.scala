@@ -84,4 +84,28 @@ object Sketches {
         call_function("graft_kll_quantile", col("qsketch"), lit(p)))
     }.drop("qsketch")
   }
+
+  // ---- frequent-items (heavy hitters) sketches ---------------------------
+
+  /** Per-group frequent-items sketch of LONG `itemCol` as binary `fsketch`
+    * (hash wider values first; [[graft.expressions.FreqSketchAgg]] for the
+    * DETERMINISTIC ±εN bound contract, ε ≈ 3.5/maxMapSize). */
+  def frequencySketch(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      maxMapSize: Int = 1024): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_freq_agg", col(itemCol).cast("long"),
+        lit(maxMapSize)).as("fsketch"))
+  }
+
+  /** Merge per-group frequency sketches to a coarser grouping (global when
+    * `groupCols = Nil`); keeps the merged `fsketch` binary so callers can
+    * probe items with `graft_freq_bounds` (q112's shape). */
+  def mergeFrequency(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    graft.expressions.GraftFunctions.register(sketches.sparkSession)
+    if (groupCols.isEmpty)
+      sketches.agg(call_function("graft_freq_merge", col("fsketch")).as("fsketch"))
+    else sketches.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_freq_merge", col("fsketch")).as("fsketch"))
+  }
 }

@@ -96,6 +96,31 @@ class SketchesLayoutSpec extends SparkTestBase {
     assert(q2.getLong(q2.fieldIndex("q100")) == 1000000L)
   }
 
+  test("frequencySketch + mergeFrequency: brackets always contain the true count") {
+    graft.expressions.GraftFunctions.register(spark)
+    // skewed stream: item 1 dominates, long tail of singletons; small map
+    // (64) forces purges so estimates are genuinely approximate
+    val rows = (Seq.fill(500)(1L) ++ Seq.fill(120)(2L) ++ (100L to 400L)).zipWithIndex
+      .map { case (v, i) => (i % 4, v) }
+    val df = rows.toDF("shard", "item")
+    val sk = Sketches.frequencySketch(df, Seq("shard"), "item", maxMapSize = 64)
+    val merged = Sketches.mergeFrequency(sk, Nil)
+    val b = merged.select(call_function("graft_freq_bounds", col("fsketch"), lit(1L)).as("b"),
+        call_function("graft_freq_bounds", col("fsketch"), lit(2L)).as("b2"))
+      .head()
+    val (e1, lo1, hi1) = { val a = b.getSeq[Long](0); (a(0), a(1), a(2)) }
+    val (lo2, hi2) = { val a = b.getSeq[Long](1); (a(1), a(2)) }
+    // deterministic guarantee: lower <= true <= upper, for hitters and all
+    assert(lo1 <= 500L && 500L <= hi1 && e1 >= lo1 && e1 <= hi1)
+    assert(lo2 <= 120L && 120L <= hi2)
+    // small-cardinality stream: no purge ever happens -> bounds are EXACT
+    val tiny = Seq((0, 7L), (0, 7L), (0, 9L)).toDF("shard", "item")
+    val tb = Sketches.mergeFrequency(
+        Sketches.frequencySketch(tiny, Seq("shard"), "item"), Nil)
+      .select(call_function("graft_freq_bounds", col("fsketch"), lit(7L))).head().getSeq[Long](0)
+    assert(tb == Seq(2L, 2L, 2L))
+  }
+
   test("zValue2: known interleavings and two-sided monotonicity") {
     val df = Seq((5L, 3L)).toDF("a", "b") // a=101, b=011
     // interleave: a bits at even positions (1,0,1 -> 1+0+16), b at odd (1,1,0 -> 2+8)
