@@ -315,6 +315,33 @@ object SparkEntry {
             col("n") <= element_at(col("b"), 3)).as("ok_bounds"))
         .orderBy(col("n").desc, col("token"))
     }),
+    // theta-sketch set algebra ✚ (the capability HLL lacks): per-event-type
+    // theta sketches of the user id stream; "users who did BOTH view and
+    // purchase" (intersection) and "view-only users" (A∖B) answered from
+    // the two binaries and asserted inside the sketches' 3σ bounds —
+    // below sketch capacity the sketch is EXACT and the bounds collapse
+    // onto the true count. Exact sides hash-compare; oracle emits TRUE.
+    "q113_theta_sets" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = Tables.events(s, d).filter(col("event_type").isin("view", "purchase"))
+      val sk = Sketches.thetaSketch(e, Seq("event_type"), "user_id")
+      val sv = sk.filter(col("event_type") === "view").select(col("tsketch").as("sv"))
+      val sp = sk.filter(col("event_type") === "purchase").select(col("tsketch").as("sp"))
+      val flags = e.groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      flags.agg(
+          sum(when(col("v") === 1 && col("p") === 1, 1L).otherwise(0L)).as("n_both_exact"),
+          sum(when(col("v") === 1 && col("p") === 0, 1L).otherwise(0L)).as("n_view_only_exact"))
+        .crossJoin(broadcast(sv)).crossJoin(broadcast(sp))
+        .withColumn("bi", Sketches.thetaSetBounds(col("sv"), col("sp"), "intersect"))
+        .withColumn("bd", Sketches.thetaSetBounds(col("sv"), col("sp"), "diff"))
+        .select(col("n_both_exact"), col("n_view_only_exact"),
+          (element_at(col("bi"), 2) <= col("n_both_exact") &&
+            col("n_both_exact") <= element_at(col("bi"), 3)).as("ok_intersect"),
+          (element_at(col("bd"), 2) <= col("n_view_only_exact") &&
+            col("n_view_only_exact") <= element_at(col("bd"), 3)).as("ok_diff"))
+    }),
     // ----- ✚ dedup family (documents) --------------------------------------
     "q27_dedup_exact" -> ((s, d) => {
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
@@ -1762,6 +1789,18 @@ object SparkEntry {
            SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
            FROM documents)
          GROUP BY t ORDER BY n DESC, t LIMIT 20""",
+    // exact flag-sums replayed; the theta set-operation bounds are
+    // asserted Spark-side against the sketch's own 3σ interval, TRUE here
+    "q113_theta_sets" ->
+      """WITH f AS (SELECT user_id,
+                max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY user_id)
+         SELECT CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_exact,
+                CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only_exact,
+                TRUE AS ok_intersect, TRUE AS ok_diff
+         FROM f""",
     // exact top-20 replayed (q26); the frequency-sketch brackets are the
     // sketch's deterministic guarantee, asserted Spark-side, TRUE here
     "q112_heavy_hitters" ->

@@ -115,6 +115,16 @@ object GraftFunctions {
       "graft_freq_merge", children => FreqMergeAgg(children(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_freq_bounds", children => FreqBoundsLong(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_agg", children => ThetaSketchAgg(children(0),
+        children(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_merge", children => ThetaMergeAgg(children(0)), "scala_udf")
+    Seq("intersect", "diff", "union").foreach { op =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_theta_$op",
+        children => ThetaSetEstimate(children(0), children(1), op), "scala_udf")
+    }
   }
 }
 

@@ -121,6 +121,31 @@ class SketchesLayoutSpec extends SparkTestBase {
     assert(tb == Seq(2L, 2L, 2L))
   }
 
+  test("thetaSketch: set algebra on stored sketches — exact below capacity") {
+    graft.expressions.GraftFunctions.register(spark)
+    // A = 1..1000, B = 500..1500: |A∩B| = 501, |A∖B| = 499, |A∪B| = 1500
+    val df = ((1L to 1000L).map(("a", _)) ++ (500L to 1500L).map(("b", _)))
+      .toDF("grp", "k")
+    val sk = Sketches.thetaSketch(df, Seq("grp"), "k")
+    val a = sk.filter($"grp" === "a").select($"tsketch".as("sa"))
+    val b = sk.filter($"grp" === "b").select($"tsketch".as("sb"))
+    val r = a.crossJoin(b).select(
+      Sketches.thetaSetBounds(col("sa"), col("sb"), "intersect").as("i"),
+      Sketches.thetaSetBounds(col("sa"), col("sb"), "diff").as("d"),
+      Sketches.thetaSetBounds(col("sa"), col("sb"), "union").as("u")).head()
+    // below 2^12 retained keys the sketch is exact: est = lb = ub = truth
+    assert(r.getSeq[Long](0) == Seq(501L, 501L, 501L))
+    assert(r.getSeq[Long](1) == Seq(499L, 499L, 499L))
+    assert(r.getSeq[Long](2) == Seq(1500L, 1500L, 1500L))
+    // sampling mode (lgK = 4 → 16 nominal entries): bounds must bracket
+    val sk2 = Sketches.thetaSketch(df, Seq("grp"), "k", lgK = 4)
+    val r2 = sk2.filter($"grp" === "a").select($"tsketch".as("sa"))
+      .crossJoin(sk2.filter($"grp" === "b").select($"tsketch".as("sb")))
+      .select(Sketches.thetaSetBounds(col("sa"), col("sb"), "union").as("u")).head()
+    val u2 = r2.getSeq[Long](0)
+    assert(u2(1) <= 1500L && 1500L <= u2(2))
+  }
+
   test("zValue2: known interleavings and two-sided monotonicity") {
     val df = Seq((5L, 3L)).toDF("a", "b") // a=101, b=011
     // interleave: a bits at even positions (1,0,1 -> 1+0+16), b at odd (1,1,0 -> 2+8)
