@@ -47,6 +47,28 @@ object Streams {
         col("n_distinct_approx"))
   }
 
+  /** Per-window heavy-hitter sketches on an unbounded stream: a Misra–Gries
+    * frequency sketch ([[graft.expressions.FreqSketchAgg]]) of the LONG
+    * `keyCol` per tumbling window — bounded state (≤ maxMapSize entries per
+    * window) where an exact per-window (key, count) aggregation's state is
+    * unbounded in the key cardinality: the hot-key / dominant-domain
+    * monitor for an ingest pipeline. Same code batch & streaming
+    * ([[approxDistinctPerWindow]]'s pattern — q112 is the batch-shape
+    * sibling); downstream probes items with `graft_freq_bounds`, whose
+    * lower ≤ true ≤ upper brackets hold DETERMINISTICALLY on every
+    * micro-batch merge tree (the estimates themselves are merge-specific).
+    * Output: window_start_us, fsketch (binary). */
+  def frequentKeysPerWindow(events: DataFrame, keyCol: String,
+      windowLen: String, maxMapSize: Int = 256,
+      watermark: Option[String] = None): DataFrame = {
+    graft.expressions.GraftFunctions.register(events.sparkSession)
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(call_function("graft_freq_agg", col(keyCol).cast("long"),
+        lit(maxMapSize)).as("fsketch"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("fsketch"))
+  }
+
   /** Sliding-window event counts (1h window every 30min on a stream). */
   def slidingAgg(events: DataFrame, windowLen: String, slide: String,
       watermark: Option[String] = None): DataFrame = {

@@ -304,6 +304,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("frequentKeysPerWindow: streaming sketch brackets the true per-window counts") {
+    graft.expressions.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // hour 0: user 1 ×3, user 2 ×1; hour 1: user 4 ×2, user 5 ×1
+    val rows = Seq((0L, 1L), (5L, 1L), (10L, 1L), (20L, 2L), (70L, 4L), (80L, 5L), (90L, 4L))
+      .map { case (minute, user) => (new java.sql.Timestamp(base + minute * 60000L), user) }
+    val exact = Map((0L, 1L) -> 3L, (0L, 2L) -> 1L, (1L, 4L) -> 2L, (1L, 5L) -> 1L)
+    def check(out: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(out.length == 2)
+      val byHour = out.map(r => (r.getLong(0) / 3600000000L % 24, r)).toMap
+      exact.foreach { case ((hour, user), n) =>
+        val b = spark.range(1).select(
+          call_function("graft_freq_bounds",
+            lit(byHour(hour).getAs[Array[Byte]](1)), lit(user))).head().getSeq[Long](0)
+        assert(b(1) <= n && n <= b(2), s"hour $hour user $user: $b vs exact $n")
+      }
+    }
+    check(Streams.frequentKeysPerWindow(rows.toDF("ts", "user_id"), "user_id", "1 hour")
+      .collect())
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streams.frequentKeysPerWindow(mem.toDF().toDF("ts", "user_id"),
+        "user_id", "1 hour", watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("win_freq").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      check(spark.table("win_freq").collect())
+    } finally q.stop()
+  }
+
   test("surprisalGateStream: frozen-LM perplexity filter keeps in-domain docs, drops OOV noise") {
     import graft.operators.Lm
     implicit val sqlCtx = spark.sqlContext
