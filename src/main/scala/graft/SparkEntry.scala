@@ -315,6 +315,21 @@ object SparkEntry {
             col("n") <= element_at(col("b"), 3)).as("ok_bounds"))
         .orderBy(col("n").desc, col("token"))
     }),
+    // temperature-scaled mixture ✚ (T5 §3.4.3 / XLM sampling): per-source
+    // token budgets ∝ n_s^0.5 (α=0.5 flattens the source mix), realized by
+    // the deterministic hash-order admission — the complete "mix sources
+    // for a training run" pipeline, all exact integer arithmetic
+    "q114_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+      val budgets = Ops.temperatureBudgets(docs, Seq("source"), "n_tokens",
+        alpha = 0.5, totalBudget = 50000L)
+      val sel = Ops.sampleToBudgets(docs, Seq("source"), "doc_id", "n_tokens", budgets)
+      sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_sel"))
+        .join(budgets.select(col("source"), col("w_total"), col("budget")), Seq("source"))
+        .orderBy("source")
+    }),
     // theta-sketch set algebra ✚ (the capability HLL lacks): per-event-type
     // theta sketches of the user id stream; "users who did BOTH view and
     // purchase" (intersection) and "view-only users" (A∖B) answered from
@@ -1789,6 +1804,29 @@ object SparkEntry {
            SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
            FROM documents)
          GROUP BY t ORDER BY n DESC, t LIMIT 20""",
+    // temperature budgets replayed: per-source pow(n,0.5) micro-rounded,
+    // long-summed normalizer, integer-division budgets, q63's hash-order
+    // cumulative admission rule
+    "q114_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT AS ntok,
+                list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+              FROM documents),
+         tot AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS w_total FROM d GROUP BY source),
+         pm AS (SELECT source, w_total,
+                       CAST(round(pow(w_total::DOUBLE, 0.5) * 1000000) AS BIGINT) AS pw
+                FROM tot),
+         z AS (SELECT CAST(sum(pw) AS BIGINT) AS zm FROM pm),
+         bud AS (SELECT source, w_total, (50000 * pw) // zm AS budget FROM pm, z),
+         adm AS (SELECT d.source, d.ntok, bud.budget, bud.w_total,
+                        sum(ntok) OVER (PARTITION BY d.source ORDER BY h60, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM d JOIN bud USING (source))
+         SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens_sel,
+                max(w_total) AS w_total, max(budget) AS budget
+         FROM adm WHERE cum - ntok < budget
+         GROUP BY source ORDER BY source""",
     // exact flag-sums replayed; the theta set-operation bounds are
     // asserted Spark-side against the sketch's own 3σ interval, TRUE here
     "q113_theta_sets" ->

@@ -197,6 +197,57 @@ object Ops {
       .drop("__graft_cum")
   }
 
+  /** [[sampleToBudget]] with a PER-GROUP budget table — `budgets` carries
+    * `groupCols` + a long `budget` column (e.g. [[temperatureBudgets]]'
+    * output). Same hash-order admission rule per group; a group with
+    * budget ≤ 0 admits nothing; a group absent from `budgets` is dropped
+    * (inner join). */
+  def sampleToBudgets(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, budgets: DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "per-group budgets need at least one group column")
+    require(!df.columns.contains("__graft_cum"),
+      "sampleToBudgets reserves the internal column name __graft_cum; rename the input column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idHash60(col(idCol)), col(idCol))
+    df.join(budgets.select((groupCols.map(col) :+ col("budget")): _*), groupCols)
+      .withColumn("__graft_cum", sum(col(weightCol)).over(w))
+      .filter(col("__graft_cum") - col(weightCol) < col("budget"))
+      .drop("__graft_cum", "budget")
+  }
+
+  /** Temperature-scaled mixture budgets — the pretraining source-mixing
+    * rule (Raffel et al. 2020 §3.4.3 "temperature-scaled mixing"; also the
+    * multilingual-sampling rule of Conneau & Lample 2019): group g with
+    * total weight n_g receives budget ∝ n_g^alpha. alpha = 1 reproduces
+    * the natural proportions; alpha → 0 flattens toward uniform — the dial
+    * that keeps low-resource sources from drowning and boilerplate-heavy
+    * sources from dominating. Compose with [[sampleToBudgets]] to realize
+    * the mixture deterministically.
+    *
+    * Exactness: n_g^alpha is one double `pow` per GROUP, rounded once to
+    * micro units (the quantize-then-sum rule), so the normalizer is an
+    * exact long sum and each budget is one integer multiply + integer
+    * divide — bit-identical on any engine; Σ budgets ≤ totalBudget by the
+    * floor. (totalBudget · pw_micro must fit a long: fine up to budgets of
+    * ~1e12 against group weights of ~1e12 — document-count scales; at the
+    * extreme, rescale weights before calling.)
+    * Output: groupCols + w_total + budget (longs). */
+  def temperatureBudgets(df: DataFrame, groupCols: Seq[String],
+      weightCol: String, alpha: Double, totalBudget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"need 0 < alpha <= 1, got $alpha")
+    require(totalBudget > 0, "totalBudget must be positive")
+    val totals = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(weightCol)).as("w_total"))
+    val pm = totals.withColumn("__pw_micro",
+      round(pow(col("w_total").cast("double"), lit(alpha)) * lit(1000000L))
+        .cast(org.apache.spark.sql.types.LongType))
+    val z = pm.agg(sum(col("__pw_micro")).as("__z_micro"))
+    pm.crossJoin(broadcast(z))
+      .select((groupCols.map(col) :+ col("w_total") :+
+        expr(s"CAST(($totalBudget * __pw_micro) DIV __z_micro AS BIGINT)")
+          .as("budget")): _*)
+  }
+
   /** Deterministic shard assignment: [[idHash60]] mod `nShards`, appended
     * as `shardCol`. The reproducible analog of `repartition` for
     * LAYOUT-meaningful splits (per-shard files, striped eval sets). */

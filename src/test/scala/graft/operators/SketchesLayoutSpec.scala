@@ -225,4 +225,27 @@ class SketchesLayoutSpec extends SparkTestBase {
     val tiny = Ops.sampleToBudget(df, Seq("grp"), "id", "w", budget = 1L)
     assert(tiny.groupBy("grp").count().collect().map(_.getLong(1)).toSeq == Seq(1L, 1L))
   }
+
+  test("temperatureBudgets: alpha flattens the mix; sampleToBudgets admits per-group") {
+    // weights 100 vs 400: alpha=1 → 1:4 split; alpha=0.5 → pow ratio 10:20 = 1:2
+    val df = ((1L to 10L).map(("a", _, 10L)) ++ (11L to 20L).map(("b", _, 40L)))
+      .toDF("grp", "id", "w")
+    val b1 = Ops.temperatureBudgets(df, Seq("grp"), "w", alpha = 1.0, totalBudget = 500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(b1("a") == ((100L, 100L)) && b1("b") == ((400L, 400L)))
+    val b5 = Ops.temperatureBudgets(df, Seq("grp"), "w", alpha = 0.5, totalBudget = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(b5("a") == 100L && b5("b") == 200L) // exact thirds: 10/(10+20), 20/(10+20)
+    // per-group admission against those budgets follows the hash order and
+    // matches the constant-budget operator when budgets are equal
+    val const = Ops.temperatureBudgets(df, Seq("grp"), "w", alpha = 1.0, totalBudget = 1000L)
+      .withColumn("budget", lit(60L)).select("grp", "budget")
+    val viaTable = Ops.sampleToBudgets(df, Seq("grp"), "id", "w", const)
+    val direct = Ops.sampleToBudget(df, Seq("grp"), "id", "w", budget = 60L)
+    assert(rowSet(viaTable) == rowSet(direct))
+    // zero budget admits nothing for that group
+    val zb = Seq(("a", 0L), ("b", 100L)).toDF("grp", "budget")
+    assert(Ops.sampleToBudgets(df, Seq("grp"), "id", "w", zb)
+      .select("grp").distinct().collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
 }
