@@ -50,15 +50,26 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        (name, times(times.length / 2), failed) // median
+        // median is the honesty number (one GC pause doesn't define the
+        // round); min-of-N is the standard quiet-machine estimator — the
+        // spread between them IS the contention on this host (VERDICT r6
+        // §next-1: r4/r5/r6 each ended adjudicating artifact-vs-quiet-run
+        // gaps; emitting both makes the gap measurable in the artifact).
+        (name, times(times.length / 2), times.head, failed)
       }
-    val results = outcomes.collect { case (n, t, false) => n -> t }
-    val failedNames = outcomes.collect { case (n, _, true) => n }
-    def ms(v: Double): String = f"$v%.3f" // ms precision keeps the line short
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val results = outcomes.collect { case (n, med, mn, false) => (n, med, mn) }
+    val failedNames = outcomes.collect { case (n, _, _, true) => n }
+    // explicit ROOT locale: f"" uses the default JVM locale, which on
+    // comma-decimal locales (de_DE) would emit "0,435" — invalid JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val qmins = results.map { case (k, _, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fj = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
     // scorecard echo (VERDICT r4 §wrong-3): the ANN/near-dup recall numbers
     // AT THE BENCH SCALE FACTOR, tracked every round. Untimed — runs after
     // the measurement loop; a failure leaves the object empty rather than
@@ -91,7 +102,7 @@ object Bench {
     // line (total + ~50 queries). Put the long per-query map FIRST and the
     // scalar summary (total/recall/sf) LAST so a truncated capture still
     // retains the headline numbers; times rounded to ms to shorten the line.
-    println(s"""{"queries":$qs,"failed":$fj,"recall":$rj,"sf":"$sfDir","metric":"total","unit":"sec","value":${ms(total)}}""")
+    println(s"""{"queries":$qs,"queries_min":$qmins,"failed":$fj,"recall":$rj,"sf":"$sfDir","metric":"total","unit":"sec","total_min":${ms(totalMin)},"value":${ms(total)}}""")
     spark.stop()
   }
 }

@@ -85,13 +85,30 @@ object ScaleProbe {
         Text.wordShingles(col("text"), 3), threshold = 0.6,
         maxDf = 10L * factor).count()
       val t6 = System.nanoTime()
-      println(f"""{"factor":$factor,"docs":$n,"pairs":$nPairs,"folded":$comps,""" +
-        f""""lsh_sec":${(t1 - t0) / 1e9}%.2f,"cc_sec":${(t2 - t1) / 1e9}%.2f,""" +
-        f""""rep_rows":$nRep,"packed_rows":$nPacked,""" +
-        f""""assembly_sec":${(t3 - t2) / 1e9}%.2f,""" +
-        f""""substr_pairs":$nSpanPairs,"substr_sec":${(t4 - t3) / 1e9}%.2f,""" +
-        f""""lm_docs":$nScored,"lm_sec":${(t5 - t4) / 1e9}%.2f,""" +
-        f""""cos_pairs":$nCosPairs,"cos_sec":${(t6 - t5) / 1e9}%.2f}""")
+      // sketch axis (r7, VERDICT r6 stretch): per-shard KLL build+merge vs
+      // exact percentile on the same column. The sketch side's merged state
+      // is KB-bounded regardless of N — the measured 100-TB argument these
+      // operators exist to make: exact grows with data, sketch stays flat.
+      val tokens = docs.select(Text.tokenCount(col("text")).cast("long").as("v"),
+        pmod(col("doc_id"), lit(64L)).as("shard"))
+      graft.operators.Sketches.mergeQuantiles(
+        graft.operators.Sketches.quantileSketch(tokens, Seq("shard"), "v"),
+        Nil, Seq(0.5, 0.9, 0.99)).count()
+      val t7 = System.nanoTime()
+      tokens.groupBy().agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))")).count()
+      val t8 = System.nanoTime()
+      // explicit ROOT locale (ADVICE r6): f"" formats with the default JVM
+      // locale; comma-decimal locales would emit invalid JSON
+      def sec(a: Long, b: Long): String =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box((b - a) / 1e9))
+      println(s"""{"factor":$factor,"docs":$n,"pairs":$nPairs,"folded":$comps,""" +
+        s""""lsh_sec":${sec(t0, t1)},"cc_sec":${sec(t1, t2)},""" +
+        s""""rep_rows":$nRep,"packed_rows":$nPacked,""" +
+        s""""assembly_sec":${sec(t2, t3)},""" +
+        s""""substr_pairs":$nSpanPairs,"substr_sec":${sec(t3, t4)},""" +
+        s""""lm_docs":$nScored,"lm_sec":${sec(t4, t5)},""" +
+        s""""cos_pairs":$nCosPairs,"cos_sec":${sec(t5, t6)},""" +
+        s""""kll_sec":${sec(t6, t7)},"exact_pct_sec":${sec(t7, t8)}}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.datasketches.frequencies.LongsSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -39,6 +40,13 @@ case class FreqSketchAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
+  // a clean analysis error instead of a runtime CCE in update() (ADVICE r6)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument (hash wider values first), " +
+        s"got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): LongsSketch = new LongsSketch(maxMapSize)
 
   override def update(buffer: LongsSketch, input: InternalRow): LongsSketch = {
@@ -64,35 +72,59 @@ case class FreqSketchAgg(
     copy(child = newChild)
 }
 
-/** Union of serialized frequency sketches (the group-later half). */
+/** Mutable holder so [[FreqMergeAgg]]'s buffer adopts its FIRST input
+  * sketch's maxMapSize instead of a hardcoded default (ADVICE r6): the
+  * ε ≈ 3.5/M guarantee is governed by the SMALLEST map involved, so a
+  * fixed-1024 buffer would silently widen the error bounds of inputs built
+  * with a larger map. `s == null` means "no input seen yet". */
+final class FreqMergeBuffer(var s: LongsSketch)
+
+/** Union of serialized frequency sketches (the group-later half). The
+  * merge buffer adopts the first input sketch's maxMapSize (uniform-size
+  * inputs keep their ε; mixed sizes degrade to the smallest, which no
+  * buffer sizing can avoid). A group with no non-null input evaluates to
+  * NULL, and [[FreqBoundsLong]] propagates that NULL. */
 case class FreqMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[LongsSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[FreqMergeBuffer] with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_freq_merge"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
-  // merging into a larger map never degrades the per-input guarantees;
-  // 1024 matches FreqSketchAgg's q112 call site
-  override def createAggregationBuffer(): LongsSketch = new LongsSketch(1024)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch argument, got ${child.dataType.sql}")
 
-  override def update(buffer: LongsSketch, input: InternalRow): LongsSketch = {
+  override def createAggregationBuffer(): FreqMergeBuffer = new FreqMergeBuffer(null)
+
+  override def update(buffer: FreqMergeBuffer, input: InternalRow): FreqMergeBuffer = {
     val v = child.eval(input)
-    if (v != null)
-      buffer.merge(LongsSketch.getInstance(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      // getInstance heapifies OUR bytes into a writable copy — safe to adopt
+      val in = LongsSketch.getInstance(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (buffer.s == null) buffer.s = in else buffer.s.merge(in)
+    }
     buffer
   }
 
-  override def merge(buffer: LongsSketch, other: LongsSketch): LongsSketch =
-    buffer.merge(other)
+  override def merge(buffer: FreqMergeBuffer, other: FreqMergeBuffer): FreqMergeBuffer = {
+    if (other.s != null) {
+      if (buffer.s == null) buffer.s = other.s else buffer.s.merge(other.s)
+    }
+    buffer
+  }
 
-  override def eval(buffer: LongsSketch): Any = buffer.toByteArray
+  override def eval(buffer: FreqMergeBuffer): Any =
+    if (buffer.s == null) null else buffer.s.toByteArray
 
-  override def serialize(buffer: LongsSketch): Array[Byte] = buffer.toByteArray
-  override def deserialize(bytes: Array[Byte]): LongsSketch =
-    LongsSketch.getInstance(Memory.wrap(bytes))
+  override def serialize(buffer: FreqMergeBuffer): Array[Byte] =
+    if (buffer.s == null) Array.emptyByteArray else buffer.s.toByteArray
+  override def deserialize(bytes: Array[Byte]): FreqMergeBuffer =
+    if (bytes.isEmpty) new FreqMergeBuffer(null)
+    else new FreqMergeBuffer(LongsSketch.getInstance(Memory.wrap(bytes)))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

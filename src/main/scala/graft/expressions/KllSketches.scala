@@ -4,6 +4,7 @@ import org.apache.datasketches.kll.KllLongsSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -41,6 +42,13 @@ case class KllSketchAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
+  // a clean analysis error instead of a runtime CCE in update() (ADVICE r6)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument (quantize first), " +
+        s"got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): KllLongsSketch =
     KllLongsSketch.newHeapInstance(k)
 
@@ -69,39 +77,61 @@ case class KllSketchAgg(
     copy(child = newChild)
 }
 
+/** Mutable holder so [[KllMergeAgg]]'s buffer can be sized from its FIRST
+  * input sketch instead of a hardcoded default (ADVICE r6): KLL merge
+  * accuracy is governed by the SMALLEST k involved, so a default-k (200)
+  * buffer would silently cap rank accuracy at k=200 even when every input
+  * was built with a larger k. `s == null` means "no input seen yet". */
+final class KllMergeBuffer(var s: KllLongsSketch)
+
 /** Union of serialized KLL sketches (the group-later half of the store-and-
   * merge workflow). Input rows are `binary` sketches from [[KllSketchAgg]];
-  * the merge buffer inherits the LARGEST k seen (DataSketches downgrades
-  * accuracy to the smallest input k, exactly like HLL union semantics). */
+  * the merge buffer adopts the FIRST input sketch's k (uniform-k inputs —
+  * the normal store-and-merge case — keep their accuracy; mixed-k inputs
+  * degrade to the smallest k involved, which no buffer sizing can avoid).
+  * A group with no non-null input evaluates to NULL, and
+  * [[KllQuantileLong]] propagates that NULL. */
 case class KllMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllLongsSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KllMergeBuffer] with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_kll_merge"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
-  override def createAggregationBuffer(): KllLongsSketch =
-    KllLongsSketch.newHeapInstance()
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch argument, got ${child.dataType.sql}")
 
-  override def update(buffer: KllLongsSketch, input: InternalRow): KllLongsSketch = {
+  override def createAggregationBuffer(): KllMergeBuffer = new KllMergeBuffer(null)
+
+  override def update(buffer: KllMergeBuffer, input: InternalRow): KllMergeBuffer = {
     val v = child.eval(input)
-    if (v != null)
-      buffer.merge(KllLongsSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      // heapify returns a writable heap copy of OUR bytes — safe to adopt
+      val in = KllLongsSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (buffer.s == null) buffer.s = in else buffer.s.merge(in)
+    }
     buffer
   }
 
-  override def merge(buffer: KllLongsSketch, other: KllLongsSketch): KllLongsSketch = {
-    buffer.merge(other)
+  override def merge(buffer: KllMergeBuffer, other: KllMergeBuffer): KllMergeBuffer = {
+    if (other.s != null) {
+      if (buffer.s == null) buffer.s = other.s else buffer.s.merge(other.s)
+    }
     buffer
   }
 
-  override def eval(buffer: KllLongsSketch): Any = buffer.toByteArray
+  override def eval(buffer: KllMergeBuffer): Any =
+    if (buffer.s == null) null else buffer.s.toByteArray
 
-  override def serialize(buffer: KllLongsSketch): Array[Byte] = buffer.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllLongsSketch =
-    KllLongsSketch.heapify(Memory.wrap(bytes))
+  override def serialize(buffer: KllMergeBuffer): Array[Byte] =
+    if (buffer.s == null) Array.emptyByteArray else buffer.s.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllMergeBuffer =
+    if (bytes.isEmpty) new KllMergeBuffer(null)
+    else new KllMergeBuffer(KllLongsSketch.heapify(Memory.wrap(bytes)))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

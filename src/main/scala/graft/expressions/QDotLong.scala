@@ -77,6 +77,18 @@ object QDotLong {
   * function is callable as `graft_qdot(a, b)` from SQL or
   * `call_function("graft_qdot", a, b)` from the Column API. */
 object GraftFunctions {
+  /** The sketch aggregates' size parameter must be an INT literal (it sizes
+    * the aggregation buffer at plan time). Validate instead of a blind
+    * `eval().asInstanceOf[Int]` (ADVICE r6): a column, a LONG literal or
+    * SQL '200' would otherwise throw a bare ClassCastException/NPE deep in
+    * resolution instead of naming the problem. */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal (e.g. lit(200)), got: $other")
+  }
+
   val qdotInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_qdot"),
     new ExpressionInfo(classOf[QDotLong].getName, "graft_qdot"),
@@ -103,21 +115,21 @@ object GraftFunctions {
     // its AggregateExpression automatically; k must be a literal int
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_agg", children => KllSketchAgg(children(0),
-        children(1).eval().asInstanceOf[Int]), "scala_udf")
+        litInt(children(1), "graft_kll_agg", "k")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_merge", children => KllMergeAgg(children(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_quantile", children => KllQuantileLong(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_freq_agg", children => FreqSketchAgg(children(0),
-        children(1).eval().asInstanceOf[Int]), "scala_udf")
+        litInt(children(1), "graft_freq_agg", "maxMapSize")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_freq_merge", children => FreqMergeAgg(children(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_freq_bounds", children => FreqBoundsLong(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_agg", children => ThetaSketchAgg(children(0),
-        children(1).eval().asInstanceOf[Int]), "scala_udf")
+        litInt(children(1), "graft_theta_agg", "lgK")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_merge", children => ThetaMergeAgg(children(0)), "scala_udf")
     Seq("intersect", "diff", "union").foreach { op =>

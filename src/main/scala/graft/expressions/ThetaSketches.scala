@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, Union}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -36,6 +37,13 @@ case class ThetaSketchAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
+  // a clean analysis error instead of a runtime CCE in update() (ADVICE r6)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument (hash wider values first), " +
+        s"got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
@@ -67,7 +75,13 @@ case class ThetaSketchAgg(
     copy(child = newChild)
 }
 
-/** Union of serialized theta sketches (the group-later half). */
+/** Union of serialized theta sketches (the group-later half). The union
+  * buffer's nominal-entries cap is set to the framework MAXIMUM (lgK=26)
+  * rather than the default 12 (KllMergeAgg's ADVICE-r6 genre): a union's
+  * result theta is floored by the buffer's own nominal cap, so a default
+  * buffer would silently degrade inputs built with lgK > 12 to ~1.6% rse.
+  * Memory is safe — the union gadget grows with RETAINED entries (bounded
+  * by the inputs' own lgK), not the nominal preallocation. */
 case class ThetaMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -77,7 +91,15 @@ case class ThetaMergeAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
-  override def createAggregationBuffer(): Union = SetOperation.builder().buildUnion()
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch argument, got ${child.dataType.sql}")
+
+  private def maxUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(26).buildUnion()
+
+  override def createAggregationBuffer(): Union = maxUnion()
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
@@ -95,7 +117,7 @@ case class ThetaMergeAgg(
 
   override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
   override def deserialize(bytes: Array[Byte]): Union = {
-    val u = SetOperation.builder().buildUnion()
+    val u = maxUnion()
     u.union(CompactSketch.heapify(Memory.wrap(bytes)))
     u
   }

@@ -31,8 +31,10 @@ import graft.functions.Text
   * or partitioning. Resampling is Efraimidis–Spirakis in LOG space:
   * A-ES keeps the k largest u^(1/w); with w = exp(logw) spanning thousands
   * of nats, u^(1/w) and ln(u)/w both over/underflow, but the ORDER is
-  * preserved by the key ln(−ln u) − logw (ascending), which stays finite —
-  * u is the (idHash60+1)/2^60 uniform ([[Ops.sampleWeighted]]'s), so the
+  * preserved by the key ln(−ln u) − logw (ascending), which stays finite
+  * because u is capped strictly inside (0, 1) — u is the (idHash60+1)/2^60
+  * uniform ([[Ops.sampleWeighted]]'s) capped at 1−2⁻⁵³ (the 60-bit→double
+  * cast can round the top hash value to exactly 1.0), so the
   * selected set is a pure function of (id, logw): deterministic,
   * oracle-replayable, and a no-shuffle TakeOrdered.
   *
@@ -99,7 +101,15 @@ object Dsir {
     * TakeOrdered — per-partition heaps, never a global sort. */
   def resampleTopK(weights: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = (Ops.idHash60(col(idCol)) + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    // capped strictly below 1.0 (ADVICE r6): at idHash60 = 2^60−1 the
+    // 60-bit→double cast rounds (h+1)/2^60 up to exactly 1.0, where
+    // log(-log(1.0)) = log(0) goes NULL in Spark (nulls-first ⇒ the row
+    // would be unconditionally selected) and errors in DuckDB. least()
+    // with the largest double < 1 keeps the inner -log strictly positive;
+    // both engines apply the identical cap and identical rounding.
+    val u = least(
+      (Ops.idHash60(col(idCol)) + lit(1L)).cast("double") / lit(math.pow(2.0, 60)),
+      lit(1.0 - math.pow(2.0, -53)))
     weights
       .withColumn("__graft_dsirkey", log(-log(u)) - col("logw_micro") / lit(1000000.0))
       .orderBy(col("__graft_dsirkey").asc, col(idCol))
