@@ -407,6 +407,58 @@ object SparkEntry {
           threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
+    // delta↔corpus embedding near-dup ✚ (VERDICT r6 §missing-1, q72's
+    // vector twin): hash-shard 0 plays the ingest batch, the rest is the
+    // standing corpus whose EmbeddingIndex is built once — the delta is
+    // bucketed with the CORPUS's plane parameters and band-joined against
+    // the pinned corpus buckets; the corpus is never self-joined
+    "q115_embedding_delta" -> ((s, d) => {
+      val sharded = Ops.shardByHash(Tables.embeddings(s, d), "vec_id", 5)
+      val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      val delta = sharded.filter(col("shard") === 0).drop("shard")
+      val ix = Dedup.embeddingIndex(corpus, "vec_id", "embedding", threshold = 0.3)
+      val out = Dedup.embeddingNearDupPairsBetween(delta, ix, "vec_id", "embedding",
+        threshold = 0.3)
+      ix.release()
+      out.orderBy("id_a", "id_b")
+    }),
+    // SemDeDup-style one-call semantic dedup ✚ (VERDICT r6 §missing-2):
+    // embedding pairs → connected components → keep each semantic family's
+    // best row under (label, vec_id) — the keepBy window path, exercised
+    // end-to-end against the oracle's recursive-closure replay
+    "q116_semantic_dedup" -> ((s, d) => {
+      Dedup.dedupedCorpusByEmbedding(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.3, keepBy = Seq(col("label"), col("vec_id")))
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+    // incremental SEMANTIC components ✚ (q109's vector twin, closing the
+    // standing-vector-store loop q115 opened): yesterday's corpus labels
+    // are computed first; today's batch folds in via labels-as-edges +
+    // (delta↔corpus pairs through the corpus EmbeddingIndex ∪ the delta's
+    // own internal pairs) — corpus history never re-contracted, the corpus
+    // never re-bucketed. Oracle = recursive closure over the same three
+    // pair sets, so the gate asserts incremental ≡ full over these edges.
+    "q117_semantic_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val sharded = Ops.shardByHash(e, "vec_id", 5)
+      val delta = sharded.filter(col("shard") === 0).drop("shard")
+      val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      val ixC = Dedup.embeddingIndex(corpus, "vec_id", "embedding", threshold = 0.3)
+      val ixD = Dedup.embeddingIndex(delta, "vec_id", "embedding", threshold = 0.3)
+      val prior = Dedup.connectedComponents(
+        Dedup.embeddingNearDupPairsIndexed(ixC, threshold = 0.3), corpus, "vec_id")
+      val deltaEdges = Dedup.embeddingNearDupPairsBetween(delta, ixC,
+          "vec_id", "embedding", threshold = 0.3)
+        .select("id_a", "id_b")
+        .unionByName(Dedup.embeddingNearDupPairsIndexed(ixD, threshold = 0.3)
+          .select("id_a", "id_b"))
+      val out = Dedup.connectedComponentsIncremental(prior, deltaEdges, e, "vec_id")
+        .filter(col("id") =!= col("component")) // only vecs folded into a group
+        .orderBy("id")
+      ixC.release(); ixD.release()
+      out
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -859,13 +911,11 @@ object SparkEntry {
     // near-duplicate docs (keep each cluster's min id), then quality- and
     // language-gate, then account surviving tokens per source.
     "q49_curation_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      // routed through the one-call dedupedCorpus (VERDICT r6 §next-1) —
+      // same plan semantics as the previous pairs→CC→anti-join spelling,
+      // but through the minhashIndex-backed API a real pipeline invokes
+      val kept = Dedup.dedupedCorpus(Tables.documents(s, d), "doc_id", "text",
         n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
-      val folded = Dedup.connectedComponents(pairs, docs, "doc_id")
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
-      val kept = Joins.join(docs, folded, Seq("doc_id"), "anti")
       kept
         .withColumn("quality", Text.qualityScore(col("text")))
         .withColumn("lang_id", Text.langId(col("text")))
@@ -915,9 +965,14 @@ object SparkEntry {
         .medianByWindow("l_extendedprice")
         .select(col("__graft_k_l_returnflag").as("l_returnflag"),
           col("__graft_median").as("__em"))
+      // approx-distinct bound: 4σ of the configured rsd (0.02 → 8%), the
+      // q106 rule — rsd is a standard DEVIATION, so the old 5% was only
+      // ~2.5σ and a legitimate run could flip the boolean (residual failure
+      // probability at 4σ ≈ 6e-5 per group). percentile_approx's bound is
+      // rank-based, not probabilistic — 5% stays ample there.
       base.join(exactD, Seq("l_returnflag")).join(exactM, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"), col("n_orders_exact"),
-          (abs(col("__ad") - col("n_orders_exact")) <= col("n_orders_exact") * 0.05)
+          (abs(col("__ad") - col("n_orders_exact")) <= col("n_orders_exact") * 0.08)
             .as("approx_distinct_ok"),
           (abs(col("__am") - col("__em")) <= abs(col("__em")) * 0.05)
             .as("approx_median_ok"))
@@ -1400,6 +1455,46 @@ object SparkEntry {
                      ELSE xor(bucket, 1::BIGINT << (pj - 1)) END AS bucket
               FROM bk, nb, range(0, 25) r(pj)
               WHERE pj <= nb.bits)"""
+  // sharded-embedding fragments (q115/q117): vv = quantized vectors + norms
+  // + the q72 hash-shard; bucket/probe/pair CTE generators parameterized by
+  // shard predicate and bits CTE so the delta↔corpus chains stay readable
+  private val sqlEmbVv =
+    """vv AS (SELECT vec_id,
+              [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+              list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT
+                        for x in embedding]) AS nn,
+              (list_sum([ (instr('0123456789abcdef', substr(md5(vec_id::VARCHAR), k, 1)) - 1)
+                          * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 5) AS shard
+            FROM embeddings)"""
+  private def sqlEmbBits(cteName: String, shardPred: String) =
+    s"""$cteName AS (SELECT min(b) AS bits FROM range(4, 25) r(b),
+              (SELECT count(*) AS n FROM vv WHERE $shardPred) c
+            WHERE (1::BIGINT << b) * 8 >= n OR b = 24)"""
+  private def sqlEmbShardBuckets(cteName: String, shardPred: String, bitsCte: String) =
+    s"""$cteName AS (SELECT vec_id, t,
+              list_sum([CASE WHEN list_sum([
+                  (CASE WHEN (instr('0123456789abcdef',
+                       substr(md5(42 || '|' || t || '|' || j || '|' || (p - 1)), 1, 1)) - 1) % 2 = 0
+                   THEN 1 ELSE -1 END) * q[p]
+                for p in range(1, 65)]) >= 0 THEN (1::BIGINT << j) ELSE 0 END
+              for j in range(0, bits)]) AS bucket
+            FROM vv, range(0, 24) r(t), $bitsCte WHERE $shardPred)"""
+  private def sqlEmbProbes(cteName: String, srcCte: String, bitsCte: String) =
+    s"""$cteName AS (SELECT vec_id, t,
+              CASE WHEN pj = 0 THEN bucket
+                   ELSE xor(bucket, 1::BIGINT << (pj - 1)) END AS bucket
+            FROM $srcCte, $bitsCte, range(0, 25) r(pj) WHERE pj <= $bitsCte.bits)"""
+  private def sqlEmbPairs(cteName: String, left: String, right: String, cond: String) =
+    s"""$cteName AS (SELECT id_a, id_b FROM (
+              SELECT cand.id_a, cand.id_b,
+                     list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
+                       / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+              FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM $left a JOIN $right b ON a.t = b.t AND a.bucket = b.bucket
+                      AND $cond) cand
+              JOIN vv x ON x.vec_id = cand.id_a
+              JOIN vv y ON y.vec_id = cand.id_b) t
+            WHERE cosine >= 0.3)"""
   // IVF: one Lloyd assignment step — every vector to its exact-integer-
   // distance argmin centroid (ties to the lowest cent_id)
   private def sqlIvfAssign(asgName: String, centsName: String): String =
@@ -1985,6 +2080,103 @@ object SparkEntry {
            JOIN v x ON x.vec_id = cand.id_a
            JOIN v y ON y.vec_id = cand.id_b) t
          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+    // q33's LSH chain split by the q72 hash-shard: bits sized from the
+    // CORPUS count (shard <> 0), corpus buckets plain, DELTA side (shard 0)
+    // multi-probed, join on a.vec_id <> b.vec_id (disjoint shards anyway)
+    "q115_embedding_delta" ->
+      """WITH vv AS (SELECT vec_id,
+                [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
+                list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT
+                          for x in embedding]) AS nn,
+                (list_sum([ (instr('0123456789abcdef', substr(md5(vec_id::VARCHAR), k, 1)) - 1)
+                            * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 5) AS shard
+              FROM embeddings),
+         nb AS (SELECT min(b) AS bits FROM range(4, 25) r(b),
+                  (SELECT count(*) AS n FROM vv WHERE shard <> 0) c
+                WHERE (1::BIGINT << b) * 8 >= n OR b = 24),
+         bk AS (SELECT vec_id, t,
+                  list_sum([CASE WHEN list_sum([
+                      (CASE WHEN (instr('0123456789abcdef',
+                           substr(md5(42 || '|' || t || '|' || j || '|' || (p - 1)), 1, 1)) - 1) % 2 = 0
+                       THEN 1 ELSE -1 END) * q[p]
+                    for p in range(1, 65)]) >= 0 THEN (1::BIGINT << j) ELSE 0 END
+                  for j in range(0, bits)]) AS bucket
+                FROM vv, range(0, 24) r(t), nb WHERE shard <> 0),
+         dk AS (SELECT vec_id, t,
+                  list_sum([CASE WHEN list_sum([
+                      (CASE WHEN (instr('0123456789abcdef',
+                           substr(md5(42 || '|' || t || '|' || j || '|' || (p - 1)), 1, 1)) - 1) % 2 = 0
+                       THEN 1 ELSE -1 END) * q[p]
+                    for p in range(1, 65)]) >= 0 THEN (1::BIGINT << j) ELSE 0 END
+                  for j in range(0, bits)]) AS bucket
+                FROM vv, range(0, 24) r(t), nb WHERE shard = 0),
+         pb AS (SELECT vec_id, t,
+                  CASE WHEN pj = 0 THEN bucket
+                       ELSE xor(bucket, 1::BIGINT << (pj - 1)) END AS bucket
+                FROM dk, nb, range(0, 25) r(pj) WHERE pj <= nb.bits)
+         SELECT id_a, id_b, cosine FROM (
+           SELECT cand.id_a, cand.id_b,
+                  list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
+                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+           FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                   AND a.vec_id <> b.vec_id) cand
+           JOIN vv x ON x.vec_id = cand.id_a
+           JOIN vv y ON y.vec_id = cand.id_b) t
+         WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+    // the three pair sets of the incremental semantic fold — corpus
+    // self-join (corpus-sized bits), delta↔corpus (delta probed in the
+    // CORPUS's bucket space), delta self-join (delta-sized bits) — closed
+    // transitively; the gate asserts incremental ≡ full over these edges
+    "q117_semantic_incremental" ->
+      s"""WITH RECURSIVE $sqlEmbVv,
+         ${sqlEmbBits("nbc", "shard <> 0")},
+         ${sqlEmbBits("nbd", "shard = 0")},
+         ${sqlEmbShardBuckets("bkc", "shard <> 0", "nbc")},
+         ${sqlEmbProbes("pbc", "bkc", "nbc")},
+         ${sqlEmbShardBuckets("dkc", "shard = 0", "nbc")},
+         ${sqlEmbProbes("pdc", "dkc", "nbc")},
+         ${sqlEmbShardBuckets("bkd", "shard = 0", "nbd")},
+         ${sqlEmbProbes("pbd", "bkd", "nbd")},
+         ${sqlEmbPairs("cp", "pbc", "bkc", "a.vec_id < b.vec_id")},
+         ${sqlEmbPairs("xp", "pdc", "bkc", "a.vec_id <> b.vec_id")},
+         ${sqlEmbPairs("dp", "pbd", "bkd", "a.vec_id < b.vec_id")},
+         edges AS (SELECT id_a AS a, id_b AS b FROM cp
+                   UNION SELECT id_b, id_a FROM cp
+                   UNION SELECT id_a, id_b FROM xp
+                   UNION SELECT id_b, id_a FROM xp
+                   UNION SELECT id_a, id_b FROM dp
+                   UNION SELECT id_b, id_a FROM dp),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+         SELECT id, component FROM comp WHERE component <> id ORDER BY id""",
+    // q33's pair chain closed transitively (q49's recursive-CTE shape) into
+    // components; each component keeps its first row under (label, vec_id)
+    // — the keepBy window replayed relationally
+    "q116_semantic_dedup" ->
+      s"""WITH RECURSIVE $sqlVecs, ${sqlLshBuckets(24)}, $sqlLshProbesAll,
+         pairs AS (SELECT id_a, id_b FROM (
+           SELECT cand.id_a, cand.id_b,
+                  list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
+                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+           FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id) cand
+           JOIN v x ON x.vec_id = cand.id_a
+           JOIN v y ON y.vec_id = cand.id_b) t
+           WHERE cosine >= 0.3),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS vec_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         lab AS (SELECT e.vec_id, e.label, coalesce(c.component, e.vec_id) AS component
+                 FROM embeddings e LEFT JOIN comp c USING (vec_id)),
+         r AS (SELECT vec_id, label,
+                      row_number() OVER (PARTITION BY component ORDER BY label, vec_id) AS rk
+               FROM lab)
+         SELECT vec_id, label FROM r WHERE rk = 1 ORDER BY vec_id""",
     "q83_sparse_cosine" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          s AS (SELECT doc_id,
@@ -2967,7 +3159,7 @@ object SparkEntry {
                                  * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
                FROM w),
          sel AS (SELECT doc_id, n_feats, logw_micro,
-                        row_number() OVER (ORDER BY ln(-ln((h60 + 1) / pow(2, 60))) - logw_micro / 1000000.0,
+                        row_number() OVER (ORDER BY ln(-ln(least((h60 + 1) / pow(2, 60), 1 - pow(2::DOUBLE, -53)))) - logw_micro / 1000000.0,
                                            doc_id) AS rk
                  FROM h)
          SELECT doc_id, n_feats, logw_micro FROM sel WHERE rk <= 50 ORDER BY doc_id""",

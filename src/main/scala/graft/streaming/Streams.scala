@@ -273,6 +273,38 @@ object Streams {
       sink(dropNearDupsBatch(batch.toDF(), idCol, textCol, corpusIndex, maxHamming))
     }
 
+  /** EMBEDDING dedup-at-ingest for ONE micro-batch (a plain DataFrame): drop
+    * rows whose vector near-duplicates the standing corpus's
+    * [[graft.operators.Dedup.EmbeddingIndex]] — the batch is bucketed with
+    * the CORPUS's own hyperplane parameters and band-joined against its
+    * pinned buckets ([[graft.operators.Dedup.embeddingNearDupPairsBetween]]),
+    * exact-verified, then matched ids anti-join away. The vector sibling of
+    * [[dropNearDupsBatch]]: stateless across batches (matched against the
+    * static index only — build the index once per corpus snapshot), all
+    * keyed equi-joins, never all-pairs. */
+  def dropEmbeddingNearDupsBatch(batch: DataFrame, idCol: String, vecCol: String,
+      corpusIndex: graft.operators.Dedup.EmbeddingIndex,
+      threshold: Double = 0.4): DataFrame = {
+    require(!batch.columns.contains("__edid"),
+      "embedding ingest dedup reserves internal column name __edid; rename the input column")
+    val dup = graft.operators.Dedup.embeddingNearDupPairsBetween(
+        batch, corpusIndex, idCol, vecCol, threshold)
+      .select(col("id_a").as("__edid")).distinct()
+    batch.join(dup, batch(idCol) === col("__edid"), "left_anti")
+  }
+
+  /** [[dropEmbeddingNearDupsBatch]] as a `foreachBatch` streaming writer —
+    * the ingest face of the standing vector store (q115's shape run
+    * continuously): every micro-batch of embeddings is matched against the
+    * pinned corpus index and only novel vectors reach `sink`. Caller sets
+    * trigger/options and `.start()`s the returned writer. */
+  def dropEmbeddingNearDupsStreamBulk(stream: DataFrame, idCol: String, vecCol: String,
+      corpusIndex: graft.operators.Dedup.EmbeddingIndex, threshold: Double = 0.4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(dropEmbeddingNearDupsBatch(batch.toDF(), idCol, vecCol, corpusIndex, threshold))
+    }
+
   /** Quality-gate-at-ingest for ONE micro-batch (a plain DataFrame): score
     * documents against a FROZEN unigram LM ([[graft.operators.Lm
     * .surprisalAgainst]] over a static `unigramCounts` snapshot) and keep

@@ -261,6 +261,48 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("embeddingNearDupPairsBetween: delta vs corpus index only — corpus-internal pairs excluded") {
+    // corpus holds a near-dup pair (10, 11) of its own; the delta near-dups
+    // both of them. Between() must report delta↔corpus pairs ONLY.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.95f, 0.05f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq((0L, Array(0.99f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val ix = Dedup.embeddingIndex(corpus, "vec_id", "embedding", signBits = 3)
+    val out = Dedup.embeddingNearDupPairsBetween(delta, ix, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ix.release()
+    assert(out == Set((0L, 10L), (0L, 11L))) // never (10, 11)
+    assert(out.forall(_._1 == 0L)) // id_a is always the delta side
+  }
+
+  test("embeddingIndex reuse: indexed self-join pairs equal the one-call path") {
+    val ix = Dedup.embeddingIndex(vecs, "vec_id", "embedding", signBits = 3)
+    val indexed = Dedup.embeddingNearDupPairsIndexed(ix, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ix.release()
+    val oneCall = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        signBits = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == oneCall)
+  }
+
+  test("dedupedCorpusByEmbedding keeps one representative per semantic cluster") {
+    // cluster {0, 1} (cosine ≈ 0.994) + singletons 2, 3
+    val kept = Dedup.dedupedCorpusByEmbedding(vecs, "vec_id", "embedding",
+        threshold = 0.9, signBits = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L)) // min-id representative for {0, 1}
+    // keepBy: prefer the HIGHER id in each cluster
+    val keptBy = Dedup.dedupedCorpusByEmbedding(vecs, "vec_id", "embedding",
+        threshold = 0.9, signBits = 3, keepBy = Seq(col("vec_id").desc))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptBy == Set(1L, 2L, 3L))
+  }
+
   // two tight planted clusters on the x/y axes; even ids = cluster A,
   // odd ids = cluster B. The hash-ordered centroid seeds for ids 0..9 are
   // 6 (cluster A) and 9 (cluster B), so 2-round Lloyd provably separates

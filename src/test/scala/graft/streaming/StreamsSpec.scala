@@ -239,6 +239,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dropEmbeddingNearDupsStreamBulk: streamed vectors matching the corpus index are dropped") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val ix = Dedup.embeddingIndex(corpus, "vec_id", "embedding", signBits = 3)
+    val rows = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f)), // near-dup of corpus vec 1
+      (11L, Array(0.0f, 0.0f, 1.0f)))   // novel direction
+    val batchIn = rows.toDF("vec_id", "embedding")
+    val batchKept = Streams.dropEmbeddingNearDupsBatch(
+        batchIn, "vec_id", "embedding", ix, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(11L)) // the near-dup is dropped, the novel row kept
+    // the same relational path through a REAL StreamingQuery via foreachBatch
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.dropEmbeddingNearDupsStreamBulk(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", ix,
+        threshold = 0.9) { out =>
+      got ++= out.select("vec_id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchKept)
+    } finally { q.stop(); ix.release() }
+  }
+
   test("Pii redaction is streaming-safe: stateless projection runs unchanged on a stream") {
     import graft.functions.Pii
     implicit val sqlCtx = spark.sqlContext
