@@ -28,7 +28,10 @@ object Plans {
         // sketch-probe heavy hitters, DSIR selection (q83's rewritten
         // Bayardo prefix-index plan is audited via its entry above)
         "q108_hybrid_rrf", "q109_incremental_cc",
-        "q111_dsir_select", "q112_heavy_hitters")
+        "q111_dsir_select", "q112_heavy_hitters",
+        // r7: delta↔corpus embedding banding through the stored-index
+        // shape, semantic dedup composite (pairs → CC → keepBy window)
+        "q115_embedding_delta", "q116_semantic_dedup")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -438,6 +438,25 @@ object Dedup {
     out
   }
 
+  /** Persist a [[MinhashIndex]] as two parquet tables (`shingles`,
+    * `banded`) — the literal standing-corpus layout the index scaladoc
+    * describes: build the signatures once, store them, and band every
+    * later delta against the stored table instead of re-shingling the
+    * corpus. Pair with [[loadMinhashIndex]]. */
+  def saveMinhashIndex(ix: MinhashIndex, path: String): Unit = {
+    ix.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    ix.bandedKeys.write.mode("overwrite").parquet(s"$path/banded")
+  }
+
+  /** Load a stored [[MinhashIndex]] (both frames pinned, [[minhashIndex]]
+    * contract). Signatures are a pure function of each doc's text, so a
+    * loaded index is interchangeable with a freshly built one. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashIndex =
+    MinhashIndex(
+      pin(spark.read.parquet(s"$path/shingles")),
+      pin(spark.read.parquet(s"$path/banded")))
+
   /** [[minhashLshPairs]] over a prebuilt [[MinhashIndex]] — the index is
     * NOT released (the caller owns it and may reuse it, q109-style). */
   def minhashLshPairsIndexed(ix: MinhashIndex, threshold: Double): DataFrame = {
@@ -830,6 +849,36 @@ object Dedup {
     val planes = Similarity.hyperplanes(df.sparkSession, tables, bits, dim, seed)
     val b = pin(Similarity.lshBuckets(v, "id", "v", planes))
     EmbeddingIndex(v, b, tables, bits, dim, scale, seed)
+  }
+
+  /** Persist an [[EmbeddingIndex]] as three parquet tables (`vecs`,
+    * `buckets`, `params`) — the standing-vector-store layout made literal:
+    * quantize + bucket the corpus once, store, and every later ingest
+    * batch ([[embeddingNearDupPairsBetween]], the streaming bulk gate)
+    * joins against the stored tables. `params` carries the hyperplane
+    * parameters a delta must share to land in the same bucket space. */
+  def saveEmbeddingIndex(ix: EmbeddingIndex, path: String): Unit = {
+    ix.vecs.write.mode("overwrite").parquet(s"$path/vecs")
+    ix.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    val spark = ix.vecs.sparkSession
+    import spark.implicits._
+    Seq((ix.nTables, ix.bits, ix.dim, ix.scale, ix.seed))
+      .toDF("n_tables", "bits", "dim", "scale", "seed")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a stored [[EmbeddingIndex]] (frames pinned, [[embeddingIndex]]
+    * contract). Hyperplanes are re-derived from the stored parameters
+    * (seeded md5 — a pure function), so a loaded index produces
+    * bit-identical buckets and pairs to the one that was saved. */
+  def loadEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): EmbeddingIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    EmbeddingIndex(
+      pin(spark.read.parquet(s"$path/vecs")),
+      pin(spark.read.parquet(s"$path/buckets")),
+      p.getAs[Int]("n_tables"), p.getAs[Int]("bits"), p.getAs[Int]("dim"),
+      p.getAs[Int]("scale"), p.getAs[Long]("seed"))
   }
 
   /** [[embeddingNearDupPairs]] over a prebuilt [[EmbeddingIndex]] — the

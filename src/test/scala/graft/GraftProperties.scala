@@ -152,6 +152,60 @@ object GraftProperties extends Properties("graft") {
       out == ided.filter(_._2 > 0).map(_._1).toSet
     }
 
+  private val vecsGen =
+    Gen.listOfN(5, Gen.listOfN(3, Gen.chooseNum(-3, 3)))
+
+  private def qz(v: Array[Float]): Array[Long] = v.map(x => math.round(x * 1000).toLong)
+  private def qcos(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+    dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+      math.sqrt(b.map(x => x * x).sum.toDouble))
+  }
+
+  property("embeddingNearDupPairsBetween: subset of exact threshold pairs; ids delta→corpus") =
+    forAll(vecsGen, vecsGen) { (c0, d0) =>
+      import spark.implicits._
+      val corpus = c0.zipWithIndex.map { case (v, i) => (100L + i, v.map(_.toFloat).toArray) }
+      val delta = d0.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+      corpus.isEmpty || delta.isEmpty || {
+        val ix = Dedup.embeddingIndex(corpus.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", signBits = 3)
+        val got = Dedup.embeddingNearDupPairsBetween(delta.toDF("vec_id", "embedding"),
+            ix, "vec_id", "embedding", threshold = 0.7)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        ix.release()
+        // exact quantized-cosine replay (NaN for zero vectors ⇒ excluded,
+        // matching the operator's SQL comparison semantics)
+        val exact = (for { (di, dv) <- delta; (ci, cv) <- corpus
+          if qcos(qz(dv), qz(cv)) >= 0.7 } yield (di, ci)).toSet
+        got.subsetOf(exact) && got.forall { case (a, b) => a < 100L && b >= 100L }
+      }
+    }
+
+  property("dedupedCorpusByEmbedding: exactly the min-id representative of each pair-graph component") =
+    forAll(vecsGen) { vs0 =>
+      import spark.implicits._
+      val rows = vs0.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+      rows.isEmpty || {
+        val d = rows.toDF("vec_id", "embedding")
+        val pairs = Dedup.embeddingNearDupPairs(d, "vec_id", "embedding",
+            signBits = 3, threshold = 0.7)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val kept = Dedup.dedupedCorpusByEmbedding(d, "vec_id", "embedding",
+            threshold = 0.7, signBits = 3)
+          .collect().map(_.getLong(0)).toSet
+        val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = rows.map(_._1).groupBy(find).values.map(_.min).toSet
+        kept == expected
+      }
+    }
+
   property("connectedComponents: same component iff connected (vs union-find)") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { edges0 =>
       val edges = edges0.filter(e => e._1 != e._2)

@@ -279,6 +279,46 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out.forall(_._1 == 0L)) // id_a is always the delta side
   }
 
+  test("embedding/minhash index parquet round-trip: loaded index produces identical pairs") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.95f, 0.05f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq((0L, Array(0.99f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix").toString
+    val ix = Dedup.embeddingIndex(corpus, "vec_id", "embedding", signBits = 3)
+    val fresh = Dedup.embeddingNearDupPairsBetween(delta, ix, "vec_id", "embedding",
+      threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.saveEmbeddingIndex(ix, s"$dir/emb")
+    ix.release()
+    val loaded = Dedup.loadEmbeddingIndex(spark, s"$dir/emb")
+    assert(loaded.bits == 3 && loaded.dim == 3)
+    val viaLoaded = Dedup.embeddingNearDupPairsBetween(delta, loaded, "vec_id",
+      "embedding", threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    loaded.release()
+    assert(viaLoaded == fresh && fresh.nonEmpty)
+    // minhash sibling: stored signatures band a delta identically
+    val docsC = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "spark shuffles hash partitions across executors for the join stage")
+    ).toDF("doc_id", "text")
+    val docsD = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val mIx = Dedup.minhashIndex(docsC, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 3)
+    val mIxD = Dedup.minhashIndex(docsD, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 3)
+    val mFresh = Dedup.minhashLshPairsBetweenIndexed(mIxD, mIx, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.saveMinhashIndex(mIx, s"$dir/mh")
+    mIx.release()
+    val mLoaded = Dedup.loadMinhashIndex(spark, s"$dir/mh")
+    val mVia = Dedup.minhashLshPairsBetweenIndexed(mIxD, mLoaded, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mLoaded.release(); mIxD.release()
+    assert(mVia == mFresh && mFresh == Set((9L, 1L)))
+  }
+
   test("embeddingIndex reuse: indexed self-join pairs equal the one-call path") {
     val ix = Dedup.embeddingIndex(vecs, "vec_id", "embedding", signBits = 3)
     val indexed = Dedup.embeddingNearDupPairsIndexed(ix, threshold = 0.9)
