@@ -75,7 +75,7 @@ object Bench {
     // the measurement loop; a failure leaves the object empty rather than
     // failing the bench.
     val recalls: Map[String, Double] = try {
-      import org.apache.spark.sql.functions.sum
+      import org.apache.spark.sql.functions.{count, lit, sum}
       release()
       val r52 = SparkEntry.queries("q52_ann_recall")(spark, sfDir)
         .agg(sum("k"), sum("n_hit_lsh"), sum("n_hit_ivf")).head()
@@ -88,9 +88,19 @@ object Bench {
       // the dial's cost/recall trade stays an observed number, not prose
       release()
       val r53d = SparkEntry.neardupRecallAt(spark, sfDir, nTables = 16).head()
+      // r7 paths: the delta↔corpus between-join's pair recall, and PQ's
+      // top-5 recall vs brute force (q118's own hit column, re-aggregated
+      // at the bench SF)
+      release()
+      val r115 = SparkEntry.neardupBetweenRecallAt(spark, sfDir).head()
+      release()
+      val r118 = SparkEntry.queries("q118_pq_topk")(spark, sfDir)
+        .agg(sum("hit"), count(lit(1))).head()
       Map("lsh_topk" -> r52.getLong(1) / k, "ivf_topk" -> r52.getLong(2) / k,
         "neardup_pairs" -> r53.getDouble(2),
-        "neardup_pairs_16t" -> r53d.getDouble(2))
+        "neardup_pairs_16t" -> r53d.getDouble(2),
+        "neardup_between" -> r115.getDouble(2),
+        "pq_top5" -> r118.getLong(0).toDouble / r118.getLong(1))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall scorecard failed: ${e.getMessage}")
       Map.empty

@@ -97,6 +97,32 @@ object ScaleProbe {
       val t7 = System.nanoTime()
       tokens.groupBy().agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))")).count()
       val t8 = System.nanoTime()
+      // embedding-index axis (r7): replicate the embeddings table the same
+      // way, build the corpus EmbeddingIndex ONCE (linear in vectors —
+      // explode, broadcast plane join, two hash-aggs; sign bits re-size
+      // with the corpus so bucket occupancy stays constant), then band the
+      // hash-shard-0 delta against it. Clones share exact buckets, so
+      // between-pair volume grows ~factor² within original near-dup
+      // families — the deliberate worst case for the band-join; the build
+      // curve must stay linear in vectors.
+      val ebase = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val eoff = ebase.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val evecs = (0 until factor)
+        .map(j => ebase.select((col("vec_id") + lit(j * eoff)).as("vec_id"), col("embedding")))
+        .reduce(_ union _)
+        .repartition(cpus.toInt).persist()
+      val nVecs = evecs.count()
+      val esh = Ops.shardByHash(evecs, "vec_id", 5)
+      val t9 = System.nanoTime()
+      val eix = Dedup.embeddingIndex(esh.filter(col("shard") =!= 0).drop("shard"),
+        "vec_id", "embedding", threshold = 0.3)
+      val t10 = System.nanoTime()
+      val nBetween = Dedup.embeddingNearDupPairsBetween(
+        esh.filter(col("shard") === 0).drop("shard"), eix,
+        "vec_id", "embedding", threshold = 0.3).count()
+      val t11 = System.nanoTime()
+      eix.release()
+      evecs.unpersist(blocking = false)
       // explicit ROOT locale (ADVICE r6): f"" formats with the default JVM
       // locale; comma-decimal locales would emit invalid JSON
       def sec(a: Long, b: Long): String =
@@ -108,7 +134,9 @@ object ScaleProbe {
         s""""substr_pairs":$nSpanPairs,"substr_sec":${sec(t3, t4)},""" +
         s""""lm_docs":$nScored,"lm_sec":${sec(t4, t5)},""" +
         s""""cos_pairs":$nCosPairs,"cos_sec":${sec(t5, t6)},""" +
-        s""""kll_sec":${sec(t6, t7)},"exact_pct_sec":${sec(t7, t8)}}""")
+        s""""kll_sec":${sec(t6, t7)},"exact_pct_sec":${sec(t7, t8)},""" +
+        s""""vecs":$nVecs,"emb_index_sec":${sec(t9, t10)},""" +
+        s""""between_pairs":$nBetween,"between_sec":${sec(t10, t11)}}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -459,6 +459,26 @@ object SparkEntry {
       ixC.release(); ixD.release()
       out
     }),
+    // product-quantization two-stage top-k ✚ (the ANN memory-compression
+    // leg: 64 dims → 16 integer codes + one stored norm; the ADC pass
+    // ranks a shortlist from codes alone, then only shortlist rows' true
+    // vectors are exactly re-scored — the production PQ search shape).
+    // Deterministic
+    // per-subspace integer Lloyd, so the whole chain — codebooks, codes,
+    // ADC shortlist, exact rerank — hash-checks against the SQL replay;
+    // `hit` flags membership in the exact top-5 so the gate also records
+    // the two-stage recall against brute force, row by row.
+    "q118_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+      val pq = Similarity.pqTopK(e, qs, "vec_id", "embedding", k = 5, rerank = 50)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+      pq.join(exact, Seq("query_id", "nbr_id"), "left")
+        .select(col("query_id"), col("nbr_id"), col("cosine_micro"), col("rank"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .orderBy("query_id", "rank")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -1412,6 +1432,42 @@ object SparkEntry {
         (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
   }
 
+  /** The between-path sibling of [[neardupRecallAt]] (r7): recall of the
+    * delta↔corpus banding (q115's shape — delta probed in the corpus
+    * index's bucket space) against the exact delta×corpus pairs of a
+    * deterministic ≤400×400 capped sample — verification-bounded at any
+    * SF, echoed by `Bench` at the bench SF every round. */
+  def neardupBetweenRecallAt(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val sharded = Ops.shardByHash(e, "vec_id", 5)
+    val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+    val delta = sharded.filter(col("shard") === 0).drop("shard")
+    val ix = Dedup.embeddingIndex(corpus, "vec_id", "embedding", threshold = 0.3)
+    val found = Dedup.embeddingNearDupPairsBetween(delta, ix, "vec_id", "embedding",
+        threshold = 0.3)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    ix.release()
+    def capped(df: DataFrame) =
+      df.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .withColumn("nn", call_function("graft_qdot", col("q"), col("q")))
+        // TakeOrdered (per-partition heap) — never a global sort
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(400)
+    val dv = capped(delta)
+    val cv = capped(corpus)
+    val exact = dv.as("x").join(cv.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .withColumn("cosine",
+        call_function("graft_qdot", col("x.q"), col("y.q")).cast("double") /
+          (sqrt(col("x.nn").cast("double")) * sqrt(col("y.nn").cast("double"))))
+      .filter(col("cosine") >= 0.3)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+
   // ---- shared DuckDB CTE fragments for the embeddings family --------------
   // quantized vectors + exact integer norms (dim = 64 in the test tables)
   private val sqlVecs =
@@ -1495,6 +1551,27 @@ object SparkEntry {
               JOIN vv x ON x.vec_id = cand.id_a
               JOIN vv y ON y.vec_id = cand.id_b) t
             WHERE cosine >= 0.3)"""
+  // PQ (q118, m=16 subspaces of dsub=4 dims, 64 centroids): one
+  // per-subspace Lloyd assignment step — every (doc, sub) to its
+  // exact-integer-distance argmin centroid of THAT subspace (ties to the
+  // lowest cent_id); the sqlIvfAssign shape with `sub` in the key
+  private def sqlPqAssign(asgName: String, booksName: String): String =
+    s"""$asgName AS (SELECT vec_id, sub, code FROM (
+          SELECT sv.vec_id, sv.sub, b.cent_id AS code,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY sv.svv - 2 * list_sum([p[1] * p[2] for p in list_zip(sv.svc, b.cv)]) + b.cc,
+                            b.cent_id) AS cr
+          FROM sv JOIN $booksName b ON b.sub = sv.sub) t WHERE cr = 1)"""
+  // PQ: one per-subspace Lloyd update step — per (sub, code, dim) rounded
+  // integer mean of the assigned sub-vectors; empty codes vanish
+  private def sqlPqUpdate(booksName: String, asgName: String): String =
+    s"""$booksName AS (SELECT sub, cent_id, cv, list_sum([x * x for x in cv]) AS cc FROM (
+          SELECT sub, code AS cent_id, list(mv ORDER BY spos) AS cv FROM (
+            SELECT a.sub, a.code, i AS spos,
+                   CAST(round(sum(sv.svc[i])::DOUBLE / count(*)) AS BIGINT) AS mv
+            FROM $asgName a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub,
+                 range(1, 5) r(i)
+            GROUP BY a.sub, a.code, i) s GROUP BY sub, cent_id) u)"""
   // IVF: one Lloyd assignment step — every vector to its exact-integer-
   // distance argmin centroid (ties to the lowest cent_id)
   private def sqlIvfAssign(asgName: String, centsName: String): String =
@@ -2124,6 +2201,63 @@ object SparkEntry {
            JOIN vv x ON x.vec_id = cand.id_a
            JOIN vv y ON y.vec_id = cand.id_b) t
          WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+    // PQ chain replayed: 16 sub-vectors per doc (dim 64 / m 16), one
+    // hash-ordered 64-doc seed set for every subspace, 2 per-subspace
+    // integer Lloyd rounds (assignment argmin ties to lowest cent_id,
+    // per-dim rounded means), final codes, per-query dot lookup tables,
+    // ADC shortlist of 50 with exact stored norms, exact rerank to
+    // top-5, exact brute top-5 for `hit`
+    "q118_pq_topk" ->
+      s"""WITH $sqlVecs,
+         sv AS (SELECT vec_id, s AS sub,
+                       [q[i] for i in range(s * 4 + 1, s * 4 + 5)] AS svc,
+                       list_sum([q[i] * q[i] for i in range(s * 4 + 1, s * 4 + 5)]) AS svv
+                FROM v, range(0, 16) r(s)),
+         sc AS (SELECT cent_id, vec_id FROM (
+                  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cent_id, vec_id
+                  FROM embeddings) t WHERE cent_id <= 64),
+         b0 AS (SELECT sub, cent_id, svc AS cv, svv AS cc FROM sv JOIN sc USING (vec_id)),
+         ${sqlPqAssign("a1", "b0")},
+         ${sqlPqUpdate("b1", "a1")},
+         ${sqlPqAssign("a2", "b1")},
+         ${sqlPqUpdate("b2", "a2")},
+         ${sqlPqAssign("af", "b2")},
+         qn AS (SELECT vec_id AS query_id, nn FROM v WHERE vec_id < 10),
+         lut AS (SELECT sv.vec_id AS query_id, b.sub, b.cent_id AS code,
+                        list_sum([p[1] * p[2] for p in list_zip(sv.svc, b.cv)]) AS dot
+                 FROM sv JOIN b2 b ON b.sub = sv.sub WHERE sv.vec_id < 10),
+         sc2 AS (SELECT l.query_id, a.vec_id AS nbr_id,
+                        CAST(sum(l.dot) AS BIGINT) AS adc_dot
+                 FROM af a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+                 WHERE l.query_id <> a.vec_id GROUP BY 1, 2),
+         pr AS (SELECT query_id, nbr_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) DESC,
+                                  nbr_id) AS srank
+                FROM sc2 JOIN qn USING (query_id) JOIN v nb ON nb.vec_id = sc2.nbr_id),
+         sl AS (SELECT query_id, nbr_id FROM pr WHERE srank <= 50),
+         rr AS (SELECT sl.query_id, sl.nbr_id,
+                       list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
+                         / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) AS cosine
+                FROM sl JOIN v qq ON qq.vec_id = sl.query_id
+                        JOIN v ON v.vec_id = sl.nbr_id),
+         pq AS (SELECT query_id, nbr_id, cosine_micro, rank FROM (
+                  SELECT query_id, nbr_id,
+                         CAST(round(cosine * 1000000) AS BIGINT) AS cosine_micro,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, nbr_id) AS rank
+                  FROM rr) t WHERE rank <= 5),
+         ex AS (SELECT query_id, nbr_id FROM (
+                  SELECT qq.vec_id AS query_id, v.vec_id AS nbr_id,
+                         row_number() OVER (PARTITION BY qq.vec_id
+                           ORDER BY list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
+                                    / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) DESC, v.vec_id) AS rk
+                  FROM v qq JOIN v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id) t
+                WHERE rk <= 5)
+         SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
+                CAST(CASE WHEN ex.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+         FROM pq LEFT JOIN ex ON ex.query_id = pq.query_id AND ex.nbr_id = pq.nbr_id
+         ORDER BY pq.query_id, pq.rank""",
     // the three pair sets of the incremental semantic fold — corpus
     // self-join (corpus-sized bits), delta↔corpus (delta probed in the
     // CORPUS's bucket space), delta self-join (delta-sized bits) — closed

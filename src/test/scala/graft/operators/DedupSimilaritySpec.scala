@@ -360,6 +360,35 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out == Set(2L, 4L, 6L, 8L)) // cluster A members only, no self
   }
 
+  test("pqTopK: ADC ranks the planted cluster first; guards and determinism") {
+    // dim 3, m = 3 ⇒ dsub = 1 (per-dimension scalar quantization): the
+    // bimodal per-dim values separate cleanly, so cluster A must fill the
+    // query's top-4 despite reconstruction error
+    val qs = clustered.filter(col("vec_id") === 0)
+    val out = Similarity.pqTopK(clustered, qs, "vec_id", "embedding",
+      k = 4, m = 3, kCents = 4)
+    val got = out.collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.map(_._1).toSet == Set(2L, 4L, 6L, 8L)) // cluster A only, no self
+    assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // deterministic: an identical second run yields identical rows
+    val again = Similarity.pqTopK(clustered, qs, "vec_id", "embedding",
+      k = 4, m = 3, kCents = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+    // dim not divisible by m is a schema bug, not a silent truncation
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(clustered, qs, "vec_id", "embedding", k = 4, m = 2)
+    }
+    // rerank covering the whole corpus ⇒ exact re-score equals brute force
+    val rr = Similarity.pqTopK(clustered, qs, "vec_id", "embedding",
+        k = 4, m = 3, kCents = 4, rerank = 9)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2).toSeq
+    val bf = Similarity.bruteForceTopK(clustered, qs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2).toSeq
+    assert(rr == bf)
+  }
+
   test("ivfTopK: probing every cell equals brute force") {
     val qs = clustered.filter(col("vec_id") < 3)
     val ivf = Similarity.ivfTopK(clustered, qs, "vec_id", "embedding",
