@@ -30,8 +30,9 @@ object Plans {
         "q108_hybrid_rrf", "q109_incremental_cc",
         "q111_dsir_select", "q112_heavy_hitters",
         // r7: delta↔corpus embedding banding through the stored-index
-        // shape, semantic dedup composite (pairs → CC → keepBy window)
-        "q115_embedding_delta", "q116_semantic_dedup")
+        // shape, semantic dedup composite (pairs → CC → keepBy window),
+        // the composed IVF-PQ index
+        "q115_embedding_delta", "q116_semantic_dedup", "q119_ivfpq_topk")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

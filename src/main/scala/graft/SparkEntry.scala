@@ -479,6 +479,22 @@ object SparkEntry {
           coalesce(col("hit"), lit(0L)).as("hit"))
         .orderBy("query_id", "rank")
     }),
+    // IVF-PQ composed ✚: the production billion-vector layout — coarse
+    // cells prune the corpus to each query's probed slice, only that
+    // slice's PQ codes are ADC-scored, the shortlist is exactly reranked.
+    // Both halves' deterministic chains compose, so the whole thing
+    // hash-checks; `hit` again records recall vs brute force row by row.
+    "q119_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+      val pq = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding", k = 5, rerank = 50)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+      pq.join(exact, Seq("query_id", "nbr_id"), "left")
+        .select(col("query_id"), col("nbr_id"), col("cosine_micro"), col("rank"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .orderBy("query_id", "rank")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -2230,6 +2246,62 @@ object SparkEntry {
                         CAST(sum(l.dot) AS BIGINT) AS adc_dot
                  FROM af a JOIN lut l ON l.sub = a.sub AND l.code = a.code
                  WHERE l.query_id <> a.vec_id GROUP BY 1, 2),
+         pr AS (SELECT query_id, nbr_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) DESC,
+                                  nbr_id) AS srank
+                FROM sc2 JOIN qn USING (query_id) JOIN v nb ON nb.vec_id = sc2.nbr_id),
+         sl AS (SELECT query_id, nbr_id FROM pr WHERE srank <= 50),
+         rr AS (SELECT sl.query_id, sl.nbr_id,
+                       list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
+                         / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) AS cosine
+                FROM sl JOIN v qq ON qq.vec_id = sl.query_id
+                        JOIN v ON v.vec_id = sl.nbr_id),
+         pq AS (SELECT query_id, nbr_id, cosine_micro, rank FROM (
+                  SELECT query_id, nbr_id,
+                         CAST(round(cosine * 1000000) AS BIGINT) AS cosine_micro,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, nbr_id) AS rank
+                  FROM rr) t WHERE rank <= 5),
+         ex AS (SELECT query_id, nbr_id FROM (
+                  SELECT qq.vec_id AS query_id, v.vec_id AS nbr_id,
+                         row_number() OVER (PARTITION BY qq.vec_id
+                           ORDER BY list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
+                                    / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) DESC, v.vec_id) AS rk
+                  FROM v qq JOIN v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id) t
+                WHERE rk <= 5)
+         SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
+                CAST(CASE WHEN ex.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+         FROM pq LEFT JOIN ex ON ex.query_id = pq.query_id AND ex.nbr_id = pq.nbr_id
+         ORDER BY pq.query_id, pq.rank""",
+    // IVF-PQ: the q50 ivf chain (cells + probed query cells) intersected
+    // with the q118 PQ chain — candidates are probed-cell corpus rows,
+    // ADC-scored from codes, shortlisted, exactly reranked
+    "q119_ivfpq_topk" ->
+      s"""WITH $sqlVecs, $sqlIvfChain,
+         sv AS (SELECT vec_id, s AS sub,
+                       [q[i] for i in range(s * 4 + 1, s * 4 + 5)] AS svc,
+                       list_sum([q[i] * q[i] for i in range(s * 4 + 1, s * 4 + 5)]) AS svv
+                FROM v, range(0, 16) r(s)),
+         sc AS (SELECT cent_id, vec_id FROM (
+                  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cent_id, vec_id
+                  FROM embeddings) t WHERE cent_id <= 64),
+         b0 AS (SELECT sub, cent_id, svc AS cv, svv AS cc FROM sv JOIN sc USING (vec_id)),
+         ${sqlPqAssign("a1", "b0")},
+         ${sqlPqUpdate("b1", "a1")},
+         ${sqlPqAssign("a2", "b1")},
+         ${sqlPqUpdate("b2", "a2")},
+         ${sqlPqAssign("af", "b2")},
+         qn AS (SELECT vec_id AS query_id, nn FROM v WHERE vec_id < 10),
+         lut AS (SELECT sv.vec_id AS query_id, b.sub, b.cent_id AS code,
+                        list_sum([p[1] * p[2] for p in list_zip(sv.svc, b.cv)]) AS dot
+                 FROM sv JOIN b2 b ON b.sub = sv.sub WHERE sv.vec_id < 10),
+         cand AS (SELECT iq.vec_id AS query_id, a.vec_id AS nbr_id
+                  FROM ivf_q iq JOIN ivf_asg a ON a.cell = iq.cell AND a.vec_id <> iq.vec_id),
+         sc2 AS (SELECT cd.query_id, cd.nbr_id, CAST(sum(l.dot) AS BIGINT) AS adc_dot
+                 FROM cand cd JOIN af a ON a.vec_id = cd.nbr_id
+                      JOIN lut l ON l.query_id = cd.query_id AND l.sub = a.sub AND l.code = a.code
+                 GROUP BY 1, 2),
          pr AS (SELECT query_id, nbr_id,
                        row_number() OVER (PARTITION BY query_id
                          ORDER BY adc_dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) DESC,

@@ -208,6 +208,62 @@ object Similarity {
     }
   }
 
+  /** The derived IVF probe count (see the rationale at [[ivfTopK]]'s call
+    * site): 2·√cells with a floor of min(cells, 32). */
+  private def ivfProbes(cells: Int, nprobe: Int): Int =
+    if (nprobe > 0) nprobe
+    else math.max(math.min(cells, 32), 2 * math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  /** Per-round centroid sets materialized as driver-local relations:
+    * ≤ `cells` ≈ √N rows — the SAME frame every executor receives as a
+    * broadcast anyway — so collecting them costs what the broadcast costs,
+    * truncates the per-round plan, and (unlike localCheckpoint) leaves no
+    * persisted blocks behind after the call (ADVICE r2). At 100 TB
+    * √N ~ 3·10⁴ rows · dim longs — still a few MB. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  /** Exact-integer-distance argmin cell assignment against a BROADCAST
+    * centroid set (d² = v·v − 2·v·c + c·c; ties to the lowest cell id) —
+    * shared by [[ivfTopK]] and [[ivfPqTopK]]. */
+  private def assignCells(v: DataFrame, id: String, vec: String, norm: String,
+      cents: DataFrame): DataFrame =
+    v.join(broadcast(cents))
+      .withColumn("d2", col(norm) - lit(2) * nqdot(col(vec), col("cv")) + col("cc"))
+      .groupBy(col(id))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col(id), col("m.cent_id").as("cell"))
+
+  /** Deterministic IVF coarse-quantizer training over a pinned
+    * `(nbr_id, nv, vv)` corpus: hash-ordered seeds (the `cells` vectors
+    * with the smallest md5(id) — TakeOrdered, no global sort), then
+    * `lloydIters` rounds of integer-exact assignment + per-dim rounded
+    * means; empty cells vanish (identically on the oracle side). Returns
+    * the localized `(cent_id, cv, cc)` centroid set. */
+  private def trainIvfCents(c: DataFrame, cells: Int, lloydIters: Int): DataFrame = {
+    var cents = localized(c.orderBy(md5(col("nbr_id").cast("string"))).limit(cells)
+      .select(
+        row_number().over(Window.orderBy(md5(col("nbr_id").cast("string")))).cast("long")
+          .as("cent_id"),
+        col("nv").as("cv"), col("vv").as("cc")))
+    for (_ <- 1 to lloydIters) {
+      val asg = assignCells(c, "nbr_id", "nv", "vv", cents).join(c, Seq("nbr_id"))
+      val sums = asg.select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      cents = localized(sums
+        .withColumn("m", round(col("s").cast("double") / col("cnt").cast("double")).cast("long"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .select(col("cell").as("cent_id"), col("cv"))
+        .withColumn("cc", nqdot(col("cv"), col("cv"))))
+    }
+    cents
+  }
+
   /** IVF-structured approximate top-k: a coarse k-means quantizer splits the
     * corpus into `nCells` Voronoi cells; each query searches its `nprobe`
     * nearest cells. Centroids: deterministic hash-ordered sample of the
@@ -251,51 +307,8 @@ object Similarity {
     // ≥ 0.98, while at any serious index size the 2·√cells term dominates
     // and the floor is irrelevant. Bench emits the recall at the bench SF
     // every round; `nprobe` stays the caller's dial.
-    val probes = if (nprobe > 0) nprobe
-      else math.max(math.min(cells, 32), 2 * math.ceil(math.sqrt(cells.toDouble)).toInt)
-
-    def assignCells(v: DataFrame, id: String, vec: String, norm: String,
-        cents: DataFrame): DataFrame =
-      v.join(broadcast(cents))
-        .withColumn("d2", col(norm) - lit(2) * nqdot(col(vec), col("cv")) + col("cc"))
-        .groupBy(col(id))
-        .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
-        .select(col(id), col("m.cent_id").as("cell"))
-
-    // Per-round centroid sets are materialized as driver-local relations:
-    // ≤ `cells` ≈ √N rows — the SAME frame every executor receives as a
-    // broadcast anyway — so collecting them costs what the broadcast costs,
-    // truncates the per-round plan, and (unlike localCheckpoint) leaves no
-    // persisted blocks behind after the call (ADVICE r2). At 100 TB
-    // √N ~ 3·10⁴ rows · dim longs — still a few MB.
-    def localized(df: DataFrame): DataFrame = {
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
-    }
-
-    // init: the `cells` corpus vectors with the smallest md5(id) —
-    // TakeOrdered (per-partition heap, no global sort), then a tiny window
-    // renumbers them 1..cells
-    var cents = localized(c.orderBy(md5(col("nbr_id").cast("string"))).limit(cells)
-      .select(
-        row_number().over(Window.orderBy(md5(col("nbr_id").cast("string")))).cast("long")
-          .as("cent_id"),
-        col("nv").as("cv"), col("vv").as("cc")))
-    for (_ <- 1 to lloydIters) {
-      val asg = assignCells(c, "nbr_id", "nv", "vv", cents).join(c, Seq("nbr_id"))
-      val sums = asg.select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-      // per-dim rounded mean, re-assembled in dimension order; empty cells
-      // simply vanish (identically on the oracle side)
-      cents = localized(sums
-        .withColumn("m", round(col("s").cast("double") / col("cnt").cast("double")).cast("long"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cv"))
-        .select(col("cell").as("cent_id"), col("cv"))
-        .withColumn("cc", nqdot(col("cv"), col("cv"))))
-    }
+    val probes = ivfProbes(cells, nprobe)
+    val cents = trainIvfCents(c, cells, lloydIters)
     val cAsg = assignCells(c, "nbr_id", "nv", "vv", cents)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
       .withColumn("qn", nqdot(col("qv"), col("qv")))
@@ -320,6 +333,56 @@ object Similarity {
       .localCheckpoint(true)
     c.unpersist(false)
     out
+  }
+
+  /** Sub-vectors: one row per (row, subspace) via static slices — a pure
+    * codegen'd projection + explode, NO shuffle (a posexplode→groupBy
+    * reassembly would cost a dim·N-row exchange for nothing). Shared by
+    * [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqSubVectors(v: DataFrame, id: String, vec: String,
+      m: Int, dsub: Int): DataFrame =
+    v.select(col(id), posexplode(array(
+        (0 until m).map(s => slice(col(vec), s * dsub + 1, dsub)): _*))
+      .as(Seq("sub", "sv")))
+      .withColumn("svv", nqdot(col("sv"), col("sv")))
+
+  /** Per-subspace exact-integer argmin code assignment against BROADCAST
+    * codebooks; ties to the lowest centroid id. */
+  private def assignPqCodes(s: DataFrame, id: String, cents: DataFrame): DataFrame =
+    s.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", col("svv") - lit(2) * nqdot(col("sv"), col("cv")) + col("cc"))
+      .groupBy(col(id), col("sub"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col(id), col("sub"), col("m.cent_id").as("code"))
+
+  /** Deterministic per-subspace codebook training over a pinned corpus
+    * `(nbr_id, nv, vv)` and its sub-vector table: ONE hash-ordered
+    * seed-document set supplies every subspace's initial centroids (same
+    * md5 ordering as [[trainIvfCents]] — SQL-replayable), then
+    * `lloydIters` rounds of integer-exact assignment + per-dim rounded
+    * means. Returns the localized `(sub, cent_id, cv, cc)` codebooks. */
+  private def trainPqBooks(c: DataFrame, sv: DataFrame, kCents: Int,
+      lloydIters: Int): DataFrame = {
+    val seedW = Window.orderBy(md5(col("nbr_id").cast("string")))
+    val seeds = localized(c.orderBy(md5(col("nbr_id").cast("string"))).limit(kCents)
+      .select(row_number().over(seedW).cast("long").as("cent_id"), col("nbr_id")))
+    var books = localized(sv.join(broadcast(seeds), Seq("nbr_id"))
+      .select(col("sub"), col("cent_id"), col("sv").as("cv"))
+      .withColumn("cc", nqdot(col("cv"), col("cv"))))
+    for (_ <- 1 to lloydIters) {
+      val asg = assignPqCodes(sv, "nbr_id", books).join(sv, Seq("nbr_id", "sub"))
+      val sums = asg.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("spos", "x")))
+        .groupBy(col("sub"), col("code"), col("spos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      books = localized(sums
+        .withColumn("mv", round(col("s").cast("double") / col("cnt").cast("double")).cast("long"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("spos"), col("mv")))),
+          e => e.getField("mv")).as("cv"))
+        .select(col("sub"), col("code").as("cent_id"), col("cv"))
+        .withColumn("cc", nqdot(col("cv"), col("cv"))))
+    }
+    books
   }
 
   /** Product-quantization ADC top-k (Jégou, Douze & Schmid, "Product
@@ -391,70 +454,44 @@ object Similarity {
     require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
     val dsub = dim / m
 
-    // sub-vectors: one row per (doc, subspace) via static slices — a pure
-    // codegen'd projection + explode, NO shuffle (the posexplode→groupBy
-    // reassembly formulation costs a 64·N-row exchange for nothing)
-    def subVectors(v: DataFrame, id: String, vec: String): DataFrame =
-      v.select(col(id), posexplode(array(
-          (0 until m).map(s => slice(col(vec), s * dsub + 1, dsub)): _*))
-        .as(Seq("sub", "sv")))
-        .withColumn("svv", nqdot(col("sv"), col("sv")))
-    val sv = pin(subVectors(c, "nbr_id", "nv"))
-
-    def localized(df: DataFrame): DataFrame = {
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
-    }
-    // init: ONE hash-ordered seed-document set supplies every subspace's
-    // initial centroids (same md5 ordering as ivfTopK — SQL-replayable)
-    val seedW = Window.orderBy(md5(col("nbr_id").cast("string")))
-    val seeds = localized(c.orderBy(md5(col("nbr_id").cast("string"))).limit(kCents)
-      .select(row_number().over(seedW).cast("long").as("cent_id"), col("nbr_id")))
-    var books = localized(sv.join(broadcast(seeds), Seq("nbr_id"))
-      .select(col("sub"), col("cent_id"), col("sv").as("cv"))
-      .withColumn("cc", nqdot(col("cv"), col("cv"))))
-
-    // per-subspace exact-integer argmin; ties to the lowest centroid id
-    def assignCodes(s: DataFrame, id: String, cents: DataFrame): DataFrame =
-      s.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2", col("svv") - lit(2) * nqdot(col("sv"), col("cv")) + col("cc"))
-        .groupBy(col(id), col("sub"))
-        .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
-        .select(col(id), col("sub"), col("m.cent_id").as("code"))
-
-    for (_ <- 1 to lloydIters) {
-      val asg = assignCodes(sv, "nbr_id", books).join(sv, Seq("nbr_id", "sub"))
-      val sums = asg.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("spos", "x")))
-        .groupBy(col("sub"), col("code"), col("spos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-      books = localized(sums
-        .withColumn("mv", round(col("s").cast("double") / col("cnt").cast("double")).cast("long"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("spos"), col("mv")))),
-          e => e.getField("mv")).as("cv"))
-        .select(col("sub"), col("code").as("cent_id"), col("cv"))
-        .withColumn("cc", nqdot(col("cv"), col("cv"))))
-    }
+    val sv = pin(pqSubVectors(c, "nbr_id", "nv", m, dsub))
+    val books = trainPqBooks(c, sv, kCents, lloydIters)
     // the stored representation: m codes per corpus vector
-    val codes = assignCodes(sv, "nbr_id", books)
+    val codes = assignPqCodes(sv, "nbr_id", books)
 
     // query side: sub-vectors → per-(query, sub, centroid) lookup table of
-    // exact integer dots (m·kCents rows per query — broadcast); ADC score =
-    // Σ_s lut(sub, code); reconstructed norm² = Σ_s cc(sub, code)
+    // exact integer dots (m·kCents rows per query — broadcast)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
       .withColumn("qn", nqdot(col("qv"), col("qv")))
-    val qsv = subVectors(q, "query_id", "qv")
+    val qsv = pqSubVectors(q, "query_id", "qv", m, dsub)
+    val out = pqScoreRank(c, q, qsv, books, codes, cand = None, k, rerank)
+      .localCheckpoint(true)
+    sv.unpersist(false)
+    c.unpersist(false)
+    out
+  }
+
+  /** The ADC score + rank/rerank tail shared by [[pqTopK]] (exhaustive —
+    * `cand = None`) and [[ivfPqTopK]] (`cand` = the probed-cell
+    * (query_id, nbr_id) candidate set). ADC cosine divides by the EXACT
+    * stored norm (the norm-augmented PQ variant cosine/inner-product
+    * systems use — one long per vector next to the m codes, so only the
+    * DOT carries quantization distortion; the reconstructed-norm form
+    * measured 0.20 top-5 recall on this suite's uniform vectors where this
+    * form + the rerank stage measures 0.90 — norms vary across the corpus
+    * and their reconstruction error swamped the crowded cosine band). */
+  private def pqScoreRank(c: DataFrame, q: DataFrame, qsv: DataFrame,
+      books: DataFrame, codes: DataFrame, cand: Option[DataFrame],
+      k: Int, rerank: Int): DataFrame = {
     val lut = qsv.join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cent_id").as("code"),
         nqdot(col("sv"), col("cv")).as("dot"))
-    // ADC cosine with EXACT stored norms (the norm-augmented PQ variant
-    // cosine/inner-product systems use — one long per vector next to the
-    // m codes, so only the DOT carries quantization distortion; the
-    // reconstructed-norm form measured 0.20 top-5 recall on this suite's
-    // uniform vectors where this form + the rerank stage measures far
-    // higher — norms vary across the corpus and their reconstruction
-    // error swamped the crowded cosine band)
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    val adcBase = cand match {
+      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+      case Some(cs) => cs.join(codes, Seq("nbr_id"))
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+    }
+    val scored = adcBase
       .filter(col("query_id") =!= col("nbr_id"))
       .groupBy(col("query_id"), col("nbr_id"))
       .agg(sum(col("dot")).as("adc_dot"))
@@ -488,10 +525,68 @@ object Similarity {
           .filter(col("rank") <= k)
           .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
       }
-    val out = ranked
-      .select(col("query_id"), col("nbr_id"),
-        round(col("cosine") * 1e6).cast(org.apache.spark.sql.types.LongType)
-          .as("cosine_micro"), col("rank"))
+    ranked.select(col("query_id"), col("nbr_id"),
+      round(col("cosine") * 1e6).cast(org.apache.spark.sql.types.LongType)
+        .as("cosine_micro"), col("rank"))
+  }
+
+  /** IVF-PQ: the production 100-TB vector-store layout in one call —
+    * [[ivfTopK]]'s coarse quantizer prunes the corpus to each query's
+    * `nprobe` nearest cells, and only the probed cells' PQ CODES are
+    * ADC-scored ([[pqTopK]]'s machinery over the candidate set), followed
+    * by the exact rerank of the shortlist. Scanned bytes per query ≈
+    * (probed fraction) × (m codes + 1 norm per row) — the two compressions
+    * compose multiplicatively, which is why IVF-PQ is the standard layout
+    * for billion-vector indexes. Training, assignment, scoring and rerank
+    * all inherit the deterministic integer contracts of the two parents,
+    * so the full chain is SQL-replayable (q119). Output: (query_id,
+    * nbr_id, cosine_micro, rank); with `rerank > 0` the cosine is exact. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 0, nprobe: Int = 0, ivfLloydIters: Int = 4,
+      m: Int = 16, kCents: Int = 64, pqLloydIters: Int = 2,
+      rerank: Int = 0, scale: Int = 1000): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    require(m > 0 && kCents > 1, s"need m > 0 subspaces and kCents > 1, got m=$m kCents=$kCents")
+    val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+      .withColumn("vv", nqdot(col("nv"), col("nv"))))
+    val n = c.count() // reads the pinned cache
+    if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
+      val out = c.select(col("nbr_id").as("query_id"), col("nbr_id"),
+        lit(0L).as("cosine_micro"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
+      c.unpersist(false)
+      return out
+    }
+    val dim = c.select(size(col("nv")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
+    val dsub = dim / m
+    val cells = if (nCells > 0) nCells else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val probes = ivfProbes(cells, nprobe)
+    // coarse quantizer + cell assignment (the IVF half)
+    val cents = trainIvfCents(c, cells, ivfLloydIters)
+    val cAsg = assignCells(c, "nbr_id", "nv", "vv", cents)
+    // codebooks + codes (the PQ half) — trained on the full corpus, the
+    // standard IVF-PQ residual-free variant
+    val sv = pin(pqSubVectors(c, "nbr_id", "nv", m, dsub))
+    val books = trainPqBooks(c, sv, kCents, pqLloydIters)
+    val codes = assignPqCodes(sv, "nbr_id", books)
+    // queries probe their nprobe nearest cells (tiny broadcast centroid
+    // ranking, as in ivfTopK), giving the (query, nbr) candidate set
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
+      .withColumn("qn", nqdot(col("qv"), col("qv")))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cent_id"))
+    val qCells = q.join(broadcast(cents))
+      .withColumn("d2", col("qn") - lit(2) * nqdot(col("qv"), col("cv")) + col("cc"))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= probes)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val cand = cAsg.join(broadcast(qCells), Seq("cell"))
+      .select(col("query_id"), col("nbr_id"))
+    val qsv = pqSubVectors(q, "query_id", "qv", m, dsub)
+    val out = pqScoreRank(c, q, qsv, books, codes, cand = Some(cand), k, rerank)
       .localCheckpoint(true)
     sv.unpersist(false)
     c.unpersist(false)

@@ -389,6 +389,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rr == bf)
   }
 
+  test("ivfPqTopK: full probes + full rerank equal brute force; nprobe=1 restricts to the cell") {
+    val qs = clustered.filter(col("vec_id") === 0)
+    // probe every cell AND rerank the whole corpus ⇒ exact
+    val full = Similarity.ivfPqTopK(clustered, qs, "vec_id", "embedding",
+        k = 4, nCells = 2, nprobe = 2, m = 3, kCents = 4, rerank = 9)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2).toSeq
+    val bf = Similarity.bruteForceTopK(clustered, qs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2).toSeq
+    assert(full == bf)
+    // nprobe=1: candidates come from the query's own cell only
+    val one = Similarity.ivfPqTopK(clustered, qs, "vec_id", "embedding",
+        k = 9, nCells = 2, nprobe = 1, m = 3, kCents = 4, rerank = 9)
+      .collect().map(_.getLong(1)).toSet
+    assert(one == Set(2L, 4L, 6L, 8L)) // cluster A members only, no self
+  }
+
   test("ivfTopK: probing every cell equals brute force") {
     val qs = clustered.filter(col("vec_id") < 3)
     val ivf = Similarity.ivfTopK(clustered, qs, "vec_id", "embedding",
