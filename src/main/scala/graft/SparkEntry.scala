@@ -2177,46 +2177,18 @@ object SparkEntry {
     // CORPUS count (shard <> 0), corpus buckets plain, DELTA side (shard 0)
     // multi-probed, join on a.vec_id <> b.vec_id (disjoint shards anyway)
     "q115_embedding_delta" ->
-      """WITH vv AS (SELECT vec_id,
-                [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q,
-                list_sum([round(x::DOUBLE * 1000)::BIGINT * round(x::DOUBLE * 1000)::BIGINT
-                          for x in embedding]) AS nn,
-                (list_sum([ (instr('0123456789abcdef', substr(md5(vec_id::VARCHAR), k, 1)) - 1)
-                            * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 5) AS shard
-              FROM embeddings),
-         nb AS (SELECT min(b) AS bits FROM range(4, 25) r(b),
-                  (SELECT count(*) AS n FROM vv WHERE shard <> 0) c
-                WHERE (1::BIGINT << b) * 8 >= n OR b = 24),
-         bk AS (SELECT vec_id, t,
-                  list_sum([CASE WHEN list_sum([
-                      (CASE WHEN (instr('0123456789abcdef',
-                           substr(md5(42 || '|' || t || '|' || j || '|' || (p - 1)), 1, 1)) - 1) % 2 = 0
-                       THEN 1 ELSE -1 END) * q[p]
-                    for p in range(1, 65)]) >= 0 THEN (1::BIGINT << j) ELSE 0 END
-                  for j in range(0, bits)]) AS bucket
-                FROM vv, range(0, 24) r(t), nb WHERE shard <> 0),
-         dk AS (SELECT vec_id, t,
-                  list_sum([CASE WHEN list_sum([
-                      (CASE WHEN (instr('0123456789abcdef',
-                           substr(md5(42 || '|' || t || '|' || j || '|' || (p - 1)), 1, 1)) - 1) % 2 = 0
-                       THEN 1 ELSE -1 END) * q[p]
-                    for p in range(1, 65)]) >= 0 THEN (1::BIGINT << j) ELSE 0 END
-                  for j in range(0, bits)]) AS bucket
-                FROM vv, range(0, 24) r(t), nb WHERE shard = 0),
-         pb AS (SELECT vec_id, t,
-                  CASE WHEN pj = 0 THEN bucket
-                       ELSE xor(bucket, 1::BIGINT << (pj - 1)) END AS bucket
-                FROM dk, nb, range(0, 25) r(pj) WHERE pj <= nb.bits)
-         SELECT id_a, id_b, cosine FROM (
-           SELECT cand.id_a, cand.id_b,
-                  list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
-                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
-           FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
-                   AND a.vec_id <> b.vec_id) cand
-           JOIN vv x ON x.vec_id = cand.id_a
-           JOIN vv y ON y.vec_id = cand.id_b) t
-         WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+      s"""WITH $sqlEmbVv,
+         ${sqlEmbBits("nb", "shard <> 0")},
+         ${sqlEmbShardBuckets("bk", "shard <> 0", "nb")},
+         ${sqlEmbShardBuckets("dk", "shard = 0", "nb")},
+         ${sqlEmbProbes("pb", "dk", "nb")},
+         ${sqlEmbPairs("pairs", "pb", "bk", "a.vec_id <> b.vec_id")}
+         SELECT p.id_a, p.id_b,
+                list_sum([z[1] * z[2] for z in list_zip(x.q, y.q)])::DOUBLE
+                  / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+         FROM pairs p JOIN vv x ON x.vec_id = p.id_a
+                      JOIN vv y ON y.vec_id = p.id_b
+         ORDER BY id_a, id_b""",
     // PQ chain replayed: 16 sub-vectors per doc (dim 64 / m 16), one
     // hash-ordered 64-doc seed set for every subspace, 2 per-subspace
     // integer Lloyd rounds (assignment argmin ties to lowest cent_id,

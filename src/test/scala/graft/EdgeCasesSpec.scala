@@ -58,6 +58,23 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(Similarity.ivfTopK(empty, qs, "vec_id", "embedding", k = 3).count() == 0)
     assert(Similarity.bruteForceTopK(empty, qs, "vec_id", "embedding", k = 3).count() == 0)
     assert(Dedup.embeddingNearDupPairs(empty, "vec_id", "embedding").count() == 0)
+    assert(Similarity.pqTopK(empty, qs, "vec_id", "embedding", k = 3).count() == 0)
+    assert(Similarity.ivfPqTopK(empty, qs, "vec_id", "embedding", k = 3).count() == 0)
+  }
+
+  test("embedding between/semantic paths on empty sides: empty results, not errors") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val some = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // empty corpus index: any delta matches nothing
+    val emptyIx = Dedup.embeddingIndex(empty, "vec_id", "embedding")
+    assert(Dedup.embeddingNearDupPairsBetween(some, emptyIx, "vec_id", "embedding").count() == 0)
+    emptyIx.release()
+    // empty delta against a real index: nothing to match
+    val ix = Dedup.embeddingIndex(some, "vec_id", "embedding", signBits = 3)
+    assert(Dedup.embeddingNearDupPairsBetween(empty, ix, "vec_id", "embedding").count() == 0)
+    ix.release()
+    // semantic dedup of an empty corpus is the empty corpus
+    assert(Dedup.dedupedCorpusByEmbedding(empty, "vec_id", "embedding").count() == 0)
   }
 
   test("multimodal: zero-byte payload yields zero frames and valid features") {
