@@ -96,11 +96,15 @@ object Bench {
       release()
       val r118 = SparkEntry.queries("q118_pq_topk")(spark, sfDir)
         .agg(sum("hit"), count(lit(1))).head()
+      release()
+      val r119 = SparkEntry.queries("q119_ivfpq_topk")(spark, sfDir)
+        .agg(sum("hit"), count(lit(1))).head()
       Map("lsh_topk" -> r52.getLong(1) / k, "ivf_topk" -> r52.getLong(2) / k,
         "neardup_pairs" -> r53.getDouble(2),
         "neardup_pairs_16t" -> r53d.getDouble(2),
         "neardup_between" -> r115.getDouble(2),
-        "pq_top5" -> r118.getLong(0).toDouble / r118.getLong(1))
+        "pq_top5" -> r118.getLong(0).toDouble / r118.getLong(1),
+        "ivfpq_top5" -> r119.getLong(0).toDouble / r119.getLong(1))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall scorecard failed: ${e.getMessage}")
       Map.empty
