@@ -34,7 +34,10 @@ object ScaleProbe {
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     // offset derived from the observed id range so clone batches can never
     // collide, whatever id space the given corpus uses
-    val offset = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val offRow = base.agg(max(col("doc_id"))).head()
+    require(!offRow.isNullAt(0),
+      s"documents table at $sfDir is empty - nothing to probe")
+    val offset = offRow.getLong(0) + 1L
     factors.foreach { factor =>
       val docs = (0 until factor)
         .map(k => base.select((col("doc_id") + lit(k * offset)).as("doc_id"), col("text")))
@@ -106,23 +109,33 @@ object ScaleProbe {
       // families — the deliberate worst case for the band-join; the build
       // curve must stay linear in vectors.
       val ebase = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-      val eoff = ebase.agg(max(col("vec_id"))).head().getLong(0) + 1L
-      val evecs = (0 until factor)
-        .map(j => ebase.select((col("vec_id") + lit(j * eoff)).as("vec_id"), col("embedding")))
-        .reduce(_ union _)
-        .repartition(cpus.toInt).persist()
-      val nVecs = evecs.count()
-      val esh = Ops.shardByHash(evecs, "vec_id", 5)
-      val t9 = System.nanoTime()
-      val eix = Dedup.embeddingIndex(esh.filter(col("shard") =!= 0).drop("shard"),
-        "vec_id", "embedding", threshold = 0.3)
-      val t10 = System.nanoTime()
-      val nBetween = Dedup.embeddingNearDupPairsBetween(
-        esh.filter(col("shard") === 0).drop("shard"), eix,
-        "vec_id", "embedding", threshold = 0.3).count()
-      val t11 = System.nanoTime()
-      eix.release()
-      evecs.unpersist(blocking = false)
+      // guard (ADVICE r7): an empty embeddings table used to NPE on the
+      // offset read — skip the axis (zeros) instead, keeping the doc axes
+      // usable on corpora without an embeddings table worth probing
+      val eoffRow = ebase.agg(max(col("vec_id"))).head()
+      val (nVecs, t9, t10, nBetween, t11) = if (eoffRow.isNullAt(0)) {
+        System.err.println("[scaleprobe] embeddings table is empty - skipping embedding axis")
+        val now = System.nanoTime(); (0L, now, now, 0L, now)
+      } else {
+        val eoff = eoffRow.getLong(0) + 1L
+        val evecs = (0 until factor)
+          .map(j => ebase.select((col("vec_id") + lit(j * eoff)).as("vec_id"), col("embedding")))
+          .reduce(_ union _)
+          .repartition(cpus.toInt).persist()
+        val nV = evecs.count()
+        val esh = Ops.shardByHash(evecs, "vec_id", 5)
+        val ta = System.nanoTime()
+        val eix = Dedup.embeddingIndex(esh.filter(col("shard") =!= 0).drop("shard"),
+          "vec_id", "embedding", threshold = 0.3)
+        val tb = System.nanoTime()
+        val nB = Dedup.embeddingNearDupPairsBetween(
+          esh.filter(col("shard") === 0).drop("shard"), eix,
+          "vec_id", "embedding", threshold = 0.3).count()
+        val tc = System.nanoTime()
+        eix.release()
+        evecs.unpersist(blocking = false)
+        (nV, ta, tb, nB, tc)
+      }
       // explicit ROOT locale (ADVICE r6): f"" formats with the default JVM
       // locale; comma-decimal locales would emit invalid JSON
       def sec(a: Long, b: Long): String =

@@ -89,6 +89,11 @@ final class KllMergeBuffer(var s: KllLongsSketch)
   * the merge buffer adopts the FIRST input sketch's k (uniform-k inputs —
   * the normal store-and-merge case — keep their accuracy; mixed-k inputs
   * degrade to the smallest k involved, which no buffer sizing can avoid).
+  * With MIXED-k inputs the adopted k — and therefore the serialized output
+  * BYTES — depends on partition arrival order: mixed-size unions are
+  * value-approximate (within the smallest k's error bound) but NOT
+  * byte-deterministic run-to-run (ADVICE r7 — acceptable as documented;
+  * store uniform-k sketches when byte-stable state matters).
   * A group with no non-null input evaluates to NULL, and
   * [[KllQuantileLong]] propagates that NULL. */
 case class KllMergeAgg(

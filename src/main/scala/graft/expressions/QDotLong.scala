@@ -83,10 +83,17 @@ object GraftFunctions {
     * SQL '200' would otherwise throw a bare ClassCastException/NPE deep in
     * resolution instead of naming the problem. */
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-        org.apache.spark.sql.types.IntegerType) => v
+    // any foldable INT expression qualifies (ADVICE r7): SQL `CAST(1024 AS
+    // INT)` or `512 + 512` folds to a plan-time constant exactly like a bare
+    // Literal — reject only non-foldable (columns) or non-int inputs
+    case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+      e.eval() match {
+        case v: Int => v
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $arg must not be null")
+      }
     case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an INT literal (e.g. lit(200)), got: $other")
+      s"$fn: $arg must be a foldable INT expression (e.g. lit(200)), got: $other")
   }
 
   val qdotInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

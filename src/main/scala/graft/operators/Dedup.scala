@@ -445,17 +445,43 @@ object Dedup {
     * corpus. Pair with [[loadMinhashIndex]]. */
   def saveMinhashIndex(ix: MinhashIndex, path: String): Unit = {
     ix.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    // banded is written LAST and doubles as the commit marker the loader
+    // checks first (ADVICE r7): a save interrupted mid-way leaves no banded
+    // dir and the load names the problem instead of failing downstream
     ix.bandedKeys.write.mode("overwrite").parquet(s"$path/banded")
+  }
+
+  /** True iff every named component dir of a stored index exists — the
+    * loaders' fail-fast gate (ADVICE r7): a partially-written index (save
+    * interrupted between component writes) produces a clear "incomplete
+    * index" error naming the missing part, not an AnalysisException deep in
+    * some later join. Shared with [[graft.operators.Similarity]]'s PQ-index
+    * loaders. */
+  private[operators] def requireIndexParts(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      parts: Seq[String], kind: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val missing = parts.filterNot { p =>
+      val hp = new org.apache.hadoop.fs.Path(s"$path/$p")
+      hp.getFileSystem(conf).exists(hp)
+    }
+    require(missing.isEmpty,
+      s"$kind at $path is incomplete - missing component(s): " +
+        s"${missing.mkString(", ")} (expected ${parts.mkString(", ")}). " +
+        "Was the save interrupted? Re-run the save.")
   }
 
   /** Load a stored [[MinhashIndex]] (both frames pinned, [[minhashIndex]]
     * contract). Signatures are a pure function of each doc's text, so a
-    * loaded index is interchangeable with a freshly built one. */
+    * loaded index is interchangeable with a freshly built one. Fails fast
+    * with a clear message on a partial save. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): MinhashIndex =
+      path: String): MinhashIndex = {
+    requireIndexParts(spark, path, Seq("banded", "shingles"), "MinhashIndex")
     MinhashIndex(
       pin(spark.read.parquet(s"$path/shingles")),
       pin(spark.read.parquet(s"$path/banded")))
+  }
 
   /** [[minhashLshPairs]] over a prebuilt [[MinhashIndex]] — the index is
     * NOT released (the caller owns it and may reuse it, q109-style). */
@@ -862,6 +888,9 @@ object Dedup {
     ix.buckets.write.mode("overwrite").parquet(s"$path/buckets")
     val spark = ix.vecs.sparkSession
     import spark.implicits._
+    // params is written LAST as the commit marker (ADVICE r7): its presence
+    // implies every data component landed, so the loader's fail-fast check
+    // catches any interrupted save
     Seq((ix.nTables, ix.bits, ix.dim, ix.scale, ix.seed))
       .toDF("n_tables", "bits", "dim", "scale", "seed")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -870,9 +899,11 @@ object Dedup {
   /** Load a stored [[EmbeddingIndex]] (frames pinned, [[embeddingIndex]]
     * contract). Hyperplanes are re-derived from the stored parameters
     * (seeded md5 — a pure function), so a loaded index produces
-    * bit-identical buckets and pairs to the one that was saved. */
+    * bit-identical buckets and pairs to the one that was saved. Fails fast
+    * with a clear message on a partial save. */
   def loadEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): EmbeddingIndex = {
+    requireIndexParts(spark, path, Seq("params", "vecs", "buckets"), "EmbeddingIndex")
     val p = spark.read.parquet(s"$path/params").head()
     EmbeddingIndex(
       pin(spark.read.parquet(s"$path/vecs")),
