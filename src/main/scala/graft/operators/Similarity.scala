@@ -437,38 +437,128 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       m: Int = 16, kCents: Int = 64, lloydIters: Int = 2,
       rerank: Int = 0, scale: Int = 1000): DataFrame = {
+    val ix = pqIndex(corpus, idCol, vecCol, m, kCents, lloydIters, scale)
+    val out = pqTopKIndexed(ix, queries, idCol, vecCol, k, rerank)
+    ix.release()
+    out
+  }
+
+  /** A trained, reusable flat-PQ store (VERDICT r7 §next-1 — the PQ
+    * sibling of [[graft.operators.Dedup.EmbeddingIndex]]): the pinned raw
+    * quantized vectors + exact norms (`vecs` — the rerank side), the
+    * localized per-subspace codebooks (`books`, m·kCents rows — every
+    * executor receives them as a broadcast), and the pinned compressed
+    * corpus (`codes`, m small integers per vector). Train ONCE with
+    * [[pqIndex]], persist with [[savePqIndex]], then answer query batches
+    * with [[pqTopKIndexed]] and assign ingest batches with
+    * [[assignToPqIndex]] — codebooks are never retrained on the query or
+    * ingest path. `release()` when done. */
+  final case class PqIndex private[operators] (
+      vecs: DataFrame, books: DataFrame, codes: DataFrame,
+      m: Int, dsub: Int, dim: Int, kCents: Int, scale: Int) {
+    def release(): Unit = {
+      codes.unpersist(false); vecs.unpersist(false)
+    }
+  }
+
+  /** Train a [[PqIndex]] over `corpus`: one quantize+norm pass (pinned),
+    * deterministic per-subspace integer Lloyd ([[trainPqBooks]] — the
+    * [[pqTopK]] training chain, unchanged), and the code assignment
+    * materialized as the stored representation. An empty corpus yields an
+    * empty index (dim = 0) whose searches return typed empty results. */
+  def pqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, kCents: Int = 64, lloydIters: Int = 2,
+      scale: Int = 1000): PqIndex = {
     val spark = corpus.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     require(m > 0 && kCents > 1, s"need m > 0 subspaces and kCents > 1, got m=$m kCents=$kCents")
     val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("vv", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
-    if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
-      val out = c.select(col("nbr_id").as("query_id"), col("nbr_id"),
-        lit(0L).as("cosine_micro"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
-      c.unpersist(false)
-      return out
+    if (n == 0L) { // empty corpus: typed empty index, no dim probe to throw
+      val books = localized(c.select(lit(0).as("sub"), lit(0L).as("cent_id"),
+        col("nv").as("cv"), lit(0L).as("cc")).limit(0))
+      val codes = pin(c.select(col("nbr_id"), lit(0).as("sub"), lit(0L).as("code")).limit(0))
+      return PqIndex(c, books, codes, m, dsub = 0, dim = 0, kCents, scale)
     }
     val dim = c.select(size(col("nv")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
-    require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
     val dsub = dim / m
-
     val sv = pin(pqSubVectors(c, "nbr_id", "nv", m, dsub))
     val books = trainPqBooks(c, sv, kCents, lloydIters)
-    // the stored representation: m codes per corpus vector
-    val codes = assignPqCodes(sv, "nbr_id", books)
-
-    // query side: sub-vectors → per-(query, sub, centroid) lookup table of
-    // exact integer dots (m·kCents rows per query — broadcast)
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
-      .withColumn("qn", nqdot(col("qv"), col("qv")))
-    val qsv = pqSubVectors(q, "query_id", "qv", m, dsub)
-    val out = pqScoreRank(c, q, qsv, books, codes, cand = None, k, rerank)
-      .localCheckpoint(true)
+    // the stored representation: m codes per corpus vector, pinned so
+    // every later query/ingest batch reads codes, not raw vectors
+    val codes = pin(assignPqCodes(sv, "nbr_id", books))
     sv.unpersist(false)
-    c.unpersist(false)
-    out
+    PqIndex(c, books, codes, m, dsub, dim, kCents, scale)
+  }
+
+  /** [[pqTopK]]'s search half over a prebuilt [[PqIndex]] — ADC scoring
+    * against STORED codes and codebooks, no retraining; the index is NOT
+    * released (the caller owns it and may reuse it across query batches).
+    * Bit-identical to [[pqTopK]] with the same parameters (q120's gate for
+    * the IVF variant). */
+  def pqTopKIndexed(
+      ix: PqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int = 0): DataFrame = {
+    graft.expressions.GraftFunctions.register(queries.sparkSession)
+    require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
+    if (ix.dim == 0) { // empty index: typed empty result
+      return ix.vecs.select(col("nbr_id").as("query_id"), col("nbr_id"),
+        lit(0L).as("cosine_micro"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
+    }
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), ix.scale).as("qv"))
+      .withColumn("qn", nqdot(col("qv"), col("qv")))
+    val qsv = pqSubVectors(q, "query_id", "qv", ix.m, ix.dsub)
+    pqScoreRank(ix.vecs, q, qsv, ix.books, ix.codes, cand = None, k, rerank)
+      .localCheckpoint(true)
+  }
+
+  /** Assign an ingest batch to a [[PqIndex]]'s STORED codebooks — the
+    * no-retrain write path of the PQ store (VERDICT r7 §next-1): each batch
+    * vector gets its m codes by exact-integer argmin against the stored
+    * books, exactly as the corpus did at train time. Output: (id, sub,
+    * code), m rows per vector. Pure function of (batch, stored books) —
+    * the q122 oracle replays it in SQL. */
+  def assignToPqIndex(
+      batch: DataFrame, ix: PqIndex, idCol: String, vecCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    require(ix.dim > 0, "cannot assign into an empty PqIndex (dim = 0)")
+    val v = batch.select(col(idCol).as("id"), quantize(col(vecCol), ix.scale).as("nv"))
+    val sv = pqSubVectors(v, "id", "nv", ix.m, ix.dsub)
+    assignPqCodes(sv, "id", ix.books)
+  }
+
+  /** Persist a [[PqIndex]] as four parquet tables. `params` is written
+    * LAST as the commit marker (ADVICE r7 contract shared with
+    * [[graft.operators.Dedup.saveEmbeddingIndex]]): its presence implies
+    * every data component landed. */
+  def savePqIndex(ix: PqIndex, path: String): Unit = {
+    ix.vecs.write.mode("overwrite").parquet(s"$path/vecs")
+    ix.codes.write.mode("overwrite").parquet(s"$path/codes")
+    ix.books.write.mode("overwrite").parquet(s"$path/books")
+    val spark = ix.vecs.sparkSession
+    import spark.implicits._
+    Seq((ix.m, ix.dsub, ix.dim, ix.kCents, ix.scale))
+      .toDF("m", "dsub", "dim", "k_cents", "scale")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a stored [[PqIndex]] (vecs/codes pinned, books re-localized —
+    * the [[pqIndex]] contract). Codebooks and codes are stored bytes, so a
+    * loaded index answers queries bit-identically to the one saved. Fails
+    * fast with a clear message on a partial save. */
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    Dedup.requireIndexParts(spark, path,
+      Seq("params", "vecs", "books", "codes"), "PqIndex")
+    val p = spark.read.parquet(s"$path/params").head()
+    PqIndex(
+      pin(spark.read.parquet(s"$path/vecs")),
+      localized(spark.read.parquet(s"$path/books")),
+      pin(spark.read.parquet(s"$path/codes")),
+      p.getAs[Int]("m"), p.getAs[Int]("dsub"), p.getAs[Int]("dim"),
+      p.getAs[Int]("k_cents"), p.getAs[Int]("scale"))
   }
 
   /** The ADC score + rank/rerank tail shared by [[pqTopK]] (exhaustive —
@@ -493,20 +583,34 @@ object Similarity {
     // join). `books` is a localized m·kCents-row relation, so both counts
     // are driver-cheap.
     val lutRows = q.count() * books.count()
-    def lutHint(df: DataFrame): DataFrame =
-      if (lutRows <= 4_000_000L) broadcast(df) else df
     val lut = qsv.join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cent_id").as("code"),
         nqdot(col("sv"), col("cv")).as("dot"))
     val adcBase = cand match {
-      case None => codes.join(lutHint(lut), Seq("sub", "code"))
+      case None => codes.join(maybeBroadcast(lut, lutRows), Seq("sub", "code"))
       case Some(cs) => cs.join(codes, Seq("nbr_id"))
-        .join(lutHint(lut), Seq("query_id", "sub", "code"))
+        .join(maybeBroadcast(lut, lutRows), Seq("query_id", "sub", "code"))
     }
-    val scored = adcBase
+    val adc = adcBase
       .filter(col("query_id") =!= col("nbr_id"))
       .groupBy(col("query_id"), col("nbr_id"))
       .agg(sum(col("dot")).as("adc_dot"))
+    adcRank(c, q, adc, k, rerank)
+  }
+
+  /** Broadcast `df` only when its row count stays inside the interactive-
+    * batch regime (see the LUT note in [[pqScoreRank]]); above it, AQE
+    * picks the strategy for the keyed equi-join. */
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= 4_000_000L) broadcast(df) else df
+
+  /** The rank/rerank tail shared by every ADC scorer: `adc` is
+    * (query_id, nbr_id, adc_dot); the ADC cosine divides by the EXACT
+    * stored norm, ranks, and (with `rerank > 0`) exactly re-scores the
+    * shortlist rows' true vectors. */
+  private def adcRank(c: DataFrame, q: DataFrame, adc: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
+    val scored = adc
       .join(c.select(col("nbr_id"), col("vv")), Seq("nbr_id"))
       .join(broadcast(q.select(col("query_id"), col("qn"))), Seq("query_id"))
       .withColumn("adc_cos",
@@ -558,51 +662,240 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 0, nprobe: Int = 0, ivfLloydIters: Int = 4,
       m: Int = 16, kCents: Int = 64, pqLloydIters: Int = 2,
-      rerank: Int = 0, scale: Int = 1000): DataFrame = {
+      rerank: Int = 0, scale: Int = 1000, residual: Boolean = false): DataFrame = {
+    val ix = ivfPqIndex(corpus, idCol, vecCol, nCells, ivfLloydIters,
+      m, kCents, pqLloydIters, residual, scale)
+    val out = ivfPqTopKIndexed(ix, queries, idCol, vecCol, k, nprobe, rerank)
+    ix.release()
+    out
+  }
+
+  /** A trained, reusable IVF-PQ store — the production billion-vector
+    * layout as a standing index (VERDICT r7 §next-1): the coarse centroid
+    * set (`cents`, localized), the pinned cell assignment (`cells`), the
+    * localized per-subspace codebooks (`books`) and the pinned compressed
+    * corpus (`codes`), next to the pinned raw vectors + exact norms
+    * (`vecs` — rerank side only). With `residual = true` the books/codes
+    * live in RESIDUAL space (v − cell centroid, Jégou et al. 2011 §IV-A);
+    * searches and ingest assignments must — and do — apply the same
+    * transform. Train once with [[ivfPqIndex]], persist with
+    * [[saveIvfPqIndex]], search with [[ivfPqTopKIndexed]], ingest with
+    * [[assignToIvfPqIndex]]/[[extendIvfPqIndex]]. `release()` when done. */
+  final case class IvfPqIndex private[operators] (
+      vecs: DataFrame, cents: DataFrame, cells: DataFrame,
+      books: DataFrame, codes: DataFrame,
+      m: Int, dsub: Int, dim: Int, kCents: Int, nCells: Int,
+      residual: Boolean, scale: Int) {
+    def release(): Unit = {
+      codes.unpersist(false); cells.unpersist(false); vecs.unpersist(false)
+    }
+  }
+
+  /** The residual frame `(nbr_id, rv)` of a `(id→nbr_id, nv)` vector frame
+    * against its cell assignment: rv = v − centroid(cell), an exact
+    * elementwise integer subtraction (SQL-replayable). Encoding residuals
+    * instead of raw vectors concentrates the code space around zero —
+    * every cell's vectors share one codebook that only has to cover
+    * within-cell variation — which is why the production IVF-PQ layout
+    * (Jégou et al. 2011 §IV-A) is residual-encoded. */
+  private def residualVecs(v: DataFrame, id: String, asg: DataFrame,
+      cents: DataFrame): DataFrame =
+    v.join(asg, Seq(id))
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cv"))), Seq("cell"))
+      .select(col(id), zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"))
+
+  /** Train an [[IvfPqIndex]] over `corpus`: [[trainIvfCents]]'s coarse
+    * quantizer + cell assignment (the IVF half), then [[trainPqBooks]]'s
+    * per-subspace integer Lloyd over either the raw vectors
+    * (`residual = false` — the r7 chain, q119's oracle) or the per-cell
+    * residuals (`residual = true` — Jégou §IV-A, q121's oracle). Every
+    * step keeps the deterministic integer contracts, so the whole trained
+    * state is SQL-replayable. An empty corpus yields an empty index
+    * (dim = 0) whose searches return typed empty results. */
+  def ivfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 0, ivfLloydIters: Int = 4,
+      m: Int = 16, kCents: Int = 64, pqLloydIters: Int = 2,
+      residual: Boolean = false, scale: Int = 1000): IvfPqIndex = {
     val spark = corpus.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     require(m > 0 && kCents > 1, s"need m > 0 subspaces and kCents > 1, got m=$m kCents=$kCents")
     val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("vv", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
-    if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
-      val out = c.select(col("nbr_id").as("query_id"), col("nbr_id"),
-        lit(0L).as("cosine_micro"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
-      c.unpersist(false)
-      return out
+    if (n == 0L) { // empty corpus: typed empty index, no dim probe to throw
+      val cents = localized(c.select(lit(0L).as("cent_id"), col("nv").as("cv"),
+        lit(0L).as("cc")).limit(0))
+      val cells = pin(c.select(col("nbr_id"), lit(0L).as("cell")).limit(0))
+      val books = localized(c.select(lit(0).as("sub"), lit(0L).as("cent_id"),
+        col("nv").as("cv"), lit(0L).as("cc")).limit(0))
+      val codes = pin(c.select(col("nbr_id"), lit(0).as("sub"), lit(0L).as("code")).limit(0))
+      return IvfPqIndex(c, cents, cells, books, codes,
+        m, dsub = 0, dim = 0, kCents, nCells = 0, residual, scale)
     }
     val dim = c.select(size(col("nv")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
-    require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
     val dsub = dim / m
     val cells = if (nCells > 0) nCells else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val probes = ivfProbes(cells, nprobe)
     // coarse quantizer + cell assignment (the IVF half)
     val cents = trainIvfCents(c, cells, ivfLloydIters)
-    val cAsg = assignCells(c, "nbr_id", "nv", "vv", cents)
-    // codebooks + codes (the PQ half) — trained on the full corpus, the
-    // standard IVF-PQ residual-free variant
-    val sv = pin(pqSubVectors(c, "nbr_id", "nv", m, dsub))
+    val cAsg = pin(assignCells(c, "nbr_id", "nv", "vv", cents))
+    // codebooks + codes (the PQ half), over raw vectors or residuals
+    val enc = if (residual) residualVecs(c, "nbr_id", cAsg, cents) else c
+    val encCol = if (residual) "rv" else "nv"
+    val sv = pin(pqSubVectors(enc, "nbr_id", encCol, m, dsub))
     val books = trainPqBooks(c, sv, kCents, pqLloydIters)
-    val codes = assignPqCodes(sv, "nbr_id", books)
-    // queries probe their nprobe nearest cells (tiny broadcast centroid
-    // ranking, as in ivfTopK), giving the (query, nbr) candidate set
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
+    val codes = pin(assignPqCodes(sv, "nbr_id", books))
+    sv.unpersist(false)
+    IvfPqIndex(c, cents, cAsg, books, codes,
+      m, dsub, dim, kCents, cells, residual, scale)
+  }
+
+  /** [[ivfPqTopK]]'s search half over a prebuilt [[IvfPqIndex]] — probe
+    * cells against the STORED centroid set, ADC-score only the probed
+    * cells' STORED codes, exactly rerank the shortlist; nothing is
+    * retrained (this is what converts q119's training-dominated benchmark
+    * shape into the stored-index query a real vector store runs — q120).
+    *
+    * Non-residual ADC is [[pqScoreRank]]'s: one m·kCents lookup table per
+    * query. Residual ADC keys the LUT by (query, PROBED CELL) — the
+    * query's residual against each probed cell's centroid — and adds the
+    * exact q·centroid base term once per candidate:
+    * q·(c + r̂) = q·c + q·r̂ (all integer-exact, q121's oracle). LUT volume
+    * is probes× the non-residual case; the same [[maybeBroadcast]] guard
+    * applies (documented regime: interactive batches). */
+  def ivfPqTopKIndexed(
+      ix: IvfPqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 0, rerank: Int = 0): DataFrame = {
+    graft.expressions.GraftFunctions.register(queries.sparkSession)
+    require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
+    if (ix.dim == 0) { // empty index: typed empty result
+      return ix.vecs.select(col("nbr_id").as("query_id"), col("nbr_id"),
+        lit(0L).as("cosine_micro"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
+    }
+    val probes = ivfProbes(ix.nCells, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), ix.scale).as("qv"))
       .withColumn("qn", nqdot(col("qv"), col("qv")))
+    val nQ = q.count()
+    // queries probe their nprobe nearest stored cells (full ranking only
+    // over the tiny localized centroid set)
     val qw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cent_id"))
-    val qCells = q.join(broadcast(cents))
+    val qProbe = q.join(broadcast(ix.cents))
       .withColumn("d2", col("qn") - lit(2) * nqdot(col("qv"), col("cv")) + col("cc"))
       .withColumn("__cr", row_number().over(qw))
       .filter(col("__cr") <= probes)
-      .select(col("query_id"), col("cent_id").as("cell"))
-    val cand = cAsg.join(broadcast(qCells), Seq("cell"))
-      .select(col("query_id"), col("nbr_id"))
-    val qsv = pqSubVectors(q, "query_id", "qv", m, dsub)
-    val out = pqScoreRank(c, q, qsv, books, codes, cand = Some(cand), k, rerank)
-      .localCheckpoint(true)
-    sv.unpersist(false)
-    c.unpersist(false)
-    out
+    if (!ix.residual) {
+      val qCells = qProbe.select(col("query_id"), col("cent_id").as("cell"))
+      val cand = ix.cells.join(broadcast(qCells), Seq("cell"))
+        .select(col("query_id"), col("nbr_id"))
+      val qsv = pqSubVectors(q, "query_id", "qv", ix.m, ix.dsub)
+      pqScoreRank(ix.vecs, q, qsv, ix.books, ix.codes, cand = Some(cand), k, rerank)
+        .localCheckpoint(true)
+    } else {
+      // residual ADC: the query's residual against EACH probed cell's
+      // centroid, plus the exact q·centroid base term
+      val qr = qProbe.select(col("query_id"), col("cent_id").as("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qrv"),
+        nqdot(col("qv"), col("cv")).as("qc"))
+      val qsv = qr.select(col("query_id"), col("cell"), col("qc"),
+        posexplode(array(
+          (0 until ix.m).map(s => slice(col("qrv"), s * ix.dsub + 1, ix.dsub)): _*))
+          .as(Seq("sub", "sv")))
+      val lut = qsv.join(broadcast(ix.books), Seq("sub"))
+        .select(col("query_id"), col("cell"), col("sub"), col("cent_id").as("code"),
+          col("qc"), nqdot(col("sv"), col("cv")).as("dot"))
+      val lutRows = nQ * probes * ix.books.count()
+      val cand = ix.cells.join(
+          broadcast(qr.select(col("query_id"), col("cell"))), Seq("cell"))
+        .filter(col("query_id") =!= col("nbr_id"))
+        .select(col("query_id"), col("nbr_id"), col("cell"))
+      val adc = cand.join(ix.codes, Seq("nbr_id"))
+        .join(maybeBroadcast(lut, lutRows), Seq("query_id", "cell", "sub", "code"))
+        .groupBy(col("query_id"), col("nbr_id"))
+        // qc is constant within the group (one cell per candidate); max()
+        // re-reads it as an aggregate so the base term lands exactly once
+        .agg((sum(col("dot")) + max(col("qc"))).as("adc_dot"))
+      adcRank(ix.vecs, q, adc, k, rerank).localCheckpoint(true)
+    }
+  }
+
+  /** Assign an ingest batch to an [[IvfPqIndex]]'s STORED centroids and
+    * codebooks — the no-retrain write path of the vector store (VERDICT r7
+    * §next-1): each batch vector gets its cell by exact-integer argmin
+    * against the stored cents, then its m codes against the stored books
+    * (over its residual when the index is residual-encoded). Output:
+    * (id, cell, sub, code), m rows per vector — pure function of (batch,
+    * stored index), replayed in SQL by the q122 oracle. */
+  def assignToIvfPqIndex(
+      batch: DataFrame, ix: IvfPqIndex, idCol: String, vecCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    require(ix.dim > 0, "cannot assign into an empty IvfPqIndex (dim = 0)")
+    val v = batch.select(col(idCol).as("id"), quantize(col(vecCol), ix.scale).as("nv"))
+      .withColumn("vv", nqdot(col("nv"), col("nv")))
+    val asg = assignCells(v, "id", "nv", "vv", ix.cents)
+    val enc = if (ix.residual) residualVecs(v, "id", asg, ix.cents) else v
+    val encCol = if (ix.residual) "rv" else "nv"
+    val sv = pqSubVectors(enc, "id", encCol, ix.m, ix.dsub)
+    assignPqCodes(sv, "id", ix.books)
+      .join(asg, Seq("id"))
+      .select(col("id"), col("cell"), col("sub"), col("code"))
+  }
+
+  /** Fold an ingest batch INTO the index: [[assignToIvfPqIndex]]'s
+    * assignments appended to the stored frames (vecs/cells/codes grow;
+    * cents/books — the trained state — are untouched, exactly like the
+    * standing LSH indexes never re-bucket their corpus). Returns a NEW
+    * pinned index; the new frames are materialized, so the caller may
+    * `release()` the old one afterwards. Batch ids must be disjoint from
+    * corpus ids (the usual ingest contract). */
+  def extendIvfPqIndex(
+      ix: IvfPqIndex, batch: DataFrame, idCol: String, vecCol: String): IvfPqIndex = {
+    require(ix.dim > 0, "cannot extend an empty IvfPqIndex (dim = 0)")
+    val v = batch.select(col(idCol).as("nbr_id"), quantize(col(vecCol), ix.scale).as("nv"))
+      .withColumn("vv", nqdot(col("nv"), col("nv")))
+    val a = assignToIvfPqIndex(batch, ix, idCol, vecCol)
+    val newVecs = pin(ix.vecs.unionByName(v))
+    val newCells = pin(ix.cells.unionByName(
+      a.select(col("id").as("nbr_id"), col("cell")).distinct()))
+    val newCodes = pin(ix.codes.unionByName(
+      a.select(col("id").as("nbr_id"), col("sub"), col("code"))))
+    IvfPqIndex(newVecs, ix.cents, newCells, ix.books, newCodes,
+      ix.m, ix.dsub, ix.dim, ix.kCents, ix.nCells, ix.residual, ix.scale)
+  }
+
+  /** Persist an [[IvfPqIndex]] as six parquet tables; `params` is written
+    * LAST as the commit marker (the [[savePqIndex]] contract). */
+  def saveIvfPqIndex(ix: IvfPqIndex, path: String): Unit = {
+    ix.vecs.write.mode("overwrite").parquet(s"$path/vecs")
+    ix.cents.write.mode("overwrite").parquet(s"$path/cents")
+    ix.cells.write.mode("overwrite").parquet(s"$path/cells")
+    ix.books.write.mode("overwrite").parquet(s"$path/books")
+    ix.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val spark = ix.vecs.sparkSession
+    import spark.implicits._
+    Seq((ix.m, ix.dsub, ix.dim, ix.kCents, ix.nCells, ix.residual, ix.scale))
+      .toDF("m", "dsub", "dim", "k_cents", "n_cells", "residual", "scale")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a stored [[IvfPqIndex]] (vecs/cells/codes pinned, cents/books
+    * re-localized — the [[ivfPqIndex]] contract). All trained state is
+    * stored bytes, so a loaded index answers queries bit-identically to
+    * the one saved (q120's gate). Fails fast on a partial save. */
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    Dedup.requireIndexParts(spark, path,
+      Seq("params", "vecs", "cents", "cells", "books", "codes"), "IvfPqIndex")
+    val p = spark.read.parquet(s"$path/params").head()
+    IvfPqIndex(
+      pin(spark.read.parquet(s"$path/vecs")),
+      localized(spark.read.parquet(s"$path/cents")),
+      pin(spark.read.parquet(s"$path/cells")),
+      localized(spark.read.parquet(s"$path/books")),
+      pin(spark.read.parquet(s"$path/codes")),
+      p.getAs[Int]("m"), p.getAs[Int]("dsub"), p.getAs[Int]("dim"),
+      p.getAs[Int]("k_cents"), p.getAs[Int]("n_cells"),
+      p.getAs[Boolean]("residual"), p.getAs[Int]("scale"))
   }
 
   /** Sparse cosine all-pairs via a term inverted index — the sparse-text
