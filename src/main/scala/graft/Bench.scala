@@ -99,12 +99,18 @@ object Bench {
       release()
       val r119 = SparkEntry.queries("q119_ivfpq_topk")(spark, sfDir)
         .agg(sum("hit"), count(lit(1))).head()
+      // r8: the residual-encoded variant's recall at the same 96-bit
+      // budget, next to the flat chain's — the Jégou §IV-A claim measured
+      release()
+      val r121 = SparkEntry.queries("q121_ivfpq_residual")(spark, sfDir)
+        .agg(sum("hit"), count(lit(1))).head()
       Map("lsh_topk" -> r52.getLong(1) / k, "ivf_topk" -> r52.getLong(2) / k,
         "neardup_pairs" -> r53.getDouble(2),
         "neardup_pairs_16t" -> r53d.getDouble(2),
         "neardup_between" -> r115.getDouble(2),
         "pq_top5" -> r118.getLong(0).toDouble / r118.getLong(1),
-        "ivfpq_top5" -> r119.getLong(0).toDouble / r119.getLong(1))
+        "ivfpq_top5" -> r119.getLong(0).toDouble / r119.getLong(1),
+        "ivfpq_res_top5" -> r121.getLong(0).toDouble / r121.getLong(1))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall scorecard failed: ${e.getMessage}")
       Map.empty

@@ -495,6 +495,60 @@ object SparkEntry {
           coalesce(col("hit"), lit(0L)).as("hit"))
         .orderBy("query_id", "rank")
     }),
+    // stored-index IVF-PQ search ✚ (VERDICT r7 §next-1): the q119 chain
+    // run as a real vector store runs it — train once (ivfPqIndex),
+    // PERSIST to parquet, LOAD, and answer the query batch from stored
+    // cells/codes with ZERO retraining. The oracle is the q119 chain
+    // itself: a stored-then-loaded index must answer bit-identically to
+    // the one-call path (cents/books/codes are stored bytes)
+    "q120_ivfpq_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+      val ix = Similarity.ivfPqIndex(e, "vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_pqix").toString
+      Similarity.saveIvfPqIndex(ix, path)
+      ix.release()
+      val loaded = Similarity.loadIvfPqIndex(s, path)
+      val out = Similarity.ivfPqTopKIndexed(loaded, qs, "vec_id", "embedding",
+        k = 5, rerank = 50)
+      loaded.release()
+      out.orderBy("query_id", "rank")
+    }),
+    // residual IVF-PQ ✚ (VERDICT r7 §missing-2, Jégou et al. 2011 §IV-A):
+    // codes quantize v − cell-centroid instead of v, concentrating the
+    // code space on within-cell variation at the same 96-bit budget; the
+    // residual subtraction and the q·centroid ADC base term are exact
+    // integer math, so the whole extended chain hash-checks. `hit` again
+    // records top-5 recall vs brute force row by row (Bench echoes it)
+    "q121_ivfpq_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+      val pq = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding", k = 5,
+        rerank = 50, residual = true)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+      pq.join(exact, Seq("query_id", "nbr_id"), "left")
+        .select(col("query_id"), col("nbr_id"), col("cosine_micro"), col("rank"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .orderBy("query_id", "rank")
+    }),
+    // no-retrain ingest assignment ✚ (the PQ store's write path, q115's
+    // sibling): hash-shard 0 plays the ingest batch; the index is trained
+    // on the REST (residual-encoded), and the batch gets its cell + m
+    // codes from the STORED centroids/codebooks only — the oracle replays
+    // corpus-restricted training, then the delta's pure-function argmin
+    // assignment
+    "q122_pq_ingest" -> ((s, d) => {
+      val sharded = Ops.shardByHash(Tables.embeddings(s, d), "vec_id", 5)
+      val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      val delta = sharded.filter(col("shard") === 0).drop("shard")
+      val ix = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", residual = true)
+      val out = Similarity.assignToIvfPqIndex(delta, ix, "vec_id", "embedding")
+        .select(col("id"), col("cell"), col("sub").cast("long").as("sub"), col("code"))
+        .localCheckpoint(true)
+      ix.release()
+      out.orderBy("id", "sub")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -1608,10 +1662,12 @@ object SparkEntry {
   // hash-ordered centroid seeding, 4 Lloyd rounds, corpus assigned to its
   // final cell, queries (vec_id < 10) probing their nprobe nearest cells,
   // nprobe = max(min(cells, 32), 2*ceil(sqrt(cells))) (scales with the
-  // index — identical derivation to Similarity.ivfTopK)
-  private val sqlIvfChain =
+  // index — identical derivation to Similarity.ivfTopK). The chain reads
+  // whatever CTE is bound to `v`; `countSrc` sizes the cell count from the
+  // same corpus (q122 binds v to the shard<>0 slice and counts it).
+  private def sqlIvfChainOver(countSrc: String) =
     s"""nc AS (SELECT greatest(4, CAST(ceil(sqrt(count(*)::DOUBLE)) AS INT)) AS cells
-               FROM embeddings),
+               FROM $countSrc),
         c0 AS (SELECT cent_id, cv, cc FROM (
           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cent_id,
                  q AS cv, nn AS cc
@@ -1633,6 +1689,105 @@ object SparkEntry {
           FROM v, c4 c WHERE v.vec_id < 10) t
           WHERE cr <= (SELECT greatest(least(cells, 32), 2 * CAST(ceil(sqrt(cells::DOUBLE)) AS INT))
                        FROM nc))"""
+  private val sqlIvfChain = sqlIvfChainOver("embeddings")
+  // PQ sub-vector table (m=16 subspaces of dsub=4 dims) over any
+  // (vec_id, <vecCol>) CTE — `sv` feeds the shared Lloyd generators, so
+  // the raw chain binds it to (v, q) and the residual chain to (rv, rq)
+  private def sqlPqSubVecs(src: String, vecCol: String) =
+    s"""sv AS (SELECT vec_id, s AS sub,
+                 [$vecCol[i] for i in range(s * 4 + 1, s * 4 + 5)] AS svc,
+                 list_sum([$vecCol[i] * $vecCol[i] for i in range(s * 4 + 1, s * 4 + 5)]) AS svv
+               FROM $src, range(0, 16) r(s))"""
+  // one hash-ordered 64-doc seed set (from `seedSrc`) supplies every
+  // subspace's initial centroids, then 2 per-subspace integer Lloyd rounds
+  // over `sv` — the trainPqBooks chain (b2 = final books, af = final codes)
+  private def sqlPqTrainChain(seedSrc: String) =
+    s"""sc AS (SELECT cent_id, vec_id FROM (
+             SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cent_id, vec_id
+             FROM $seedSrc) t WHERE cent_id <= 64),
+       b0 AS (SELECT sub, cent_id, svc AS cv, svv AS cc FROM sv JOIN sc USING (vec_id)),
+       ${sqlPqAssign("a1", "b0")},
+       ${sqlPqUpdate("b1", "a1")},
+       ${sqlPqAssign("a2", "b1")},
+       ${sqlPqUpdate("b2", "a2")},
+       ${sqlPqAssign("af", "b2")}"""
+  // corpus residuals against the trained coarse cells (Jégou 2011 §IV-A):
+  // rq = q − centroid(cell), exact elementwise integer subtraction
+  private val sqlPqResidualVecs =
+    """rv AS (SELECT a.vec_id, [p[1] - p[2] for p in list_zip(a.q, c.cv)] AS rq
+              FROM ivf_asg a JOIN c4 c ON c.cent_id = a.cell)"""
+  // flat (non-residual) IVF-PQ candidate scoring: per-query LUTs from the
+  // raw sub-vectors, probed-cell candidates, ADC dot per (query, nbr)
+  private val sqlIvfPqFlatSearch =
+    s"""qn AS (SELECT vec_id AS query_id, nn FROM v WHERE vec_id < 10),
+       lut AS (SELECT sv.vec_id AS query_id, b.sub, b.cent_id AS code,
+                      list_sum([p[1] * p[2] for p in list_zip(sv.svc, b.cv)]) AS dot
+               FROM sv JOIN b2 b ON b.sub = sv.sub WHERE sv.vec_id < 10),
+       cand AS (SELECT iq.vec_id AS query_id, a.vec_id AS nbr_id
+                FROM ivf_q iq JOIN ivf_asg a ON a.cell = iq.cell AND a.vec_id <> iq.vec_id),
+       sc2 AS (SELECT cd.query_id, cd.nbr_id, CAST(sum(l.dot) AS BIGINT) AS adc_dot
+               FROM cand cd JOIN af a ON a.vec_id = cd.nbr_id
+                    JOIN lut l ON l.query_id = cd.query_id AND l.sub = a.sub AND l.code = a.code
+               GROUP BY 1, 2)"""
+  // residual IVF-PQ candidate scoring: the query's residual against EACH
+  // probed cell's centroid feeds a (query, cell)-keyed LUT, and the exact
+  // q·centroid base term is added once per candidate:
+  // q·(c + r̂) = q·c + q·r̂ — all integer-exact (mirrors ivfPqTopKIndexed's
+  // residual branch)
+  private val sqlIvfPqResidualSearch =
+    s"""qn AS (SELECT vec_id AS query_id, nn FROM v WHERE vec_id < 10),
+       qres AS (SELECT iq.vec_id AS query_id, iq.cell,
+                       [p[1] - p[2] for p in list_zip(iq.q, c.cv)] AS rq,
+                       list_sum([p[1] * p[2] for p in list_zip(iq.q, c.cv)]) AS qc
+                FROM ivf_q iq JOIN c4 c ON c.cent_id = iq.cell),
+       qsv AS (SELECT query_id, cell, qc, s AS sub,
+                      [rq[i] for i in range(s * 4 + 1, s * 4 + 5)] AS svc
+               FROM qres, range(0, 16) r(s)),
+       lut AS (SELECT qv.query_id, qv.cell, b.sub, b.cent_id AS code, qv.qc,
+                      list_sum([p[1] * p[2] for p in list_zip(qv.svc, b.cv)]) AS dot
+               FROM qsv qv JOIN b2 b ON b.sub = qv.sub),
+       cand AS (SELECT iq.vec_id AS query_id, a.vec_id AS nbr_id, a.cell
+                FROM ivf_q iq JOIN ivf_asg a ON a.cell = iq.cell AND a.vec_id <> iq.vec_id),
+       sc2 AS (SELECT cd.query_id, cd.nbr_id,
+                      CAST(max(l.qc) + sum(l.dot) AS BIGINT) AS adc_dot
+               FROM cand cd JOIN af a ON a.vec_id = cd.nbr_id
+                    JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+                      AND l.sub = a.sub AND l.code = a.code
+               GROUP BY 1, 2)"""
+  // ADC shortlist-50 + exact rerank to top-5 (pr/sl/rr/pq) — the shared
+  // two-stage tail over any sc2 (query_id, nbr_id, adc_dot)
+  private val sqlAdcTail =
+    s"""pr AS (SELECT query_id, nbr_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) DESC,
+                                nbr_id) AS srank
+              FROM sc2 JOIN qn USING (query_id) JOIN v nb ON nb.vec_id = sc2.nbr_id),
+       sl AS (SELECT query_id, nbr_id FROM pr WHERE srank <= 50),
+       rr AS (SELECT sl.query_id, sl.nbr_id,
+                     list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
+                       / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) AS cosine
+              FROM sl JOIN v qq ON qq.vec_id = sl.query_id
+                      JOIN v ON v.vec_id = sl.nbr_id),
+       pq AS (SELECT query_id, nbr_id, cosine_micro, rank FROM (
+                SELECT query_id, nbr_id,
+                       CAST(round(cosine * 1000000) AS BIGINT) AS cosine_micro,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, nbr_id) AS rank
+                FROM rr) t WHERE rank <= 5)"""
+  // exact brute-force top-5 for the `hit` recall column
+  private val sqlExactTop5 =
+    s"""ex AS (SELECT query_id, nbr_id FROM (
+                SELECT qq.vec_id AS query_id, v.vec_id AS nbr_id,
+                       row_number() OVER (PARTITION BY qq.vec_id
+                         ORDER BY list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
+                                  / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) DESC, v.vec_id) AS rk
+                FROM v qq JOIN v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id) t
+              WHERE rk <= 5)"""
+  private val sqlPqHitSelect =
+    """SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
+              CAST(CASE WHEN ex.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+       FROM pq LEFT JOIN ex ON ex.query_id = pq.query_id AND ex.nbr_id = pq.nbr_id
+       ORDER BY pq.query_id, pq.rank"""
   // LSH top-k candidates for queries vec_id < 10 (multi-probed query buckets
   // against exact corpus buckets; rank over exact cosine)
   private val sqlLshTopK =
@@ -2197,19 +2352,8 @@ object SparkEntry {
     // top-5, exact brute top-5 for `hit`
     "q118_pq_topk" ->
       s"""WITH $sqlVecs,
-         sv AS (SELECT vec_id, s AS sub,
-                       [q[i] for i in range(s * 4 + 1, s * 4 + 5)] AS svc,
-                       list_sum([q[i] * q[i] for i in range(s * 4 + 1, s * 4 + 5)]) AS svv
-                FROM v, range(0, 16) r(s)),
-         sc AS (SELECT cent_id, vec_id FROM (
-                  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cent_id, vec_id
-                  FROM embeddings) t WHERE cent_id <= 64),
-         b0 AS (SELECT sub, cent_id, svc AS cv, svv AS cc FROM sv JOIN sc USING (vec_id)),
-         ${sqlPqAssign("a1", "b0")},
-         ${sqlPqUpdate("b1", "a1")},
-         ${sqlPqAssign("a2", "b1")},
-         ${sqlPqUpdate("b2", "a2")},
-         ${sqlPqAssign("af", "b2")},
+         ${sqlPqSubVecs("v", "q")},
+         ${sqlPqTrainChain("embeddings")},
          qn AS (SELECT vec_id AS query_id, nn FROM v WHERE vec_id < 10),
          lut AS (SELECT sv.vec_id AS query_id, b.sub, b.cent_id AS code,
                         list_sum([p[1] * p[2] for p in list_zip(sv.svc, b.cv)]) AS dot
@@ -2218,90 +2362,79 @@ object SparkEntry {
                         CAST(sum(l.dot) AS BIGINT) AS adc_dot
                  FROM af a JOIN lut l ON l.sub = a.sub AND l.code = a.code
                  WHERE l.query_id <> a.vec_id GROUP BY 1, 2),
-         pr AS (SELECT query_id, nbr_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY adc_dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) DESC,
-                                  nbr_id) AS srank
-                FROM sc2 JOIN qn USING (query_id) JOIN v nb ON nb.vec_id = sc2.nbr_id),
-         sl AS (SELECT query_id, nbr_id FROM pr WHERE srank <= 50),
-         rr AS (SELECT sl.query_id, sl.nbr_id,
-                       list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
-                         / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) AS cosine
-                FROM sl JOIN v qq ON qq.vec_id = sl.query_id
-                        JOIN v ON v.vec_id = sl.nbr_id),
-         pq AS (SELECT query_id, nbr_id, cosine_micro, rank FROM (
-                  SELECT query_id, nbr_id,
-                         CAST(round(cosine * 1000000) AS BIGINT) AS cosine_micro,
-                         row_number() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, nbr_id) AS rank
-                  FROM rr) t WHERE rank <= 5),
-         ex AS (SELECT query_id, nbr_id FROM (
-                  SELECT qq.vec_id AS query_id, v.vec_id AS nbr_id,
-                         row_number() OVER (PARTITION BY qq.vec_id
-                           ORDER BY list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
-                                    / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) DESC, v.vec_id) AS rk
-                  FROM v qq JOIN v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id) t
-                WHERE rk <= 5)
-         SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
-                CAST(CASE WHEN ex.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
-         FROM pq LEFT JOIN ex ON ex.query_id = pq.query_id AND ex.nbr_id = pq.nbr_id
-         ORDER BY pq.query_id, pq.rank""",
+         $sqlAdcTail,
+         $sqlExactTop5
+         $sqlPqHitSelect""",
     // IVF-PQ: the q50 ivf chain (cells + probed query cells) intersected
     // with the q118 PQ chain — candidates are probed-cell corpus rows,
     // ADC-scored from codes, shortlisted, exactly reranked
     "q119_ivfpq_topk" ->
       s"""WITH $sqlVecs, $sqlIvfChain,
-         sv AS (SELECT vec_id, s AS sub,
-                       [q[i] for i in range(s * 4 + 1, s * 4 + 5)] AS svc,
-                       list_sum([q[i] * q[i] for i in range(s * 4 + 1, s * 4 + 5)]) AS svv
-                FROM v, range(0, 16) r(s)),
-         sc AS (SELECT cent_id, vec_id FROM (
-                  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS cent_id, vec_id
-                  FROM embeddings) t WHERE cent_id <= 64),
-         b0 AS (SELECT sub, cent_id, svc AS cv, svv AS cc FROM sv JOIN sc USING (vec_id)),
-         ${sqlPqAssign("a1", "b0")},
-         ${sqlPqUpdate("b1", "a1")},
-         ${sqlPqAssign("a2", "b1")},
-         ${sqlPqUpdate("b2", "a2")},
-         ${sqlPqAssign("af", "b2")},
-         qn AS (SELECT vec_id AS query_id, nn FROM v WHERE vec_id < 10),
-         lut AS (SELECT sv.vec_id AS query_id, b.sub, b.cent_id AS code,
-                        list_sum([p[1] * p[2] for p in list_zip(sv.svc, b.cv)]) AS dot
-                 FROM sv JOIN b2 b ON b.sub = sv.sub WHERE sv.vec_id < 10),
-         cand AS (SELECT iq.vec_id AS query_id, a.vec_id AS nbr_id
-                  FROM ivf_q iq JOIN ivf_asg a ON a.cell = iq.cell AND a.vec_id <> iq.vec_id),
-         sc2 AS (SELECT cd.query_id, cd.nbr_id, CAST(sum(l.dot) AS BIGINT) AS adc_dot
-                 FROM cand cd JOIN af a ON a.vec_id = cd.nbr_id
-                      JOIN lut l ON l.query_id = cd.query_id AND l.sub = a.sub AND l.code = a.code
-                 GROUP BY 1, 2),
-         pr AS (SELECT query_id, nbr_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY adc_dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) DESC,
-                                  nbr_id) AS srank
-                FROM sc2 JOIN qn USING (query_id) JOIN v nb ON nb.vec_id = sc2.nbr_id),
-         sl AS (SELECT query_id, nbr_id FROM pr WHERE srank <= 50),
-         rr AS (SELECT sl.query_id, sl.nbr_id,
-                       list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
-                         / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) AS cosine
-                FROM sl JOIN v qq ON qq.vec_id = sl.query_id
-                        JOIN v ON v.vec_id = sl.nbr_id),
-         pq AS (SELECT query_id, nbr_id, cosine_micro, rank FROM (
-                  SELECT query_id, nbr_id,
-                         CAST(round(cosine * 1000000) AS BIGINT) AS cosine_micro,
-                         row_number() OVER (PARTITION BY query_id
-                           ORDER BY cosine DESC, nbr_id) AS rank
-                  FROM rr) t WHERE rank <= 5),
-         ex AS (SELECT query_id, nbr_id FROM (
-                  SELECT qq.vec_id AS query_id, v.vec_id AS nbr_id,
-                         row_number() OVER (PARTITION BY qq.vec_id
-                           ORDER BY list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
-                                    / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) DESC, v.vec_id) AS rk
-                  FROM v qq JOIN v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id) t
-                WHERE rk <= 5)
-         SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
-                CAST(CASE WHEN ex.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
-         FROM pq LEFT JOIN ex ON ex.query_id = pq.query_id AND ex.nbr_id = pq.nbr_id
-         ORDER BY pq.query_id, pq.rank""",
+         ${sqlPqSubVecs("v", "q")},
+         ${sqlPqTrainChain("embeddings")},
+         $sqlIvfPqFlatSearch,
+         $sqlAdcTail,
+         $sqlExactTop5
+         $sqlPqHitSelect""",
+    // stored-index search: train-once/persist/load answers BIT-IDENTICALLY
+    // to the one-call chain (cents/books/codes are stored bytes), so the
+    // oracle IS the q119 chain, minus the recall audit column
+    "q120_ivfpq_indexed" ->
+      s"""WITH $sqlVecs, $sqlIvfChain,
+         ${sqlPqSubVecs("v", "q")},
+         ${sqlPqTrainChain("embeddings")},
+         $sqlIvfPqFlatSearch,
+         $sqlAdcTail
+         SELECT query_id, nbr_id, cosine_micro, rank FROM pq
+         ORDER BY query_id, rank""",
+    // residual IVF-PQ: the q119 chain with the PQ half rebound to
+    // residual space — rv replaces v as the sub-vector source, and the
+    // search adds the q·centroid base term per probed cell
+    "q121_ivfpq_residual" ->
+      s"""WITH $sqlVecs, $sqlIvfChain,
+         $sqlPqResidualVecs,
+         ${sqlPqSubVecs("rv", "rq")},
+         ${sqlPqTrainChain("embeddings")},
+         $sqlIvfPqResidualSearch,
+         $sqlAdcTail,
+         $sqlExactTop5
+         $sqlPqHitSelect""",
+    // no-retrain ingest: the whole training chain is RESTRICTED to the
+    // shard<>0 corpus (v rebound, cells counted from it, seeds drawn from
+    // it), then the shard-0 delta is assigned by pure argmin against the
+    // trained c4 cells and b2 codebooks — cell first, then codes of its
+    // residual against that cell's centroid
+    "q122_pq_ingest" ->
+      s"""WITH $sqlEmbVv,
+         v AS (SELECT vec_id, q, nn FROM vv WHERE shard <> 0),
+         d AS (SELECT vec_id, q, nn FROM vv WHERE shard = 0),
+         ${sqlIvfChainOver("v")},
+         $sqlPqResidualVecs,
+         ${sqlPqSubVecs("rv", "rq")},
+         ${sqlPqTrainChain("v")},
+         dasg AS (SELECT vec_id, cell FROM (
+            SELECT d.vec_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY d.nn - 2 * list_sum([p[1] * p[2] for p in list_zip(d.q, c.cv)]) + c.cc,
+                              c.cent_id) AS cr
+            FROM d, c4 c) t WHERE cr = 1),
+         drv AS (SELECT da.vec_id, da.cell,
+                        [p[1] - p[2] for p in list_zip(d.q, c.cv)] AS rq
+                 FROM dasg da JOIN d ON d.vec_id = da.vec_id
+                      JOIN c4 c ON c.cent_id = da.cell),
+         dsv AS (SELECT vec_id, cell, s AS sub,
+                        [rq[i] for i in range(s * 4 + 1, s * 4 + 5)] AS svc,
+                        list_sum([rq[i] * rq[i] for i in range(s * 4 + 1, s * 4 + 5)]) AS svv
+                 FROM drv, range(0, 16) r(s)),
+         dcode AS (SELECT vec_id, sub, code FROM (
+            SELECT dsv.vec_id, dsv.sub, b.cent_id AS code,
+                   row_number() OVER (PARTITION BY dsv.vec_id, dsv.sub
+                     ORDER BY dsv.svv - 2 * list_sum([p[1] * p[2] for p in list_zip(dsv.svc, b.cv)]) + b.cc,
+                              b.cent_id) AS cr
+            FROM dsv JOIN b2 b ON b.sub = dsv.sub) t WHERE cr = 1)
+         SELECT dc.vec_id AS id, da.cell, dc.sub, dc.code
+         FROM dcode dc JOIN dasg da ON da.vec_id = dc.vec_id
+         ORDER BY id, sub""",
     // the three pair sets of the incremental semantic fold — corpus
     // self-join (corpus-sized bits), delta↔corpus (delta probed in the
     // CORPUS's bucket space), delta self-join (delta-sized bits) — closed
