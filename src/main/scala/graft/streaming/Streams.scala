@@ -305,6 +305,30 @@ object Streams {
       sink(dropEmbeddingNearDupsBatch(batch.toDF(), idCol, vecCol, corpusIndex, threshold))
     }
 
+  /** No-retrain PQ-store ingest for ONE micro-batch (a plain DataFrame):
+    * assign each batch vector to the standing
+    * [[graft.operators.Similarity.IvfPqIndex]]'s STORED cells and
+    * codebooks ([[graft.operators.Similarity.assignToIvfPqIndex]] — exact
+    * integer argmin, residual-aware). Stateless across batches: the
+    * trained state (cents/books) is read-only; the output (id, cell, sub,
+    * code) rows are ready to append to the store's cells/codes tables —
+    * the WRITE path of the standing vector store, next to the read path
+    * [[dropEmbeddingNearDupsBatch]]. */
+  def assignEmbeddingsBatch(batch: DataFrame, idCol: String, vecCol: String,
+      ix: graft.operators.Similarity.IvfPqIndex): DataFrame =
+    graft.operators.Similarity.assignToIvfPqIndex(batch, ix, idCol, vecCol)
+
+  /** [[assignEmbeddingsBatch]] as a `foreachBatch` streaming writer: every
+    * micro-batch of embeddings is assigned to the stored cells/codes and
+    * handed to `sink` (which appends to the store's tables). Caller sets
+    * trigger/options and `.start()`s the returned writer. */
+  def assignEmbeddingsStreamBulk(stream: DataFrame, idCol: String, vecCol: String,
+      ix: graft.operators.Similarity.IvfPqIndex)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(assignEmbeddingsBatch(batch.toDF(), idCol, vecCol, ix))
+    }
+
   /** Quality-gate-at-ingest for ONE micro-batch (a plain DataFrame): score
     * documents against a FROZEN unigram LM ([[graft.operators.Lm
     * .surprisalAgainst]] over a static `unigramCounts` snapshot) and keep

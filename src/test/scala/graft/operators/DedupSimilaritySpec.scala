@@ -405,6 +405,63 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(one == Set(2L, 4L, 6L, 8L)) // cluster A members only, no self
   }
 
+  test("IvfPqIndex parquet round-trip: loaded index answers identically; partial save fails fast") {
+    val qs = clustered.filter(col("vec_id") === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqix").toString
+    val ix = Similarity.ivfPqIndex(clustered, "vec_id", "embedding",
+      nCells = 2, m = 3, kCents = 4)
+    val fresh = Similarity.ivfPqTopKIndexed(ix, qs, "vec_id", "embedding",
+        k = 4, nprobe = 2, rerank = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Similarity.saveIvfPqIndex(ix, s"$dir/ix")
+    ix.release()
+    val loaded = Similarity.loadIvfPqIndex(spark, s"$dir/ix")
+    assert(loaded.m == 3 && loaded.kCents == 4 && loaded.nCells == 2 &&
+      loaded.dim == 3 && !loaded.residual)
+    val via = Similarity.ivfPqTopKIndexed(loaded, qs, "vec_id", "embedding",
+        k = 4, nprobe = 2, rerank = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    loaded.release()
+    assert(via == fresh && fresh.nonEmpty)
+    // a partially-written index names the missing component up front
+    // (ADVICE r7), not an AnalysisException deep in a later join
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ix/params")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val e = intercept[IllegalArgumentException](Similarity.loadIvfPqIndex(spark, s"$dir/ix"))
+    assert(e.getMessage.contains("params"))
+  }
+
+  test("residual IVF-PQ: full probes + full rerank equal brute force; ingest assignment is a pure function") {
+    val qs = clustered.filter(col("vec_id") === 0)
+    val full = Similarity.ivfPqTopK(clustered, qs, "vec_id", "embedding",
+        k = 4, nCells = 2, nprobe = 2, m = 3, kCents = 4, rerank = 9, residual = true)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2).toSeq
+    val bf = Similarity.bruteForceTopK(clustered, qs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2).toSeq
+    assert(full == bf)
+    // a batch vector IDENTICAL to corpus vec 0 must land in vec 0's cell
+    // with vec 0's exact codes — assignment is a pure function of the
+    // STORED centroids/codebooks (the q122 contract)
+    val ix = Similarity.ivfPqIndex(clustered, "vec_id", "embedding",
+      nCells = 2, m = 3, kCents = 4, residual = true)
+    val batch = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val asg = Similarity.assignToIvfPqIndex(batch, ix, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val corpusCell = ix.cells.filter(col("nbr_id") === 0L).head().getLong(1)
+    val corpusCodes = ix.codes.filter(col("nbr_id") === 0L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(asg.map(_._1).toSet == Set(100L) && asg.length == 3)
+    assert(asg.map(_._2).toSet == Set(corpusCell))
+    assert(asg.map(t => (t._3, t._4)).toSet == corpusCodes)
+    // extend: the ingested copy becomes searchable at exact cosine 1.0
+    val ext = Similarity.extendIvfPqIndex(ix, batch, "vec_id", "embedding")
+    val got = Similarity.ivfPqTopKIndexed(ext, qs, "vec_id", "embedding",
+        k = 5, nprobe = 2, rerank = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    ext.release(); ix.release()
+    assert(got.contains((100L, 1L)))
+  }
+
   test("ivfTopK: probing every cell equals brute force") {
     val qs = clustered.filter(col("vec_id") < 3)
     val ivf = Similarity.ivfTopK(clustered, qs, "vec_id", "embedding",

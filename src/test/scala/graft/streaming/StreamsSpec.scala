@@ -270,6 +270,37 @@ class StreamsSpec extends SparkTestBase {
     } finally { q.stop(); ix.release() }
   }
 
+  test("assignEmbeddingsStreamBulk: streamed batches get stored-codebook assignments ≡ batch twin") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // two planted clusters (the DedupSimilaritySpec geometry) so the two
+    // streamed vectors must land in two distinct stored cells
+    val corpus = Seq.tabulate(10) { i =>
+      val eps = 0.01f * i
+      if (i % 2 == 0) (i.toLong, Array(1.0f, eps, 0.0f))
+      else (i.toLong, Array(eps, 1.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val ix = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = 2, m = 3, kCents = 4, residual = true)
+    val rows = Seq((100L, Array(1.0f, 0.0f, 0.0f)), (101L, Array(0.0f, 1.0f, 0.0f)))
+    val batchOut = Similarity.assignToIvfPqIndex(
+        rows.toDF("vec_id", "embedding"), ix, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // the same no-retrain assignment through a REAL StreamingQuery
+    val got = scala.collection.mutable.Set[(Long, Long, Int, Long)]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.assignEmbeddingsStreamBulk(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", ix) { out =>
+      got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    }.start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchOut && batchOut.size == 6) // 2 vectors × 3 subs
+      assert(got.map(_._2).toSet.size == 2) // one cell per cluster
+    } finally { q.stop(); ix.release() }
+  }
+
   test("Pii redaction is streaming-safe: stateless projection runs unchanged on a stream") {
     import graft.functions.Pii
     implicit val sqlCtx = spark.sqlContext
