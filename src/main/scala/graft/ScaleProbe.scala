@@ -113,9 +113,11 @@ object ScaleProbe {
       // offset read — skip the axis (zeros) instead, keeping the doc axes
       // usable on corpora without an embeddings table worth probing
       val eoffRow = ebase.agg(max(col("vec_id"))).head()
-      val (nVecs, t9, t10, nBetween, t11) = if (eoffRow.isNullAt(0)) {
+      val (nVecs, t9, t10, nBetween, t11, pqJson) = if (eoffRow.isNullAt(0)) {
         System.err.println("[scaleprobe] embeddings table is empty - skipping embedding axis")
-        val now = System.nanoTime(); (0L, now, now, 0L, now)
+        val now = System.nanoTime()
+        (0L, now, now, 0L, now,
+          s""","pq_build_sec":0,"pq_raw_bytes":0,"pq_code_bytes":0,"pq_search_sec":0""")
       } else {
         val eoff = eoffRow.getLong(0) + 1L
         val evecs = (0 until factor)
@@ -133,8 +135,43 @@ object ScaleProbe {
           "vec_id", "embedding", threshold = 0.3).count()
         val tc = System.nanoTime()
         eix.release()
+        // PQ-store axis (r8, VERDICT r7 stretch): train an IVF-PQ index on
+        // the same replicated corpus and measure (a) the build curve (must
+        // stay ~linear in vectors — broadcast-join Lloyd rounds), (b) the
+        // STORED bytes of the raw vector table vs the packed codes+norm
+        // table (the "~13× compression" scaladoc claim as a measured
+        // parquet number — the at-rest layouts an ADC scan vs a raw scan
+        // would read), and (c) the stored-index search time for a 10-query
+        // batch — the no-retrain read path, training amortized away.
+        val pqt0 = System.nanoTime()
+        val pqIx = graft.operators.Similarity.ivfPqIndex(evecs, "vec_id", "embedding")
+        val pqt1 = System.nanoTime()
+        val pdir = java.nio.file.Files.createTempDirectory("graft_probe_pq").toString
+        pqIx.vecs.select("nbr_id", "nv").write.mode("overwrite").parquet(s"$pdir/raw")
+        pqIx.codes.groupBy("nbr_id")
+          .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+            e => e.getField("code").cast("byte")).as("codes"))
+          .join(pqIx.vecs.select(col("nbr_id"), col("vv")), Seq("nbr_id"))
+          .write.mode("overwrite").parquet(s"$pdir/packed")
+        def dirBytes(p: String): Long = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(hp).getLength
+        }
+        val rawBytes = dirBytes(s"$pdir/raw")
+        val codeBytes = dirBytes(s"$pdir/packed")
+        val pqt2 = System.nanoTime()
+        graft.operators.Similarity.ivfPqTopKIndexed(pqIx,
+          evecs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, rerank = 50).count()
+        val pqt3 = System.nanoTime()
+        pqIx.release()
         evecs.unpersist(blocking = false)
-        (nV, ta, tb, nB, tc)
+        def s2(a: Long, b: Long): String =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box((b - a) / 1e9))
+        (nV, ta, tb, nB, tc,
+          s""","pq_build_sec":${s2(pqt0, pqt1)},"pq_raw_bytes":$rawBytes,""" +
+            s""""pq_code_bytes":$codeBytes,"pq_search_sec":${s2(pqt2, pqt3)}""")
       }
       // explicit ROOT locale (ADVICE r6): f"" formats with the default JVM
       // locale; comma-decimal locales would emit invalid JSON
@@ -149,7 +186,7 @@ object ScaleProbe {
         s""""cos_pairs":$nCosPairs,"cos_sec":${sec(t5, t6)},""" +
         s""""kll_sec":${sec(t6, t7)},"exact_pct_sec":${sec(t7, t8)},""" +
         s""""vecs":$nVecs,"emb_index_sec":${sec(t9, t10)},""" +
-        s""""between_pairs":$nBetween,"between_sec":${sec(t10, t11)}}""")
+        s""""between_pairs":$nBetween,"between_sec":${sec(t10, t11)}$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -431,6 +431,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("params"))
   }
 
+  test("PqIndex (flat) parquet round-trip: loaded index answers identically; assignment matches corpus codes") {
+    val qs = clustered.filter(col("vec_id") === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpqix").toString
+    val ix = Similarity.pqIndex(clustered, "vec_id", "embedding", m = 3, kCents = 4)
+    val fresh = Similarity.pqTopKIndexed(ix, qs, "vec_id", "embedding", k = 4, rerank = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Similarity.savePqIndex(ix, s"$dir/ix")
+    val corpusCodes = ix.codes.filter(col("nbr_id") === 0L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    ix.release()
+    val loaded = Similarity.loadPqIndex(spark, s"$dir/ix")
+    assert(loaded.m == 3 && loaded.kCents == 4 && loaded.dim == 3)
+    val via = Similarity.pqTopKIndexed(loaded, qs, "vec_id", "embedding", k = 4, rerank = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(via == fresh && fresh.nonEmpty)
+    // flat-store ingest: an identical vector reproduces the corpus codes
+    val batch = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val asg = Similarity.assignToPqIndex(batch, loaded, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    loaded.release()
+    assert(asg == corpusCodes)
+  }
+
   test("residual IVF-PQ: full probes + full rerank equal brute force; ingest assignment is a pure function") {
     val qs = clustered.filter(col("vec_id") === 0)
     val full = Similarity.ivfPqTopK(clustered, qs, "vec_id", "embedding",
