@@ -549,6 +549,52 @@ object SparkEntry {
       ix.release()
       out.orderBy("id", "sub")
     }),
+    // standing BM25 index ✚ (r8 — the lexical sibling of q120's stored
+    // vector index): tokenize/aggregate the corpus ONCE into postings +
+    // doc lengths + term dfs + exact corpus scalars, persist, LOAD, and
+    // answer the q92 query from stored state — no tokenization on the
+    // query path; bit-identical scores, so the oracle IS q92's chain
+    "q123_bm25_indexed" -> ((s, d) => {
+      val ix = Search.bm25Index(Tables.documents(s, d), "doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25ix").toString
+      Search.saveBm25Index(ix, path)
+      ix.release()
+      val loaded = Search.loadBm25Index(s, path)
+      val out = Search.bm25TopKIndexed(loaded, Seq("spark", "join", "window"), k = 20)
+        .localCheckpoint(true)
+      loaded.release()
+      out.orderBy("rank")
+    }),
+    // BM25 ingest fold ✚: hash-shard 0 plays the ingest batch; its
+    // postings/lengths union in and dfs + corpus scalars ADD — all exact
+    // long arithmetic, so the extended index is bit-indistinguishable
+    // from a full rebuild and the oracle is again q92's full-corpus chain
+    // (a STRONGER gate than the approximate indexes can offer)
+    "q124_bm25_ingest" -> ((s, d) => {
+      val sharded = Ops.shardByHash(Tables.documents(s, d), "doc_id", 5)
+      val corpus = sharded.filter(col("shard") =!= 0).drop("shard")
+      val delta = sharded.filter(col("shard") === 0).drop("shard")
+      val ix = Search.bm25Index(corpus, "doc_id", "text")
+      val ext = Search.extendBm25Index(ix, delta, "text")
+      val out = Search.bm25TopKIndexed(ext, Seq("spark", "join", "window"), k = 20)
+        .localCheckpoint(true)
+      ext.release(); ix.release()
+      out.orderBy("rank")
+    }),
+    // filtered ANN ✚ (metadata predicate + top-k — table stakes for a
+    // real vector store): the allowed-id set semi-joins the probed-cell
+    // candidates BEFORE any ADC scoring, so the filter makes the search
+    // cheaper; top-5 among label<8 docs only
+    "q125_ann_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 10)
+      val ix = Similarity.ivfPqIndex(e, "vec_id", "embedding")
+      val out = Similarity.ivfPqTopKIndexed(ix, qs, "vec_id", "embedding",
+        k = 5, rerank = 50,
+        allowed = Some(e.filter(col("label") < 8).select("vec_id")))
+      ix.release()
+      out.orderBy("query_id", "rank")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -1717,18 +1763,21 @@ object SparkEntry {
     """rv AS (SELECT a.vec_id, [p[1] - p[2] for p in list_zip(a.q, c.cv)] AS rq
               FROM ivf_asg a JOIN c4 c ON c.cent_id = a.cell)"""
   // flat (non-residual) IVF-PQ candidate scoring: per-query LUTs from the
-  // raw sub-vectors, probed-cell candidates, ADC dot per (query, nbr)
-  private val sqlIvfPqFlatSearch =
+  // raw sub-vectors, probed-cell candidates, ADC dot per (query, nbr).
+  // `candWhere` optionally gates candidates (q125's filtered search).
+  private def sqlIvfPqFlatSearchWhere(candWhere: String) =
     s"""qn AS (SELECT vec_id AS query_id, nn FROM v WHERE vec_id < 10),
        lut AS (SELECT sv.vec_id AS query_id, b.sub, b.cent_id AS code,
                       list_sum([p[1] * p[2] for p in list_zip(sv.svc, b.cv)]) AS dot
                FROM sv JOIN b2 b ON b.sub = sv.sub WHERE sv.vec_id < 10),
        cand AS (SELECT iq.vec_id AS query_id, a.vec_id AS nbr_id
-                FROM ivf_q iq JOIN ivf_asg a ON a.cell = iq.cell AND a.vec_id <> iq.vec_id),
+                FROM ivf_q iq JOIN ivf_asg a ON a.cell = iq.cell AND a.vec_id <> iq.vec_id
+                $candWhere),
        sc2 AS (SELECT cd.query_id, cd.nbr_id, CAST(sum(l.dot) AS BIGINT) AS adc_dot
                FROM cand cd JOIN af a ON a.vec_id = cd.nbr_id
                     JOIN lut l ON l.query_id = cd.query_id AND l.sub = a.sub AND l.code = a.code
                GROUP BY 1, 2)"""
+  private val sqlIvfPqFlatSearch = sqlIvfPqFlatSearchWhere("")
   // residual IVF-PQ candidate scoring: the query's residual against EACH
   // probed cell's centroid feeds a (query, cell)-keyed LUT, and the exact
   // q·centroid base term is added once per candidate:
@@ -1783,6 +1832,29 @@ object SparkEntry {
                                   / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) DESC, v.vec_id) AS rk
                 FROM v qq JOIN v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id) t
               WHERE rk <= 5)"""
+  // BM25 top-20 for ('spark','join','window') over the whole documents
+  // table — the q92 oracle, and (indexed/extended search being
+  // bit-identical) also the q123/q124 oracle
+  private val sqlBm25TopK20 =
+    """WITH toks AS (SELECT doc_id,
+              unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+            FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       corpus AS (SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS TT FROM dl),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+              WHERE token IN ('spark', 'join', 'window') GROUP BY doc_id, token),
+       dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       contrib AS (SELECT tf.doc_id,
+                          CAST(round(ln(1.0 + (N - df + 0.5) / (df + 0.5)) * tf * 2.2
+                               / (tf + 1.2 * (0.25 + 0.75 * dl / (TT::DOUBLE / N))) * 1000000) AS BIGINT) AS c_micro
+                   FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), corpus),
+       sel AS (SELECT doc_id, count(*) AS n_hit_terms, CAST(sum(c_micro) AS BIGINT) AS score_micro
+               FROM contrib GROUP BY doc_id),
+       r AS (SELECT doc_id, n_hit_terms, score_micro,
+                    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+             FROM sel)
+       SELECT doc_id, n_hit_terms, score_micro, rank FROM r WHERE rank <= 20 ORDER BY rank"""
+
   private val sqlPqHitSelect =
     """SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
               CAST(CASE WHEN ex.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
@@ -3335,25 +3407,26 @@ object SparkEntry {
     // BM25: the idf/tf expression is written with EXACTLY the Spark tree's
     // association (left-to-right * and /) so the one rounded double per
     // (doc, term) is bit-identical; per-doc sums are then exact BIGINTs
-    "q92_bm25" ->
-      """WITH toks AS (SELECT doc_id,
-                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
-              FROM documents),
-         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         corpus AS (SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS TT FROM dl),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-                WHERE token IN ('spark', 'join', 'window') GROUP BY doc_id, token),
-         dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-         contrib AS (SELECT tf.doc_id,
-                            CAST(round(ln(1.0 + (N - df + 0.5) / (df + 0.5)) * tf * 2.2
-                                 / (tf + 1.2 * (0.25 + 0.75 * dl / (TT::DOUBLE / N))) * 1000000) AS BIGINT) AS c_micro
-                     FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), corpus),
-         sel AS (SELECT doc_id, count(*) AS n_hit_terms, CAST(sum(c_micro) AS BIGINT) AS score_micro
-                 FROM contrib GROUP BY doc_id),
-         r AS (SELECT doc_id, n_hit_terms, score_micro,
-                      row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
-               FROM sel)
-         SELECT doc_id, n_hit_terms, score_micro, rank FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q92_bm25" -> sqlBm25TopK20,
+    // the stored index answers bit-identically to the from-scratch path
+    // (postings/dfs/lengths/scalars are exact stored aggregates), so the
+    // oracle IS q92's chain — the q120 pattern for the lexical index
+    "q123_bm25_indexed" -> sqlBm25TopK20,
+    // extend folds EXACT integer statistics, so incremental ≡ full REBUILD
+    // bit-for-bit and the full-corpus chain is again the oracle — a
+    // stronger gate than the approximate indexes' same-bucket-space one
+    "q124_bm25_ingest" -> sqlBm25TopK20,
+    // filtered ANN: the q120 chain with candidates gated to label < 8
+    // (the allowed-id semi-join replayed as an IN subquery)
+    "q125_ann_filtered" ->
+      s"""WITH $sqlVecs, $sqlIvfChain,
+         ${sqlPqSubVecs("v", "q")},
+         ${sqlPqTrainChain("embeddings")},
+         ${sqlIvfPqFlatSearchWhere(
+           "WHERE a.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 8)")},
+         $sqlAdcTail
+         SELECT query_id, nbr_id, cosine_micro, rank FROM pq
+         ORDER BY query_id, rank""",
     "q93_pagerank" -> pagerankOracleSql(5),
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term

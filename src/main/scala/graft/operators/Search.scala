@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -111,6 +112,160 @@ object Search {
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
+  }
+
+  /** Persist + force-materialize (the [[Dedup]]/[[Similarity]] pin
+    * discipline). */
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
+  /** A standing BM25 search index (r8 — the lexical sibling of
+    * [[Similarity.IvfPqIndex]], completing the stored-index story for the
+    * search path: [[bm25TopK]]/[[bm25PerQuery]] re-tokenize the corpus on
+    * every call, which is the benchmark shape, not the deployed one):
+    * the full token-keyed inverted index (`postings` — (id, token, tf)),
+    * per-doc lengths (`docLens`), per-term document frequencies
+    * (`termDf`), and the two exact corpus scalars (`nDocs`,
+    * `totalTokens`). Build once with [[bm25Index]], persist with
+    * [[saveBm25Index]], answer queries with [[bm25TopKIndexed]]/
+    * [[bm25PerQueryIndexed]] (each reads only the query terms' postings —
+    * in a deployment the postings table is stored bucketed by token, so
+    * the scan prunes to the terms' buckets), and fold ingest batches in
+    * with [[extendBm25Index]]. Every statistic is an exact long
+    * aggregate, so an extended index scores BIT-IDENTICALLY to one
+    * rebuilt from scratch on the union (the q124 gate — stronger than the
+    * approximate-index stories, which only promise same-bucket-space).
+    * `release()` when done. */
+  final case class Bm25Index private[operators] (
+      idCol: String, postings: DataFrame, docLens: DataFrame, termDf: DataFrame,
+      nDocs: Long, totalTokens: Long) {
+    def release(): Unit = {
+      termDf.unpersist(false); docLens.unpersist(false); postings.unpersist(false)
+    }
+  }
+
+  /** Build a [[Bm25Index]]: one tokenize pass feeds one (doc, token)
+    * hash-agg; lengths and document frequencies are one further hash-agg
+    * each over the pinned postings (never a second corpus pass). Docs with
+    * no tokens (null/empty text) contribute no postings and do not count
+    * toward N — identical to [[bm25TopK]]'s semantics. */
+  def bm25Index(df: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = df
+      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+    val tf = pin(toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
+    val dl = pin(tf.groupBy(idCol).agg(sum(col("tf")).as("dl")))
+    val dfreq = pin(tf.groupBy("token").agg(count(lit(1)).as("df")))
+    val stats = dl.agg(count(lit(1)).as("N"), coalesce(sum(col("dl")), lit(0L)).as("TT")).head()
+    Bm25Index(idCol, tf, dl, dfreq, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** The (doc, token, c_micro) contributions for the given pruned postings
+    * slice of an index — the [[contribs]] tail over STORED statistics.
+    * The corpus scalars enter as literals; the expression tree is
+    * [[contribMicro]], so scores are bit-identical to the from-scratch
+    * path. */
+  private def indexContribs(ix: Bm25Index, pruned: DataFrame, prunedDf: DataFrame,
+      k1: Double, b: Double): DataFrame =
+    pruned.join(broadcast(prunedDf), Seq("token"))
+      .join(ix.docLens, Seq(ix.idCol))
+      .select(col(ix.idCol), col("token"),
+        contribMicro(col("tf"), col("df"), col("dl"),
+          lit(ix.nDocs), lit(ix.totalTokens), k1, b).as("c_micro"))
+
+  /** [[bm25TopK]] against a prebuilt [[Bm25Index]] — no tokenization, no
+    * corpus pass: only the query terms' postings rows are read and scored
+    * against the stored statistics. Bit-identical output (q123's gate). */
+  def bm25TopKIndexed(
+      ix: Bm25Index, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    indexContribs(ix,
+        ix.postings.filter(col("token").isin(queryTerms: _*)),
+        ix.termDf.filter(col("token").isin(queryTerms: _*)), k1, b)
+      .groupBy(ix.idCol)
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(ix.idCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_micro").desc, col(ix.idCol)))
+          .cast(LongType))
+  }
+
+  /** [[bm25PerQuery]] against a prebuilt [[Bm25Index]] — one postings
+    * lookup serves every query; contributions fan out to the queries using
+    * each term exactly as in the from-scratch path. */
+  def bm25PerQueryIndexed(
+      ix: Bm25Index, queries: DataFrame, queryIdCol: String, termCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries
+      .select(col(queryIdCol), col(termCol).as("token")).distinct()
+    val terms = qterms.select("token").distinct()
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score_micro").desc, col(ix.idCol))
+    indexContribs(ix,
+        ix.postings.join(broadcast(terms), Seq("token"), "left_semi"),
+        ix.termDf.join(broadcast(terms), Seq("token"), "left_semi"), k1, b)
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col(queryIdCol), col(ix.idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** Fold an ingest batch INTO the index: the batch's postings/lengths
+    * union in, per-term document frequencies add, and the corpus scalars
+    * add — all EXACT integer arithmetic, so the extended index is
+    * bit-indistinguishable from one rebuilt on the union (the q124 gate
+    * asserts exactly this through the oracle). Batch ids must be disjoint
+    * from indexed ids (the usual ingest contract). Returns a NEW pinned
+    * index; the caller may `release()` the old one afterwards. */
+  def extendBm25Index(ix: Bm25Index, batch: DataFrame, textCol: String): Bm25Index = {
+    val toks = batch
+      .select(col(ix.idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+    val dtf = pin(toks.groupBy(col(ix.idCol), col("token")).agg(count(lit(1)).as("tf")))
+    val ddl = dtf.groupBy(ix.idCol).agg(sum(col("tf")).as("dl"))
+    val dStats = ddl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tt")).head()
+    val newPostings = pin(ix.postings.unionByName(dtf))
+    val newDl = pin(ix.docLens.unionByName(ddl))
+    val newDf = pin(ix.termDf.unionByName(
+        dtf.groupBy("token").agg(count(lit(1)).as("df")))
+      .groupBy("token").agg(sum(col("df")).as("df")))
+    dtf.unpersist(false)
+    Bm25Index(ix.idCol, newPostings, newDl, newDf,
+      ix.nDocs + dStats.getLong(0), ix.totalTokens + dStats.getLong(1))
+  }
+
+  /** Persist a [[Bm25Index]] as four parquet tables; `params` (which also
+    * carries the corpus scalars) is written LAST as the commit marker —
+    * the shared [[Dedup.saveEmbeddingIndex]] contract. */
+  def saveBm25Index(ix: Bm25Index, path: String): Unit = {
+    ix.postings.write.mode("overwrite").parquet(s"$path/postings")
+    ix.docLens.write.mode("overwrite").parquet(s"$path/doclens")
+    ix.termDf.write.mode("overwrite").parquet(s"$path/termdf")
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    Seq((ix.idCol, ix.nDocs, ix.totalTokens))
+      .toDF("id_col", "n_docs", "total_tokens")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a stored [[Bm25Index]] (frames pinned). Postings and statistics
+    * are stored bytes, so a loaded index scores bit-identically to the one
+    * saved. Fails fast with a clear message on a partial save. */
+  def loadBm25Index(spark: SparkSession, path: String): Bm25Index = {
+    Dedup.requireIndexParts(spark, path,
+      Seq("params", "postings", "doclens", "termdf"), "Bm25Index")
+    val p = spark.read.parquet(s"$path/params").head()
+    Bm25Index(p.getAs[String]("id_col"),
+      pin(spark.read.parquet(s"$path/postings")),
+      pin(spark.read.parquet(s"$path/doclens")),
+      pin(spark.read.parquet(s"$path/termdf")),
+      p.getAs[Long]("n_docs"), p.getAs[Long]("total_tokens"))
   }
 
   /** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack, Clarke &

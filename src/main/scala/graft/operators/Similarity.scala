@@ -777,9 +777,25 @@ object Similarity {
   def ivfPqTopKIndexed(
       ix: IvfPqIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 0, rerank: Int = 0): DataFrame = {
+      nprobe: Int = 0, rerank: Int = 0,
+      allowed: Option[DataFrame] = None): DataFrame = {
     graft.expressions.GraftFunctions.register(queries.sparkSession)
     require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
+    // Filtered (pre-ADC) search: `allowed` is a one-column frame of
+    // permitted corpus ids (the caller's metadata predicate, already
+    // evaluated — e.g. meta.filter($"label" < 8).select("id")). The
+    // semi-join prunes candidates BEFORE any code is scored, so a
+    // selective filter makes the search CHEAPER, not slower — the
+    // standard IVF filtered-search shape. Probing is unchanged: top-k is
+    // taken among allowed members of the probed cells, so a highly
+    // selective filter may warrant a higher `nprobe` (caller's dial).
+    def gate(cand: DataFrame): DataFrame = allowed match {
+      case None => cand
+      // no broadcast hint: the allowed set can be any fraction of the
+      // corpus — AQE picks broadcast vs shuffled semi-join by its size
+      case Some(a) => cand.join(
+        a.select(col(a.columns.head).as("nbr_id")), Seq("nbr_id"), "left_semi")
+    }
     if (ix.dim == 0) { // empty index: typed empty result
       return ix.vecs.select(col("nbr_id").as("query_id"), col("nbr_id"),
         lit(0L).as("cosine_micro"), lit(0L).as("rank")).limit(0).localCheckpoint(true)
@@ -797,8 +813,8 @@ object Similarity {
       .filter(col("__cr") <= probes)
     if (!ix.residual) {
       val qCells = qProbe.select(col("query_id"), col("cent_id").as("cell"))
-      val cand = ix.cells.join(broadcast(qCells), Seq("cell"))
-        .select(col("query_id"), col("nbr_id"))
+      val cand = gate(ix.cells.join(broadcast(qCells), Seq("cell"))
+        .select(col("query_id"), col("nbr_id")))
       val qsv = pqSubVectors(q, "query_id", "qv", ix.m, ix.dsub)
       pqScoreRank(ix.vecs, q, qsv, ix.books, ix.codes, cand = Some(cand), k, rerank)
         .localCheckpoint(true)
@@ -816,10 +832,10 @@ object Similarity {
         .select(col("query_id"), col("cell"), col("sub"), col("cent_id").as("code"),
           col("qc"), nqdot(col("sv"), col("cv")).as("dot"))
       val lutRows = nQ * probes * ix.books.count()
-      val cand = ix.cells.join(
+      val cand = gate(ix.cells.join(
           broadcast(qr.select(col("query_id"), col("cell"))), Seq("cell"))
         .filter(col("query_id") =!= col("nbr_id"))
-        .select(col("query_id"), col("nbr_id"), col("cell"))
+        .select(col("query_id"), col("nbr_id"), col("cell")))
       val adc = cand.join(ix.codes, Seq("nbr_id"))
         .join(maybeBroadcast(lut, lutRows), Seq("query_id", "cell", "sub", "code"))
         .groupBy(col("query_id"), col("nbr_id"))

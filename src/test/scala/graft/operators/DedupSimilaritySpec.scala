@@ -485,6 +485,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got.contains((100L, 1L)))
   }
 
+  test("filtered ANN: the allowed-id gate restricts results to the permitted set") {
+    val qs = clustered.filter(col("vec_id") === 0)
+    val ix = Similarity.ivfPqIndex(clustered, "vec_id", "embedding",
+      nCells = 2, m = 3, kCents = 4)
+    // allow only odd ids (cluster B) — the query's OWN cluster is shut out,
+    // so every returned neighbor must come from the far cluster
+    val allowed = clustered.filter(col("vec_id") % 2 === 1).select("vec_id")
+    val got = Similarity.ivfPqTopKIndexed(ix, qs, "vec_id", "embedding",
+        k = 9, nprobe = 2, rerank = 9, allowed = Some(allowed))
+      .collect().map(_.getLong(1)).toSet
+    ix.release()
+    assert(got == Set(1L, 3L, 5L, 7L, 9L))
+  }
+
   test("ivfTopK: probing every cell equals brute force") {
     val qs = clustered.filter(col("vec_id") < 3)
     val ivf = Similarity.ivfTopK(clustered, qs, "vec_id", "embedding",

@@ -161,6 +161,44 @@ class LmSearchGraphSpec extends SparkTestBase {
       Seq(Seq(3L, 2L)))
   }
 
+  test("Bm25Index: stored search ≡ from-scratch; extend ≡ full rebuild bit-for-bit; partial save fails fast") {
+    val corpus = Seq(
+      (1L, "spark spark spark fast engine"),
+      (2L, "spark is a data engine"),
+      (3L, "rows and columns only")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (4L, "spark engine engine engine engine engine engine engine engine engine")
+    ).toDF("doc_id", "text")
+    val full = corpus.unionByName(delta)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val ix = Search.bm25Index(full, "doc_id", "text")
+    // stored-statistics search is bit-identical to the from-scratch path
+    assert(rowSet(Search.bm25TopKIndexed(ix, Seq("spark"), 10)) ==
+      rowSet(Search.bm25TopK(full, "doc_id", "text", Seq("spark"), 10)))
+    val qs = Seq(("a", "spark"), ("b", "rows")).toDF("qid", "term")
+    assert(rowSet(Search.bm25PerQueryIndexed(ix, qs, "qid", "term", 10)) ==
+      rowSet(Search.bm25PerQuery(full, "doc_id", "text", qs, "qid", "term", 10)))
+    // parquet round-trip preserves statistics and answers
+    Search.saveBm25Index(ix, s"$dir/ix")
+    ix.release()
+    val loaded = Search.loadBm25Index(spark, s"$dir/ix")
+    assert(loaded.idCol == "doc_id" && loaded.nDocs == 4 && loaded.totalTokens == 24)
+    // incremental fold: corpus index + delta ≡ the full-corpus index
+    // bit-for-bit (every statistic is an exact long aggregate)
+    val cIx = Search.bm25Index(corpus, "doc_id", "text")
+    val ext = Search.extendBm25Index(cIx, delta, "text")
+    assert(ext.nDocs == 4 && ext.totalTokens == 24)
+    assert(rowSet(Search.bm25TopKIndexed(ext, Seq("spark"), 10)) ==
+      rowSet(Search.bm25TopKIndexed(loaded, Seq("spark"), 10)))
+    ext.release(); cIx.release(); loaded.release()
+    // a partially-written index names the missing component up front
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ix/termdf")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val e = intercept[IllegalArgumentException](Search.loadBm25Index(spark, s"$dir/ix"))
+    assert(e.getMessage.contains("termdf"))
+  }
+
   test("fuseRrf: exact nano sums, rank-based fusion, docs in both lists rise") {
     // list 1 ranks docs 1,2,3; list 2 ranks docs 3,4 — doc 3 is in both
     val l1 = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
