@@ -32,7 +32,12 @@ object Plans {
         // r7: delta↔corpus embedding banding through the stored-index
         // shape, semantic dedup composite (pairs → CC → keepBy window),
         // the composed IVF-PQ index
-        "q115_embedding_delta", "q116_semantic_dedup", "q119_ivfpq_topk")
+        "q115_embedding_delta", "q116_semantic_dedup", "q119_ivfpq_topk",
+        // r8: stored-index search (train/persist/load/search), the
+        // postings-index BM25 lookup, predicate-gated filtered ANN, and
+        // the standing-index hybrid fusion
+        "q120_ivfpq_indexed", "q123_bm25_indexed", "q125_ann_filtered",
+        "q126_hybrid_indexed")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -595,6 +595,30 @@ object SparkEntry {
       ix.release()
       out.orderBy("query_id", "rank")
     }),
+    // the deployed retrieval stack in one query ✚ (q108's standing-index
+    // twin): BOTH stores built once — the BM25 postings index and the
+    // IVF-PQ vector index — searched from stored state, RRF-fused. Each
+    // half is bit-identical to its from-scratch sibling, so the oracle
+    // composes the q92-style lexical chain with the q120 vector chain
+    "q126_hybrid_indexed" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark"), (0L, "join"),
+          (1L, "window"), (1L, "merge"), (1L, "sort"))
+        .toDF("query_id", "term")
+      val bIx = Search.bm25Index(Tables.documents(s, d), "doc_id", "text")
+      val bm = Search.bm25PerQueryIndexed(bIx, qs, "query_id", "term", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank")).localCheckpoint(true)
+      bIx.release()
+      val e = Tables.embeddings(s, d)
+      val vIx = Similarity.ivfPqIndex(e, "vec_id", "embedding")
+      val ann = Similarity.ivfPqTopKIndexed(vIx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, rerank = 50)
+        .filter(col("query_id").isin(0L, 1L))
+        .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
+      vIx.release()
+      Search.fuseRrf(Seq(bm, ann), "query_id", "doc_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3416,6 +3440,50 @@ object SparkEntry {
     // bit-for-bit and the full-corpus chain is again the oracle — a
     // stronger gate than the approximate indexes' same-bucket-space one
     "q124_bm25_ingest" -> sqlBm25TopK20,
+    // hybrid through standing indexes: the q120 vector chain (pq, queries
+    // 0/1 kept) RRF-fused with q108's lexical chain (bm25 CTEs prefixed
+    // b*/qt to avoid colliding with the vector chain's names); the fusion
+    // arithmetic is q108's exact integer tail
+    "q126_hybrid_indexed" ->
+      s"""WITH $sqlVecs, $sqlIvfChain,
+         ${sqlPqSubVecs("v", "q")},
+         ${sqlPqTrainChain("embeddings")},
+         $sqlIvfPqFlatSearch,
+         $sqlAdcTail,
+         qt AS (SELECT CAST(qid AS BIGINT) AS query_id, token
+                FROM (VALUES (0, 'spark'), (0, 'join'),
+                             (1, 'window'), (1, 'merge'), (1, 'sort')) AS t(qid, token)),
+         btoks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+              FROM documents),
+         bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+         bcorpus AS (SELECT count(*) AS N, CAST(sum(dl) AS BIGINT) AS TT FROM bdl),
+         btf AS (SELECT doc_id, token, count(*) AS tf FROM btoks
+                WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, token),
+         bdfreq AS (SELECT token, count(*) AS df FROM btf GROUP BY token),
+         bcontrib AS (SELECT btf.doc_id, btf.token,
+                            CAST(round(ln(1.0 + (N - df + 0.5) / (df + 0.5)) * tf * 2.2
+                                 / (tf + 1.2 * (0.25 + 0.75 * dl / (TT::DOUBLE / N))) * 1000000) AS BIGINT) AS c_micro
+                     FROM btf JOIN bdfreq USING (token) JOIN bdl USING (doc_id), bcorpus),
+         bsel AS (SELECT qt.query_id, c.doc_id, CAST(sum(c.c_micro) AS BIGINT) AS score_micro
+                 FROM bcontrib c JOIN qt USING (token) GROUP BY 1, 2),
+         bm AS (SELECT query_id, doc_id, rank FROM (
+                  SELECT query_id, doc_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score_micro DESC, doc_id) AS rank
+                  FROM bsel) t WHERE rank <= 10),
+         ann AS (SELECT query_id, nbr_id AS doc_id, rank FROM pq
+                 WHERE query_id IN (0, 1)),
+         allc AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS rrf_nano FROM bm
+                  UNION ALL
+                  SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM ann),
+         fused AS (SELECT query_id, doc_id, count(*) AS n_lists,
+                          CAST(sum(rrf_nano) AS BIGINT) AS rrf_nano
+                   FROM allc GROUP BY 1, 2)
+         SELECT query_id, doc_id, n_lists, rrf_nano,
+                CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank
+         FROM fused QUALIFY rank <= 10 ORDER BY query_id, rank""",
     // filtered ANN: the q120 chain with candidates gated to label < 8
     // (the allowed-id semi-join replayed as an IN subquery)
     "q125_ann_filtered" ->

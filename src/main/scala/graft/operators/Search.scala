@@ -153,9 +153,7 @@ object Search {
     * no tokens (null/empty text) contribute no postings and do not count
     * toward N — identical to [[bm25TopK]]'s semantics. */
   def bm25Index(df: DataFrame, idCol: String, textCol: String): Bm25Index = {
-    val toks = df
-      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
-    val tf = pin(toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
+    val tf = pin(bm25Postings(df, idCol, textCol))
     val dl = pin(tf.groupBy(idCol).agg(sum(col("tf")).as("dl")))
     val dfreq = pin(tf.groupBy("token").agg(count(lit(1)).as("df")))
     val stats = dl.agg(count(lit(1)).as("N"), coalesce(sum(col("dl")), lit(0L)).as("TT")).head()
@@ -174,6 +172,16 @@ object Search {
       .select(col(ix.idCol), col("token"),
         contribMicro(col("tf"), col("df"), col("dl"),
           lit(ix.nDocs), lit(ix.totalTokens), k1, b).as("c_micro"))
+
+  /** The (id, token, tf) postings rows of a document frame — the unit
+    * every standing-index operation is built from ([[bm25Index]] pins
+    * them, [[extendBm25Index]] folds them in, and the streaming ingest
+    * twin ships each micro-batch's rows to the store's postings table;
+    * doc lengths, term dfs and the corpus scalars all derive from these
+    * rows by exact aggregation). */
+  def bm25Postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
 
   /** [[bm25TopK]] against a prebuilt [[Bm25Index]] — no tokenization, no
     * corpus pass: only the query terms' postings rows are read and scored
@@ -225,9 +233,7 @@ object Search {
     * from indexed ids (the usual ingest contract). Returns a NEW pinned
     * index; the caller may `release()` the old one afterwards. */
   def extendBm25Index(ix: Bm25Index, batch: DataFrame, textCol: String): Bm25Index = {
-    val toks = batch
-      .select(col(ix.idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
-    val dtf = pin(toks.groupBy(col(ix.idCol), col("token")).agg(count(lit(1)).as("tf")))
+    val dtf = pin(bm25Postings(batch, ix.idCol, textCol))
     val ddl = dtf.groupBy(ix.idCol).agg(sum(col("tf")).as("dl"))
     val dStats = ddl.agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tt")).head()
     val newPostings = pin(ix.postings.unionByName(dtf))

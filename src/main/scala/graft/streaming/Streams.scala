@@ -329,6 +329,20 @@ object Streams {
       sink(assignEmbeddingsBatch(batch.toDF(), idCol, vecCol, ix))
     }
 
+  /** Lexical-store ingest: a `foreachBatch` writer shipping each
+    * micro-batch's (id, token, tf) postings rows
+    * ([[graft.operators.Search.bm25Postings]]) to `sink` — the rows a
+    * standing [[graft.operators.Search.Bm25Index]]'s postings table
+    * appends, with lengths/dfs/corpus scalars re-derived downstream by
+    * exact aggregation (the batch fold is
+    * [[graft.operators.Search.extendBm25Index]]). Stateless across
+    * batches. */
+  def bm25PostingsStreamBulk(stream: DataFrame, idCol: String, textCol: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(graft.operators.Search.bm25Postings(batch.toDF(), idCol, textCol))
+    }
+
   /** Quality-gate-at-ingest for ONE micro-batch (a plain DataFrame): score
     * documents against a FROZEN unigram LM ([[graft.operators.Lm
     * .surprisalAgainst]] over a static `unigramCounts` snapshot) and keep

@@ -301,6 +301,25 @@ class StreamsSpec extends SparkTestBase {
     } finally { q.stop(); ix.release() }
   }
 
+  test("bm25PostingsStreamBulk: streamed postings rows ≡ batch twin") {
+    import graft.operators.Search
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "spark spark fast"), (2L, "rows and columns"))
+    val batchOut = Search.bm25Postings(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = scala.collection.mutable.Set[(Long, String, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.bm25PostingsStreamBulk(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text") { out =>
+      got ++= out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    }.start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchOut && batchOut((1L, "spark", 2L)))
+    } finally q.stop()
+  }
+
   test("Pii redaction is streaming-safe: stateless projection runs unchanged on a stream") {
     import graft.functions.Pii
     implicit val sqlCtx = spark.sqlContext
