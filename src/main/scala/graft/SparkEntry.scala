@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
+import graft.operators.{Bpe, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -618,6 +618,25 @@ object SparkEntry {
       vIx.release()
       Search.fuseRrf(Seq(bm, ann), "query_id", "doc_id", k = 10)
         .orderBy("query_id", "rank")
+    }),
+    // learned BPE vocabulary training ✚ (Sennrich 2016): 8 merge rounds
+    // over the unique-word-frequency table; every pair count an exact
+    // weighted long sum, argmax tie-broken (count DESC, left, right) —
+    // the oracle unrolls the identical loop as a CTE chain whose greedy
+    // merge fold is DuckDB's list_reduce of the same accumulator logic
+    "q127_bpe_train" -> ((s, d) =>
+      Bpe.train(Tables.documents(s, d), "text", numMerges = 8).orderBy("rank")),
+    // BPE encode ✚ — two code paths, one answer: the Spark side RE-ENCODES
+    // the corpus dictionary by sequentially applying the learned merges
+    // (fresh fold chain per word), while the oracle reads the TRAINING
+    // loop's final segmentation state — equal only because greedy merge
+    // application commutes with the training iteration order
+    "q128_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.pieceCounts(docs, "text", merges)
+        .orderBy(col("total").desc, col("piece")).limit(20)
     }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
@@ -1878,6 +1897,30 @@ object SparkEntry {
                     row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
              FROM sel)
        SELECT doc_id, n_hit_terms, score_micro, rank FROM r WHERE rank <= 20 ORDER BY rank"""
+
+  // BPE training loop, unrolled (q127/q128 — mirrors Bpe.train exactly):
+  // w0 = unique normalized words with counts, each char-spaced; per merge
+  // i: weighted adjacent-pair counts (bp), the (pc DESC, a, b) argmax (bb),
+  // and the greedy fold re-segmentation (w) — DuckDB's list_reduce runs
+  // the identical accumulator logic as Spark's `aggregate` fold in
+  // Bpe.applyMerge (append b to a trailing " a" tail, else append " "+x)
+  private val sqlBpeBase =
+    """bpwc AS (SELECT token AS word, count(*) AS cnt FROM (
+              SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents) t WHERE len(token) > 0 GROUP BY 1),
+       w0 AS (SELECT word, cnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms FROM bpwc)"""
+  private def sqlBpeMergeStep(i: Int): String =
+    s"""bp$i AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+             FROM (SELECT cnt, unnest([[p[1], p[2]] for p in list_zip(sy, sy[2:])]) AS pr
+                   FROM (SELECT cnt, string_split(syms, ' ') AS sy FROM w${i - 1}) s) t
+             WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+       bb$i AS (SELECT a, b, pc FROM bp$i ORDER BY pc DESC, a, b LIMIT 1),
+       w$i AS (SELECT word, cnt, list_reduce(string_split(syms, ' '),
+                 (acc, x) -> CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                                  THEN acc || m.b ELSE acc || ' ' || x END) AS syms
+               FROM w${i - 1}, bb$i m)"""
+  private def sqlBpeChain(m: Int): String =
+    sqlBpeBase + ",\n" + (1 to m).map(sqlBpeMergeStep).mkString(",\n")
 
   private val sqlPqHitSelect =
     """SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
@@ -3495,6 +3538,22 @@ object SparkEntry {
          $sqlAdcTail
          SELECT query_id, nbr_id, cosine_micro, rank FROM pq
          ORDER BY query_id, rank""",
+    // the unrolled training loop's 8 argmax rows, in merge order
+    "q127_bpe_train" ->
+      s"""WITH ${sqlBpeChain(8)}
+         SELECT * FROM (
+           ${(1 to 8).map(i =>
+             s"SELECT CAST($i AS INTEGER) AS rank, a AS sym_a, b AS sym_b, pc AS pair_count FROM bb$i")
+             .mkString("\n           UNION ALL ")})
+         ORDER BY rank""",
+    // top-20 subword pieces read from the training loop's FINAL state w8 —
+    // the Spark side re-encodes from scratch (fresh fold chain per word),
+    // so agreement proves encode ≡ training segmentation
+    "q128_bpe_encode" ->
+      s"""WITH ${sqlBpeChain(8)}
+         SELECT piece, CAST(sum(cnt) AS BIGINT) AS total FROM (
+           SELECT unnest(string_split(syms, ' ')) AS piece, cnt FROM w8) t
+         GROUP BY piece ORDER BY total DESC, piece LIMIT 20""",
     "q93_pagerank" -> pagerankOracleSql(5),
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term

@@ -34,19 +34,19 @@ object Text {
     * space attached. The realistic token-count proxy for LLM data budgeting
     * (whitespace counting underestimates ~30% on punctuated text).
     *
-    * Why a proxy and not a real learned BPE (r4 verdict "missing" #3):
-    * applying a merge table is inherently sequential PER WORD (merge i+1
-    * depends on the pairs merge i produced), so an exact tokenizer needs
-    * either a per-row UDF (off the codegen path this library guarantees —
-    * zero UDFs) or thousands of driver-synced iterations (not a Spark
-    * shape); and any fixed embedded vocab would misstate budgets for every
-    * model whose vocab differs. The pre-tokenization pattern above is the
-    * part all BPE-family tokenizers share: each pre-token tokenizes to ≥ 1
-    * real subword tokens, so its count is a deterministic LOWER bound on
-    * any BPE-family model's count (tight for common words, which tokenize
-    * whole), reproducible on every engine — and the q51/q63/q66 budget
-    * numbers are defined against it explicitly rather than against any one
-    * model's vocab. */
+    * A real learned BPE exists since r8 — [[graft.operators.Bpe]] trains
+    * and applies merge tables as codegen'd folds (greedy merge application
+    * turned out to be exactly Spark's `aggregate` higher-order function,
+    * retiring the r4 claim that it needed a UDF or thousands of
+    * driver-synced iterations). This proxy REMAINS the budget yardstick
+    * because it is model-agnostic: any fixed learned vocab misstates
+    * budgets for every model whose vocab differs, while each pre-token
+    * below tokenizes to ≥ 1 real subword tokens in ALL BPE-family models,
+    * so its count is a deterministic LOWER bound (tight for common words,
+    * which tokenize whole), reproducible on every engine — and the
+    * q51/q63/q66 budget numbers are defined against it explicitly rather
+    * than against any one model's vocab. Use [[graft.operators.Bpe]] when
+    * the vocabulary itself is the deliverable. */
   val bpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
   def bpeishTokens(c: Column): Column = regexp_extract_all(c, lit(bpeishPattern), lit(0))
