@@ -37,7 +37,10 @@ object Plans {
         // postings-index BM25 lookup, predicate-gated filtered ANN, and
         // the standing-index hybrid fusion
         "q120_ivfpq_indexed", "q123_bm25_indexed", "q125_ann_filtered",
-        "q126_hybrid_indexed")
+        "q126_hybrid_indexed",
+        // r8b: the bloom predicate must sit ON the lineitem scan, below
+        // the join's exchange (the whole point of the primitive)
+        "q129_bloom_join")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

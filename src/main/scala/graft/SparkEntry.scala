@@ -638,6 +638,25 @@ object SparkEntry {
       Bpe.pieceCounts(docs, "text", merges)
         .orderBy(col("total").desc, col("piece")).limit(20)
     }),
+    // bloom-pruned fact⋈dim join ✚: the urgent-orders keys build a
+    // ~4 KB bloom tested on the lineitem scan BEFORE the join's exchange
+    // (the 100-TB shuffle-prune shape; Spark's runtime-filter injection
+    // in library form, caller-controlled). No false negatives, so the
+    // result — and the oracle — is EXACTLY the plain join
+    "q129_bloom_join" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_returnflag"))
+      val small = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Joins.bloomPrunedJoin(big, small, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast(LongType)).as("revenue_cents"))
+        .orderBy("l_returnflag")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3554,6 +3573,14 @@ object SparkEntry {
          SELECT piece, CAST(sum(cnt) AS BIGINT) AS total FROM (
            SELECT unnest(string_split(syms, ' ')) AS piece, cnt FROM w8) t
          GROUP BY piece ORDER BY total DESC, piece LIMIT 20""",
+    // bloom pruning is invisible in the result (no false negatives;
+    // false positives die in the join) — the oracle is the plain join
+    "q129_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
     "q93_pagerank" -> pagerankOracleSql(5),
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term

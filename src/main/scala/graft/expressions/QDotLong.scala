@@ -96,6 +96,30 @@ object GraftFunctions {
       s"$fn: $arg must be a foldable INT expression (e.g. lit(200)), got: $other")
   }
 
+  /** Same contract for BIGINT sizing params (accepts INT literals too). */
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case e if e.foldable && e.dataType == org.apache.spark.sql.types.LongType =>
+      e.eval() match {
+        case v: Long => v
+        case _ => throw new IllegalArgumentException(s"$fn: $arg must not be null")
+      }
+    case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+      litInt(e, fn, arg).toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable BIGINT expression, got: $other")
+  }
+
+  /** Same contract for DOUBLE params. */
+  private def litDouble(e: Expression, fn: String, arg: String): Double = e match {
+    case e if e.foldable && e.dataType == org.apache.spark.sql.types.DoubleType =>
+      e.eval() match {
+        case v: Double => v
+        case _ => throw new IllegalArgumentException(s"$fn: $arg must not be null")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable DOUBLE expression, got: $other")
+  }
+
   val qdotInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_qdot"),
     new ExpressionInfo(classOf[QDotLong].getName, "graft_qdot"),
@@ -144,6 +168,13 @@ object GraftFunctions {
         s"graft_theta_$op",
         children => ThetaSetEstimate(children(0), children(1), op), "scala_udf")
     }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", children => BloomFilterAgg(children(0),
+        litLong(children(1), "graft_bloom_agg", "expectedItems"),
+        litDouble(children(2), "graft_bloom_agg", "fpp")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      children => BloomMightContainLong(children(0), children(1)), "scala_udf")
   }
 }
 

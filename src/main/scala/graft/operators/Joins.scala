@@ -237,4 +237,47 @@ object Joins {
     val r = dup.foldLeft(replicated)((d, c) => d.drop(c))
     salted.join(r, on :+ "__graft_salt", "inner").drop("__graft_salt")
   }
+
+  /** Build a serialized bloom filter of `keys`' BIGINT `keyCol` values
+    * (two jobs over the small side: an exact count to size the filter,
+    * then the one-pass [[graft.expressions.BloomFilterAgg]] build —
+    * map-side-combined, shuffles filters, never keys). Returns the filter
+    * bytes: ~1.2 MB per million keys at fpp 1%, a plan-embeddable
+    * constant. */
+  def bloomOfKeys(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
+    graft.expressions.GraftFunctions.register(keys.sparkSession)
+    val n = math.max(keys.count(), 1L)
+    keys.agg(call_function("graft_bloom_agg",
+        col(keyCol).cast("long"), lit(n), lit(fpp)))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Prune `df` to rows whose `keyCol` MIGHT appear in `keys`' `keyCol` —
+    * a bloom semi-filter: no false negatives (every actually-matching row
+    * survives — the q129 exactness contract), ~`fpp` false positives
+    * (harmless: the later join drops them). The predicate is a codegen'd
+    * two-probe test against a plan-constant filter, so it sits directly on
+    * the scan, BELOW any exchange — at 100 TB this is the difference
+    * between shuffling the full big side and shuffling only near-matches,
+    * at the cost of one broadcast-sized literal (size the small side: the
+    * bloom is ~1.2 MB per million keys; past ~100 M keys prefer a plain
+    * shuffle semi-join). Works on any engine's row set the exchange would
+    * otherwise carry: filters, then lets Catalyst plan the rest. */
+  def bloomSemiFilter(df: DataFrame, keyCol: String,
+      keys: DataFrame, keysCol: String, fpp: Double = 0.01): DataFrame = {
+    val bloom = bloomOfKeys(keys, keysCol, fpp)
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.filter(call_function("graft_bloom_might_contain",
+      lit(bloom), col(keyCol).cast("long")))
+  }
+
+  /** Inner equi-join with the big (left) side bloom-pruned before the
+    * exchange. Result is EXACTLY `join(big, small, on)` — the bloom's
+    * no-false-negative guarantee means pruning only drops rows the join
+    * would drop anyway, which is what the oracle checks. Single-key
+    * BIGINT joins (the 100-TB fact⋈filtered-dim shape); compose
+    * [[bloomSemiFilter]] manually for multi-key or hashed-string keys. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, on: String,
+      fpp: Double = 0.01, how: String = "inner"): DataFrame =
+    join(bloomSemiFilter(big, on, small, on, fpp), small, Seq(on), how)
 }

@@ -44,4 +44,33 @@ class JoinsSpec extends SparkTestBase {
       assert(Joins.join(l, r, Seq("k")).count() == expected)
     }
   }
+
+  // ---- bloom-pruned joins -------------------------------------------------
+
+  test("bloomSemiFilter: NO false negatives — every matching key survives") {
+    val big = (1L to 5000L).toDF("k")
+    val keys = (1L to 5000L by 7).toDF("k") // 715 keys
+    val kept = Joins.bloomSemiFilter(big, "k", keys, "k")
+      .collect().map(_.getLong(0)).toSet
+    assert((1L to 5000L by 7).forall(kept.contains)) // the bloom guarantee
+    // false-positive rate sane: ≤ ~5× the nominal 1% on the non-members
+    val fps = kept.size - 715
+    assert(fps <= (5000 - 715) * 0.05, s"implausible fp count $fps")
+  }
+
+  test("bloomPrunedJoin ≡ plain inner join, and pruning actually drops rows") {
+    val big = (1L to 2000L).map(i => (i % 500, i)).toDF("k", "v")
+    val small = Seq(7L, 13L, 99L, 400L).toDF("k")
+    val plain = Joins.join(big, small, Seq("k")).collect().map(_.toSeq).toSet
+    val pruned = Joins.bloomPrunedJoin(big, small, "k").collect().map(_.toSeq).toSet
+    assert(pruned == plain && plain.size == 16) // 4 keys × 4 multiplicity
+    val surviving = Joins.bloomSemiFilter(big, "k", small, "k").count()
+    assert(surviving >= 16 && surviving < 2000) // pruned below the scan size
+  }
+
+  test("bloom prune with empty key set drops everything; join stays empty") {
+    val big = (1L to 100L).toDF("k")
+    val none = Seq.empty[Long].toDF("k")
+    assert(Joins.bloomPrunedJoin(big, none, "k").count() == 0)
+  }
 }
