@@ -4,7 +4,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Repetition, Text}
-import graft.operators.{Dedup, Lm, Ops, Pack}
+import graft.operators.{Dedup, Joins, Lm, Ops, Pack}
 
 /** Empirical scaling probe for the dedup pipeline (the suite's algorithmic
   * core): replicates the documents corpus `factor`× in memory (id-offset
@@ -173,6 +173,20 @@ object ScaleProbe {
           s""","pq_build_sec":${s2(pqt0, pqt1)},"pq_raw_bytes":$rawBytes,""" +
             s""""pq_code_bytes":$codeBytes,"pq_search_sec":${s2(pqt2, pqt3)}""")
       }
+      // bloom axis (r8): a ~1%-selective key set bloom-prunes the growing
+      // corpus. The curve to watch: survivors/docs must stay ≈ selectivity
+      // + fpp at every factor (the prune's value doesn't erode as the big
+      // side grows) while the filter bytes track the KEY side only.
+      val blt0 = System.nanoTime()
+      val bloomKeys = docs.select(col("doc_id")).filter(col("doc_id") % 101 === 0)
+      val nBk = bloomKeys.count()
+      val bloomBytes = Joins.bloomOfKeys(bloomKeys, "doc_id")
+      val blt1 = System.nanoTime()
+      graft.expressions.GraftFunctions.register(spark)
+      val nBloomSurv = docs.filter(call_function("graft_bloom_might_contain",
+        lit(bloomBytes), col("doc_id"))).count()
+      val blt2 = System.nanoTime()
+
       // explicit ROOT locale (ADVICE r6): f"" formats with the default JVM
       // locale; comma-decimal locales would emit invalid JSON
       def sec(a: Long, b: Long): String =
@@ -186,7 +200,10 @@ object ScaleProbe {
         s""""cos_pairs":$nCosPairs,"cos_sec":${sec(t5, t6)},""" +
         s""""kll_sec":${sec(t6, t7)},"exact_pct_sec":${sec(t7, t8)},""" +
         s""""vecs":$nVecs,"emb_index_sec":${sec(t9, t10)},""" +
-        s""""between_pairs":$nBetween,"between_sec":${sec(t10, t11)}$pqJson}""")
+        s""""between_pairs":$nBetween,"between_sec":${sec(t10, t11)},""" +
+        s""""bloom_keys":$nBk,"bloom_bytes":${bloomBytes.length},""" +
+        s""""bloom_surv":$nBloomSurv,"bloom_build_sec":${sec(blt0, blt1)},""" +
+        s""""bloom_probe_sec":${sec(blt1, blt2)}$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

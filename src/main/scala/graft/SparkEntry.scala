@@ -638,6 +638,17 @@ object SparkEntry {
       Bpe.pieceCounts(docs, "text", merges)
         .orderBy(col("total").desc, col("piece")).limit(20)
     }),
+    // per-doc token budgets under the LEARNED vocab ✚ — the dictionary
+    // join-back shape: encode each unique word ONCE (vocab-sized fold),
+    // then one (doc, word) equi-join + per-doc sum; oracle reads the
+    // training chain's final state, Spark re-encodes fresh
+    "q130_bpe_doc_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.docPieceCounts(docs, "doc_id", "text", merges)
+        .orderBy(col("n_pieces").desc, col("doc_id")).limit(20)
+    }),
     // bloom-pruned fact⋈dim join ✚: the urgent-orders keys build a
     // ~4 KB bloom tested on the lineitem scan BEFORE the join's exchange
     // (the 100-TB shuffle-prune shape; Spark's runtime-filter injection
@@ -3573,6 +3584,18 @@ object SparkEntry {
          SELECT piece, CAST(sum(cnt) AS BIGINT) AS total FROM (
            SELECT unnest(string_split(syms, ' ')) AS piece, cnt FROM w8) t
          GROUP BY piece ORDER BY total DESC, piece LIMIT 20""",
+    // per-doc budgets from the training chain's final state: the
+    // (doc, word) rows join w8's piece counts, summed per doc
+    "q130_bpe_doc_tokens" ->
+      s"""WITH ${sqlBpeChain(8)},
+         bdt AS (SELECT doc_id, token AS word FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+                FROM documents) t WHERE len(token) > 0),
+         bwp AS (SELECT word, len(string_split(syms, ' ')) AS n_p FROM w8)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(n_p) AS BIGINT) AS n_pieces
+         FROM bdt JOIN bwp USING (word) GROUP BY doc_id
+         ORDER BY n_pieces DESC, doc_id LIMIT 20""",
     // bloom pruning is invisible in the result (no false negatives;
     // false positives die in the join) — the oracle is the plain join
     "q129_bloom_join" ->

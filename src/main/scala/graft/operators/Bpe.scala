@@ -163,4 +163,24 @@ object Bpe {
     encodeWords(docs, textCol, merges)
       .select(explode(col("pieces")).as("piece"), col("cnt"))
       .groupBy("piece").agg(sum(col("cnt")).as("total"))
+
+  /** Per-document token budget under the LEARNED vocab: (id, n_tokens,
+    * n_pieces) — the number a packing/budgeting pipeline actually needs
+    * (vs [[graft.functions.Text.bpeishTokenCount]]'s model-agnostic
+    * bound). The dictionary join-back shape: the fold runs once per
+    * UNIQUE word to get its piece count, then a plain (doc, word) ⋈
+    * (word, n) equi-join and a per-doc sum — at 100 TB the expensive
+    * encode is vocab-sized and the corpus pass is one join + one
+    * map-side-combined agg. */
+  def docPieceCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val dt = docs
+      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+    val wp = wordCounts(docs, textCol)
+      .select(col("word"), size(encodePieces(col("word"), merges)).as("n_p"))
+    dt.join(wp, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_p").cast("long")).as("n_pieces"))
+  }
 }

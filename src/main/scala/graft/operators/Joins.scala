@@ -271,6 +271,20 @@ object Joins {
       lit(bloom), col(keyCol).cast("long")))
   }
 
+  /** Keep rows whose `keyCol` is definitely NOT among `seen` bytes (a
+    * filter built by [[bloomOfKeys]]) — the novelty pre-gate of a dedup
+    * ingest path. ASYMMETRIC semantics, the mirror of [[bloomSemiFilter]]:
+    * every already-seen row is dropped FOR CERTAIN (no false negatives),
+    * but ~`fpp` of genuinely-novel rows are falsely dropped too. Use it
+    * where losing fpp of novel rows is an acceptable price for testing
+    * novelty without a join (crawl frontier, seen-URL sets); follow with
+    * an exact anti-join instead when completeness is contractual. */
+  def bloomAntiFilter(df: DataFrame, keyCol: String, seen: Array[Byte]): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.filter(!call_function("graft_bloom_might_contain",
+      lit(seen), col(keyCol).cast("long")))
+  }
+
   /** Inner equi-join with the big (left) side bloom-pruned before the
     * exchange. Result is EXACTLY `join(big, small, on)` — the bloom's
     * no-false-negative guarantee means pruning only drops rows the join

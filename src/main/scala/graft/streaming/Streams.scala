@@ -343,6 +343,22 @@ object Streams {
       sink(graft.operators.Search.bm25Postings(batch.toDF(), idCol, textCol))
     }
 
+  /** Novelty gate at ingest: drop every row whose `idCol` is ALREADY in
+    * the standing bloom `seen` ([[graft.operators.Joins.bloomOfKeys]] over
+    * the corpus's ids — KB–MB of state for millions of keys, shipped to
+    * executors as a plan constant; rebuild it between runs, not between
+    * micro-batches). Inherits [[graft.operators.Joins.bloomAntiFilter]]'s
+    * asymmetry: seen rows are dropped for certain, ~fpp of novel rows are
+    * falsely dropped — the crawl-frontier tradeoff; follow with an exact
+    * anti-join when completeness is contractual. Stateless across batches
+    * (ids novel in batch 1 are NOT added to the filter — fold them into
+    * the next run's bloom via the batch builder). */
+  def bloomNoveltyStreamBulk(stream: DataFrame, idCol: String, seen: Array[Byte])(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(graft.operators.Joins.bloomAntiFilter(batch.toDF(), idCol, seen))
+    }
+
   /** Quality-gate-at-ingest for ONE micro-batch (a plain DataFrame): score
     * documents against a FROZEN unigram LM ([[graft.operators.Lm
     * .surprisalAgainst]] over a static `unigramCounts` snapshot) and keep

@@ -80,6 +80,17 @@ class BpeSpec extends SparkTestBase {
     assert(lhs == rhs)
   }
 
+  test("docPieceCounts: per-doc sums via the dictionary join-back") {
+    val merges = Bpe.train(corpus, "text", 2).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq // (e,s),(es,t)
+    val out = Bpe.docPieceCounts(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 3: "newest"×6 → 6 tokens, newest = n e w est → 4 pieces each
+    assert(out(3L) == ((6L, 24L)))
+    // doc 1: "low"×5 → untouched by (e,s)/(es,t): 3 chars each
+    assert(out(1L) == ((5L, 15L)))
+  }
+
   test("train stops early when no adjacent pairs remain") {
     val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     // one merge (a,b) exhausts the corpus: every word becomes one symbol

@@ -320,6 +320,29 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bloomNoveltyStreamBulk: seen ids dropped for certain, stream ≡ batch twin") {
+    import graft.operators.Joins
+    implicit val sqlCtx = spark.sqlContext
+    val seenIds = (1L to 50L).toDF("doc_id")
+    val seen = Joins.bloomOfKeys(seenIds, "doc_id")
+    val batch = (40L to 60L).map(i => (i, s"doc$i"))
+    val batchOut = Joins.bloomAntiFilter(batch.toDF("doc_id", "text"), "doc_id", seen)
+      .collect().map(_.getLong(0)).toSet
+    // the certain half: every seen id is gone
+    assert(batchOut.intersect((40L to 50L).toSet).isEmpty)
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.bloomNoveltyStreamBulk(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", seen) { out =>
+      got ++= out.collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchOut)
+    } finally q.stop()
+  }
+
   test("Pii redaction is streaming-safe: stateless projection runs unchanged on a stream") {
     import graft.functions.Pii
     implicit val sqlCtx = spark.sqlContext
