@@ -46,12 +46,6 @@ import graft.functions.Text
   * two-code-paths-one-answer gate. */
 object Bpe {
 
-  private def pin(df: DataFrame): DataFrame = {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    df
-  }
-
   /** Unique-word frequency table of a corpus: (word, cnt). Tokenization is
     * [[Text.normalize]] + whitespace split — the same contract as
     * [[Search]]'s BM25, so the two share vocabularies. */
@@ -103,26 +97,35 @@ object Bpe {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = pin(wordCounts(docs, textCol)
-      .select(col("word"), col("cnt"), charSymbols(col("word")).as("syms")))
+    // LAZY persist: each iteration's single argmax job materializes the
+    // current state's cache while reading the previous one — ONE Spark job
+    // per merge (an eager pin would double it; the loop IS the driver-sync
+    // cost, so job count is the knob that matters). The previous state is
+    // unpersisted only after the job that read it has completed.
+    var words = wordCounts(docs, textCol)
+      .select(col("word"), col("cnt"), charSymbols(col("word")).as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
       val top = pairCounts(words)
         .orderBy(col("pc").desc, col("a"), col("b")).limit(1).collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) done = true
       else {
         val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, pc))
-        val prev = words
-        words = pin(words.select(col("word"), col("cnt"),
-          applyMerge(col("syms"), lit(a), lit(b)).as("syms")))
-        prev.unpersist(blocking = false)
+        prev = words
+        words = words.select(col("word"), col("cnt"),
+            applyMerge(col("syms"), lit(a), lit(b)).as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         rank += 1
       }
     }
     words.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "pair_count")
   }
 
