@@ -91,6 +91,18 @@ class BpeSpec extends SparkTestBase {
     assert(out(1L) == ((5L, 15L)))
   }
 
+  test("saveBpe/loadBpe round-trip preserves merge order; wrong table fails fast") {
+    val merges = Bpe.train(corpus, "text", 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Bpe.saveBpe(merges, dir)
+    val loaded = Bpe.loadBpe(spark, dir)
+    assert(loaded == merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val bad = java.nio.file.Files.createTempDirectory("graft_bpe_bad").toString
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException] { Bpe.loadBpe(spark, bad) }
+  }
+
   test("train stops early when no adjacent pairs remain") {
     val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     // one merge (a,b) exhausts the corpus: every word becomes one symbol
