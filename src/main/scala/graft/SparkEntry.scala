@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Bpe, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
+import graft.operators.{Bpe, Classify, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -667,6 +667,72 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
             .cast(LongType)).as("revenue_cents"))
         .orderBy("l_returnflag")
+    }),
+    // triangle counting ✚ on the part co-purchase graph (parts appearing
+    // together in ≥2 order lines — min-support 2 keeps the projection
+    // sparse; support 1 is 30× denser here). Degree-ordered wedge
+    // enumeration (Suri & Vassilvitskii 2011) — π-ordering kills the
+    // last-reducer hub problem, total wedge volume O(m^{3/2}); the oracle
+    // counts the SAME triangles by the naive a<b<c three-way self-join,
+    // which only the sf0.01 edge count makes affordable
+    "q131_triangles" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val r = l.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      val edges = l.join(r, Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").as("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      Graph.triangles(edges, "p1", "p2")
+        .orderBy(col("n_tri").desc, col("node")).limit(20)
+    }),
+    // fuzzy (edit-distance ≤2) self-join ✚ of the part-name vocabulary —
+    // the record-linkage shape. FastSS deletion-neighborhood signatures
+    // make candidates a keyed equi-join (lossless: within-distance pairs
+    // ALWAYS share a signature), levenshtein verifies; the oracle is the
+    // naive all-pairs filter the signature scheme avoids at scale
+    "q132_fuzzy_join" -> ((s, d) => {
+      val names = Tables.part(s, d).groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+      Joins.fuzzySelfPairs(names, "name", "name", maxDist = 2)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("dist").cast(LongType).as("dist"))
+        .join(names.select(col("name").as("name_a"), col("n_parts").as("n_a")), Seq("name_a"))
+        .join(names.select(col("name").as("name_b"), col("n_parts").as("n_b")), Seq("name_b"))
+        .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+        .orderBy("name_a", "name_b")
+    }),
+    // multinomial Naive Bayes language ID ✚ — train on the 80% hash split,
+    // classify the held-out 20%; every ln quantized to micro-nats per
+    // (label, token) BEFORE the long sums, so the argmax label is
+    // engine-stable (ties → lexicographically first label)
+    "q133_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Classify.nbTrain(docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      Classify.nbPredict(model, test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // MMR diversified re-rank ✚ of the q31 brute-force top-20 (λ=1/2,
+    // k=5): nano-quantized relevances and pairwise sims, integer greedy
+    // argmax each round — the selection SEQUENCE is engine-exact, and the
+    // oracle replays all 5 rounds as unrolled CTEs (the q127 pattern)
+    "q134_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cand = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("nbr_id"),
+          round(col("cosine") * 1e9).cast(LongType).as("rel_nano"))
+      Similarity.mmrRerank(cand, e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "mmr_rank")
+    }),
+    // PMI collocations ✚ (Church & Hanks 1990): top-20 adjacent pairs
+    // co-occurring above independence, min support 5 — micro-nat integer
+    // PMI, the tokenizer-pipeline's merge-candidate audit
+    "q135_pmi_collocations" -> ((s, d) => {
+      Lm.pmiCollocations(Tables.documents(s, d), "text", minCount = 5)
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(20)
     }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
@@ -1952,6 +2018,50 @@ object SparkEntry {
   private def sqlBpeChain(m: Int): String =
     sqlBpeBase + ",\n" + (1 to m).map(sqlBpeMergeStep).mkString(",\n")
 
+  // one MMR greedy round (λ=1/2): max-sim of each unselected candidate to
+  // the selected set, then the integer argmax rel_nano − max_sim with the
+  // (DESC, nbr_id) tie-break — identical to Similarity.mmrRerank's round
+  private def sqlMmrStep(i: Int): String =
+    s"""mmr_ms$i AS (SELECT p.query_id, p.nbr_id, max(p.sim_nano) AS ms
+             FROM mmr_pairs p JOIN mmr_sel${i - 1} s
+               ON s.query_id = p.query_id AND s.nbr_id = p.other_id
+             GROUP BY p.query_id, p.nbr_id),
+       mmr_step$i AS (SELECT query_id, nbr_id, CAST($i AS BIGINT) AS mmr_rank FROM (
+             SELECT c.query_id, c.nbr_id,
+                    row_number() OVER (PARTITION BY c.query_id
+                      ORDER BY c.rel_nano - m.ms DESC, c.nbr_id) AS rn
+             FROM mmr_cand c
+             JOIN mmr_ms$i m ON m.query_id = c.query_id AND m.nbr_id = c.nbr_id
+             WHERE NOT EXISTS (SELECT 1 FROM mmr_sel${i - 1} s
+                               WHERE s.query_id = c.query_id AND s.nbr_id = c.nbr_id)) t
+           WHERE rn = 1),
+       mmr_sel$i AS (SELECT query_id, nbr_id, mmr_rank FROM mmr_sel${i - 1}
+                     UNION ALL SELECT query_id, nbr_id, mmr_rank FROM mmr_step$i)"""
+
+  private def sqlMmrChain(k: Int): String =
+    """mmr_cand AS (SELECT query_id, nbr_id,
+              CAST(round(cosine * 1000000000) AS BIGINT) AS rel_nano
+            FROM (SELECT query_id, nbr_id, cosine,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, nbr_id) AS rank
+                  FROM (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                          list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                            / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+                        FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t0) t
+            WHERE rank <= 20),
+       mmr_pairs AS (SELECT a.query_id, a.nbr_id, b.nbr_id AS other_id,
+              CAST(round(list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
+                / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) * 1000000000) AS BIGINT) AS sim_nano
+            FROM mmr_cand a JOIN mmr_cand b
+              ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id
+            JOIN v x ON x.vec_id = a.nbr_id
+            JOIN v y ON y.vec_id = b.nbr_id),
+       mmr_sel1 AS (SELECT query_id, nbr_id, CAST(1 AS BIGINT) AS mmr_rank FROM (
+              SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel_nano DESC, nbr_id) AS rn
+              FROM mmr_cand) t WHERE rn = 1)""" + ",\n" +
+      (2 to k).map(sqlMmrStep).mkString(",\n")
+
   private val sqlPqHitSelect =
     """SELECT pq.query_id, pq.nbr_id, pq.cosine_micro, pq.rank,
               CAST(CASE WHEN ex.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
@@ -2464,6 +2574,34 @@ object SparkEntry {
     "q32_ann_bucketed" ->
       s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbes, $sqlLshTopK
          SELECT query_id, nbr_id, cosine, rank FROM lsh_k ORDER BY query_id, rank""",
+    // 5 greedy MMR rounds unrolled; round 1 is the pure relevance argmax,
+    // each later round re-ranks by rel − max-sim-to-selected (λ=1/2 in
+    // lDen-scaled integers) over the NOT-EXISTS remainder
+    "q134_mmr_rerank" ->
+      s"""WITH $sqlVecs,
+         ${sqlMmrChain(5)}
+         SELECT query_id, nbr_id, mmr_rank FROM mmr_sel5
+         ORDER BY query_id, mmr_rank""",
+    // adjacent bigrams via the q127 list_zip(t, t[2:]) pattern (NULL-padded
+    // tail dropped); one rounded ln per count, exact integer PMI
+    "q135_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT unnest([[p[1], p[2]] for p in list_zip(t, t[2:])]) AS pr
+                FROM toks WHERE len(t) >= 2),
+         c2 AS (SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS c2
+                FROM bg WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+         ucnt AS (SELECT t, CAST(count(*) AS BIGINT) AS cu
+                  FROM (SELECT unnest(t) AS t FROM toks) u GROUP BY 1),
+         nbg AS (SELECT CAST(sum(c2) AS BIGINT) AS nbg FROM c2)
+         SELECT c2.w1, c2.w2, c2.c2 AS n_pair,
+                CAST(round(ln(c2.c2) * 1000000) AS BIGINT)
+                  + CAST(round(ln(nbg.nbg) * 1000000) AS BIGINT)
+                  - CAST(round(ln(a.cu) * 1000000) AS BIGINT)
+                  - CAST(round(ln(b.cu) * 1000000) AS BIGINT) AS pmi_micro
+         FROM c2 JOIN ucnt a ON a.t = c2.w1 JOIN ucnt b ON b.t = c2.w2 CROSS JOIN nbg
+         WHERE c2.c2 >= 5
+         ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""",
     "q52_ann_recall" ->
       s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbes, $sqlIvfChain, $sqlLshTopK, $sqlIvfTopK,
          brute AS (
@@ -3604,6 +3742,73 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""",
+    // the naive enumeration: canonical u<v edges, triangles as the a<b<c
+    // three-way self-join (each triangle matched exactly once), nodes with
+    // no triangle joined back at 0 — set-identical to the degree-ordered
+    // plan because both enumerate the same undirected triangle set
+    "q131_triangles" ->
+      """WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 2),
+         t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+               FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+                         JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+         allnodes AS (SELECT p1 AS node FROM e UNION SELECT p2 FROM e),
+         cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY node)
+         SELECT node, COALESCE(n_tri, 0) AS n_tri
+         FROM allnodes LEFT JOIN cnt USING (node)
+         ORDER BY n_tri DESC, node LIMIT 20""",
+    // the naive all-pairs form the signature join avoids; levenshtein is
+    // the classic DP distance in both engines
+    "q132_fuzzy_join" ->
+      """WITH v AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+                    FROM part GROUP BY p_name)
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+                a.n_parts AS n_a, b.n_parts AS n_b
+         FROM v a JOIN v b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY name_a, name_b""",
+    // same micro-nat quantize-then-sum contract as q91: one rounded ln per
+    // (label, token) count and per label scalar, exact BIGINT score sums,
+    // argmax via the identical (score DESC, label) window
+    "q133_nb_classify" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ttoks AS (SELECT lang AS label,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM train),
+         counts AS (SELECT label, token, count(*) AS c FROM ttoks GROUP BY 1, 2),
+         perlabel AS (SELECT label, CAST(sum(c) AS BIGINT) AS t_label FROM counts GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         nd AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+         nt AS (SELECT count(*) AS n_total FROM train),
+         stats AS (SELECT nd.label,
+                CAST(round(ln(n_docs) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_total) * 1000000) AS BIGINT) AS prior_micro,
+                CAST(round(ln(t_label + v) * 1000000) AS BIGINT) AS denom_micro
+              FROM nd CROSS JOIN nt JOIN perlabel ON nd.label = perlabel.label CROSS JOIN vocab),
+         lik AS (SELECT label, token, CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS lik_micro FROM counts),
+         dtoks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM test),
+         ntok AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+                ELSE CAST(len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS BIGINT) END AS n_tok
+              FROM test),
+         overlap AS (SELECT d.doc_id, l.label, CAST(sum(l.lik_micro) AS BIGINT) AS num_micro
+              FROM dtoks d JOIN lik l ON d.token = l.token GROUP BY 1, 2),
+         scored AS (SELECT t.doc_id, s.label,
+                s.prior_micro + COALESCE(o.num_micro, 0) - k.n_tok * s.denom_micro AS score_micro
+              FROM test t CROSS JOIN stats s
+              JOIN ntok k ON k.doc_id = t.doc_id
+              LEFT JOIN overlap o ON o.doc_id = t.doc_id AND o.label = s.label),
+         best AS (SELECT doc_id, label, score_micro,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn
+              FROM scored)
+         SELECT b.doc_id, b.label AS pred_label, b.score_micro, t.lang AS true_lang
+         FROM best b JOIN test t USING (doc_id) WHERE rn = 1 ORDER BY doc_id""",
     "q93_pagerank" -> pagerankOracleSql(5),
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term

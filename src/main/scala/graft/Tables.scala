@@ -20,20 +20,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  /** `events.ts` is nanosecond-precision parquet, which Spark cannot read
-    * natively — sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
-    * this loader converts the raw nanos to a µs `TimestampType` column
-    * (truncation, matching DuckDB's CAST(ts_ns AS TIMESTAMP)). Raw nanos kept
-    * as `ts_ns`. */
+  /** `events.ts` normalization to a µs `TimestampType` column, whatever
+    * precision/type the generated parquet carries:
+    *  - ns-precision INT64 (read as LONG under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`): integer-DIV to µs
+    *    (not `/` — double division loses precision above 2^53 ns), raw
+    *    nanos kept as `ts_ns`;
+    *  - µs-precision without timezone (TIMESTAMP_NTZ — the r8 regenerated
+    *    data): cast to TimestampType. The session is pinned to UTC, so the
+    *    cast preserves the underlying micros bit-for-bit and `unix_micros`
+    *    agrees with DuckDB's naive-timestamp epoch;
+    *  - already TimestampType: pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // integer DIV, not `/` (double division loses precision above 2^53 ns)
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw // already a timestamp (pre-normalized input)
     }
   }

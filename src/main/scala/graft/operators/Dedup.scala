@@ -978,8 +978,8 @@ object Dedup {
       .join(va.select(col("id").as("id_a"), col("v").as("va"), col("nn").as("na")), Seq("id_a"))
       .join(vb.select(col("id").as("id_b"), col("v").as("vb"), col("nn").as("nb")), Seq("id_b"))
       .withColumn("cosine",
-        call_function("graft_qdot", col("va"), col("vb")).cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        Similarity.cosineOf(call_function("graft_qdot", col("va"), col("vb")),
+          col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
 

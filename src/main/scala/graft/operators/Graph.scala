@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types.LongType
@@ -94,6 +94,68 @@ object Graph {
     val out = ranks.localCheckpoint(true) // executes the k-join plan ONCE
     eDeg.unpersist(blocking = false)
     nodeList.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-node triangle counts over an undirected graph given as an edge
+    * list (any orientation, self-loops and duplicates tolerated). Returns
+    * (node, n_tri) for EVERY node of the graph, 0 included — total
+    * triangle count = sum(n_tri)/3.
+    *
+    * Degree-ordered enumeration (Suri & Vassilvitskii 2011 "Counting
+    * triangles and the curse of the last reducer"): orient every edge from
+    * its lower endpoint to its higher under the total order
+    * π = (degree, node id), enumerate wedges only AT the π-smaller vertex,
+    * and close each wedge against the oriented edge set. Each triangle
+    * {a,b,c} with π(a)<π(b)<π(c) is found exactly once, as wedge (b,c)
+    * centered at a closed by edge b→c. The orientation bounds per-vertex
+    * wedge fan-out by the number of HIGHER-degree neighbors ≤ O(√m), so
+    * total wedge volume is O(m^{3/2}) even on power-law graphs where the
+    * naive center-at-every-vertex plan melts on the max-degree hub (the
+    * "last reducer"). Scale shape: two shuffle joins — the wedge self-join
+    * keyed on the center vertex, then wedge⋈edge keyed on the (b,c) pair —
+    * both map-side-combinable aggregations afterwards; no step ever holds
+    * a neighborhood in memory. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast(LongType).as("eu"), col(dstCol).cast(LongType).as("ev"))
+      .filter(col("eu") =!= col("ev"))
+      .select(least(col("eu"), col("ev")).as("eu"), greatest(col("eu"), col("ev")).as("ev"))
+      .distinct()
+    val e = pin(e0)
+    val deg = e.select(col("eu").as("node")).union(e.select(col("ev").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // attach both endpoint degrees (two shuffle joins on a node key — the
+    // degree table is node-cardinality, never broadcast by assumption)
+    val withDeg = e
+      .join(deg.select(col("node").as("eu"), col("deg").as("du")), "eu")
+      .join(deg.select(col("node").as("ev"), col("deg").as("dv")), "ev")
+    // orient low-π → high-π; carry the far endpoint's π-key for wedge order
+    // (struct fields named identically so the CASE branches share a type)
+    def pk(d: Column, n: Column) = struct(d.as("pd"), n.as("pn"))
+    val lowIsU = pk(col("du"), col("eu")) < pk(col("dv"), col("ev"))
+    val oriented = pin(withDeg.select(
+      when(lowIsU, col("eu")).otherwise(col("ev")).as("a"),
+      when(lowIsU, col("ev")).otherwise(col("eu")).as("b"),
+      when(lowIsU, pk(col("dv"), col("ev"))).otherwise(pk(col("du"), col("eu"))).as("pb")))
+    // wedges at the π-smallest vertex: unordered pair {x,y} of higher
+    // neighbors, emitted once with π(x) < π(y)
+    val e1 = oriented.select(col("a"), col("b").as("x"), col("pb").as("px"))
+    val e2 = oriented.select(col("a"), col("b").as("y"), col("pb").as("py"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("px") < col("py"))
+      .select(col("a"), col("x"), col("y"))
+    // close: the (x,y) edge, if present, is oriented x→y (π(x) < π(y))
+    val tri = wedges.join(
+      oriented.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val out = deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
     out
   }
 }

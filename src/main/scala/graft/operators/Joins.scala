@@ -294,4 +294,77 @@ object Joins {
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, on: String,
       fpp: Double = 0.01, how: String = "inner"): DataFrame =
     join(bloomSemiFilter(big, on, small, on, fpp), small, Seq(on), how)
+
+  // ----- fuzzy (edit-distance) joins -------------------------------------
+
+  /** One round of single-character deletions of `v`, as an array column
+    * ([] for the empty string — `sequence(1,0)` would count DOWN). */
+  private def delOnce(v: Column): Column =
+    when(length(v) > lit(0),
+      transform(sequence(lit(1), length(v)), i =>
+        concat(substring(v, lit(1), i - lit(1)), substring(v, i + lit(1), length(v)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Deletion-neighborhood signatures of `s` up to depth `maxDist`
+    * (FastSS — Bocek et al. 2007, "Fast Similarity Search in Large
+    * Dictionaries"): the string plus every result of deleting ≤ maxDist
+    * characters. Two strings within edit distance d always share a
+    * depth-≤d signature (delete the d differing positions from each), so
+    * an equi-join on signatures is a LOSSLESS candidate generator —
+    * levenshtein verification afterwards only removes false positives.
+    * Signature count is O(L^d) per string; intended for the short-string
+    * regime (names, codes, tokens ≲ 64 chars). All HOFs — codegen'd,
+    * no UDF. */
+  def deletionSignatures(s: Column, maxDist: Int): Column = {
+    require(maxDist >= 1 && maxDist <= 3, "maxDist must be in 1..3 (L^d signature blowup)")
+    var acc = array(s)
+    var frontier = array(s)
+    for (_ <- 1 to maxDist) {
+      frontier = array_distinct(flatten(transform(frontier, v => delOnce(v))))
+      acc = array_union(acc, frontier)
+    }
+    acc
+  }
+
+  /** All pairs of `df` rows whose `strCol` values are within edit distance
+    * `maxDist`, as (id_a, id_b, str_a, str_b, dist) with id_a < id_b.
+    * Shape: explode signatures → equi-join on the signature string →
+    * dedup candidate pairs → exact `levenshtein` verify. Never all-pairs:
+    * work is Σ_sig df(sig)², bounded in practice by the deletion
+    * neighborhoods' selectivity; a pathological hot signature (e.g. many
+    * length-≤maxDist strings all sharing "") is the caller's cue to
+    * pre-filter by length. Dedup BEFORE verify: levenshtein is O(L²) and
+    * runs once per candidate pair, not once per shared signature. */
+  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("fz_id"), col(strCol).as("fz_s"),
+      explode(deletionSignatures(col(strCol), maxDist)).as("fz_sig"))
+    val a = sig.select(col("fz_id").as("id_a"), col("fz_s").as("str_a"), col("fz_sig"))
+    val b = sig.select(col("fz_id").as("id_b"), col("fz_s").as("str_b"), col("fz_sig"))
+    a.join(b, Seq("fz_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= lit(maxDist))
+  }
+
+  /** Probe-side fuzzy join: each `left` row matched to every `right` row
+    * within edit distance `maxDist` of its string (record-linkage /
+    * spell-candidate lookup). Same lossless signature scheme as
+    * [[fuzzySelfPairs]]; output is (leftId, rightId, leftStr, rightStr,
+    * dist), one row per matched pair. */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int): DataFrame = {
+    val ls = left.select(col(leftId).as("id_l"), col(leftStr).as("str_l"),
+      explode(deletionSignatures(col(leftStr), maxDist)).as("fz_sig"))
+    val rs = right.select(col(rightId).as("id_r"), col(rightStr).as("str_r"),
+      explode(deletionSignatures(col(rightStr), maxDist)).as("fz_sig"))
+    ls.join(rs, Seq("fz_sig"))
+      .select(col("id_l"), col("id_r"), col("str_l"), col("str_r"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("str_l"), col("str_r")))
+      .filter(col("dist") <= lit(maxDist))
+  }
 }

@@ -126,6 +126,43 @@ object Lm {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("surprisal_micro"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990) — the classic
+    * multi-word-expression detector a tokenizer/vocab pipeline runs before
+    * deciding merge candidates: for adjacent token pair (a,b) with bigram
+    * count c_ab, corpus unigram counts c_a/c_b and total bigram count N,
+    * PMI = ln(c_ab·N / (c_a·c_b)). Positive ⇒ the pair co-occurs more
+    * than independence predicts.
+    *
+    * Determinism: pmi_micro = round(ln c_ab·1e6) + round(ln N·1e6) −
+    * round(ln c_a·1e6) − round(ln c_b·1e6) — one rounded ln per count
+    * (the [[surprisal]] contract), so the value and the (pmi DESC, a, b)
+    * ordering are engine-exact. `minCount` drops rare-pair noise (PMI's
+    * known low-count pathology) BEFORE the joins.
+    *
+    * Scale shape: two map-side-combined hash aggs (bigrams, unigrams) +
+    * two joins keyed on the word — shuffled volume is the vocabulary and
+    * bigram-vocabulary, never the corpus; N rides as a broadcast scalar. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
+    val toks = Text.tokens(Text.normalize(col(textCol)))
+    val bg = df.select(toks.as("__t")).filter(size(col("__t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - lit(1)).as("w1"),
+        slice(col("__t"), lit(2), size(col("__t")) - lit(1)).as("w2"))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = df.select(explode(toks).as("t")).groupBy("t").agg(count(lit(1)).as("cu"))
+    val nBg = c2.agg(sum(col("c2")).as("nbg"))
+    c2.filter(col("c2") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("cu").as("c_a")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("cu").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nBg))
+      .select(col("w1"), col("w2"), col("c2").as("n_pair"),
+        (round(log(col("c2")) * lit(1000000L)).cast(LongType)
+          + round(log(col("nbg")) * lit(1000000L)).cast(LongType)
+          - round(log(col("c_a")) * lit(1000000L)).cast(LongType)
+          - round(log(col("c_b")) * lit(1000000L)).cast(LongType)).as("pmi_micro"))
+  }
+
   /** Per-domain distribution shift: KL(P_domain ‖ P_corpus) over unigram
     * distributions, one row per value of `domainCol` — the mixing-audit
     * metric a curation pipeline logs next to [[Ops.mixByBudget]] (a domain

@@ -54,16 +54,30 @@ object Similarity {
   private def nqdot(a: Column, b: Column): Column =
     call_function("graft_qdot", a, b)
 
-  /** Cosine over quantized vectors: one double division of exact integer
-    * dots — bit-identical on any engine. */
-  def qcosine(a: Column, b: Column): Column =
-    qdot(a, b).cast("double") / (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+  /** dot/(√na·√nb) with a zero-norm guard: a zero vector has no direction,
+    * so its cosine is NULL — it never passes a `>= threshold` filter and
+    * ranks LAST under `desc` ordering (Spark's desc is nulls-last). The
+    * guard matters under ANSI mode, where the unguarded 0/0 aborts the
+    * whole job on one degenerate row (found by the
+    * dedupedCorpusByEmbedding property shrink). For nonzero norms the
+    * `when` branch evaluates the IDENTICAL division, so every oracle's
+    * unguarded expression still matches bit-for-bit. */
+  private[operators] def cosineOf(dot: Column, na: Column, nb: Column): Column =
+    when(na > lit(0L) && nb > lit(0L),
+      dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
 
-  /** Double-precision cosine (library use; order-sensitive last-ulp). */
+  /** Cosine over quantized vectors: one double division of exact integer
+    * dots — bit-identical on any engine. NULL for zero-norm inputs. */
+  def qcosine(a: Column, b: Column): Column =
+    cosineOf(qdot(a, b), qdot(a, a), qdot(b, b))
+
+  /** Double-precision cosine (library use; order-sensitive last-ulp).
+    * NULL for zero-norm inputs. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    when(dot(a, a) > lit(0.0) && dot(b, b) > lit(0.0),
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
   }
 
   /** Persist + force-materialize (see Dedup.pin — same discipline). */
@@ -148,8 +162,7 @@ object Similarity {
       .withColumn("qn", nqdot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        nqdot(col("qv"), col("nv")).cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
+        cosineOf(nqdot(col("qv"), col("nv")), col("qn"), col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -194,8 +207,7 @@ object Similarity {
         .select("query_id", "nbr_id").distinct()
       val scored = cand.join(c, Seq("nbr_id")).join(broadcast(q), Seq("query_id"))
         .withColumn("cosine",
-          nqdot(col("qv"), col("nv")).cast("double") /
-            (sqrt(col("qn").cast("double")) * sqrt(col("nn").cast("double"))))
+          cosineOf(nqdot(col("qv"), col("nv")), col("qn"), col("nn")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("nbr_id"))
       val out = scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -323,8 +335,7 @@ object Similarity {
     val scored = cAsg.join(c, Seq("nbr_id")).join(broadcast(qAsg), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        nqdot(col("qv"), col("nv")).cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("vv").cast("double"))))
+        cosineOf(nqdot(col("qv"), col("nv")), col("qn"), col("vv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     val out = scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -614,8 +625,7 @@ object Similarity {
       .join(c.select(col("nbr_id"), col("vv")), Seq("nbr_id"))
       .join(broadcast(q.select(col("query_id"), col("qn"))), Seq("query_id"))
       .withColumn("adc_cos",
-        col("adc_dot").cast("double") /
-          (sqrt(col("qn").cast("double")) * sqrt(col("vv").cast("double"))))
+        cosineOf(col("adc_dot"), col("qn"), col("vv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("nbr_id"))
     val ranked =
@@ -635,8 +645,7 @@ object Similarity {
         shortlist.join(c, Seq("nbr_id"))
           .join(broadcast(q), Seq("query_id"))
           .withColumn("cosine",
-            nqdot(col("qv"), col("nv")).cast("double") /
-              (sqrt(col("qn").cast("double")) * sqrt(col("vv").cast("double"))))
+            cosineOf(nqdot(col("qv"), col("nv")), col("qn"), col("vv")))
           .withColumn("rank", row_number().over(rw).cast("long"))
           .filter(col("rank") <= k)
           .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
@@ -1035,8 +1044,7 @@ object Similarity {
       .join(vecs.select(col("doc").as("doc_b"), col("vec").as("vec_b"),
         col("n2").as("n2_b")), Seq("doc_b"))
       .withColumn("dot", call_function("graft_sdot", col("vec_a"), col("vec_b")))
-      .withColumn("cosine", col("dot").cast("double") /
-        (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .withColumn("cosine", cosineOf(col("dot"), col("n2_a"), col("n2_b")))
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
       .localCheckpoint(true)
@@ -1074,5 +1082,72 @@ object Similarity {
       .orderBy(col("n_votes").desc, col(labelCol))
     votes.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
       .select(col("query_id"), col(labelCol).as("pred_label"), col("n_votes"))
+  }
+
+  /** Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) — the RAG-serving step after any topK search: from
+    * each query's candidate list, greedily pick k results trading
+    * relevance against redundancy with what's already picked,
+    * argmax_c [ λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s) ].
+    *
+    * `cand` is (query_id, nbr_id, rel_nano) — rel_nano a LONG (e.g.
+    * round(cosine·1e9), the caller quantizes its searcher's score once per
+    * value); `vecs` supplies candidate vectors for the pairwise sims,
+    * which are nano-quantized the same way. λ = lNum/lDen rational, so the
+    * per-step argmax compares exact longs — lNum·rel − (lDen−lNum)·maxsim
+    * is the MMR objective scaled by lDen — and ties break to the smallest
+    * nbr_id: the selection sequence is engine- and partition-exact.
+    *
+    * Scale shape: pairwise sims are computed once, WITHIN each query's
+    * candidate list (fetch² per query for fetch ≲ 10² — the serving-time
+    * regime; never corpus×corpus), keyed equi-joins on (query, candidate).
+    * The greedy loop is k fixed rounds, each one join + keyed window over
+    * the pinned candidate frame — the [[Graph.pageRank]] eager-iteration
+    * discipline, k small jobs with no driver data traffic. Queries with
+    * fewer than k candidates simply stop early (their ranks end at the
+    * candidate count). Output: (query_id, nbr_id, mmr_rank). */
+  def mmrRerank(cand: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int, lNum: Int = 1, lDen: Int = 2,
+      scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lDen > 0 && lNum >= 0 && lNum <= lDen, "need 0 <= lNum/lDen <= 1")
+    val qv = vecs.select(col(idCol).as("mv_id"), quantize(col(vecCol), scale).as("mv"))
+      .withColumn("mn", nqdot(col("mv"), col("mv")))
+    val ids = cand.select(col("query_id"), col("nbr_id"))
+    val pairs = pin(ids
+      .join(ids.select(col("query_id"), col("nbr_id").as("other_id")), Seq("query_id"))
+      .filter(col("nbr_id") =!= col("other_id"))
+      .join(qv.select(col("mv_id").as("nbr_id"), col("mv").as("va"), col("mn").as("na")), Seq("nbr_id"))
+      .join(qv.select(col("mv_id").as("other_id"), col("mv").as("vb"), col("mn").as("nb")), Seq("other_id"))
+      .select(col("query_id"), col("nbr_id"), col("other_id"),
+        round(cosineOf(nqdot(col("va"), col("vb")), col("na"), col("nb")) * 1e9)
+          .cast(LongType).as("sim_nano")))
+    val c = pin(cand.select(col("query_id"), col("nbr_id"), col("rel_nano")))
+    // round 1: pure relevance argmax
+    var selected = c.withColumn("rn", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("rel_nano").desc, col("nbr_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nbr_id"), lit(1L).as("mmr_rank"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val ms = pairs
+        .join(selected.select(col("query_id"), col("nbr_id").as("other_id")),
+          Seq("query_id", "other_id"))
+        .groupBy(col("query_id"), col("nbr_id"))
+        .agg(max(col("sim_nano")).as("max_sim"))
+      val next = c
+        .join(selected.select("query_id", "nbr_id"), Seq("query_id", "nbr_id"), "left_anti")
+        .join(ms, Seq("query_id", "nbr_id"))
+        .withColumn("score", lit(lNum.toLong) * col("rel_nano") -
+          lit((lDen - lNum).toLong) * col("max_sim"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("query_id")).orderBy(col("score").desc, col("nbr_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("nbr_id"), lit(i.toLong).as("mmr_rank"))
+      selected = selected.union(next).localCheckpoint(true)
+    }
+    pairs.unpersist(blocking = false)
+    c.unpersist(blocking = false)
+    selected
   }
 }

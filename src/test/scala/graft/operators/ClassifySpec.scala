@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ClassifySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spam", "buy cheap pills now buy now"),
+    (2L, "spam", "cheap pills cheap deal"),
+    (3L, "ham", "meeting notes for the quarterly review"),
+    (4L, "ham", "please review the meeting agenda"),
+    (5L, "ham", "quarterly planning meeting tomorrow")
+  ).toDF("id", "label", "text")
+
+  test("nbPredict: class-typical vocabulary classifies to its class") {
+    val m = Classify.nbTrain(corpus, "label", "text")
+    val test = Seq((10L, "cheap pills"), (11L, "quarterly meeting review"))
+      .toDF("id", "text")
+    val pred = Classify.nbPredict(m, test, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(10L -> "spam", 11L -> "ham"))
+  }
+
+  test("nbPredict: no-overlap and empty docs fall back to prior + denominator evidence") {
+    val m = Classify.nbTrain(corpus, "label", "text")
+    // zero tokens after normalization: score = prior only → majority class
+    val empty = Classify.nbPredict(m, Seq((20L, "")).toDF("id", "text"))
+    // "" still tokenizes to one empty-string token (split contract) which
+    // is unseen in training → n_tok=1, evidence = prior − denom
+    assert(empty.collect().head.getString(1) == "ham") // 3/5 prior, smaller denom
+    // unseen-vocab doc: all tokens contribute only −n_tok·denom
+    val oov = Classify.nbPredict(m, Seq((21L, "zzz qqq www")).toDF("id", "text"))
+    assert(oov.collect().head.getString(1) == "ham")
+  }
+
+  private def nbPredictOf(m: Classify.NbModel, df: org.apache.spark.sql.DataFrame) =
+    Classify.nbPredict(m, df, "id", "text")
+
+  test("nb scores are partition-independent exact longs; save/load ≡ fresh") {
+    val test = Seq((30L, "cheap meeting"), (31L, "pills review deal"), (32L, "now"))
+      .toDF("id", "text")
+    val a = rowSet(nbPredictOf(Classify.nbTrain(corpus, "label", "text"), test))
+    val b = rowSet(nbPredictOf(Classify.nbTrain(corpus.repartition(7), "label", "text"),
+      test.repartition(5)))
+    assert(a == b && a.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    Classify.saveNbModel(Classify.nbTrain(corpus, "label", "text"), dir)
+    val loaded = Classify.loadNbModel(spark, dir)
+    assert(rowSet(nbPredictOf(loaded, test)) == a)
+    // partial save fails fast with the component name
+    val broken = java.nio.file.Files.createTempDirectory("nbbroken").toString
+    Classify.nbTrain(corpus, "label", "text").tokenLik
+      .write.mode("overwrite").parquet(s"$broken/token_lik")
+    val e = intercept[IllegalArgumentException](Classify.loadNbModel(spark, broken))
+    assert(e.getMessage.contains("class_stats"))
+  }
+
+  test("nb ties break to the lexicographically first label") {
+    val sym = Seq((1L, "a", "x y"), (2L, "b", "x y")).toDF("id", "label", "text")
+    val m = Classify.nbTrain(sym, "label", "text")
+    val p = Classify.nbPredict(m, Seq((9L, "x")).toDF("id", "text")).collect().head
+    assert(p.getString(1) == "a") // identical score under both labels
+  }
+}

@@ -73,4 +73,52 @@ class JoinsSpec extends SparkTestBase {
     val none = Seq.empty[Long].toDF("k")
     assert(Joins.bloomPrunedJoin(big, none, "k").count() == 0)
   }
+
+  // ---- fuzzy (edit-distance) joins ---------------------------------------
+
+  test("fuzzySelfPairs ≡ naive all-pairs levenshtein filter (lossless signatures)") {
+    val words = Seq("kitten", "sitten", "sittin", "mitten", "cat", "cart",
+      "chart", "dog", "dig", "dug", "a", "ab", "")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (d <- 1 to 2) {
+      val got = Joins.fuzzySelfPairs(words, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rows = words.collect().map(r => (r.getLong(0), r.getString(1)))
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        if levenshteinRef(sa, sb) <= d
+      } yield (ia, ib)).toSet
+      assert(got == want, s"maxDist=$d")
+    }
+  }
+
+  test("fuzzySelfPairs dist column is the exact edit distance; partition-independent") {
+    val words = Seq((1L, "abc"), (2L, "abcd"), (3L, "azc"), (4L, "xyz")).toDF("id", "s")
+    val out = Joins.fuzzySelfPairs(words, "id", "s", 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(out == Map((1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 2))
+    val rep = Joins.fuzzySelfPairs(words.repartition(7), "id", "s", 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(rep == out)
+  }
+
+  test("fuzzyJoin probe side: each left row matched within maxDist, empty string handled") {
+    val corpus = Seq((10L, "spark"), (11L, "spork"), (12L, "shark"), (13L, "")).toDF("id", "s")
+    val probes = Seq((1L, "spark"), (2L, "sparkk"), (3L, "zzz"), (4L, "x")).toDF("id", "s")
+    val got = Joins.fuzzyJoin(probes, "id", "s", corpus, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "spark"→{spark, spork, shark}, "sparkk"→{spark}, "zzz"→{}, "x"→{""}
+    assert(got == Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (4L, 13L)))
+  }
+
+  /** Classic DP reference implementation for the spec oracle. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }

@@ -375,4 +375,35 @@ class LmSearchGraphSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(nt == Map("a" -> 5L, "b" -> 5L))
   }
+
+  // ---- Graph.triangles ----------------------------------------------------
+
+  test("triangles: K4 = 3 per node; path = 0 per node; messy edge list tolerated") {
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toDF("src", "dst")
+    val t = Graph.triangles(k4, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)) // 4 triangles total
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = Graph.triangles(path, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L)) // 0-rows present
+    // duplicates, reversed orientation, and a self-loop: still one {1,2,3}
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val m = Graph.triangles(messy, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: partition-independent; star hub counts only its real triangle") {
+    val e = (1L to 20L).map(l => (0L, l)).toDF("src", "dst")
+      .union(Seq((1L, 2L)).toDF("src", "dst"))
+    val a = rowSet(Graph.triangles(e, "src", "dst"))
+    val b = rowSet(Graph.triangles(e.repartition(9), "src", "dst"))
+    assert(a == b && a.nonEmpty)
+    val m = Graph.triangles(e, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 1L && m(1L) == 1L && m(2L) == 1L)
+    assert((3L to 20L).forall(m(_) == 0L))
+  }
 }
