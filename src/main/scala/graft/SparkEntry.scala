@@ -1799,7 +1799,7 @@ object SparkEntry {
     s"""$cteName AS (SELECT id_a, id_b FROM (
               SELECT cand.id_a, cand.id_b,
                      list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
-                       / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+                       / NULLIF(sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE), 0) AS cosine
               FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                     FROM $left a JOIN $right b ON a.t = b.t AND a.bucket = b.bucket
                       AND $cond) cand
@@ -1947,13 +1947,13 @@ object SparkEntry {
   private val sqlAdcTail =
     s"""pr AS (SELECT query_id, nbr_id,
                      row_number() OVER (PARTITION BY query_id
-                       ORDER BY adc_dot::DOUBLE / (sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE)) DESC,
+                       ORDER BY adc_dot::DOUBLE / NULLIF(sqrt(qn.nn::DOUBLE) * sqrt(nb.nn::DOUBLE), 0) DESC,
                                 nbr_id) AS srank
               FROM sc2 JOIN qn USING (query_id) JOIN v nb ON nb.vec_id = sc2.nbr_id),
        sl AS (SELECT query_id, nbr_id FROM pr WHERE srank <= 50),
        rr AS (SELECT sl.query_id, sl.nbr_id,
                      list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
-                       / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) AS cosine
+                       / NULLIF(sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE), 0) AS cosine
               FROM sl JOIN v qq ON qq.vec_id = sl.query_id
                       JOIN v ON v.vec_id = sl.nbr_id),
        pq AS (SELECT query_id, nbr_id, cosine_micro, rank FROM (
@@ -1968,7 +1968,7 @@ object SparkEntry {
                 SELECT qq.vec_id AS query_id, v.vec_id AS nbr_id,
                        row_number() OVER (PARTITION BY qq.vec_id
                          ORDER BY list_sum([p[1] * p[2] for p in list_zip(qq.q, v.q)])::DOUBLE
-                                  / (sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE)) DESC, v.vec_id) AS rk
+                                  / NULLIF(sqrt(qq.nn::DOUBLE) * sqrt(v.nn::DOUBLE), 0) DESC, v.vec_id) AS rk
                 FROM v qq JOIN v ON qq.vec_id < 10 AND v.vec_id <> qq.vec_id) t
               WHERE rk <= 5)"""
   // BM25 top-20 for ('spark','join','window') over the whole documents
@@ -2046,12 +2046,12 @@ object SparkEntry {
                       ORDER BY cosine DESC, nbr_id) AS rank
                   FROM (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
                           list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
-                            / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+                            / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) AS cosine
                         FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t0) t
             WHERE rank <= 20),
        mmr_pairs AS (SELECT a.query_id, a.nbr_id, b.nbr_id AS other_id,
               CAST(round(list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
-                / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) * 1000000000) AS BIGINT) AS sim_nano
+                / NULLIF(sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE), 0) * 1000000000) AS BIGINT) AS sim_nano
             FROM mmr_cand a JOIN mmr_cand b
               ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id
             JOIN v x ON x.vec_id = a.nbr_id
@@ -2076,7 +2076,7 @@ object SparkEntry {
           FROM (
             SELECT cand.query_id, cand.nbr_id,
                    list_sum([p[1] * p[2] for p in list_zip(qq.q, cc.q)])::DOUBLE
-                     / (sqrt(qq.nn::DOUBLE) * sqrt(cc.nn::DOUBLE)) AS cosine
+                     / NULLIF(sqrt(qq.nn::DOUBLE) * sqrt(cc.nn::DOUBLE), 0) AS cosine
             FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
                   FROM qpb q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
                   WHERE q.vec_id <> c.vec_id) cand
@@ -2090,7 +2090,7 @@ object SparkEntry {
           FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
                    list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
-                     / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+                     / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) AS cosine
             FROM ivf_asg c JOIN ivf_q q ON q.cell = c.cell AND q.vec_id <> c.vec_id) s
           QUALIFY rank <= 5)"""
 
@@ -2568,7 +2568,7 @@ object SparkEntry {
          FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
                   list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
-                    / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) AS cosine
+                    / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) AS cosine
            FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q32_ann_bucketed" ->
@@ -2609,7 +2609,7 @@ object SparkEntry {
              SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
                     row_number() OVER (PARTITION BY q.vec_id
                       ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
-                                 / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) DESC,
+                                 / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
                                c.vec_id) AS rank
              FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
            WHERE rank <= 5)
@@ -2628,7 +2628,7 @@ object SparkEntry {
          SELECT id_a, id_b, cosine FROM (
            SELECT cand.id_a, cand.id_b,
                   list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
-                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+                    / NULLIF(sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE), 0) AS cosine
            FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                  FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
                    AND a.vec_id < b.vec_id) cand
@@ -2647,7 +2647,7 @@ object SparkEntry {
          ${sqlEmbPairs("pairs", "pb", "bk", "a.vec_id <> b.vec_id")}
          SELECT p.id_a, p.id_b,
                 list_sum([z[1] * z[2] for z in list_zip(x.q, y.q)])::DOUBLE
-                  / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+                  / NULLIF(sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE), 0) AS cosine
          FROM pairs p JOIN vv x ON x.vec_id = p.id_a
                       JOIN vv y ON y.vec_id = p.id_b
          ORDER BY id_a, id_b""",
@@ -2777,7 +2777,7 @@ object SparkEntry {
          pairs AS (SELECT id_a, id_b FROM (
            SELECT cand.id_a, cand.id_b,
                   list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
-                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+                    / NULLIF(sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE), 0) AS cosine
            FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                  FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
                    AND a.vec_id < b.vec_id) cand
@@ -2810,7 +2810,7 @@ object SparkEntry {
                   FROM ktf a JOIN ktf b USING (term)
                   WHERE a.doc < b.doc GROUP BY 1, 2),
          c AS (SELECT doc_a, doc_b,
-                      dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cosine
+                      dot::DOUBLE / NULLIF(sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE), 0) AS cosine
                FROM dots JOIN n2 na ON na.doc = doc_a JOIN n2 nb ON nb.doc = doc_b)
          SELECT doc_a, doc_b, CAST(round(cosine * 1e6) AS BIGINT) AS cosine_micro
          FROM c WHERE cosine >= 0.6 ORDER BY doc_a, doc_b""",
@@ -2819,7 +2819,7 @@ object SparkEntry {
          found AS (SELECT id_a, id_b FROM (
            SELECT cand.id_a, cand.id_b,
                   list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
-                    / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) AS cosine
+                    / NULLIF(sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE), 0) AS cosine
            FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                  FROM pb a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
                    AND a.vec_id < b.vec_id) cand
@@ -2833,7 +2833,7 @@ object SparkEntry {
          exact AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
                    FROM vcap x JOIN vcap y ON x.vec_id < y.vec_id
                    WHERE list_sum([p[1] * p[2] for p in list_zip(x.q, y.q)])::DOUBLE
-                         / (sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE)) >= 0.3)
+                         / NULLIF(sqrt(x.nn::DOUBLE) * sqrt(y.nn::DOUBLE), 0) >= 0.3)
          SELECT count(*) AS n_exact,
                 CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
                 CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
@@ -3775,7 +3775,7 @@ object SparkEntry {
     // (label, token) count and per label scalar, exact BIGINT score sums,
     // argmax via the identical (score DESC, label) window
     "q133_nb_classify" ->
-      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
          test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
          ttoks AS (SELECT lang AS label,
                 unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
@@ -4024,7 +4024,7 @@ object SparkEntry {
                    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
                           row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
-                                       / (sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE)) DESC,
+                                       / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
                                      c.vec_id) AS rank
                    FROM v q JOIN v c ON q.vec_id < 50 AND q.vec_id <> c.vec_id) t
                  WHERE rank <= 5),

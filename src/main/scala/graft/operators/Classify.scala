@@ -50,7 +50,13 @@ object Classify {
     * (label, token) counts, per-label token totals, doc-count priors, and
     * the global vocabulary size, all as exact long aggregates quantized at
     * the end. */
-  def nbTrain(docs: DataFrame, labelCol: String, textCol: String): NbModel = {
+  def nbTrain(docs0: DataFrame, labelCol: String, textCol: String): NbModel = {
+    // a NULL label is not a class: dropping it here keeps the predict-side
+    // (score DESC, label) tie-break engine-portable — Spark windows sort a
+    // NULL label FIRST (asc nulls-first) while SQL engines defaulting to
+    // nulls-last sort it LAST, so a NULL class could win ties on one
+    // engine and lose them on the other (advisor r8)
+    val docs = docs0.filter(col(labelCol).isNotNull)
     val t = toks(docs, Seq(labelCol), textCol)
     val counts = t.groupBy(col(labelCol).as("label"), col("token"))
       .agg(count(lit(1)).as("c"))
@@ -105,11 +111,27 @@ object Classify {
 
   /** Parquet persistence for the standing-classifier shape (train once,
     * classify every ingest batch): two tables + the [[NbModel]] layout
-    * contract. Stats written LAST as the commit marker (the index-save
-    * convention — a partial save fails fast on load). */
+    * contract. Both tables are written to a `_staging` subdirectory first,
+    * then swapped in with filesystem renames — the write-stats-last commit
+    * marker alone only protects FRESH saves (overwriting an existing model
+    * rewrites token_lik before class_stats, so a crash between the two
+    * leaves new likelihoods silently paired with stale stats, advisor r8).
+    * With the staged swap every crash window leaves a MISSING component,
+    * which [[loadNbModel]] rejects fail-fast, never a mixed-epoch model. */
   def saveNbModel(m: NbModel, path: String): Unit = {
-    m.tokenLik.write.mode("overwrite").parquet(s"$path/token_lik")
-    m.classStats.write.mode("overwrite").parquet(s"$path/class_stats")
+    val staging = s"$path/_staging"
+    m.tokenLik.write.mode("overwrite").parquet(s"$staging/token_lik")
+    m.classStats.write.mode("overwrite").parquet(s"$staging/class_stats")
+    val spark = m.tokenLik.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("token_lik", "class_stats")) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(live, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$sub"), live),
+        s"nb model save: rename of staged '$sub' into place failed at $path")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   def loadNbModel(spark: SparkSession, path: String): NbModel = {

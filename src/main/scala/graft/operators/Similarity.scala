@@ -1114,14 +1114,19 @@ object Similarity {
     val qv = vecs.select(col(idCol).as("mv_id"), quantize(col(vecCol), scale).as("mv"))
       .withColumn("mn", nqdot(col("mv"), col("mv")))
     val ids = cand.select(col("query_id"), col("nbr_id"))
+    // LEFT joins to vecs: a candidate id absent from `vecs` keeps its pair
+    // rows with sim 0 (no redundancy evidence) instead of silently
+    // truncating the whole query's ranks 2..k — an inner join here would
+    // empty the `ms`/`next` joins the first time a vector-less candidate
+    // is selected (advisor r8).
     val pairs = pin(ids
       .join(ids.select(col("query_id"), col("nbr_id").as("other_id")), Seq("query_id"))
       .filter(col("nbr_id") =!= col("other_id"))
-      .join(qv.select(col("mv_id").as("nbr_id"), col("mv").as("va"), col("mn").as("na")), Seq("nbr_id"))
-      .join(qv.select(col("mv_id").as("other_id"), col("mv").as("vb"), col("mn").as("nb")), Seq("other_id"))
+      .join(qv.select(col("mv_id").as("nbr_id"), col("mv").as("va"), col("mn").as("na")), Seq("nbr_id"), "left")
+      .join(qv.select(col("mv_id").as("other_id"), col("mv").as("vb"), col("mn").as("nb")), Seq("other_id"), "left")
       .select(col("query_id"), col("nbr_id"), col("other_id"),
-        round(cosineOf(nqdot(col("va"), col("vb")), col("na"), col("nb")) * 1e9)
-          .cast(LongType).as("sim_nano")))
+        coalesce(round(cosineOf(nqdot(col("va"), col("vb")), col("na"), col("nb")) * 1e9)
+          .cast("long"), lit(0L)).as("sim_nano")))
     val c = pin(cand.select(col("query_id"), col("nbr_id"), col("rel_nano")))
     // round 1: pure relevance argmax
     var selected = c.withColumn("rn", row_number().over(Window

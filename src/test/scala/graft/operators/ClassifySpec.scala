@@ -26,13 +26,17 @@ class ClassifySpec extends SparkTestBase {
   test("nbPredict: no-overlap and empty docs fall back to prior + denominator evidence") {
     val m = Classify.nbTrain(corpus, "label", "text")
     // zero tokens after normalization: score = prior only → majority class
-    val empty = Classify.nbPredict(m, Seq((20L, "")).toDF("id", "text"))
+    val empty = nbPredictOf(m, Seq((20L, "")).toDF("id", "text"))
     // "" still tokenizes to one empty-string token (split contract) which
-    // is unseen in training → n_tok=1, evidence = prior − denom
-    assert(empty.collect().head.getString(1) == "ham") // 3/5 prior, smaller denom
-    // unseen-vocab doc: all tokens contribute only −n_tok·denom
-    val oov = Classify.nbPredict(m, Seq((21L, "zzz qqq www")).toDF("id", "text"))
-    assert(oov.collect().head.getString(1) == "ham")
+    // is unseen in training → n_tok=1: ham's prior edge ln(0.6/0.4) beats
+    // its larger denominator ln(30/25), so ham wins
+    assert(empty.collect().head.getString(1) == "ham")
+    // unseen-vocab doc: all tokens contribute only −n_tok·ln(T_label+V).
+    // At n_tok=3 the denominator dominates the prior: 3·ln(30/25) > ln(0.6/0.4),
+    // so the label with the SMALLER token total (spam, T=10 vs ham's 15) wins
+    // despite the smaller prior — correct Laplace-smoothed NB behavior.
+    val oov = nbPredictOf(m, Seq((21L, "zzz qqq www")).toDF("id", "text"))
+    assert(oov.collect().head.getString(1) == "spam")
   }
 
   private def nbPredictOf(m: Classify.NbModel, df: org.apache.spark.sql.DataFrame) =
@@ -60,7 +64,7 @@ class ClassifySpec extends SparkTestBase {
   test("nb ties break to the lexicographically first label") {
     val sym = Seq((1L, "a", "x y"), (2L, "b", "x y")).toDF("id", "label", "text")
     val m = Classify.nbTrain(sym, "label", "text")
-    val p = Classify.nbPredict(m, Seq((9L, "x")).toDF("id", "text")).collect().head
+    val p = Classify.nbPredict(m, Seq((9L, "x")).toDF("id", "text"), "id", "text").collect().head
     assert(p.getString(1) == "a") // identical score under both labels
   }
 }
