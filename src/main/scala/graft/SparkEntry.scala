@@ -734,6 +734,31 @@ object SparkEntry {
       Lm.pmiCollocations(Tables.documents(s, d), "text", minCount = 5)
         .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(20)
     }),
+    // standing FastSS fuzzy dictionary ✚ (r9): the part-name vocabulary
+    // md5-split into a base dictionary, an ingest batch, and a probe set;
+    // signatures built over base, EXTENDED with the batch (pure per-row
+    // function — extend ≡ rebuild), persisted, reloaded, and probed.
+    // Index-probe ≡ the naive probe×dict all-pairs levenshtein the oracle
+    // runs — the record-linkage deployment shape: dictionary indexed once,
+    // every ingest batch probed with a signature equi-join
+    "q136_fuzzy_index" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      val base = names.filter(md5(col("name")) >= "4")
+      val batch = names.filter(md5(col("name")) >= "2" && md5(col("name")) < "4")
+      val probe = names.filter(md5(col("name")) < "2")
+      val path = java.nio.file.Files.createTempDirectory("graft_fzix").toString
+      val ix0 = Joins.fuzzyIndex(base, "name", "name", maxDist = 2)
+      val ext = Joins.extendFuzzyIndex(ix0, batch)
+      Joins.saveFuzzyIndex(ext, path)
+      ext.release(); ix0.release()
+      val ix = Joins.loadFuzzyIndex(s, path)
+      val out = Joins.fuzzyProbe(ix, probe, "name", "name")
+        .select(col("id_l").as("name_p"), col("id_r").as("name_d"),
+          col("dist").cast(LongType).as("dist"))
+        .localCheckpoint(true)
+      ix.release()
+      out.orderBy("name_p", "name_d")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -2602,6 +2627,17 @@ object SparkEntry {
          FROM c2 JOIN ucnt a ON a.t = c2.w1 JOIN ucnt b ON b.t = c2.w2 CROSS JOIN nbg
          WHERE c2.c2 >= 5
          ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""",
+    // the naive probe×dict all-pairs scan the standing signature index
+    // avoids; the md5-based three-way split is engine-identical (both
+    // engines emit lowercase hex)
+    "q136_fuzzy_index" ->
+      """WITH v AS (SELECT DISTINCT p_name AS name FROM part),
+         dict AS (SELECT name FROM v WHERE md5(name) >= '2'),
+         probe AS (SELECT name FROM v WHERE md5(name) < '2')
+         SELECT p.name AS name_p, d.name AS name_d,
+                CAST(levenshtein(p.name, d.name) AS BIGINT) AS dist
+         FROM probe p JOIN dict d ON levenshtein(p.name, d.name) <= 2
+         ORDER BY name_p, name_d""",
     "q52_ann_recall" ->
       s"""WITH $sqlVecs, ${sqlLshBuckets(16)}, $sqlLshProbes, $sqlIvfChain, $sqlLshTopK, $sqlIvfTopK,
          brute AS (

@@ -367,4 +367,93 @@ object Joins {
       .withColumn("dist", levenshtein(col("str_l"), col("str_r")))
       .filter(col("dist") <= lit(maxDist))
   }
+
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
+  /** A standing FastSS fuzzy-match dictionary (r9 — the approximate-key
+    * sibling of [[Search.Bm25Index]], completing the stored-index story for
+    * record linkage: [[fuzzyJoin]] recomputes deletion signatures for BOTH
+    * sides on every call, which is the benchmark shape, not the deployed
+    * one). The dictionary side's exploded deletion-neighborhood signatures
+    * are computed ONCE ((fz_sig, id, str) rows), pinned, and probed by each
+    * ingest batch with a signature equi-join + levenshtein verify — in a
+    * deployment the signature table is stored bucketed by `fz_sig`, so a
+    * probe shuffles only the (small) batch side. `maxDist` is fixed at
+    * build time: signatures are depth-`maxDist` neighborhoods, and the
+    * lossless-candidate guarantee only holds for probes at the SAME depth
+    * (a probe at larger d would miss pairs). `release()` when done. */
+  final case class FuzzyIndex private[operators] (
+      idCol: String, strCol: String, maxDist: Int, signatures: DataFrame) {
+    def release(): Unit = signatures.unpersist(false)
+  }
+
+  /** Build a [[FuzzyIndex]] over the dictionary `dict`: one projection +
+    * HOF signature expansion + explode — embarrassingly parallel, no
+    * shuffle (the pin's count materializes it). */
+  def fuzzyIndex(dict: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): FuzzyIndex = {
+    require(maxDist >= 1 && maxDist <= 3, "maxDist must be in 1..3 (L^d signature blowup)")
+    val sig = pin(dict.select(col(idCol).as("fz_id"), col(strCol).as("fz_s"),
+      explode(deletionSignatures(col(strCol), maxDist)).as("fz_sig")))
+    FuzzyIndex(idCol, strCol, maxDist, sig)
+  }
+
+  /** [[fuzzyJoin]] of a probe batch against a prebuilt [[FuzzyIndex]] —
+    * signatures are expanded for the PROBE side only; the dictionary side
+    * is the stored table. Output schema and semantics are identical to
+    * `fuzzyJoin(probe, …, dict, …, ix.maxDist)` (the q136 gate asserts
+    * index-probe ≡ from-scratch through the oracle): (id_l, id_r, str_l,
+    * str_r, dist) with id_l from the probe and id_r from the dictionary. */
+  def fuzzyProbe(ix: FuzzyIndex, probe: DataFrame, probeId: String,
+      probeStr: String): DataFrame = {
+    val ps = probe.select(col(probeId).as("id_l"), col(probeStr).as("str_l"),
+      explode(deletionSignatures(col(probeStr), ix.maxDist)).as("fz_sig"))
+    ps.join(ix.signatures, Seq("fz_sig"))
+      .select(col("id_l"), col("fz_id").as("id_r"),
+        col("str_l"), col("fz_s").as("str_r"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("str_l"), col("str_r")))
+      .filter(col("dist") <= lit(ix.maxDist))
+  }
+
+  /** Fold an ingest batch INTO the dictionary: the batch's signature rows
+    * union in — signatures are a pure per-row function of the string, so
+    * the extended index is bit-indistinguishable from one rebuilt on the
+    * union. Batch ids must be disjoint from indexed ids (the usual ingest
+    * contract). Returns a NEW pinned index; the caller may `release()` the
+    * old one afterwards. */
+  def extendFuzzyIndex(ix: FuzzyIndex, batch: DataFrame): FuzzyIndex = {
+    val add = batch.select(col(ix.idCol).as("fz_id"), col(ix.strCol).as("fz_s"),
+      explode(deletionSignatures(col(ix.strCol), ix.maxDist)).as("fz_sig"))
+    FuzzyIndex(ix.idCol, ix.strCol, ix.maxDist,
+      pin(ix.signatures.unionByName(add)))
+  }
+
+  /** Persist a [[FuzzyIndex]]: the signature table, then `params` LAST as
+    * the commit marker (the shared [[Dedup.saveEmbeddingIndex]] contract —
+    * a save interrupted between the writes leaves no `params`, and
+    * [[loadFuzzyIndex]] fails fast instead of probing a torn table). */
+  def saveFuzzyIndex(ix: FuzzyIndex, path: String): Unit = {
+    ix.signatures.write.mode("overwrite").parquet(s"$path/signatures")
+    val spark = ix.signatures.sparkSession
+    import spark.implicits._
+    Seq((ix.idCol, ix.strCol, ix.maxDist))
+      .toDF("id_col", "str_col", "max_dist")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a stored [[FuzzyIndex]] (signatures pinned). Signatures are
+    * stored bytes, so a loaded index probes bit-identically to the one
+    * saved. Fails fast with a clear message on a partial save. */
+  def loadFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): FuzzyIndex = {
+    Dedup.requireIndexParts(spark, path, Seq("params", "signatures"), "FuzzyIndex")
+    val p = spark.read.parquet(s"$path/params").head()
+    FuzzyIndex(p.getAs[String]("id_col"), p.getAs[String]("str_col"),
+      p.getAs[Int]("max_dist"), pin(spark.read.parquet(s"$path/signatures")))
+  }
 }

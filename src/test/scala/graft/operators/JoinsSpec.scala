@@ -111,6 +111,31 @@ class JoinsSpec extends SparkTestBase {
     assert(got == Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (4L, 13L)))
   }
 
+  test("FuzzyIndex: build+extend+save/load probe ≡ from-scratch fuzzyJoin") {
+    val base = Seq((10L, "spark"), (11L, "spork"), (12L, "shark")).toDF("id", "s")
+    val batch = Seq((13L, "stork"), (14L, "sparse")).toDF("id", "s")
+    val probes = Seq((1L, "spark"), (2L, "sparkk"), (3L, "zzz")).toDF("id", "s")
+    val fresh = rowSet(Joins.fuzzyJoin(probes, "id", "s",
+      base.unionByName(batch), "id", "s", 2))
+    val ix0 = Joins.fuzzyIndex(base, "id", "s", maxDist = 2)
+    val ext = Joins.extendFuzzyIndex(ix0, batch)
+    assert(rowSet(Joins.fuzzyProbe(ext, probes, "id", "s")) == fresh)
+    val dir = java.nio.file.Files.createTempDirectory("fzix").toString
+    Joins.saveFuzzyIndex(ext, dir)
+    ext.release(); ix0.release()
+    val loaded = Joins.loadFuzzyIndex(spark, dir)
+    assert(loaded.maxDist == 2 && loaded.idCol == "id")
+    assert(rowSet(Joins.fuzzyProbe(loaded, probes, "id", "s")) == fresh)
+    loaded.release()
+    // partial save fails fast with the missing component named
+    val broken = java.nio.file.Files.createTempDirectory("fzbroken").toString
+    val ix2 = Joins.fuzzyIndex(base, "id", "s", 1)
+    ix2.signatures.write.mode("overwrite").parquet(s"$broken/signatures")
+    ix2.release()
+    val e = intercept[IllegalArgumentException](Joins.loadFuzzyIndex(spark, broken))
+    assert(e.getMessage.contains("params"))
+  }
+
   /** Classic DP reference implementation for the spec oracle. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
