@@ -17,12 +17,15 @@ import graft.functions.Text
   * ([[wordCounts]] — ONE corpus-wide hash-agg shuffle, map-side combined),
   * weighted by word count. The merge loop then iterates over that pinned
   * vocab-sized frame (≪ corpus: bounded by the language's vocabulary, not
-  * the token count), so 100 TB of text costs one shuffle plus `numMerges`
-  * cheap jobs over millions of rows at most. Per iteration: adjacent-pair
-  * explode → hash-agg → `limit(1).collect()` of the single argmax row (the
-  * only driver traffic — one row per merge, the model itself), then the
-  * merge is applied as a codegen'd fold (below). Nothing else ever leaves
-  * the executors; encoding never shuffles at all.
+  * the token count), so 100 TB of text costs one shuffle plus roughly
+  * `numMerges / maxBatch` cheap jobs over millions of rows at most: each
+  * round's adjacent-pair explode → hash-agg → top-`topM` collect (the only
+  * driver traffic — a few hundred rows per round, the model itself) feeds
+  * [[selectBatch]], which proves a PREFIX of the sorted pairs independent
+  * and applies them all as one lazily-chained codegen'd fold. Sequential
+  * equivalence is exact (see [[selectBatch]]), so batching is purely a
+  * scheduler-round-trip optimization. Nothing else ever leaves the
+  * executors; encoding never shuffles at all.
   *
   * Greedy merge application is the sequential-looking step that kept r4
   * from attempting real BPE — but it is exactly a left fold, and Spark's
@@ -93,35 +96,87 @@ object Bpe {
     * it with a plain parquet write, reload and `.collect()` it for
     * [[encodePieces]]. Stops early (fewer rows) when no adjacent pair
     * remains. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  /** How many of the sorted pair-count rows can be merged in ONE round
+    * while replaying sequential greedy BPE bit-for-bit (r9 — the merge-loop
+    * scale regime: one Spark job per merge is fine at numMerges ≈ 10² but a
+    * 30k-merge production vocab would be 30k sequential scheduler
+    * round-trips). Walk the (pc DESC, a, b)-sorted rows, accepting while:
+    *
+    *  - the pair shares no symbol with any accepted pair ("dirty" symbols);
+    *    the first dirty-toucher ends the batch — its own count is stale;
+    *  - no row ANYWHERE with the same count touches a dirty symbol: a merge
+    *    of (a,b) only (1) zeroes (a,b) itself (greedy fuses every
+    *    occurrence; self-pair runs leave no residual adjacency), (2)
+    *    decreases dirty-adjacent pairs, and (3) creates new pairs whose
+    *    counts are ≤ some old dirty-adjacent pair's count — so as long as
+    *    every dirty-adjacent count is STRICTLY below the candidate's, no
+    *    updated or new pair can reach the candidate's count, and the
+    *    candidate is exactly the sequential argmax (clean pairs keep their
+    *    counts and the candidate is the first unprocessed clean row). The
+    *    strictness matters for ties: a new pair's name ("ab") can sort
+    *    anywhere, so an equal count could steal the argmax;
+    *  - the list was truncated at `topM` and the candidate's count has
+    *    reached the last visible count (the equal-count band may continue
+    *    past the horizon, hiding a dirty-adjacent tie).
+    *
+    * The first row (the global argmax) is always accepted. */
+  private def selectBatch(top: Array[(String, String, Long)], topM: Int,
+      maxN: Int): Seq[(String, String, Long)] = {
+    val dirty = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val truncated = top.length == topM
+    val pcLast = top.last._3
+    var i = 0
+    var stop = false
+    while (i < top.length && !stop && out.size < maxN) {
+      val (a, b, pc) = top(i)
+      if (out.isEmpty) { out += top(i); dirty += a; dirty += b }
+      else if (dirty(a) || dirty(b)) stop = true
+      else if (truncated && pc <= pcLast) stop = true
+      else if (top.indices.exists(j => j > i && top(j)._3 == pc &&
+          (dirty(top(j)._1) || dirty(top(j)._2)))) stop = true
+      else { out += top(i); dirty += a; dirty += b }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      maxBatch: Int = 16): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    // LAZY persist: each iteration's single argmax job materializes the
+    // LAZY persist: each round's single pair-count job materializes the
     // current state's cache while reading the previous one — ONE Spark job
-    // per merge (an eager pin would double it; the loop IS the driver-sync
-    // cost, so job count is the knob that matters). The previous state is
-    // unpersisted only after the job that read it has completed.
+    // per ROUND (an eager pin would double it; the loop IS the driver-sync
+    // cost, so job count is the knob that matters). A round applies up to
+    // `maxBatch` provably-independent merges ([[selectBatch]]) as one
+    // lazily-chained fold stack, so a 30k-merge vocab costs ~30k/batch
+    // scheduler round-trips, not 30k. `maxBatch` stays modest (16) to keep
+    // the chained HOF folds inside one codegen'd projection. The previous
+    // state is unpersisted only after the job that read it has completed.
+    val topM = 256
     var words = wordCounts(docs, textCol)
       .select(col("word"), col("cnt"), charSymbols(col("word")).as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 1
     var done = false
-    while (rank <= numMerges && !done) {
+    while (merges.size < numMerges && !done) {
       val top = pairCounts(words)
-        .orderBy(col("pc").desc, col("a"), col("b")).limit(1).collect()
+        .orderBy(col("pc").desc, col("a"), col("b")).limit(topM).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) done = true
       else {
-        val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, a, b, pc))
+        val batch = selectBatch(top, topM, math.min(maxBatch, numMerges - merges.size))
+        batch.foreach { case (a, b, pc) => merges += ((merges.size + 1, a, b, pc)) }
         prev = words
-        words = words.select(col("word"), col("cnt"),
-            applyMerge(col("syms"), lit(a), lit(b)).as("syms"))
+        val folded = batch.foldLeft(col("syms")) { case (c, (a, b, _)) =>
+          applyMerge(c, lit(a), lit(b)) }
+        words = words.select(col("word"), col("cnt"), folded.as("syms"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        rank += 1
       }
     }
     words.unpersist(blocking = false)

@@ -109,4 +109,17 @@ class BpeSpec extends SparkTestBase {
     val merges = Bpe.train(tiny, "text", 10).collect()
     assert(merges.length == 1)
   }
+
+  test("batched train ≡ strictly sequential train (maxBatch=1), ranks and counts") {
+    // a corpus with count ties, self-pairs, and overlapping-symbol pairs —
+    // the cases selectBatch's guards exist for
+    val tricky = corpus.unionByName(Seq(
+      (5L, "aaaa aaaa banana banana banana"),
+      (6L, "abcabc abcabc xyxyxy")).toDF("doc_id", "text"))
+    val seqMerges = Bpe.train(tricky, "text", 12, maxBatch = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val batMerges = Bpe.train(tricky, "text", 12, maxBatch = 16)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(batMerges == seqMerges)
+  }
 }
