@@ -4,7 +4,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Repetition, Text}
-import graft.operators.{Dedup, Joins, Lm, Ops, Pack}
+import graft.operators.{Bpe, Dedup, Joins, Lm, Ops, Pack}
 
 /** Empirical scaling probe for the dedup pipeline (the suite's algorithmic
   * core): replicates the documents corpus `factor`× in memory (id-offset
@@ -187,6 +187,61 @@ object ScaleProbe {
         lit(bloomBytes), col("doc_id"))).count()
       val blt2 = System.nanoTime()
 
+      // triangle axis (r9): per-node triangle counts over the LSH pair
+      // graph — clone replication densifies clusters, so edges grow
+      // ~factor² within them: the deliberate worst case for wedge
+      // enumeration. The Suri–Vassilvitskii bound is O(m^{3/2}) wedges;
+      // the curve to watch is tri_sec vs pairs^{3/2}, not docs.
+      val trt0 = System.nanoTime()
+      val nTriNodes = graft.operators.Graph.triangles(pairs, "id_a", "id_b")
+        .filter(col("n_tri") > 0).count()
+      val trt1 = System.nanoTime()
+      // fuzzy axis (r9): standing FastSS dictionary over the word
+      // vocabulary plus `_k`-suffixed clone batches (≥2 edits from every
+      // original, so d=1 match volume stays flat while the dictionary
+      // grows linearly); probe = a ~5% md5 sample of the original words.
+      // Watch fz_sigs/fz_dict (constant ≈ L+1 at d=1 — signature fan-out
+      // does not erode) and fz_probe_sec (tracks probe size, not dict).
+      val words0 = graft.operators.Bpe.wordCounts(base, "text")
+        .filter(length(col("word")).between(4, 20)).select("word")
+      val fdict = (0 until factor)
+        .map(k => if (k == 0) words0
+          else words0.select(concat(col("word"), lit("_" + k)).as("word")))
+        .reduce(_ union _)
+      val nFdict = fdict.count()
+      val fzt0 = System.nanoTime()
+      val fzIx = Joins.fuzzyIndex(fdict, "word", "word", maxDist = 1)
+      val nSigs = fzIx.signatures.count()
+      val fzt1 = System.nanoTime()
+      val fprobe = words0.filter(md5(col("word")) < "0c")
+      val nFzMatches = Joins.fuzzyProbe(fzIx, fprobe, "word", "word").count()
+      val fzt2 = System.nanoTime()
+      fzIx.release()
+      // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
+      // rounds vs the strictly sequential loop — the scheduler-round-trip
+      // curve selectBatch exists to flatten (the vocab is replication-
+      // invariant, so this axis measures the loop, not the corpus).
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      }
+      def countJobs(body: => Unit): Int = {
+        spark.sparkContext.addSparkListener(listener)
+        jobCount.set(0)
+        body
+        Thread.sleep(500) // listener bus drains async; probe-grade precision
+        spark.sparkContext.removeSparkListener(listener)
+        jobCount.get()
+      }
+      val bpt0 = System.nanoTime()
+      val bpeJobsBatched = countJobs(Bpe.train(docs, "text", 24).count())
+      val bpt1 = System.nanoTime()
+      val bpeJobsSeq = countJobs(Bpe.train(docs, "text", 24, maxBatch = 1).count())
+      val bpt2 = System.nanoTime()
+
       // explicit ROOT locale (ADVICE r6): f"" formats with the default JVM
       // locale; comma-decimal locales would emit invalid JSON
       def sec(a: Long, b: Long): String =
@@ -203,7 +258,13 @@ object ScaleProbe {
         s""""between_pairs":$nBetween,"between_sec":${sec(t10, t11)},""" +
         s""""bloom_keys":$nBk,"bloom_bytes":${bloomBytes.length},""" +
         s""""bloom_surv":$nBloomSurv,"bloom_build_sec":${sec(blt0, blt1)},""" +
-        s""""bloom_probe_sec":${sec(blt1, blt2)}$pqJson}""")
+        s""""bloom_probe_sec":${sec(blt1, blt2)},""" +
+        s""""tri_nodes":$nTriNodes,"tri_sec":${sec(trt0, trt1)},""" +
+        s""""fz_dict":$nFdict,"fz_sigs":$nSigs,"fz_matches":$nFzMatches,""" +
+        s""""fz_build_sec":${sec(fzt0, fzt1)},"fz_probe_sec":${sec(fzt1, fzt2)},""" +
+        s""""bpe_jobs_batched":$bpeJobsBatched,"bpe_jobs_seq":$bpeJobsSeq,""" +
+        s""""bpe_batched_sec":${sec(bpt0, bpt1)},"bpe_seq_sec":${sec(bpt1, bpt2)}""" +
+        s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -759,6 +759,17 @@ object SparkEntry {
       ix.release()
       out.orderBy("name_p", "name_d")
     }),
+    // per-group centroid outliers ✚ (r9): 8 pseudo-domains (vec_id % 8),
+    // bottom-5 cosine-to-centroid per group — the "doesn't belong to its
+    // domain" curation prune. The centroid enters as the per-dim integer
+    // SUM (cosine is scale-invariant), so the only double rounding is the
+    // final nano-quantized cosine — engine-exact ranks
+    "q137_centroid_outliers" -> ((s, d) => {
+      Similarity.centroidOutliers(
+          Tables.embeddings(s, d).withColumn("grp", pmod(col("vec_id"), lit(8L))),
+          "vec_id", "embedding", "grp", k = 5)
+        .orderBy("grp", "rank")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -2627,6 +2638,29 @@ object SparkEntry {
          FROM c2 JOIN ucnt a ON a.t = c2.w1 JOIN ucnt b ON b.t = c2.w2 CROSS JOIN nbg
          WHERE c2.c2 >= 5
          ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""",
+    // centroid in per-dim integer-SUM form (exact BIGINT hash-agg); the
+    // single rounding is the final nano cosine, ranks ascending — the
+    // zero-norm sentinel mirrors the Spark side's -2e9 pin
+    "q137_centroid_outliers" ->
+      s"""WITH $sqlVecs,
+         g AS (SELECT vec_id, vec_id % 8 AS grp, q, nn FROM v),
+         e AS (SELECT grp, d, q[d] AS x
+               FROM g, unnest(range(1, len(q) + 1)) AS t(d)),
+         sums AS (SELECT grp, d, CAST(sum(x) AS BIGINT) AS sx FROM e GROUP BY 1, 2),
+         cvec AS (SELECT grp, list(sx ORDER BY d) AS cs FROM sums GROUP BY 1),
+         cn AS (SELECT grp, cs, list_sum([y * y for y in cs]) AS cnn FROM cvec),
+         scored AS (SELECT g.grp, g.vec_id,
+                COALESCE(CAST(round(
+                    list_sum([p[1] * p[2] for p in list_zip(g.q, cn.cs)])::DOUBLE
+                      / NULLIF(sqrt(g.nn::DOUBLE) * sqrt(cn.cnn::DOUBLE), 0)
+                      * 1000000000) AS BIGINT), -2000000000) AS cos_nano
+              FROM g JOIN cn ON g.grp = cn.grp),
+         rk AS (SELECT grp, vec_id, cos_nano,
+                row_number() OVER (PARTITION BY grp
+                  ORDER BY cos_nano ASC, vec_id) AS rank
+              FROM scored)
+         SELECT grp, vec_id, cos_nano, CAST(rank AS BIGINT) AS rank
+         FROM rk WHERE rank <= 5 ORDER BY grp, rank""",
     // the naive probe×dict all-pairs scan the standing signature index
     // avoids; the md5-based three-way split is engine-identical (both
     // engines emit lowercase hex)

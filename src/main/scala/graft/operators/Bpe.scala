@@ -173,9 +173,17 @@ object Bpe {
         val batch = selectBatch(top, topM, math.min(maxBatch, numMerges - merges.size))
         batch.foreach { case (a, b, pc) => merges += ((merges.size + 1, a, b, pc)) }
         prev = words
-        val folded = batch.foldLeft(col("syms")) { case (c, (a, b, _)) =>
-          applyMerge(c, lit(a), lit(b)) }
-        words = words.select(col("word"), col("cnt"), folded.as("syms"))
+        // one SELECT per merge, NOT one folded expression: applyMerge
+        // references its input ~3× (split reused across slice/size/
+        // element_at), so inlining k merges into a single projection builds
+        // a 3^k-node expression tree — 16 merges OOMed the driver just
+        // PRINTING the plan. Separate projections share the previous
+        // round's alias as a bound reference; CollapseProject leaves them
+        // alone (multi-referenced, non-cheap alias) and WholeStageCodegen
+        // still fuses the whole stack into one generated stage.
+        words = batch.foldLeft(words) { case (df, (a, b, _)) =>
+          df.select(col("word"), col("cnt"),
+            applyMerge(col("syms"), lit(a), lit(b)).as("syms")) }
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
     }

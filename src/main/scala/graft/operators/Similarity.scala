@@ -1155,4 +1155,50 @@ object Similarity {
     c.unpersist(blocking = false)
     selected
   }
+
+  /** Per-group semantic outlier scoring (r9 ✚ — the curation stage that
+    * prunes documents far from their domain's embedding centroid, the
+    * group-wise complement of SemDeDup's near-dup folding: SemDeDup removes
+    * what is too SIMILAR, this flags what is too DIFFERENT to belong).
+    * For each group: the centroid of its quantized vectors, then each
+    * member's cosine to that centroid, ranked ascending — the bottom `k`
+    * per group are the outlier candidates.
+    *
+    * Exactness without floating-point averaging: cosine is scale-invariant,
+    * so cos(v, Σw/n) = cos(v, Σw) — the centroid enters as the per-dimension
+    * integer SUM (exact long hash-agg, partition-order independent), never
+    * a divided mean; the one double rounding is the final nano-quantized
+    * cosine, the engine-portable contract shared with [[qcosine]].
+    *
+    * Scale shape: one posexplode → (group, dim) hash-agg (map-side
+    * combined; output is |groups|·dims rows — tiny), centroid arrays
+    * rebuilt with a sorted collect per group, joined back on the group key
+    * (a broadcast at any real group count), then a per-group top-k window.
+    * No pairwise anything: linear in vectors at 100 TB. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      grpCol: String, k: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val qv = df.select(col(grpCol).as("co_grp"), col(idCol).as("co_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val sums = qv
+      .select(col("co_grp"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("co_grp"), col("dim")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("co_grp"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
+        e => e.getField("sx")).as("cs"))
+      .withColumn("cnn", nqdot(col("cs"), col("cs")))
+    qv.join(sums, Seq("co_grp"))
+      .select(col("co_grp").as(grpCol), col("co_id").as(idCol),
+        // a zero-norm vector has no direction: it is maximally "not of this
+        // group", pinned BELOW -1e9 so both engines rank it first without
+        // relying on their (divergent) NULL orderings
+        coalesce(round(cosineOf(nqdot(col("qv"), col("cs")),
+          nqdot(col("qv"), col("qv")), col("cnn")) * 1e9)
+          .cast("long"), lit(-2000000000L)).as("cos_nano"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(grpCol)).orderBy(col("cos_nano").asc, col(idCol)))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -550,6 +550,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - exp) < 1e-12)
   }
 
+  test("centroidOutliers: the planted stray ranks first in its group; partition-independent") {
+    // group 0: three near-identical vectors + one opposed stray; group 1: uniform
+    val rows = Seq(
+      (1L, 0L, Array(1.0, 0.1, 0.0)), (2L, 0L, Array(1.0, 0.0, 0.1)),
+      (3L, 0L, Array(0.9, 0.1, 0.1)), (4L, 0L, Array(-1.0, 0.0, 0.0)),
+      (5L, 1L, Array(0.0, 1.0, 0.0)), (6L, 1L, Array(0.0, 1.0, 0.1)),
+      (7L, 1L, Array(0.0, 0.0, 0.0))) // zero vector: pinned below -1e9
+      .toDF("id", "grp", "vec")
+    val out = Similarity.centroidOutliers(rows, "id", "vec", "grp", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val g0 = out.filter(_._1 == 0L).sortBy(_._4).map(_._2)
+    assert(g0.head == 4L) // the opposed stray is group 0's top outlier
+    val g1 = out.filter(_._1 == 1L).sortBy(_._4)
+    assert(g1.head._2 == 7L && g1.head._3 == -2000000000L) // zero-norm sentinel first
+    val rep = Similarity.centroidOutliers(rows.repartition(7), "id", "vec", "grp", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.sortBy(x => (x._1, x._4)).toSeq == out.sortBy(x => (x._1, x._4)).toSeq)
+  }
+
   test("graft_qdot: dimension mismatch raises instead of silently truncating (VERDICT r2 #5)") {
     graft.expressions.GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
