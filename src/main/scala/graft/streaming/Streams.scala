@@ -359,6 +359,22 @@ object Streams {
       sink(graft.operators.Joins.bloomAntiFilter(batch.toDF(), idCol, seen))
     }
 
+  /** Fuzzy-match-at-ingest: probe each micro-batch's strings against a
+    * standing [[graft.operators.Joins.FuzzyIndex]] (the record-linkage
+    * deployment shape — dictionary signatures computed once via
+    * [[graft.operators.Joins.fuzzyIndex]]/`loadFuzzyIndex`, every batch a
+    * signature equi-join + levenshtein verify). `sink` receives
+    * [[graft.operators.Joins.fuzzyProbe]]'s (id_l, id_r, str_l, str_r,
+    * dist) match rows for the batch. Stateless across batches; strings the
+    * dictionary should LEARN are folded in between runs with
+    * `extendFuzzyIndex`, not per micro-batch. */
+  def fuzzyProbeStreamBulk(stream: DataFrame, idCol: String, strCol: String,
+      ix: graft.operators.Joins.FuzzyIndex)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(graft.operators.Joins.fuzzyProbe(ix, batch.toDF(), idCol, strCol))
+    }
+
   /** Quality-gate-at-ingest for ONE micro-batch (a plain DataFrame): score
     * documents against a FROZEN unigram LM ([[graft.operators.Lm
     * .surprisalAgainst]] over a static `unigramCounts` snapshot) and keep

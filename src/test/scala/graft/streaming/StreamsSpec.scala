@@ -343,6 +343,28 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("fuzzyProbeStreamBulk: streamed batches match the standing dictionary ≡ batch twin") {
+    import graft.operators.Joins
+    implicit val sqlCtx = spark.sqlContext
+    val dict = Seq((10L, "spark"), (11L, "spork"), (12L, "shark")).toDF("id", "s")
+    val ix = Joins.fuzzyIndex(dict, "id", "s", maxDist = 1)
+    val batch = Seq((1L, "spark"), (2L, "sparkk"), (3L, "zzz"))
+    val batchOut = Joins.fuzzyProbe(ix, batch.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchOut == Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)))
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.fuzzyProbeStreamBulk(
+        mem.toDF().toDF("id", "s"), "id", "s", ix) { out =>
+      got ++= out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      assert(got.toSet == batchOut)
+    } finally { q.stop(); ix.release() }
+  }
+
   test("Pii redaction is streaming-safe: stateless projection runs unchanged on a stream") {
     import graft.functions.Pii
     implicit val sqlCtx = spark.sqlContext
