@@ -770,6 +770,23 @@ object SparkEntry {
           "vec_id", "embedding", "grp", k = 5)
         .orderBy("grp", "rank")
     }),
+    // personalized PageRank ✚ (Haveliwala 2002) on q93's bipartite
+    // customer↔supplier graph, teleporting ONLY to nation-0 suppliers —
+    // quality propagation from a trusted seed set, the crawl-curation
+    // sibling of global PageRank. Same exact-micro integer contract; the
+    // oracle unrolls the identical 5 rounds with the seed-gated base
+    "q138_personalized_pagerank" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "node", iterations = 5)
+        .orderBy(col("rank_micro").desc, col("node")).limit(20)
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3880,6 +3897,7 @@ object SparkEntry {
          SELECT b.doc_id, b.label AS pred_label, b.score_micro, t.lang AS true_lang
          FROM best b JOIN test t USING (doc_id) WHERE rn = 1 ORDER BY doc_id""",
     "q93_pagerank" -> pagerankOracleSql(5),
+    "q138_personalized_pagerank" -> pprOracleSql(5),
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->
@@ -4184,6 +4202,42 @@ object SparkEntry {
     * as `iters` chained CTE pairs (contribs, ranks) — every arithmetic step
     * mirrors [[graft.operators.Graph.pageRank]] exactly (BIGINT transfer
     * floors, BIGINT sums, floored base), so the result hash-matches. */
+  /** [[pagerankOracleSql]]'s personalized twin: identical unrolled rounds,
+    * but r0 and the per-round base are gated to the seed set (nation-0
+    * suppliers) and scaled by |S| instead of N. */
+  private def pprOracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_nationkey = 0),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e UNION SELECT node FROM seeds),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         ss AS (SELECT count(*) AS S FROM seeds),
+         r0 AS (SELECT nodes.node,
+                     CASE WHEN sd.node IS NOT NULL
+                          THEN CAST(floor(1000000 / S) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS r
+               FROM nodes CROSS JOIN ss LEFT JOIN seeds sd ON sd.node = nodes.node)"""
+    val iterations = (1 to iters).map { i =>
+      s""",
+         c$i AS (SELECT e.dst AS node,
+                      CAST(sum(CAST(floor(p.r * 85 / (100 * deg.outdeg)) AS BIGINT)) AS BIGINT) AS inm
+               FROM r${i - 1} p JOIN e ON p.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst),
+         r$i AS (SELECT nodes.node,
+                      CASE WHEN sd.node IS NOT NULL
+                           THEN CAST(floor(15000000 / (100 * S)) AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END
+                        + coalesce(c$i.inm, CAST(0 AS BIGINT)) AS r
+               FROM nodes CROSS JOIN ss
+                    LEFT JOIN seeds sd ON sd.node = nodes.node
+                    LEFT JOIN c$i ON c$i.node = nodes.node)"""
+    }.mkString
+    head + iterations +
+      s"\n         SELECT node, r AS rank_micro FROM r$iters ORDER BY rank_micro DESC, node LIMIT 20"
+  }
+
   private def pagerankOracleSql(iters: Int): String = {
     val head =
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -97,6 +97,67 @@ object Graph {
     out
   }
 
+  /** Personalized (topic-sensitive) PageRank — Haveliwala 2002: the
+    * teleport mass returns ONLY to the `seeds` node set, so rank measures
+    * random-walk proximity to the seeds rather than global importance.
+    * This is the quality-propagation shape a crawl pipeline runs: seed
+    * with trusted domains, let scores flow over the link graph, harvest
+    * the high-rank frontier (and its inverse — spam seeds — for demotion).
+    *
+    * Identical integer-micro determinism and per-iteration scale shape as
+    * [[pageRank]] (one cached-edge join + one map-side-combined agg per
+    * round, consecutive rounds reusing the node partitioning). Seeds enter
+    * as a node-keyed left-join flag, never a driver-side set: seed rank
+    * starts at floor(1e6/|S|), non-seeds at 0, and the per-round teleport
+    * base floor((dampDen−dampNum)·1e6/(dampDen·|S|)) lands on seeds only.
+    * Nodes = graph nodes ∪ seeds (an edgeless seed still holds teleport
+    * mass). Output: (node, rank_micro), exact longs. */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
+    val sd = pin(seeds.select(col(seedCol).cast(LongType).as("node")).distinct())
+    require(sd.limit(1).count() == 1L, "seeds must be non-empty")
+    val e = pin(edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct())
+    val eDeg = pin(e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")).sortWithinPartitions("src"))
+    val nodeList = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd.select(col("node"))).distinct())
+    e.unpersist(blocking = false)
+    val sN = sd.agg(count(lit(1)).as("S"))
+    val flagged = nodeList.crossJoin(broadcast(sN))
+      .join(sd.select(col("node"), lit(1).as("is_seed")), Seq("node"), "left")
+    val seedBase = floor(lit((dampDen - dampNum).toLong * 1000000L) /
+      (lit(dampDen) * col("S"))).cast(LongType)
+    val nodeBase = flagged.select(col("node"),
+      when(col("is_seed") === 1, seedBase).otherwise(lit(0L)).as("base"))
+    var ranks = flagged.select(col("node"),
+      when(col("is_seed") === 1, floor(lit(1000000L) / col("S")).cast(LongType))
+        .otherwise(lit(0L)).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(eDeg, ranks("node") === eDeg("src"))
+        .select(col("dst").as("node"),
+          floor(col("rank_micro") * lit(dampNum.toLong) /
+            (lit(dampDen.toLong) * col("outdeg")))
+            .cast(LongType).as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("in_micro"))
+      ranks = nodeBase
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + coalesce(col("in_micro"), lit(0L))).as("rank_micro"))
+    }
+    val out = ranks.localCheckpoint(true)
+    eDeg.unpersist(blocking = false)
+    nodeList.unpersist(blocking = false)
+    sd.unpersist(blocking = false)
+    out
+  }
+
   /** Per-node triangle counts over an undirected graph given as an edge
     * list (any orientation, self-loops and duplicates tolerated). Returns
     * (node, n_tri) for EVERY node of the graph, 0 included — total

@@ -299,6 +299,38 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(r.keySet == Set(1L, 2L, 3L) && r(2L) > r(1L) && r(1L) == r(3L))
   }
 
+  test("personalizedPageRank: rank decays with distance from the seed; edgeless seed holds teleport mass") {
+    // lollipop: triangle 1-2-3 with tail 3—4—5 (symmetrized; the triangle
+    // keeps the walk aperiodic — a bare path oscillates under fixed
+    // iterations). Seed {1}: mass concentrates at the seed and decays
+    // down the tail.
+    val lolli = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(lolli, "src", "dst", seeds, "node", 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 317989L, 2L -> 225132L, 3L -> 299114L,
+      4L -> 100594L, 5L -> 57157L)) // hand-replayed integer fixed point
+    assert(r(1L) == r.values.max && r(4L) > r(5L))
+    // the global walk sees 1 and 2 as exact mirror images; only the seed
+    // gate separates them
+    val g = Graph.pageRank(lolli, "src", "dst", 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(g(1L) == g(2L) && r(1L) > r(2L))
+    // partition-independence (exact longs)
+    val a = rowSet(Graph.personalizedPageRank(lolli, "src", "dst", seeds, "node", 4))
+    val b = rowSet(Graph.personalizedPageRank(
+      lolli.repartition(7), "src", "dst", seeds.repartition(3), "node", 4))
+    assert(a == b && a.nonEmpty)
+    // a seed with no edges still holds its share of the teleport mass
+    val iso = Graph.personalizedPageRank(lolli, "src", "dst",
+        Seq(1L, 99L).toDF("node"), "node", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(iso(99L) > 0L && iso.keySet.contains(4L))
+    intercept[IllegalArgumentException](Graph.personalizedPageRank(
+      lolli, "src", "dst", Seq.empty[Long].toDF("node"), "node", 3))
+  }
+
   // ---- Ops.sampleWeighted -------------------------------------------------
 
   test("sampleWeighted: A-ES selection is weight-monotone, deterministic, partition-independent") {
