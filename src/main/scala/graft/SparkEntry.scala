@@ -787,6 +787,25 @@ object SparkEntry {
       Graph.personalizedPageRank(edges, "src", "dst", seeds, "node", iterations = 5)
         .orderBy(col("rank_micro").desc, col("node")).limit(20)
     }),
+    // semi-supervised label propagation ✚: brand labels from the %23 seed
+    // parts spread 3 rounds over q131's co-purchase graph (label-once
+    // frontier, argmax by count with lexicographic ties — engine-exact;
+    // the oracle unrolls the identical rounds)
+    "q139_label_propagation" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = l.as("a").join(l.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+        .select("p1", "p2")
+      val sym = edges.union(edges.select(col("p2").as("p1"), col("p1").as("p2")))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") % 23 === 0)
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      Graph.labelPropagation(sym, "p1", "p2", seeds, "node", "label", iterations = 3)
+        .orderBy("node")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3898,6 +3917,7 @@ object SparkEntry {
          FROM best b JOIN test t USING (doc_id) WHERE rn = 1 ORDER BY doc_id""",
     "q93_pagerank" -> pagerankOracleSql(5),
     "q138_personalized_pagerank" -> pprOracleSql(5),
+    "q139_label_propagation" -> lpaOracleSql(3),
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->
@@ -4202,6 +4222,35 @@ object SparkEntry {
     * as `iters` chained CTE pairs (contribs, ranks) — every arithmetic step
     * mirrors [[graft.operators.Graph.pageRank]] exactly (BIGINT transfer
     * floors, BIGINT sums, floored base), so the result hash-matches. */
+  /** Unrolled synchronous label-propagation rounds over the q131
+    * co-purchase graph: each round votes ONLY onto not-yet-labeled nodes
+    * and argmaxes by (count DESC, label ASC) — Graph.labelPropagation's
+    * label-once frontier, term for term. */
+  private def lpaOracleSql(iters: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e0 AS (SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING count(*) >= 2),
+         e AS (SELECT p1 AS src, p2 AS dst FROM e0 UNION SELECT p2, p1 FROM e0),
+         l0 AS (SELECT p_partkey AS node, p_brand AS label, CAST(0 AS BIGINT) AS round
+                FROM part WHERE p_partkey % 23 = 0)"""
+    val rounds = (1 to iters).map { i =>
+      s""",
+         v$i AS (SELECT e.dst AS cand, l.label, count(*) AS n
+               FROM l${i - 1} l JOIN e ON l.node = e.src
+               WHERE e.dst NOT IN (SELECT node FROM l${i - 1})
+               GROUP BY 1, 2),
+         n$i AS (SELECT cand AS node, label, CAST($i AS BIGINT) AS round FROM (
+                 SELECT cand, label,
+                        row_number() OVER (PARTITION BY cand ORDER BY n DESC, label) AS rn
+                 FROM v$i) t WHERE rn = 1),
+         l$i AS (SELECT * FROM l${i - 1} UNION ALL SELECT * FROM n$i)"""
+    }.mkString
+    head + rounds +
+      s"\n         SELECT node, label, round FROM l$iters ORDER BY node"
+  }
+
   /** [[pagerankOracleSql]]'s personalized twin: identical unrolled rounds,
     * but r0 and the per-round base are gated to the seed set (nation-0
     * suppliers) and scaled by |S| instead of N. */

@@ -158,6 +158,55 @@ object Graph {
     out
   }
 
+  /** Synchronous semi-supervised label propagation (Zhu & Ghahramani 2002
+    * lineage, hard-label variant): labels spread from a clamped seed set
+    * over an edge list in fixed rounds — the weak-supervision shape of a
+    * curation pipeline (a small hand-labeled set propagates domain/quality
+    * labels through the near-dup or co-occurrence graph so unlabeled
+    * members inherit them).
+    *
+    * Per round, every UNLABELED-so-far node adjacent to ≥1 labeled node
+    * takes the argmax neighbor label by (count DESC, label ASC) — an
+    * integer count argmax, engine- and partition-exact; seeds are clamped
+    * (their labels never change), and once a node is labeled its label is
+    * frozen (label-once frontier growth: each round only extends the
+    * frontier, so `iterations` bounds the propagation RADIUS and the
+    * result is order-deterministic — the oscillation classic async LPA
+    * suffers cannot occur).
+    *
+    * Scale shape per round: one shuffle join (labels ⋈ edges on src) + one
+    * map-side-combined count agg + one per-node argmax window — the
+    * [[pageRank]] eager-iteration discipline with the same reused node
+    * partitioning. Output: (node, label, round) for every node reached
+    * within `iterations` rounds (round 0 = seeds). */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seedLabels: DataFrame, nodeCol: String, labelCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = pin(edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct())
+    var labeled = seedLabels
+      .select(col(nodeCol).cast(LongType).as("node"),
+        col(labelCol).cast("string").as("label"), lit(0L).as("round"))
+      .localCheckpoint(true)
+    for (i <- 1 to iterations) {
+      val votes = labeled
+        .join(e, labeled("node") === e("src"))
+        .select(col("dst").as("cand"), col("label"))
+        .join(labeled.select(col("node").as("cand")), Seq("cand"), "left_anti")
+        .groupBy(col("cand"), col("label")).agg(count(lit(1)).as("n"))
+      val newly = votes
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cand")).orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("cand").as("node"), col("label"), lit(i.toLong).as("round"))
+      labeled = labeled.unionByName(newly).localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    labeled
+  }
+
   /** Per-node triangle counts over an undirected graph given as an edge
     * list (any orientation, self-loops and duplicates tolerated). Returns
     * (node, n_tri) for EVERY node of the graph, 0 included — total

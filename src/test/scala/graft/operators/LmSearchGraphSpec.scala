@@ -331,6 +331,30 @@ class LmSearchGraphSpec extends SparkTestBase {
       lolli, "src", "dst", Seq.empty[Long].toDF("node"), "node", 3))
   }
 
+  test("labelPropagation: frontier grows one hop per round, seeds clamp, ties lexicographic") {
+    // 1(A)—2—3—4, 5(B)—4: node 2 labels round 1 from A; node 4 round 1
+    // from B; node 3 sees A (via 2) and B (via 4) in round 2 with equal
+    // votes → lexicographic tie to "A". Seeds never relabel.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq((1L, "A"), (5L, "B")).toDF("node", "label")
+    val out = Graph.labelPropagation(e, "src", "dst", seeds, "node", "label", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> (("A", 0L)), 5L -> (("B", 0L)),
+      2L -> (("A", 1L)), 4L -> (("B", 1L)),
+      3L -> (("A", 2L))))
+    // radius bound: 1 round reaches only direct neighbors
+    val r1 = Graph.labelPropagation(e, "src", "dst", seeds, "node", "label", 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 4L, 5L))
+    // partition-independent
+    val a = rowSet(Graph.labelPropagation(e, "src", "dst", seeds, "node", "label", 2))
+    val b = rowSet(Graph.labelPropagation(
+      e.repartition(5), "src", "dst", seeds.repartition(3), "node", "label", 2))
+    assert(a == b && a.nonEmpty)
+  }
+
   // ---- Ops.sampleWeighted -------------------------------------------------
 
   test("sampleWeighted: A-ES selection is weight-monotone, deterministic, partition-independent") {
