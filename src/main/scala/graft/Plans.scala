@@ -40,7 +40,12 @@ object Plans {
         "q126_hybrid_indexed",
         // r8b: the bloom predicate must sit ON the lineitem scan, below
         // the join's exchange (the whole point of the primitive)
-        "q129_bloom_join")
+        "q129_bloom_join",
+        // r9: signature-probe against the standing fuzzy dictionary, the
+        // group-keyed centroid join (must broadcast the tiny centroid
+        // side), and the seed-gated iterated-join walk
+        "q136_fuzzy_index", "q137_centroid_outliers",
+        "q138_personalized_pagerank", "q139_label_propagation")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

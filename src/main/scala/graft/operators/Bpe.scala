@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -147,48 +146,41 @@ object Bpe {
     require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    // LAZY persist: each round's single pair-count job materializes the
-    // current state's cache while reading the previous one — ONE Spark job
-    // per ROUND (an eager pin would double it; the loop IS the driver-sync
-    // cost, so job count is the knob that matters). A round applies up to
-    // `maxBatch` provably-independent merges ([[selectBatch]]) as one
-    // lazily-chained fold stack, so a 30k-merge vocab costs ~30k/batch
-    // scheduler round-trips, not 30k. `maxBatch` stays modest (16) to keep
-    // the chained HOF folds inside one codegen'd projection. The previous
-    // state is unpersisted only after the job that read it has completed.
+    // Eager localCheckpoint per round — the [[Similarity.mmrRerank]]
+    // iteration discipline. Two jobs per ROUND (materialize + argmax), but
+    // the round's plan is CONSTANT-size: a fold stack over the previous
+    // round's LogicalRDD. The earlier lazy-persist variant kept the full
+    // logical lineage, and every job's SQL-execution event re-stringifies
+    // the accumulated plan — by round ~20 the driver spent minutes in
+    // treeString, dwarfing the work. A round applies up to `maxBatch`
+    // provably-independent merges ([[selectBatch]]) as one select-per-merge
+    // stack (one SELECT per merge, NOT one folded expression: applyMerge
+    // references its input ~3×, so inlining k merges builds a 3^k-node
+    // expression tree; separate projections share the alias and codegen
+    // fuses them), so a 30k-merge vocab costs ~2·30k/batch scheduler
+    // round-trips, not 2·30k. Checkpoint blocks are reclaimed by the
+    // ContextCleaner as references drop; they are not fault-tolerant — on
+    // a multi-node cluster swap for reliable checkpoints or table writes.
     val topM = 256
     var words = wordCounts(docs, textCol)
       .select(col("word"), col("cnt"), charSymbols(col("word")).as("syms"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var prev: DataFrame = null
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     while (merges.size < numMerges && !done) {
       val top = pairCounts(words)
         .orderBy(col("pc").desc, col("a"), col("b")).limit(topM).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) done = true
       else {
         val batch = selectBatch(top, topM, math.min(maxBatch, numMerges - merges.size))
         batch.foreach { case (a, b, pc) => merges += ((merges.size + 1, a, b, pc)) }
-        prev = words
-        // one SELECT per merge, NOT one folded expression: applyMerge
-        // references its input ~3× (split reused across slice/size/
-        // element_at), so inlining k merges into a single projection builds
-        // a 3^k-node expression tree — 16 merges OOMed the driver just
-        // PRINTING the plan. Separate projections share the previous
-        // round's alias as a bound reference; CollapseProject leaves them
-        // alone (multi-referenced, non-cheap alias) and WholeStageCodegen
-        // still fuses the whole stack into one generated stage.
         words = batch.foldLeft(words) { case (df, (a, b, _)) =>
           df.select(col("word"), col("cnt"),
             applyMerge(col("syms"), lit(a), lit(b)).as("syms")) }
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
       }
     }
-    words.unpersist(blocking = false)
-    if (prev != null) prev.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "pair_count")
   }
 
