@@ -806,6 +806,13 @@ object SparkEntry {
       Graph.labelPropagation(sym, "p1", "p2", seeds, "node", "label", iterations = 3)
         .orderBy("node")
     }),
+    // per-doc character-level Shannon entropy ✚ (r9): the compressibility
+    // quality signal — micro-nat total + char count (mean = total/n, no
+    // division baked in), one rounded ln per scalar, exact long sums
+    "q140_char_entropy" -> ((s, d) => {
+      graft.functions.Repetition.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3918,6 +3925,22 @@ object SparkEntry {
     "q93_pagerank" -> pagerankOracleSql(5),
     "q138_personalized_pagerank" -> pprOracleSql(5),
     "q139_label_propagation" -> lpaOracleSql(3),
+    // characters enumerated by position on both engines (substr over
+    // 1..len), one rounded ln per scalar, exact BIGINT term sums
+    "q140_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, d, 1) AS ch
+              FROM documents, unnest(range(1, len(text) + 1)) AS t(d)
+              WHERE text IS NOT NULL AND len(text) > 0),
+         pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars FROM pc GROUP BY 1),
+         st AS (SELECT pc.doc_id, tot.n_chars,
+                CAST(sum(c * (CAST(round(ln(n_chars) * 1000000) AS BIGINT)
+                              - CAST(round(ln(c) * 1000000) AS BIGINT))) AS BIGINT) AS entropy_micro
+              FROM pc JOIN tot USING (doc_id) GROUP BY 1, 2)
+         SELECT d.doc_id AS doc_id, COALESCE(st.n_chars, 0) AS n_chars,
+                COALESCE(st.entropy_micro, 0) AS entropy_micro
+         FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

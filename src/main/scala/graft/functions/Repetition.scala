@@ -178,4 +178,41 @@ object Repetition {
         coalesce(expr("dup_chars * 1000000 DIV nullif(__doc_chars, 0)"), lit(0L))
           .as("dup_ngram_char_ppm"))
   }
+
+  /** Per-document character-level Shannon entropy (r9 ✚) — the
+    * compressibility signal that catches what word-level gates miss:
+    * repeated-character and template spam sits near 0 nats/char while
+    * base64/hex blobs and keyboard mash sit far above natural language's
+    * ≈1.9–2.2 nats/char, so both tails of the entropy distribution are
+    * drop candidates. Reported as the micro-nat TOTAL plus the character
+    * count, the [[graft.operators.Lm.surprisal]] contract: mean =
+    * total/n_chars with no division baked in, so threshold tests stay
+    * exact long arithmetic.
+    *
+    * H_total = Σ_c cnt_c · (ln N − ln cnt_c), one rounded ln per scalar
+    * (micro-nats) and exact long sums — engine-identical. Characters are
+    * enumerated by position (substring over a 1..len sequence), NOT a
+    * regex split, so both engines see the identical unit sequence. Scale
+    * shape: one positional explode → (doc, char) hash-agg (map-side
+    * combined) → per-doc agg; linear in bytes, no joins back to the
+    * corpus. Null or empty text yields (0, 0). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol),
+      explode(when(length(col(textCol)) > 0,
+          transform(sequence(lit(1), length(col(textCol))),
+            i => col(textCol).substr(i, lit(1))))
+        .otherwise(array().cast("array<string>"))).as("__ch"))
+    val perChar = ex.groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__c"))
+    val totals = perChar.groupBy(col(idCol)).agg(sum(col("__c")).as("n_chars"))
+    val stats = perChar.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_chars"),
+        (col("__c") * (round(log(col("n_chars")) * 1e6).cast("long") -
+          round(log(col("__c")) * 1e6).cast("long"))).as("__term"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_chars")).as("n_chars"), sum(col("__term")).as("entropy_micro"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
+  }
 }

@@ -91,6 +91,24 @@ class RepetitionPiiSpec extends SparkTestBase {
     assert(perRow == relational)
   }
 
+  test("charEntropy: exact micro-nat totals — uniform, constant, empty, null") {
+    val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, ""), (5L, "aabb"))
+      .toDF("id", "text")
+      .unionByName(Seq(4L).toDF("id").select($"id", lit(null).cast("string").as("text")))
+    val out = Repetition.charEntropy(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "abcd": 4 · (round(ln4·1e6) − round(ln1·1e6)) = 4 · 1386294
+    assert(out(1L) == ((4L, 4L * 1386294L)))
+    assert(out(2L) == ((4L, 0L)))        // constant string: zero entropy
+    assert(out(3L) == ((0L, 0L)))        // empty
+    assert(out(4L) == ((0L, 0L)))        // null
+    // "aabb": 2·(round(ln4·1e6) − round(ln2·1e6)) · 2 chars = 4·693147
+    assert(out(5L) == ((4L, 4L * 693147L)))
+    val rep = Repetition.charEntropy(df.repartition(5), "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep == out)
+  }
+
   test("repetition plan is relational: no interpreted higher-order aggregate in the exploded path") {
     val df = Seq((1L, "a b a b")).toDF("id", "text")
     val plan = Repetition.ngramRepetition(df, "id", "text", 2)
