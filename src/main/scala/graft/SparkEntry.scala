@@ -813,6 +813,16 @@ object SparkEntry {
       graft.functions.Repetition.charEntropy(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // deterministic negative sampling ✚ (r9): 4 hash-ring successors per
+    // anchor doc — contrastive-pair generation as a pure function of
+    // (anchor, j, seed); the oracle replays the ring with correlated
+    // min-successor subqueries (the naive form the bucketed join avoids)
+    "q141_negative_sample" -> ((s, d) => {
+      Ops.negativeSample(Tables.documents(s, d).select("doc_id"), "doc_id",
+          k = 4, seed = 42L)
+        .select(col("anchor_id"), col("j").cast(LongType).as("j"), col("neg_id"))
+        .orderBy("anchor_id", "j")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3941,6 +3951,28 @@ object SparkEntry {
                 COALESCE(st.entropy_micro, 0) AS entropy_micro
          FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    // the naive correlated-successor form of the bucketed ring join; the
+    // same 60-bit md5 expansion as q95, self-hits dropped on both sides
+    "q141_negative_sample" ->
+      """WITH ring AS (
+           SELECT doc_id AS neg_id,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), kk, 1)) - 1)
+                             * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)])::BIGINT AS pos
+           FROM documents),
+         probes AS (
+           SELECT d.doc_id AS anchor_id, u.j,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(d.doc_id::VARCHAR || '|' || u.j::VARCHAR || '|42'), kk, 1)) - 1)
+                             * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)])::BIGINT AS t
+           FROM documents d, unnest(range(1, 5)) AS u(j)),
+         succ AS (
+           SELECT p.anchor_id, p.j,
+                  COALESCE(
+                    (SELECT r.neg_id FROM ring r WHERE r.pos >= p.t ORDER BY r.pos, r.neg_id LIMIT 1),
+                    (SELECT r.neg_id FROM ring r ORDER BY r.pos, r.neg_id LIMIT 1)) AS neg_id
+           FROM probes p)
+         SELECT anchor_id, CAST(j AS BIGINT) AS j, neg_id
+         FROM succ WHERE neg_id <> anchor_id
+         ORDER BY anchor_id, j""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

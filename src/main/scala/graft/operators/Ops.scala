@@ -329,4 +329,71 @@ object Ops {
       .filter(col("__graft_rn") <= n)
       .drop("__graft_wkey", "__graft_rn")
   }
+
+  /** Deterministic uniform negative sampling (r9 ✚) — the contrastive-pair
+    * generator: `k` pseudo-random partners per anchor, each a PURE FUNCTION
+    * of (anchor, j, seed), so the pairing is reproducible on any engine and
+    * any partitioning (the [[sampleByHash]] philosophy applied to pair
+    * generation).
+    *
+    * Ring construction: every row takes position [[idHash60]](id) on the
+    * 2^60 ring; probe (anchor, j) hashes to target t = idHash60-style
+    * md5("anchor|j|seed") and selects the ring SUCCESSOR — the row with the
+    * smallest pos ≥ t, wrapping past the top. Uniform positions make every
+    * successor choice uniform over rows. The rare probe whose successor IS
+    * its own anchor is dropped (≈ k/N of output rows; documented, the
+    * oracle replays the same rule), so anchors emit ≤ k negatives.
+    *
+    * Scale shape — NO global sort, NO single-partition window over data:
+    * the ring is cut into `buckets` equal hash ranges; the successor search
+    * is a bucket-keyed equi-join (each probe meets ~N/buckets ring rows,
+    * map-side-combinable argmin window keyed by (anchor, j)), and probes
+    * landing past their bucket's last row fall through via a
+    * buckets-cardinality boundary table (next non-empty bucket's first
+    * row — built with one window over `buckets` rows, constant-size by
+    * construction, then broadcast) with the global minimum as the wrap row.
+    * Size `buckets` ≈ N/10⁴ at cluster scale so per-probe candidate fan-in
+    * stays bounded. Output: (anchor_id, j, neg_id). */
+  def negativeSample(df: DataFrame, idCol: String, k: Int, seed: Long = 42L,
+      buckets: Int = 256): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two in [1, 2^20], got $buckets")
+    val shift = 60 - (63 - java.lang.Long.numberOfLeadingZeros(buckets.toLong))
+    val ring = df.select(col(idCol).as("__neg_id"), idHash60(col(idCol)).as("__rpos"))
+      .withColumn("__rbkt", shiftright(col("__rpos"), shift))
+    val firsts = ring.groupBy(col("__rbkt").as("__bkt"))
+      .agg(min(struct(col("__rpos"), col("__neg_id"))).as("__f"))
+      .select(col("__bkt"), col("__f.__rpos").as("__fpos"), col("__f.__neg_id").as("__fid"))
+    // next non-empty bucket's first row for EVERY bucket index — a
+    // buckets-row frame, single trivial window (constant size, never data)
+    val wNext = Window.orderBy(col("__bkt")).rowsBetween(1, Window.unboundedFollowing)
+    val bounds = df.sparkSession.range(buckets).select(col("id").as("__bkt"))
+      .join(firsts, Seq("__bkt"), "left")
+      .select(col("__bkt"),
+        first(col("__fid"), ignoreNulls = true).over(wNext).as("__nxt_id"))
+    val wrap = ring
+      .select(min(struct(col("__rpos"), col("__neg_id"))).as("__w"))
+      .select(col("__w.__neg_id").as("__wrap_id"))
+    val probes = df.select(col(idCol).as("anchor_id"))
+      .select(col("anchor_id"), explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__t", conv(substring(md5(concat_ws("|",
+        col("anchor_id").cast("string"), col("j").cast("string"),
+        lit(seed.toString))), 1, 15), 16, 10).cast("long"))
+      .withColumn("__bkt", shiftright(col("__t"), shift))
+    val wIn = Window.partitionBy(col("anchor_id"), col("j"))
+      .orderBy(col("__rpos"), col("__neg_id"))
+    val inBucket = probes
+      .join(ring, probes("__bkt") === ring("__rbkt") && col("__rpos") >= col("__t"))
+      .withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") === 1)
+      .select(col("anchor_id"), col("j"), col("__neg_id").as("__in_id"))
+    probes
+      .join(inBucket, Seq("anchor_id", "j"), "left")
+      .join(broadcast(bounds), Seq("__bkt"))
+      .crossJoin(broadcast(wrap))
+      .select(col("anchor_id"), col("j"),
+        coalesce(col("__in_id"), col("__nxt_id"), col("__wrap_id")).as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+  }
 }

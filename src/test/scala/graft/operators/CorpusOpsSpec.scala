@@ -133,4 +133,26 @@ class CorpusOpsSpec extends SparkTestBase {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("windowspecdefinition(shard"))
   }
+
+  test("negativeSample: bucket-count invariant, deterministic, no self-pairs, ≤k per anchor") {
+    val ids = (1L to 97L).toDF("id")
+    def run(buckets: Int) = Ops.negativeSample(ids, "id", k = 3, seed = 7L, buckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val base = run(256)
+    // the ring successor is defined on the 2^60 space, so the bucket cut is
+    // pure implementation: 1 bucket (wrap-only path) and 4 buckets
+    // (fallthrough-heavy) must produce the identical pairing
+    assert(run(1) == base && run(4) == base)
+    assert(base.nonEmpty && base.forall { case (a, _, n) => a != n && n >= 1L && n <= 97L })
+    assert(base.groupBy(_._1).forall(_._2.size <= 3))
+    // pure function of (id, j, seed): repartitioning changes nothing
+    val rep = Ops.negativeSample(ids.repartition(13), "id", 3, 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rep == base)
+    // a different seed re-pairs (not a constant function)
+    val other = Ops.negativeSample(ids, "id", 3, 8L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(other != base)
+    intercept[IllegalArgumentException](Ops.negativeSample(ids, "id", 3, 7L, buckets = 3))
+  }
 }
