@@ -823,6 +823,17 @@ object SparkEntry {
         .select(col("anchor_id"), col("j").cast(LongType).as("j"), col("neg_id"))
         .orderBy("anchor_id", "j")
     }),
+    // top-mass (nucleus) curation ✚ (r9): keep each source's best docs (by
+    // n_chars, id ties) until they cover 3/5 of the source's token mass —
+    // exact rational test (prior·5 < total·3), no float thresholds
+    "q142_top_mass" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          Text.tokenCount(col("text")).cast(LongType).as("w"))
+      Ops.takeTopMass(docs, Seq("source"), "doc_id", "n_chars", "w",
+          pNum = 3, pDen = 5)
+        .orderBy("source", "doc_id")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3973,6 +3984,20 @@ object SparkEntry {
          SELECT anchor_id, CAST(j AS BIGINT) AS j, neg_id
          FROM succ WHERE neg_id <> anchor_id
          ORDER BY anchor_id, j""",
+    // same rational admission test; the boundary row crossing the target
+    // is included, at least one row survives per group
+    "q142_top_mass" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+              FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         t AS (SELECT source, CAST(sum(w) AS BIGINT) AS tot FROM d GROUP BY 1),
+         c AS (SELECT d.source, d.doc_id, d.n_chars, d.w, t.tot,
+                sum(w) OVER (PARTITION BY d.source ORDER BY n_chars DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d JOIN t USING (source))
+         SELECT source, doc_id, n_chars, w FROM c
+         WHERE (cum - w) * 5 < tot * 3
+         ORDER BY source, doc_id""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

@@ -215,6 +215,47 @@ object Ops {
       .drop("__graft_cum", "budget")
   }
 
+  /** Top-mass (nucleus) selection per group (r9 ✚) — keep each group's
+    * BEST rows, by `scoreCol` descending, until they cover fraction
+    * `pNum/pDen` of the group's total `weightCol` mass: "the highest-
+    * quality p% of every domain, by token mass" — the curation rule that
+    * trims each source's low tail without a global score threshold
+    * (sources with different score scales each keep their own top mass).
+    *
+    * Admission rule: rows in (score DESC, id ASC) order; a row is kept
+    * while the mass admitted BEFORE it is still below the target
+    * pNum·total/pDen — the [[sampleToBudget]] rule with a per-group
+    * fractional budget, so at least one row survives per group with
+    * positive total (the first row's prior mass is 0) and the boundary row
+    * that crosses the target is INCLUDED. The p fraction is a rational
+    * (pNum/pDen): the test is exact long arithmetic
+    * (prior·pDen < total·pNum), engine-identical — no float thresholds.
+    * Null weights/scores are dropped (null admission test).
+    *
+    * One shuffle (the per-group window sort) + one map-side-combined total
+    * agg joined back on the group key. Output: the input rows that
+    * survive, original columns. */
+  def takeTopMass(df: DataFrame, groupCols: Seq[String], idCol: String,
+      scoreCol: String, weightCol: String, pNum: Int, pDen: Int): DataFrame = {
+    require(pDen > 0 && pNum > 0 && pNum <= pDen, "need 0 < pNum/pDen <= 1")
+    val reserved = Seq("__graft_cum", "__graft_tot")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"takeTopMass reserves ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val totals = df.filter(col(weightCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(weightCol)).as("__graft_tot"))
+    df.filter(col(weightCol).isNotNull && col(scoreCol).isNotNull)
+      .join(totals, groupCols)
+      .withColumn("__graft_cum", sum(col(weightCol)).over(w))
+      .filter((col("__graft_cum") - col(weightCol)) * lit(pDen.toLong) <
+        col("__graft_tot") * lit(pNum.toLong))
+      .drop("__graft_cum", "__graft_tot")
+  }
+
   /** Temperature-scaled mixture budgets — the pretraining source-mixing
     * rule (Raffel et al. 2020 §3.4.3 "temperature-scaled mixing"; also the
     * multilingual-sampling rule of Conneau & Lample 2019): group g with

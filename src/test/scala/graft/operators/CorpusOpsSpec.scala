@@ -134,6 +134,36 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.contains("windowspecdefinition(shard"))
   }
 
+  test("takeTopMass: boundary row included, one-survivor floor, exact rational test") {
+    // group A: weights 50/30/20 in score order → p=1/2: row1 (prior 0) and
+    // row2 (prior 50·2 = 100 ≥ 100? NO — 100 < 100 false) → only row1...
+    // prior·pDen < tot·pNum: row2 prior=50, 50·2=100 !< 100·1 → excluded.
+    // group B: uniform 10×4, p=1/2: rows survive while prior·2 < 40·1 →
+    // priors 0,10 → two rows.
+    val df = Seq(
+      ("A", 1L, 9L, 50L), ("A", 2L, 8L, 30L), ("A", 3L, 7L, 20L),
+      ("B", 4L, 9L, 10L), ("B", 5L, 8L, 10L), ("B", 6L, 7L, 10L), ("B", 7L, 6L, 10L),
+      ("C", 8L, 1L, 100L) // single row: always survives (prior 0)
+    ).toDF("g", "id", "score", "w")
+    val got = Ops.takeTopMass(df, Seq("g"), "id", "score", "w", 1, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("A", 1L), ("B", 4L), ("B", 5L), ("C", 8L)))
+    // boundary-crossing row IS included: A with p=3/5 → row1 (prior 0) and
+    // row2 (prior 50·5=250 < 100·3=300) survive; row3 (prior 80·5=400) not
+    val p35 = Ops.takeTopMass(df.filter($"g" === "A"), Seq("g"), "id", "score", "w", 3, 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(p35 == Set(1L, 2L))
+    // null score/weight rows drop without affecting neighbors' totals
+    val withNull = df.unionByName(Seq(("A", 9L, Option.empty[Long], Option(5L)))
+      .toDF("g", "id", "score", "w"))
+    val gotN = Ops.takeTopMass(withNull, Seq("g"), "id", "score", "w", 1, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotN == got)
+    val rep = Ops.takeTopMass(df.repartition(5), Seq("g"), "id", "score", "w", 1, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rep == got)
+  }
+
   test("negativeSample: bucket-count invariant, deterministic, no self-pairs, ≤k per anchor") {
     val ids = (1L to 97L).toDF("id")
     def run(buckets: Int) = Ops.negativeSample(ids, "id", k = 3, seed = 7L, buckets = buckets)
