@@ -1175,27 +1175,48 @@ object Similarity {
     * rebuilt with a sorted collect per group, joined back on the group key
     * (a broadcast at any real group count), then a per-group top-k window.
     * No pairwise anything: linear in vectors at 100 TB. */
-  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
-      grpCol: String, k: Int, scale: Int = 1000): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+  /** Per-group centroids in integer-SUM form: (grpCol, cs, cnn) — `cs` the
+    * per-dimension sum of the group's `scale`-quantized vectors (cosine is
+    * scale-invariant, so the sum IS the centroid for every cosine
+    * purpose), `cnn` its exact self-dot. THIS is the standing state a
+    * semantic-outlier ingest gate stores and reloads
+    * ([[graft.streaming.Streams.centroidGateStreamBulk]]); groups-cardinality,
+    * a plain parquet write away from persistent. */
+  def groupCentroids(df: DataFrame, vecCol: String, grpCol: String,
+      scale: Int = 1000): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val qv = df.select(col(grpCol).as("co_grp"), col(idCol).as("co_id"),
-      quantize(col(vecCol), scale).as("qv"))
-    val sums = qv
+    df.select(col(grpCol).as("co_grp"), quantize(col(vecCol), scale).as("qv"))
       .select(col("co_grp"), posexplode(col("qv")).as(Seq("dim", "x")))
       .groupBy(col("co_grp"), col("dim")).agg(sum(col("x")).as("sx"))
       .groupBy(col("co_grp"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("sx")))),
         e => e.getField("sx")).as("cs"))
       .withColumn("cnn", nqdot(col("cs"), col("cs")))
+      .withColumnRenamed("co_grp", grpCol)
+  }
+
+  /** The nano-quantized cosine of a quantized vector against a stored
+    * integer-SUM centroid row — the single rounding shared by
+    * [[centroidOutliers]] and the streaming gate; zero-norm pinned to
+    * −2e9 (below any real cosine) on every engine. */
+  private[graft] def centroidCosNano(qv: Column, cs: Column, cnn: Column): Column =
+    coalesce(round(cosineOf(nqdot(qv, cs), nqdot(qv, qv), cnn) * 1e9)
+      .cast("long"), lit(-2000000000L))
+
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      grpCol: String, k: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val qv = df.select(col(grpCol).as("co_grp"), col(idCol).as("co_id"),
+      quantize(col(vecCol), scale).as("qv"))
+    val sums = groupCentroids(df, vecCol, grpCol, scale)
+      .withColumnRenamed(grpCol, "co_grp")
     qv.join(sums, Seq("co_grp"))
       .select(col("co_grp").as(grpCol), col("co_id").as(idCol),
         // a zero-norm vector has no direction: it is maximally "not of this
         // group", pinned BELOW -1e9 so both engines rank it first without
         // relying on their (divergent) NULL orderings
-        coalesce(round(cosineOf(nqdot(col("qv"), col("cs")),
-          nqdot(col("qv"), col("qv")), col("cnn")) * 1e9)
-          .cast("long"), lit(-2000000000L)).as("cos_nano"))
+        centroidCosNano(col("qv"), col("cs"), col("cnn")).as("cos_nano"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(grpCol)).orderBy(col("cos_nano").asc, col(idCol)))
         .cast("long"))

@@ -359,6 +359,47 @@ object Streams {
       sink(graft.operators.Joins.bloomAntiFilter(batch.toDF(), idCol, seen))
     }
 
+  /** Semantic-outlier gate for ONE micro-batch: keep rows whose cosine to
+    * their group's STORED centroid ([[graft.operators.Similarity
+    * .groupCentroids]] over the curated corpus snapshot — integer-SUM
+    * form, reloadable from parquet) is at least `minCosNano` nano-units.
+    * The domain-membership filter at ingest: a crawl batch claiming lang
+    * "en" whose embedding sits far from the stored "en" centroid is
+    * dropped before it pollutes the corpus. Rows whose group has NO
+    * stored centroid are DROPPED — a quality gate fails closed (the
+    * [[surprisalGateBatch]] contract); zero-norm vectors score −2e9 and
+    * fail any real threshold. Stateless across batches; rebuild centroids
+    * when the corpus snapshot rolls, not per micro-batch. */
+  def centroidGateBatch(batch: DataFrame, vecCol: String, grpCol: String,
+      centroids: DataFrame, minCosNano: Long, scale: Int = 1000): DataFrame = {
+    val reserved = Seq("__cg_qv", "__cg_cs", "__cg_cnn")
+    val clash = batch.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"centroidGateBatch reserves ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    val c = centroids.select(col(grpCol), col("cs").as("__cg_cs"),
+      col("cnn").as("__cg_cnn"))
+    batch
+      .withColumn("__cg_qv", graft.operators.Similarity.quantize(col(vecCol), scale))
+      .join(broadcast(c), Seq(grpCol))
+      .filter(graft.operators.Similarity.centroidCosNano(
+        col("__cg_qv"), col("__cg_cs"), col("__cg_cnn")) >= minCosNano)
+      .drop("__cg_qv", "__cg_cs", "__cg_cnn")
+  }
+
+  /** [[centroidGateBatch]] as a streaming stage: a `foreachBatch` writer
+    * scoring every micro-batch against the frozen centroid store. Same
+    * contract as [[surprisalGateStream]] — caller sets trigger/options and
+    * `.start()`s the returned writer. */
+  def centroidGateStreamBulk(stream: DataFrame, vecCol: String, grpCol: String,
+      centroids: DataFrame, minCosNano: Long, scale: Int = 1000)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(centroidGateBatch(batch.toDF(), vecCol, grpCol, centroids,
+        minCosNano, scale))
+    }
+
   /** Fuzzy-match-at-ingest: probe each micro-batch's strings against a
     * standing [[graft.operators.Joins.FuzzyIndex]] (the record-linkage
     * deployment shape — dictionary signatures computed once via

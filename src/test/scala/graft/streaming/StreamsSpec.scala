@@ -343,6 +343,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("centroidGateStreamBulk: in-domain rows pass, outliers/unknown-group/zero-norm drop; stream ≡ batch") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a", Array(1.0, 0.0)), (2L, "a", Array(0.9, 0.1)),
+      (3L, "b", Array(0.0, 1.0)), (4L, "b", Array(0.1, 0.9))).toDF("id", "grp", "vec")
+    val cents = Similarity.groupCentroids(corpus, "vec", "grp").localCheckpoint(true)
+    val batch = Seq(
+      (10L, "a", Array(1.0, 0.05)),  // in-domain → keep
+      (11L, "a", Array(-1.0, 0.0)),  // opposed → drop
+      (12L, "z", Array(1.0, 0.0)),   // unknown group → fail closed
+      (13L, "b", Array(0.0, 0.0)))   // zero-norm → −2e9, drop
+    val kept = Streams.centroidGateBatch(batch.toDF("id", "grp", "vec"),
+        "vec", "grp", cents, minCosNano = 500000000L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(10L))
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String, Array[Double])]
+    val q = Streams.centroidGateStreamBulk(
+        mem.toDF().toDF("id", "grp", "vec"), "vec", "grp", cents, 500000000L) { out =>
+      got ++= out.collect().map(_.getAs[Long]("id"))
+    }.start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      assert(got.toSet == kept)
+    } finally q.stop()
+  }
+
   test("fuzzyProbeStreamBulk: streamed batches match the standing dictionary ≡ batch twin") {
     import graft.operators.Joins
     implicit val sqlCtx = spark.sqlContext
