@@ -834,6 +834,55 @@ object SparkEntry {
           pNum = 3, pDen = 5)
         .orderBy("source", "doc_id")
     }),
+    // exact per-group OLS regression ✚ (r9): price-per-quantity trend line
+    // from fixed-order plain sums (cents are integral -> exact sums ->
+    // engine-identical doubles), where built-in regr_slope/regr_intercept
+    // are partition-order dependent; q76's pattern extended to the fit line
+    "q143_linreg_exact" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      Grouping.groupby(l, Seq("l_returnflag"))
+        .linregExact("l_quantity", "cents", "slope_cents", "intercept_cents")
+        .orderBy("l_returnflag")
+    }),
+    // mergeable aggregate state ✚ (r9): the materialized-view maintenance
+    // shape — 4 hash-shards each build a small per-source state (count/sum/
+    // min/max), the states FOLD, and the fold ≡ a full-scan rebuild because
+    // every component is associative-commutative; the oracle is the plain
+    // GROUP BY the fold must reproduce bit-for-bit (exact long sums)
+    "q144_agg_state_fold" -> ((s, d) => {
+      val sharded = Ops.shardByHash(Tables.documents(s, d), "doc_id", 4)
+      val states = (0L until 4L).map { i =>
+        Grouping.aggState(sharded.filter(col("shard") === i).drop("shard"),
+          Seq("source"), Seq("n_chars"))
+      }
+      Grouping.finalizeAggState(
+          Grouping.mergeAggStates(Seq("source"), states: _*))
+        .orderBy("source")
+    }),
+    // latest-wins upsert compaction ✚ (r9): the Delta/Hudi merge shape —
+    // per-user state folded from a standing half and an ingest half of the
+    // event log; a winning 'error' row acts as a tombstone and deletes the
+    // user from the compacted state (retractions ride the same merge)
+    "q145_upsert_compaction" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("dead", col("event_type") === "error")
+      val cut = lit("2024-01-15").cast("timestamp")
+      Ops.upsert(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          Seq("user_id"), "ts", tombstoneCol = Some("dead"))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    }),
+    // SCD2 interval build ✚ (r9): the event_type changelog per user
+    // collapsed to validity intervals (valid_from/valid_to, null = current);
+    // consecutive restatements suppressed null-safely
+    "q146_scd2_intervals" -> ((s, d) => {
+      Ops.scd2FromChangelog(
+          Tables.events(s, d).select("user_id", "ts", "event_type"),
+          Seq("user_id"), "ts", Seq("event_type"))
+        .orderBy("user_id", "valid_from")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -3998,6 +4047,69 @@ object SparkEntry {
          SELECT source, doc_id, n_chars, w FROM c
          WHERE (cum - w) * 5 < tot * 3
          ORDER BY source, doc_id""",
+    // the identical sum tree and division order as linregExact: slope first,
+    // then intercept FROM the slope — exact integral sums make both engines'
+    // doubles bit-equal (q76 contract)
+    "q143_linreg_exact" ->
+      """WITH x AS (SELECT l_returnflag, l_quantity AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT)::DOUBLE AS y
+              FROM lineitem),
+         a AS (SELECT l_returnflag,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS sx,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS sy,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * y END) AS sxy,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * x END) AS sx2,
+                count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)::DOUBLE AS n
+              FROM x GROUP BY l_returnflag),
+         sl AS (SELECT l_returnflag, sx, sy, n,
+                CASE WHEN n >= 2 AND n * sx2 - sx * sx > 0
+                     THEN (n * sxy - sx * sy) / (n * sx2 - sx * sx) END AS slope_cents
+              FROM a)
+         SELECT l_returnflag, slope_cents,
+                CASE WHEN slope_cents IS NOT NULL
+                     THEN (sy - slope_cents * sx) / n END AS intercept_cents
+         FROM sl ORDER BY l_returnflag""",
+    // the full-scan rebuild the shard fold must reproduce: every state
+    // component is an exact long aggregate, mean derived sum/n at read time
+    "q144_agg_state_fold" ->
+      """SELECT source,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(n_chars) AS BIGINT) AS n_chars_n,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+                min(n_chars) AS n_chars_min,
+                max(n_chars) AS n_chars_max,
+                CASE WHEN count(n_chars) > 0
+                     THEN CAST(sum(n_chars) AS BIGINT)::DOUBLE
+                          / CAST(count(n_chars) AS BIGINT)::DOUBLE END AS n_chars_mean
+         FROM documents GROUP BY source ORDER BY source""",
+    // union + (ord DESC, side DESC) window replay; the tombstone filter is
+    // the same null-safe NOT coalesce as the engine's
+    "q145_upsert_compaction" ->
+      """WITH u AS (
+           SELECT event_id, ts, user_id, event_type, value,
+                  CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS src
+           FROM events),
+         r AS (SELECT event_id, ts, user_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, src DESC) AS rn
+               FROM u)
+         SELECT user_id, event_id, ts, event_type, value FROM r
+         WHERE rn = 1 AND COALESCE(event_type = 'error', FALSE) = FALSE
+         ORDER BY user_id""",
+    // first-or-changed filter (IS DISTINCT FROM = the engine's null-safe
+    // <=> negation), then lead over the survivors
+    "q146_scd2_intervals" ->
+      """WITH o AS (SELECT user_id, ts, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events),
+         c AS (SELECT user_id, ts, event_type FROM o
+               WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+         v AS (SELECT user_id, event_type, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+              FROM c)
+         SELECT user_id, event_type, valid_from, valid_to FROM v
+         ORDER BY user_id, valid_from""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

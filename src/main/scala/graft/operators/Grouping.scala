@@ -133,6 +133,41 @@ final case class Grouping(df: DataFrame, by: Seq[String]) {
       .drop("__sx", "__sy", "__sxy", "__sx2", "__sy2", "__n")
   }
 
+  /** Per-group exact OLS simple linear regression (✚ extension): the
+    * least-squares line y = slope·x + intercept from the same fixed-order
+    * plain sums as [[corrExact]],
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    *   intercept = (Σy − slope·Σx) / n,
+    * instead of the built-in `regr_slope`/`regr_intercept`, whose
+    * central-moment streaming merges are partition-order dependent. With
+    * integral (or pre-quantized) inputs every sum is an exact long-valued
+    * double, and both divisions are single correctly-rounded IEEE ops over
+    * identical operands — so the doubles are bit-identical on any cluster
+    * size and to a SQL engine replaying the identical formula (the q143
+    * oracle contract; q76 proved the pattern for r). Groups with < 2
+    * pairwise-complete rows or zero x-variance yield null for both outputs
+    * (a vertical line has no OLS fit). One map-side-combined hash-agg
+    * shuffle; no window, no second pass. */
+  def linregExact(xCol: String, yCol: String,
+      slopeCol: String = "slope", interceptCol: String = "intercept"): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val both = x.isNotNull && y.isNotNull
+    def s(c: Column) = org.apache.spark.sql.functions.sum(when(both, c))
+    val n = org.apache.spark.sql.functions.count(when(both, lit(1))).cast("double")
+    val agged = df.groupBy(by.map(col): _*).agg(
+      s(x).as("__sx"), s(y).as("__sy"), s(x * y).as("__sxy"),
+      s(x * x).as("__sx2"), n.as("__n"))
+    val varX = col("__n") * col("__sx2") - col("__sx") * col("__sx")
+    val ok = col("__n") >= 2 && varX > 0
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / varX
+    agged
+      .withColumn(slopeCol, when(ok, slope))
+      .withColumn(interceptCol, when(ok,
+        (col("__sy") - col(slopeCol) * col("__sx")) / col("__n")))
+      .drop("__sx", "__sy", "__sxy", "__sx2", "__n")
+  }
+
   /** Exact discrete (type-1) percentile per group (✚ extension, the
     * `.quantile` analog): the value at position max(1, ⌈p·n⌉) of the
     * group's non-null sorted column — an actual data value, never an
@@ -266,4 +301,56 @@ object Grouping {
     * (SURVEY §2, O17); we keep user order. */
   def groupby(df: DataFrame, by: Seq[String]): Grouping = Grouping(df, by)
   def groupby(df: DataFrame, by: String): Grouping      = Grouping(df, Seq(by))
+
+  /** Mergeable per-group aggregate STATE (✚ extension): the
+    * materialized-view-maintenance shape. Instead of re-scanning 100 TB to
+    * refresh a rollup, each shard/partition/ingest-batch contributes a
+    * small per-group state row — `n_rows` plus, per value column `c`:
+    * `c_n` (non-null count), `c_sum`, `c_min`, `c_max` — and states from
+    * any number of shards FOLD with [[mergeAggStates]] into exactly the
+    * state a full scan would build, because every component is
+    * associative-commutative (counts/sums ADD, min/max MIN/MAX). Sums are
+    * type-preserving (`LongType` in → exact long sums; callers quantize
+    * floats first for bit-exact folds, the repo-wide contract).
+    * [[finalizeAggState]] derives the non-mergeable outputs (mean =
+    * sum/n) at read time. One map-side-combined hash-agg per call. */
+  def aggState(df: DataFrame, by: Seq[String], cols: Seq[String]): DataFrame = {
+    val F = org.apache.spark.sql.functions
+    val aggs = F.count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(F.count(col(c)).as(s"${c}_n"), F.sum(col(c)).as(s"${c}_sum"),
+        F.min(col(c)).as(s"${c}_min"), F.max(col(c)).as(s"${c}_max"))
+    }
+    df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold any number of [[aggState]] tables (same schema) into one:
+    * `*_n`/`*_sum`/`n_rows` columns ADD, `*_min` take MIN, `*_max` take
+    * MAX — the component roles are carried by the state schema's naming
+    * contract, so the fold needs no re-declaration of the original agg.
+    * Incremental ≡ full-rebuild bit-for-bit (the q144 oracle gate). */
+  def mergeAggStates(by: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state table")
+    val F = org.apache.spark.sql.functions
+    val unioned = states.reduce(_.unionByName(_))
+    val valueCols = unioned.columns.filterNot(by.contains).toSeq
+    val aggs = valueCols.map { c =>
+      if (c.endsWith("_min")) F.min(col(c)).as(c)
+      else if (c.endsWith("_max")) F.max(col(c)).as(c)
+      else F.sum(col(c)).as(c) // n_rows, *_n, *_sum all add
+    }
+    unioned.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Derive the non-mergeable reads from a state table: one `c_mean` =
+    * `c_sum / c_n` per value column (null when the group saw no non-null
+    * values). Pure projection — no shuffle. */
+  def finalizeAggState(state: DataFrame): DataFrame = {
+    val sumCols = state.columns.filter(_.endsWith("_sum")).toSeq
+    sumCols.foldLeft(state) { (d, sc) =>
+      val base = sc.stripSuffix("_sum")
+      d.withColumn(s"${base}_mean",
+        when(col(s"${base}_n") > 0,
+          col(sc).cast("double") / col(s"${base}_n").cast("double")))
+    }
+  }
 }

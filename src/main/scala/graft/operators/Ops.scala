@@ -437,4 +437,69 @@ object Ops {
         coalesce(col("__in_id"), col("__nxt_id"), col("__wrap_id")).as("neg_id"))
       .filter(col("neg_id") =!= col("anchor_id"))
   }
+
+  /** Latest-wins upsert compaction (✚ extension): the Delta/Hudi-style
+    * merge shape in library form. `current` (the standing table) and
+    * `delta` (an ingest batch, same schema) union; per key the row with the
+    * greatest `ordCol` wins, and on an exact `ordCol` tie the DELTA row
+    * wins (a correction batch that re-states a version must land). If
+    * `tombstoneCol` is set, a winning row whose flag is true DELETES the
+    * key from the output — retractions travel through the same merge.
+    *
+    * Determinism contract: (keys, ordCol) unique within each side — then
+    * the (ord DESC, side DESC) order is total and the winner is a pure
+    * function of the data. One keyed window shuffle; no global sort, no
+    * driver state. At cluster scale this is the compaction job shape: both
+    * sides hash-partition on the key, skew bounded by per-key version
+    * count, never table size. */
+  def upsert(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      ordCol: String, tombstoneCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(current.columns.toSet == delta.columns.toSet,
+      "current and delta must share a schema (union by name)")
+    require(!current.columns.contains("__graft_src"),
+      "upsert reserves the internal column name __graft_src; rename the input column")
+    val unioned = current.withColumn("__graft_src", lit(0))
+      .unionByName(delta.withColumn("__graft_src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol).desc, col("__graft_src").desc)
+    val winners = unioned.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_src", "__graft_rn")
+    tombstoneCol.fold(winners)(t => winners.filter(!coalesce(col(t), lit(false))))
+  }
+
+  /** SCD2 interval build from a changelog (✚ extension): collapse a
+    * per-key event/version history into validity intervals of constant
+    * attribute values — `valid_from` = the first timestamp of each run of
+    * identical `attrCols`, `valid_to` = the start of the NEXT run (null =
+    * current version). Consecutive rows restating the same attributes are
+    * suppressed (no zero-change versions), with null-safe comparison, so a
+    * null attribute value is a value like any other. `tieCols` extend the
+    * per-key ordering when `tsCol` alone is not unique.
+    *
+    * Two window passes over the SAME key partitioning (change detection,
+    * then lead over survivors) — one shuffle, two spillable sorts; work is
+    * linear in changelog rows on any cluster size. Output: keys ++ attrs ++
+    * (valid_from, valid_to). */
+  def scd2FromChangelog(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      attrCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attribute columns")
+    require(!df.columns.exists(_.startsWith("__graft_")),
+      "scd2FromChangelog reserves __graft_*-prefixed internal column names")
+    val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val changed = attrCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val runs = df
+      .withColumn("__graft_first", row_number().over(w) === 1)
+      .withColumn("__graft_chg", col("__graft_first") || changed)
+      .filter(col("__graft_chg"))
+    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    runs
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .select((keyCols ++ attrCols).map(col) :+ col("valid_from") :+ col("valid_to"): _*)
+  }
 }

@@ -185,4 +185,53 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(other != base)
     intercept[IllegalArgumentException](Ops.negativeSample(ids, "id", 3, 7L, buckets = 3))
   }
+
+  test("upsert: latest wins, delta wins ord ties, tombstone deletes, inserts land") {
+    val cur = Seq((1L, 10L, "a", false), (2L, 10L, "b", false), (3L, 10L, "c", false))
+      .toDF("k", "ord", "v", "dead")
+    val del = Seq(
+      (1L, 20L, "a2", false), // newer version: update
+      (2L, 10L, "b2", false), // SAME ord as current: delta must win
+      (3L, 20L, "x", true),   // tombstone: key deleted
+      (4L, 5L, "d", false)    // new key: insert
+    ).toDF("k", "ord", "v", "dead")
+    val out = Ops.upsert(cur, del, Seq("k"), "ord", tombstoneCol = Some("dead"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b2", 4L -> "d"))
+    // without the tombstone column the retraction row is just a version
+    val keep = Ops.upsert(cur, del, Seq("k"), "ord")
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep == Map(1L -> "a2", 2L -> "b2", 3L -> "x", 4L -> "d"))
+    // an older delta version does not clobber a newer current row
+    val old = Ops.upsert(cur, Seq((1L, 5L, "stale", false)).toDF("k", "ord", "v", "dead"),
+        Seq("k"), "ord", tombstoneCol = Some("dead"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old(1L) == "a")
+  }
+
+  test("scd2FromChangelog: runs collapse, null attr is a value, open current interval") {
+    val log = Seq(
+      (1L, 10L, Some("red")), (1L, 20L, Some("red")),   // restatement suppressed
+      (1L, 30L, Some("blue")),                          // change
+      (1L, 40L, None), (1L, 50L, None),                 // null run = one interval
+      (1L, 60L, Some("blue")),                          // re-change back
+      (2L, 15L, Some("solo"))                           // single version
+    ).toDF("k", "ts", "attr")
+    val out = Ops.scd2FromChangelog(log, Seq("k"), "ts", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      (1L, Some("red"), 10L, Some(30L)),
+      (1L, Some("blue"), 30L, Some(40L)),
+      (1L, None, 40L, Some(60L)),
+      (1L, Some("blue"), 60L, None),
+      (2L, Some("solo"), 15L, None)))
+    // partitioning-independent
+    val again = Ops.scd2FromChangelog(log.repartition(7), Seq("k"), "ts", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(again.toSeq == out.toSeq)
+  }
 }

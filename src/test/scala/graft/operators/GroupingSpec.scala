@@ -118,6 +118,41 @@ class GroupingSpec extends SparkTestBase {
     assert(out(2).isNullAt(1) && out(3).isNullAt(1))
   }
 
+  test("linregExact: recovers the exact line; degenerate groups null; null pairs skipped") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", Some(1.0), Some(3.0)), ("a", Some(2.0), Some(5.0)),
+      ("a", Some(3.0), Some(7.0)),                       // y = 2x + 1 exactly
+      ("b", Some(0.0), Some(4.0)), ("b", Some(2.0), Some(0.0)), // y = -2x + 4
+      ("b", Some(1.0), None),                            // incomplete pair ignored
+      ("c", Some(5.0), Some(1.0)), ("c", Some(5.0), Some(9.0)), // zero x-variance
+      ("d", Some(1.0), Some(1.0))                        // single row
+    ).toDF("k", "x", "y")
+    val out = Grouping.groupby(d, Seq("k")).linregExact("x", "y")
+      .orderBy("k").collect()
+    assert(out(0).getDouble(1) == 2.0 && out(0).getDouble(2) == 1.0)
+    assert(out(1).getDouble(1) == -2.0 && out(1).getDouble(2) == 4.0)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))     // vertical line: no fit
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+  }
+
+  test("aggState: shard states fold to exactly the full-scan state; finalize derives mean") {
+    import spark.implicits._
+    val d1 = Seq(("a", Some(10L)), ("a", None), ("b", Some(7L))).toDF("g", "v")
+    val d2 = Seq(("a", Some(30L)), ("b", Some(1L)), ("c", None)).toDF("g", "v")
+    val full   = Grouping.aggState(d1.unionByName(d2), Seq("g"), Seq("v"))
+    val merged = Grouping.mergeAggStates(Seq("g"),
+      Grouping.aggState(d1, Seq("g"), Seq("v")),
+      Grouping.aggState(d2, Seq("g"), Seq("v")))
+    assert(merged.columns.toSeq == full.columns.toSeq)
+    assert(merged.collect().toSet == full.collect().toSet) // fold ≡ rebuild
+    val fin = Grouping.finalizeAggState(merged).orderBy("g").collect()
+    assert(fin(0).getAs[Double]("v_mean") == 20.0)  // a: (10+30)/2, null skipped
+    assert(fin(1).getAs[Double]("v_mean") == 4.0)   // b: (7+1)/2
+    assert(fin(2).isNullAt(fin(2).fieldIndex("v_mean"))) // c: no non-null values
+    assert(fin(2).getAs[Long]("n_rows") == 1L && fin(2).getAs[Long]("v_n") == 0L)
+  }
+
   test("percentileDisc: value at rank ceil(p*n), nulls skipped, p=0 clamps to min") {
     val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)), ("a", Some(40L)),
       ("a", None), ("b", Some(7L))).toDF("g", "v")
