@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Bpe, Classify, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Search, Similarity, Sketches}
+import graft.operators.{Bpe, Classify, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Profile, Search, Similarity, Sketches}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -882,6 +882,18 @@ object SparkEntry {
           Tables.events(s, d).select("user_id", "ts", "event_type"),
           Seq("user_id"), "ts", Seq("event_type"))
         .orderBy("user_id", "valid_from")
+    }),
+    // column mutual information ✚ (r9): does `lang` carry information about
+    // `source`? — MI over the joint distribution, each cell's term
+    // quantized to micro-nats before the exact long sum (q94's contract)
+    "q147_mutual_info" -> ((s, d) => {
+      Lm.mutualInfo(Tables.documents(s, d), "lang", "source")
+    }),
+    // key-skew profiler ✚ (r9): the pre-shuffle "will one reducer drown?"
+    // diagnostic — hottest-key counts, top-16 share and the Gini of the
+    // per-key distribution, all exact longs + integer DIV
+    "q148_key_skew" -> ((s, d) => {
+      Profile.keySkew(Tables.lineitem(s, d), "l_partkey", topN = 16)
     }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
@@ -4110,6 +4122,39 @@ object SparkEntry {
               FROM c)
          SELECT user_id, event_type, valid_from, valid_to FROM v
          ORDER BY user_id, valid_from""",
+    // marginals re-aggregated FROM the joint, the identical rounded-ln term
+    // tree per cell (q94's quantize-then-sum contract)
+    "q147_mutual_info" ->
+      """WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cab
+              FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS ca FROM j GROUP BY 1),
+         b AS (SELECT source, CAST(sum(cab) AS BIGINT) AS cb FROM j GROUP BY 1),
+         t AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM j)
+         SELECT n AS n_pairs,
+                CAST(sum(CAST(round((ln(cab) - ln(ca) - ln(cb) + ln(n))
+                                    * cab * 1000000) AS BIGINT)) AS BIGINT) AS mi_micro
+         FROM j JOIN a USING (lang) JOIN b USING (source) CROSS JOIN t
+         GROUP BY n""",
+    // rank window over the distinct-key counts; equal-count tie permutations
+    // cannot change sum(i*c) within a block, so both engines agree exactly
+    "q148_key_skew" ->
+      """WITH cnt AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1),
+         r AS (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC NULLS FIRST) AS i
+               FROM cnt),
+         s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_keys,
+                      max(c) AS max_count,
+                      CAST(sum(i * c) AS BIGINT) AS sic
+               FROM r),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS top_n_rows FROM
+                (SELECT c FROM cnt ORDER BY c DESC, k ASC NULLS LAST LIMIT 16))
+         SELECT n_rows, n_keys, max_count, top_n_rows,
+                top_n_rows * 1000000 // n_rows AS top_share_ppm,
+                (2 * sic - (n_keys + 1) * n_rows) * 1000000
+                  // (n_keys * n_rows) AS gini_ppm
+         FROM s CROSS JOIN t""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

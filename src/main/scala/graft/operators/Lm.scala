@@ -198,4 +198,39 @@ object Lm {
       .groupBy(domainCol)
       .agg(max(col("Ts")).as("n_tokens"), sum(col("term_micro")).as("kl_sum_micro"))
   }
+
+  /** Mutual information between two discrete columns (✚ extension): the
+    * feature/metadata dependence audit — MI(A;B) = Σ_ab p(ab)·ln(p(ab) /
+    * (p(a)p(b))). "Does `lang` carry information about `source`?" is the
+    * question a curation pipeline asks before stratifying on either.
+    *
+    * Same exactness contract as [[domainKl]]: counts are exact longs, each
+    * cell's term is quantized to micro-nats BEFORE the sum (one rounded ln
+    * tree per cell, identical on any engine), and the total is an exact
+    * long sum — partition-order independent, bit-reproducible (the q147
+    * oracle contract). Rows with a null on either side are dropped (MI is
+    * over the observed joint distribution).
+    *
+    * Cost: one hash-agg builds the joint (|A×B| cells); the marginals are
+    * re-aggregated FROM the joint (never a second data scan), and the term
+    * join is cell-sized. At 100 TB the data is read once; everything after
+    * is proportional to distinct cells. Output: one row
+    * (n_pairs, mi_micro). */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("cab"))
+    val ma = joint.groupBy(aCol).agg(sum(col("cab")).as("ca"))
+    val mb = joint.groupBy(bCol).agg(sum(col("cab")).as("cb"))
+    val tot = joint.agg(sum(col("cab")).as("n"))
+    joint
+      .join(broadcast(ma), Seq(aCol))
+      .join(broadcast(mb), Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .select(col("n"),
+        round((log(col("cab")) - log(col("ca")) - log(col("cb")) + log(col("n")))
+          * col("cab") * lit(1000000L)).cast(LongType).as("term_micro"))
+      .groupBy(col("n").as("n_pairs"))
+      .agg(sum(col("term_micro")).as("mi_micro"))
+  }
 }

@@ -114,4 +114,49 @@ object Profile {
     df.join(broadcast(bins), df(c) === bins("__graft_v"), "left")
       .drop("__graft_v")
   }
+
+  /** Key-skew profiler (✚ extension): the pre-shuffle diagnostic. Before
+    * joining or aggregating 100 TB on a key, this answers "will one
+    * reducer drown?" — the signal that decides salting
+    * ([[Joins.saltedJoin]]) or AQE skew handling. Null keys count as a key
+    * (they land in one reducer like any other value).
+    *
+    * One row out: `n_rows`, `n_keys`, `max_count` (the hottest key's
+    * rows), `top_n_rows` (rows held by the `topN` hottest keys),
+    * `top_share_ppm` (their share, exact integer DIV), and `gini_ppm` —
+    * the Gini coefficient of the per-key count distribution,
+    *   G = Σ_i (2i − m − 1)·c_(i) / (m·Σc)  (c ascending, i = 1..m),
+    * computed as 2·Σ(i·c_i) − (m+1)·Σc over a rank window: every input an
+    * exact long, the one division an integer DIV — bit-reproducible (the
+    * q148 oracle contract). 0 = perfectly even, →1 = one key owns it all.
+    *
+    * Cost: one hash-agg to per-key counts (data-sized scan, map-side
+    * combined), then ONE global sort of the DISTINCT-KEY table (counts,
+    * not rows — the same deliberate trade as [[equalFrequencyBins]]), and
+    * a k-row top-N. Row count never rides the sort. Exact-long regime:
+    * the gini numerator needs 2e6·Σ(i·c) < 2^63, i.e. n_keys·n_rows ≲
+    * 4.6e12 — beyond that (a billion keys over a trillion rows), take the
+    * Gini of a [[graft.operators.Ops.sampleByHash]] key band instead. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 16): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.groupBy(col(keyCol).as("__graft_k"))
+      .agg(count(lit(1)).as("__graft_c"))
+    val w = Window.orderBy(col("__graft_c").asc, col("__graft_k").asc_nulls_first)
+    val stats = counts
+      .withColumn("__graft_i", row_number().over(w))
+      .agg(
+        sum(col("__graft_c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__graft_c")).as("max_count"),
+        sum(col("__graft_i") * col("__graft_c")).as("__graft_sic"))
+    val top = counts
+      .orderBy(col("__graft_c").desc, col("__graft_k").asc_nulls_last)
+      .limit(topN)
+      .agg(sum(col("__graft_c")).as("top_n_rows"))
+    stats.crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_count"), col("top_n_rows"),
+        expr("top_n_rows * 1000000 DIV n_rows").as("top_share_ppm"),
+        expr("(2 * __graft_sic - (n_keys + 1) * n_rows) * 1000000 DIV (n_keys * n_rows)")
+          .as("gini_ppm"))
+  }
 }

@@ -462,4 +462,21 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(m(0L) == 1L && m(1L) == 1L && m(2L) == 1L)
     assert((3L to 20L).forall(m(_) == 0L))
   }
+
+  test("mutualInfo: independent columns give exactly 0; a copy gives ln(k); nulls dropped") {
+    // perfectly independent 2x2 uniform: every cell term is ln(1) = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "v")
+    val r0 = Lm.mutualInfo(indep, "u", "v").collect()(0)
+    assert(r0.getAs[Long]("n_pairs") == 4L && r0.getAs[Long]("mi_micro") == 0L)
+    // v = u (2 uniform symbols): MI = ln 2, as the sum of per-cell micro terms
+    val copy = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"),
+      (null, "zz"), ("zz", null)).toDF("u", "v")
+    val r1 = Lm.mutualInfo(copy, "u", "v").collect()(0)
+    assert(r1.getAs[Long]("n_pairs") == 4L) // null-sided rows dropped
+    val cellTerm = math.round(math.log(2.0) * 2 * 1e6)
+    assert(r1.getAs[Long]("mi_micro") == 2 * cellTerm)
+    // partition-independent (exact long sum of pre-rounded terms)
+    val r2 = Lm.mutualInfo(copy.repartition(7), "u", "v").collect()(0)
+    assert(r2.getAs[Long]("mi_micro") == r1.getAs[Long]("mi_micro"))
+  }
 }

@@ -78,4 +78,25 @@ class ProfileSpec extends SparkTestBase {
     assert(!plan.contains("Expand"), plan)
     assert("Exchange".r.findAllIn(plan).size == 1, plan) // one SinglePartition gather
   }
+
+  test("keySkew: hand-computed Gini and top-share; null keys count; uniform keys give 0") {
+    // counts: a->6, b->2, c->1, null->1  =>  sorted asc (1,1,2,6)
+    // gini num = sum((2i-5)c_i) = -3-1+2+18 = 16; den = 4*10 => G = 0.4
+    val df = (Seq.fill(6)(Some("a")) ++ Seq.fill(2)(Some("b")) ++
+      Seq(Some("c"), Option.empty[String])).toDF("k")
+    val r = Profile.keySkew(df, "k", topN = 2).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("max_count") == 6L)
+    assert(r.getAs[Long]("top_n_rows") == 8L)       // a(6) + b(2)
+    assert(r.getAs[Long]("top_share_ppm") == 800000L)
+    assert(r.getAs[Long]("gini_ppm") == 400000L)
+    // perfectly even distribution: Gini exactly 0
+    val even = (0 until 12).map(i => s"k${i % 4}").toDF("k")
+    val e = Profile.keySkew(even, "k", topN = 2).collect()(0)
+    assert(e.getAs[Long]("gini_ppm") == 0L)
+    assert(e.getAs[Long]("top_n_rows") == 6L)
+    // partitioning-independent (rank-window tie blocks cancel exactly)
+    val p = Profile.keySkew(df.repartition(7), "k", topN = 2).collect()(0)
+    assert(p.getAs[Long]("gini_ppm") == 400000L && p.getAs[Long]("top_share_ppm") == 800000L)
+  }
 }
