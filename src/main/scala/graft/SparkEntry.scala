@@ -895,6 +895,20 @@ object SparkEntry {
     "q148_key_skew" -> ((s, d) => {
       Profile.keySkew(Tables.lineitem(s, d), "l_partkey", topN = 16)
     }),
+    // expectation battery ✚ (r9): the dbt-test/Great-Expectations gate —
+    // all row-local rules ride ONE aggregation pass; unique adds one keyed
+    // hash-agg, the FK one left join against deduplicated reference keys
+    "q149_expectations" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      Profile.expect(l, Seq(
+        Profile.NotNull("l_orderkey"),
+        Profile.InRange("l_quantity", 1, 45),
+        Profile.MatchesRegex("l_returnflag", "[AN]"),
+        Profile.Satisfies("discount_le_tax", col("l_discount") <= col("l_tax")),
+        Profile.Unique(Seq("l_orderkey", "l_linenumber")),
+        Profile.ForeignKey(Seq("l_orderkey"), "orders",
+          Tables.orders(s, d), Seq("o_orderkey"))))
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -4155,6 +4169,46 @@ object SparkEntry {
                 (2 * sic - (n_keys + 1) * n_rows) * 1000000
                   // (n_keys * n_rows) AS gini_ppm
          FROM s CROSS JOIN t""",
+    // each rule replayed as its aggregate: row-local CASE counts, the
+    // unique-key sum over per-key counts, the FK left join on DISTINCT keys
+    "q149_expectations" ->
+      """WITH loc AS (
+           SELECT 'not_null(l_orderkey)' AS rule, CAST(count(*) AS BIGINT) AS checked,
+                  CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_quantity,1.0,45.0)', CAST(count(*) AS BIGINT),
+                  CAST(count(CASE WHEN l_quantity IS NOT NULL
+                                   AND (l_quantity < 1.0 OR l_quantity > 45.0)
+                             THEN 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'matches(l_returnflag)', CAST(count(*) AS BIGINT),
+                  CAST(count(CASE WHEN l_returnflag IS NOT NULL
+                                   AND NOT regexp_full_match(l_returnflag, '[AN]')
+                             THEN 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'satisfies(discount_le_tax)', CAST(count(*) AS BIGINT),
+                  CAST(count(CASE WHEN NOT COALESCE(l_discount <= l_tax, FALSE)
+                             THEN 1 END) AS BIGINT)
+           FROM lineitem),
+         u AS (SELECT 'unique(l_orderkey,l_linenumber)' AS rule,
+                      CAST(sum(c) AS BIGINT) AS checked,
+                      CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS violations
+               FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+                     GROUP BY l_orderkey, l_linenumber)),
+         f AS (SELECT 'fk(l_orderkey->orders)' AS rule,
+                      CAST(count(*) AS BIGINT) AS checked,
+                      CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations
+               FROM lineitem li
+               LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                 ON li.l_orderkey = o.o_orderkey
+               WHERE li.l_orderkey IS NOT NULL)
+         SELECT rule, checked, violations FROM loc
+         UNION ALL SELECT rule, checked, violations FROM u
+         UNION ALL SELECT rule, checked, violations FROM f
+         ORDER BY rule""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,5 +158,88 @@ object Profile {
         expr("top_n_rows * 1000000 DIV n_rows").as("top_share_ppm"),
         expr("(2 * __graft_sic - (n_keys + 1) * n_rows) * 1000000 DIV (n_keys * n_rows)")
           .as("gini_ppm"))
+  }
+
+  /** Declarative data-quality expectations (✚ extension): the
+    * dbt-test / Great-Expectations shape as a library call — a rule list
+    * audited into one small (rule, checked, violations) table, the gate a
+    * pipeline asserts on before publishing a dataset. */
+  sealed trait Rule
+  /** `c` must not be null. */
+  final case class NotNull(c: String) extends Rule
+  /** Non-null values of `c` must lie in [lo, hi] (nulls pass — pair with
+    * [[NotNull]] to also forbid them). */
+  final case class InRange(c: String, lo: Double, hi: Double) extends Rule
+  /** Non-null values of `c` must fully match `regex` (Java syntax). */
+  final case class MatchesRegex(c: String, regex: String) extends Rule
+  /** Any `cond == false` row violates (nulls violate too — name the rule
+    * for its report row). */
+  final case class Satisfies(name: String, cond: Column) extends Rule
+  /** `cols` must be a unique key: every row sharing its key tuple with
+    * another row is a violation. */
+  final case class Unique(cols: Seq[String]) extends Rule
+  /** Referential integrity: each fully-non-null `cols` tuple must appear
+    * among `refCols` of `ref` (rows with any null key pass, SQL FK
+    * convention). `refName` labels the report row. */
+  final case class ForeignKey(cols: Seq[String], refName: String,
+      ref: DataFrame, refCols: Seq[String]) extends Rule
+
+  /** Audit `rules` against `df`. Output: one row per rule —
+    * (rule, checked, violations) — ordered by rule name.
+    *
+    * Scale shape: ALL row-local rules (not-null / range / regex /
+    * satisfies) ride ONE aggregation pass over the data (map-side
+    * combined, the [[profile]] policy); each [[Unique]] adds one
+    * hash-agg on its key and each [[ForeignKey]] one left join against
+    * the (deduplicated) reference keys — no rule ever costs a second
+    * full-table pass beyond its own shuffle. Nothing collects to the
+    * driver; the report is a DataFrame like any other. */
+  def expect(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val spark = df.sparkSession
+    val rowLocal: Seq[(String, Column)] = rules.collect {
+      case NotNull(c)         => (s"not_null($c)", col(c).isNull)
+      case InRange(c, lo, hi) => (s"in_range($c,$lo,$hi)",
+        col(c).isNotNull && (col(c) < lit(lo) || col(c) > lit(hi)))
+      case MatchesRegex(c, re) => (s"matches($c)",
+        col(c).isNotNull && !col(c).rlike("^(?:" + re + ")$"))
+      case Satisfies(n, cond) => (s"satisfies($n)", !coalesce(cond, lit(false)))
+    }
+    val localReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("__graft_checked") +:
+          rowLocal.zipWithIndex.map { case ((_, viol), i) =>
+            count(when(viol, lit(1))).as(s"__graft_v$i")
+          }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Some(one.select(explode(array(rowLocal.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("rule"), col("__graft_checked").as("checked"),
+            col(s"__graft_v$i").as("violations"))
+        }: _*)).as("__graft_r")).select(col("__graft_r.*")))
+      }
+    val keyed: Seq[DataFrame] = rules.collect {
+      case Unique(cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_c"))
+          .agg(coalesce(sum(col("__graft_c")), lit(0L)).as("checked"),
+            coalesce(sum(when(col("__graft_c") > 1, col("__graft_c"))), lit(0L))
+              .as("violations"))
+          .select(lit(s"unique(${cols.mkString(",")})").as("rule"),
+            col("checked"), col("violations"))
+      case ForeignKey(cols, refName, ref, refCols) =>
+        val keys = ref.select(refCols.map(col): _*).distinct()
+          .withColumn("__graft_hit", lit(1))
+        val nonNull = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        val cond = cols.zip(refCols).map { case (a, b) => nonNull(a) === keys(b) }
+          .reduce(_ && _)
+        nonNull.join(keys, cond, "left")
+          .agg(count(lit(1)).as("checked"),
+            count(when(col("__graft_hit").isNull, lit(1))).as("violations"))
+          .select(lit(s"fk(${cols.mkString(",")}->$refName)").as("rule"),
+            col("checked"), col("violations"))
+    }
+    (localReport.toSeq ++ keyed)
+      .reduce(_.unionByName(_))
+      .orderBy("rule")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import graft.SparkTestBase
 
 class ProfileSpec extends SparkTestBase {
@@ -98,5 +98,35 @@ class ProfileSpec extends SparkTestBase {
     // partitioning-independent (rank-window tie blocks cancel exactly)
     val p = Profile.keySkew(df.repartition(7), "k", topN = 2).collect()(0)
     assert(p.getAs[Long]("gini_ppm") == 400000L && p.getAs[Long]("top_share_ppm") == 800000L)
+  }
+
+  test("expect: every rule kind audits correctly; row-local rules share one pass") {
+    val df = Seq(
+      (Some(1L), Some(10.0), "aa"),
+      (Some(1L), Some(200.0), "ab"),  // out of range; dup key with row 1
+      (Some(2L), None, "zz"),         // null value passes in_range, fails regex
+      (None, Some(5.0), "aa")         // null key: not_null + fk-skip
+    ).toDF("k", "v", "s")
+    val ref = Seq(1L).toDF("rk")      // key 2 is dangling
+    val out = Profile.expect(df, Seq(
+        Profile.NotNull("k"),
+        Profile.InRange("v", 0, 100),
+        Profile.MatchesRegex("s", "a+b?"),
+        Profile.Satisfies("v_positive", col("v") > 0),
+        Profile.Unique(Seq("k")),
+        Profile.ForeignKey(Seq("k"), "ref", ref, Seq("rk"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("not_null(k)") == (4L, 1L))
+    assert(out("in_range(v,0.0,100.0)") == (4L, 1L))
+    assert(out("matches(s)") == (4L, 1L))              // "zz" fails, null s absent
+    assert(out("satisfies(v_positive)") == (4L, 1L))   // null v violates (fail-closed)
+    assert(out("unique(k)") == (4L, 2L))               // the two k=1 rows
+    assert(out("fk(k->ref)") == (3L, 1L))              // null-key row skipped; k=2 dangles
+    // all four row-local rules ride ONE aggregation pass over the data —
+    // a single agg-gather exchange; the report sort reuses its partition
+    val plan = Profile.expect(df, Seq(Profile.NotNull("k"), Profile.InRange("v", 0, 100),
+        Profile.MatchesRegex("s", "a+b?"), Profile.Satisfies("p", col("v") > 0)))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 }
