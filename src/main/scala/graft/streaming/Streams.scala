@@ -359,6 +359,26 @@ object Streams {
       sink(graft.operators.Joins.bloomAntiFilter(batch.toDF(), idCol, seen))
     }
 
+  /** Streaming upsert compaction: every micro-batch folds into the
+    * standing compacted state via [[graft.operators.Ops.upsert]] — `load`
+    * reads the current state, the folded result goes to `store` (e.g. a
+    * parquet table rewritten per batch, or a staged-rename target for
+    * crash atomicity). The q145 batch semantics ride unchanged: per key
+    * the greatest `ordCol` wins, the incoming batch wins exact ties, and a
+    * winning tombstone row deletes the key. Spark keeps NO state between
+    * batches (the state lives in the caller's table), so restart recovery
+    * is the storage layer's concern, not a state-store migration. A batch
+    * restating old versions (replayed ingest) is idempotent: older ord
+    * values never clobber the standing winner. */
+  def upsertStreamBulk(stream: DataFrame, keyCols: Seq[String], ordCol: String,
+      tombstoneCol: Option[String] = None)(
+      load: () => DataFrame, store: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      store(graft.operators.Ops.upsert(load(), batch.toDF(), keyCols, ordCol,
+        tombstoneCol))
+    }
+
   /** Semantic-outlier gate for ONE micro-batch: keep rows whose cosine to
     * their group's STORED centroid ([[graft.operators.Similarity
     * .groupCentroids]] over the curated corpus snapshot — integer-SUM

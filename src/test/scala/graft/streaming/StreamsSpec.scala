@@ -526,4 +526,30 @@ class StreamsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Streams.surprisalGateBatch(batch.withColumn("n_tok", lit(1)), "id", "text", lm, thr))
   }
+
+  test("upsertStreamBulk: micro-batches fold into the standing state ≡ sequential batch folds") {
+    import graft.operators.Ops
+    implicit val sqlCtx = spark.sqlContext
+    val init = Seq((1L, 10L, "a", false), (2L, 10L, "b", false)).toDF("k", "ord", "v", "dead")
+    val b1 = Seq((1L, 20L, "a2", false), (3L, 5L, "c", false))
+    val b2 = Seq((2L, 30L, "gone", true), (4L, 40L, "d", false)) // tombstone k=2
+    // batch replay of the same two folds
+    val exp = Seq(b1, b2).foldLeft(init) { (st, b) =>
+      Ops.upsert(st, b.toDF("k", "ord", "v", "dead"), Seq("k"), "ord", Some("dead"))
+        .localCheckpoint(true)
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    var state = init
+    val mem = MemoryStream[(Long, Long, String, Boolean)]
+    val q = Streams.upsertStreamBulk(mem.toDF().toDF("k", "ord", "v", "dead"),
+        Seq("k"), "ord", Some("dead"))(
+        () => state, out => state = out.localCheckpoint(true))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = state.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == exp)
+      assert(got == Set((1L, 20L, "a2"), (3L, 5L, "c"), (4L, 40L, "d"))) // k=2 deleted
+    } finally q.stop()
+  }
 }
