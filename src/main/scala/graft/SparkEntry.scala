@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Bpe, Classify, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Profile, Search, Similarity, Sketches}
+import graft.operators.{Bpe, Classify, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Profile, Search, Similarity, Sketches, Stats}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -908,6 +908,20 @@ object SparkEntry {
         Profile.Unique(Seq("l_orderkey", "l_linenumber")),
         Profile.ForeignKey(Seq("l_orderkey"), "orders",
           Tables.orders(s, d), Seq("o_orderkey"))))
+    }),
+    // Welch two-sample t ✚ (r9): the A/B-test statistic for click-vs-view
+    // spend — conditional exact cent sums in ONE aggregation, one fixed
+    // division tree both engines share, micro-quantized t
+    "q150_welch_ab" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      Stats.welchT(ev, "event_type", "cents", "click", "view")
+    }),
+    // chi-squared independence ✚ (r9): lang × source over the contingency
+    // grid INCLUDING structural zeros (marginal cross product, cell-sized);
+    // per-cell terms micro-quantized before the exact long sum
+    "q151_chi_squared" -> ((s, d) => {
+      Stats.chiSquared(Tables.documents(s, d), "lang", "source")
     }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
@@ -4209,6 +4223,54 @@ object SparkEntry {
          UNION ALL SELECT rule, checked, violations FROM u
          UNION ALL SELECT rule, checked, violations FROM f
          ORDER BY rule""",
+    // identical division tree: v = (Σx² − (Σx)²/n)/(n−1), se² = va/na+vb/nb,
+    // t = (ma − mb)/√se² — exact cent sums make the doubles engine-equal
+    "q150_welch_ab" ->
+      """WITH x AS (SELECT event_type AS g,
+                CAST(round(value * 100) AS BIGINT)::DOUBLE AS v FROM events),
+         s AS (SELECT
+                count(CASE WHEN g = 'click' AND v IS NOT NULL THEN 1 END)::DOUBLE AS na,
+                sum(CASE WHEN g = 'click' THEN v END) AS sa,
+                sum(CASE WHEN g = 'click' THEN v * v END) AS sa2,
+                count(CASE WHEN g = 'view' AND v IS NOT NULL THEN 1 END)::DOUBLE AS nb,
+                sum(CASE WHEN g = 'view' THEN v END) AS sb,
+                sum(CASE WHEN g = 'view' THEN v * v END) AS sb2
+               FROM x)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CASE WHEN na >= 1 THEN sa / na END AS mean_a,
+                CASE WHEN nb >= 1 THEN sb / nb END AS mean_b,
+                CASE WHEN na >= 2 AND nb >= 2
+                      AND (sa2 - sa * sa / na) / (na - 1) / na
+                        + (sb2 - sb * sb / nb) / (nb - 1) / nb > 0
+                     THEN CAST(round((sa / na - sb / nb)
+                          / sqrt((sa2 - sa * sa / na) / (na - 1) / na
+                               + (sb2 - sb * sb / nb) / (nb - 1) / nb) * 1e6) AS BIGINT)
+                END AS t_micro
+         FROM s""",
+    // the same marginal-cross-product grid with observed-0 cells, the same
+    // rounded per-cell term tree, exact long total
+    "q151_chi_squared" ->
+      """WITH dd AS (SELECT lang, source FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL),
+         j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cab
+               FROM dd GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS ca FROM j GROUP BY 1),
+         b AS (SELECT source, CAST(sum(cab) AS BIGINT) AS cb FROM j GROUP BY 1),
+         t AS (SELECT CAST(sum(cab) AS BIGINT) AS n,
+                      CAST(count(DISTINCT lang) AS BIGINT) AS ka,
+                      CAST(count(DISTINCT source) AS BIGINT) AS kb FROM j),
+         g AS (SELECT a.lang, b.source, a.ca, b.cb, COALESCE(j.cab, 0) AS o
+               FROM a CROSS JOIN b
+               LEFT JOIN j ON j.lang = a.lang AND j.source = b.source),
+         term AS (SELECT n, ka, kb,
+                CAST(round((o - ca::DOUBLE * cb::DOUBLE / n::DOUBLE)
+                         * (o - ca::DOUBLE * cb::DOUBLE / n::DOUBLE)
+                         / (ca::DOUBLE * cb::DOUBLE / n::DOUBLE)
+                         * 1000000) AS BIGINT) AS tm
+              FROM g CROSS JOIN t)
+         SELECT n AS n_pairs, (ka - 1) * (kb - 1) AS dof,
+                CAST(sum(tm) AS BIGINT) AS chi2_micro
+         FROM term GROUP BY 1, 2""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->
