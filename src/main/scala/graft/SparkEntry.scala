@@ -923,6 +923,14 @@ object SparkEntry {
     "q151_chi_squared" -> ((s, d) => {
       Stats.chiSquared(Tables.documents(s, d), "lang", "source")
     }),
+    // trailing-baseline anomaly z ✚ (r9): 6-hour event-type volumes scored
+    // against their previous 8 windows — exact counts, one fixed z tree,
+    // insufficient-history windows null (not "anomalous")
+    "q152_anomaly_z" -> ((s, d) => {
+      Streams.anomalyScores(Tables.events(s, d), "event_type", "ts",
+          windowMinutes = 360, baselineWindows = 8)
+        .orderBy("event_type", "bucket_us")
+    }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
     // exact integer dots/norms -> engine-identical cosine, micro-quantized
@@ -4271,6 +4279,25 @@ object SparkEntry {
          SELECT n AS n_pairs, (ka - 1) * (kb - 1) AS dof,
                 CAST(sum(tm) AS BIGINT) AS chi2_micro
          FROM term GROUP BY 1, 2""",
+    // the same integer bucket, trailing ROWS frame, and z tree
+    "q152_anomaly_z" ->
+      """WITH c AS (SELECT event_type,
+                epoch_us(ts) - epoch_us(ts) % 21600000000 AS bucket_us,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, bucket_us, n_events,
+                CAST(count(n_events) OVER fr AS DOUBLE) AS k,
+                CAST(sum(n_events) OVER fr AS DOUBLE) AS s1,
+                CAST(sum(n_events * n_events) OVER fr AS DOUBLE) AS s2
+              FROM c
+              WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
+                            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, bucket_us, n_events, CAST(k AS BIGINT) AS base_n,
+                CASE WHEN k >= 2 AND (k * s2 - s1 * s1) / (k * (k - 1)) > 0
+                     THEN CAST(round((n_events - s1 / k)
+                          / sqrt((k * s2 - s1 * s1) / (k * (k - 1))) * 1e6) AS BIGINT)
+                END AS z_micro
+         FROM w ORDER BY event_type, bucket_us""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

@@ -106,6 +106,49 @@ object Streams {
         coalesce(col("value_cents"), lit(0L)).as("value_cents"))
   }
 
+  /** Trailing-baseline anomaly scores (✚ extension): per `typeCol`, bucket
+    * events into fixed `windowMinutes` intervals (the [[resampleDense]]
+    * integer bucket — engine-portable, no floats) and z-score each
+    * window's count against the PRECEDING `baselineWindows` windows:
+    *   z = (c − mean) / √var,  var = (k·Σc² − (Σc)²)/(k·(k−1))
+    * over the trailing frame — the volume-spike / outage detector run
+    * over every ops event stream. Counts are exact longs, the z tree is
+    * one fixed double expression over them (micro-quantized — the q152
+    * oracle contract). Windows with fewer than 2 trailing observations or
+    * a zero-variance baseline emit a null z (insufficient history, not
+    * "anomalous"). Baseline frames span OBSERVED windows; on sparse
+    * streams, densify with [[resampleDense]]-style spines first so silent
+    * gaps become measured zeros. One hash-agg (data-sized scan) plus one
+    * keyed window over the BUCKET table — per-type bucket counts, never
+    * rows, ride the sort. Output: (event_type, bucket_us, n_events,
+    * base_n, z_micro). */
+  def anomalyScores(events: DataFrame, typeCol: String, tsCol: String,
+      windowMinutes: Int, baselineWindows: Int): DataFrame = {
+    require(windowMinutes > 0, "windowMinutes must be positive")
+    require(baselineWindows >= 2, "need >= 2 baseline windows for a variance")
+    val stepUs = windowMinutes.toLong * 60L * 1000000L
+    val us = unix_micros(col(tsCol))
+    val buckets = events
+      .select(col(typeCol).as("event_type"), (us - pmod(us, lit(stepUs))).as("bucket_us"))
+      .groupBy("event_type", "bucket_us")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_us")
+      .rowsBetween(-baselineWindows, -1)
+    val k = count(col("n_events")).over(w).cast("double")
+    val s1 = sum(col("n_events")).over(w).cast("double")
+    val s2 = sum(col("n_events") * col("n_events")).over(w).cast("double")
+    val c = col("n_events").cast("double")
+    val vr = (col("__k") * col("__s2") - col("__s1") * col("__s1")) /
+      (col("__k") * (col("__k") - 1))
+    buckets
+      .withColumn("__k", k).withColumn("__s1", s1).withColumn("__s2", s2)
+      .select(col("event_type"), col("bucket_us"), col("n_events"),
+        col("__k").cast("long").as("base_n"),
+        when(col("__k") >= 2 && vr > 0,
+          round((c - col("__s1") / col("__k")) / sqrt(vr) * 1e6).cast("long"))
+          .as("z_micro"))
+  }
+
   /** Batch sessionization: a session is a maximal run of a user's events with
     * gaps ≤ `gapMinutes`. Two window passes over (user_id): lag to flag
     * session starts, running sum to number sessions — one shuffle on user_id,

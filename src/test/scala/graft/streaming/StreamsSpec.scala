@@ -527,6 +527,34 @@ class StreamsSpec extends SparkTestBase {
       Streams.surprisalGateBatch(batch.withColumn("n_tok", lit(1)), "id", "text", lm, thr))
   }
 
+  test("anomalyScores: hand-computed trailing z; insufficient history and zero variance null") {
+    // per-minute counts for one type: 3, 5, 4, 6, 12
+    val counts = Seq(3, 5, 4, 6, 12)
+    val rows = counts.zipWithIndex.flatMap { case (c, m) =>
+      (0 until c).map(j => ("err", m.toLong * 60L + j))
+    }
+    val ev = rows.toDF("event_type", "sec")
+      .select(col("event_type"), timestamp_seconds(col("sec")).as("ts"))
+    val out = Streams.anomalyScores(ev, "event_type", "ts",
+        windowMinutes = 1, baselineWindows = 3)
+      .orderBy("bucket_us").collect()
+    assert(out.map(_.getAs[Long]("n_events")).toSeq == Seq(3L, 5L, 4L, 6L, 12L))
+    assert(out(0).isNullAt(4) && out(1).isNullAt(4)) // base_n 0 and 1: no test
+    // m2: baseline (3,5) -> mean 4, var 2 -> z = 0
+    assert(out(2).getAs[Long]("base_n") == 2L && out(2).getAs[Long]("z_micro") == 0L)
+    // m3: baseline (3,5,4) -> mean 4, var 1 -> z = 2
+    assert(out(3).getAs[Long]("z_micro") == 2000000L)
+    // m4: baseline (5,4,6) -> mean 5, var 1 -> z = 7
+    assert(out(4).getAs[Long]("z_micro") == 7000000L)
+    // a constant-rate type yields zero variance -> null z, never a spike
+    val const = (0 until 4).flatMap(m => (0 until 2).map(j => ("ok", m.toLong * 60L + j)))
+      .toDF("event_type", "sec")
+      .select(col("event_type"), timestamp_seconds(col("sec")).as("ts"))
+    val zc = Streams.anomalyScores(const, "event_type", "ts", 1, 3)
+      .orderBy("bucket_us").collect()
+    assert(zc.drop(2).forall(_.isNullAt(4)))
+  }
+
   test("upsertStreamBulk: micro-batches fold into the standing state ≡ sequential batch folds") {
     import graft.operators.Ops
     implicit val sqlCtx = spark.sqlContext
