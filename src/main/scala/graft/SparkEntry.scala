@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Bpe, Classify, Dedup, Dsir, Graph, Grouping, Joins, Layout, Lm, Ops, Pack, Profile, Search, Similarity, Sketches, Stats}
+import graft.operators.{Audit, Bpe, Classify, Dedup, Dsir, Graph, Grouping, Intervals, Joins, Layout, Lm, Ops, Pack, Profile, Search, Sequences, Similarity, Sketches, Stats}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -930,6 +930,122 @@ object SparkEntry {
       Streams.anomalyScores(Tables.events(s, d), "event_type", "ts",
           windowMinutes = 360, baselineWindows = 8)
         .orderBy("event_type", "bucket_us")
+    }),
+    // exact ROC-AUC ✚ (r9): does order value separate finished from open
+    // orders — tie-corrected rank-sum in exact longs, two-level prefix sum
+    // (no data-sized single-partition window), one shared final division
+    "q153_roc_auc" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+        .withColumn("is_f", col("o_orderstatus") === "F")
+      Stats.rocAuc(o, "cents", "is_f", bucketWidth = 1000000L)
+    }),
+    // k-core peeling ✚ (r9): the dense backbone of the q131 co-purchase
+    // graph — 4 fixed peel rounds at k=3, pure function of (edges, k,
+    // rounds), oracle unrolled round-for-round
+    "q154_kcore" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val r = l.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      val edges = l.join(r, Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").as("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      Graph.kCore(edges, "p1", "p2", k = 3, rounds = 4)
+        .orderBy(col("node"))
+    }),
+    // robust MAD outlier screen ✚ (r9): per-language length outliers —
+    // all-integer flag (20·|2x−med2| > k10·mad4), no floating point at all
+    "q155_robust_outliers" -> ((s, d) => {
+      Stats.robustOutliers(Tables.documents(s, d), "lang", "n_chars", k10 = 35)
+        .orderBy(col("lang"))
+    }),
+    // interval union / coverage ✚ (r9): 30-minute activity spans per user
+    // merged overlap-once — exact long sweep, one shuffle, per-key windows
+    "q156_interval_coverage" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .withColumn("lo", unix_micros(col("ts")))
+        .withColumn("hi", col("lo") + lit(1800000000L))
+      Intervals.coverage(iv, "user_id", "lo", "hi")
+        .orderBy(col("user_id"))
+    }),
+    // value concentration ✚ (r9): exact Gini + top-decile share of
+    // customer revenue — Decimal(38,0) rank-weighted sum, two-level ranks
+    "q157_concentration" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      Stats.concentration(o, "o_custkey", "cents", bucketWidth = 10000000L)
+    }),
+    // Markov transitions ✚ (r9): behavioral event-type bigram matrix —
+    // key-partitioned lead, exact counts, micro-quantized row-normalized p
+    "q158_transitions" -> ((s, d) => {
+      Sequences.transitionCounts(Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy(col("from_state"), col("to_state"))
+    }),
+    // keyed table diff ✚ (r9): reconcile orders vs a deterministic "next
+    // version" (every 13th key deleted→reinserted negated, every 7th price
+    // bumped) — one full-outer join, column-wise null-safe compare
+    "q159_table_diff" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+      val b = a.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(a.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      Audit.diffSummary(a, b, Seq("o_orderkey"))
+        .orderBy(col("diff_status"))
+    }),
+    // WoE / IV feature screen ✚ (r9): how strongly `source` separates
+    // English from the rest — exact counts, shared ln tree, micro-quantized
+    "q160_woe_iv" -> ((s, d) => {
+      val doc = Tables.documents(s, d).withColumn("is_en", col("lang") === "en")
+      Stats.woeIv(doc, "source", "is_en")
+        .orderBy(col("source"))
+    }),
+    // time-weighted mean ✚ (r9): per-user TWAP of event value — each value
+    // holds until the next event; exact cent×micro products in Decimal(38,0)
+    "q161_twap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      Sequences.timeWeightedMean(ev, "user_id", "ts_us", "cents", "event_id")
+        .orderBy(col("user_id"))
+    }),
+    // incremental transition fold ✚ (r9): the q158 matrix rebuilt as
+    // standing state + strictly-later ingest — history is never re-scanned
+    // (one carried last-event row per key stitches the boundary pair); the
+    // query IS the equivalence gate: fold(first half, second half) must
+    // equal the full-data oracle count-for-count
+    "q162_transitions_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      // deterministic mid-range split; boundary rows go to the batch
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2)
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      val hist = tagged.filter(col("ts_us") < col("mid")).drop("mid")
+      val batch = tagged.filter(col("ts_us") >= col("mid")).drop("mid")
+      val (c0, l0) = Sequences.transitionState(hist, "user_id", "event_type",
+        "ts_us", "event_id")
+      val (c1, _) = Sequences.ingestTransitions(c0, l0, batch, "user_id",
+        "event_type", "ts_us", "event_id")
+      c1.orderBy(col("from_state"), col("to_state"))
+    }),
+    // Jaro-Winkler fuzzy rerank ✚ (r9): the q132 FastSS candidate pairs
+    // scored by the codegen'd exact-rational graft_jw_micro expression —
+    // record-linkage ranking without a single float
+    "q163_jw_rerank" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      Joins.fuzzySelfPairs(names, "name", "name", maxDist = 2)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("dist").cast(LongType).as("dist"),
+          call_function("graft_jw_micro", col("id_a"), col("id_b")).as("jw_micro"))
+        .orderBy(col("name_a"), col("name_b"))
     }),
     // sparse cosine all-pairs ✚: inverted-index candidates over 3-word
     // shingles, df-capped (a boilerplate shingle's df² fan-out never joins);
@@ -4298,6 +4414,185 @@ object SparkEntry {
                           / sqrt((k * s2 - s1 * s1) / (k * (k - 1))) * 1e6) AS BIGINT)
                 END AS z_micro
          FROM w ORDER BY event_type, bucket_us""",
+    // same exact rank-sum identity over distinct score levels; the oracle
+    // uses the one-level window (result-identical — the stats are exact
+    // longs; the Spark side's two-level shape is a scale choice, not a
+    // semantics one)
+    "q153_roc_auc" ->
+      """WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+                (o_orderstatus = 'F') AS lbl FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+         lv AS (SELECT s, count(CASE WHEN lbl THEN 1 END) AS p,
+                       count(CASE WHEN NOT lbl THEN 1 END) AS n
+                FROM x GROUP BY s),
+         w AS (SELECT p, n, COALESCE(sum(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+               FROM lv),
+         t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                      CAST(sum(n) AS BIGINT) AS n_neg,
+                      CAST(sum(p * (cb * 2 + n)) AS BIGINT) AS auc_num2 FROM w)
+         SELECT n_pos, n_neg, auc_num2,
+                CASE WHEN n_pos > 0 AND n_neg > 0
+                     THEN CAST(round(auc_num2::DOUBLE
+                          / (n_pos::DOUBLE * n_neg::DOUBLE * 2) * 1e6) AS BIGINT)
+                END AS auc_micro
+         FROM t""",
+    // the q131 edge CTE + the peel unrolled round-for-round
+    "q154_kcore" -> kcoreOracleSql(k = 3, rounds = 4),
+    // same integer flag tree; DuckDB median of BIGINT interpolates the two
+    // middles, so 2·median casts back to an exact BIGINT
+    "q155_robust_outliers" ->
+      """WITH x AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         m AS (SELECT g, CAST(2 * median(v) AS BIGINT) AS med2 FROM x GROUP BY g),
+         d AS (SELECT x.g, v, abs(2 * v - med2) AS d2, med2
+               FROM x JOIN m ON x.g = m.g),
+         md AS (SELECT g, CAST(2 * median(d2) AS BIGINT) AS mad4 FROM d GROUP BY g)
+         SELECT d.g AS lang, CAST(count(*) AS BIGINT) AS n_rows,
+                max(med2) AS med_x2, max(mad4) AS mad_x4,
+                count(CASE WHEN mad4 > 0 AND 20 * d2 > 35 * mad4 THEN 1 END) AS n_outliers
+         FROM d JOIN md ON d.g = md.g GROUP BY 1 ORDER BY 1""",
+    // same half-open sweep: running max over preceding rows, prefix count
+    // of run starts, one collapse per run
+    "q156_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+                epoch_us(ts) + 1800000000 AS hi FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT user_id, lo, hi,
+                CASE WHEN max(hi) OVER pre IS NULL OR lo > max(hi) OVER pre
+                     THEN 1 ELSE 0 END AS new_run
+               FROM iv
+               WINDOW pre AS (PARTITION BY user_id ORDER BY lo, hi
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         r AS (SELECT user_id, lo, hi, sum(new_run) OVER (
+                 PARTITION BY user_id ORDER BY lo, hi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM f),
+         g AS (SELECT user_id, run, min(lo) AS mlo, max(hi) AS mhi
+               FROM r GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+                CAST(sum(mhi - mlo) AS BIGINT) AS covered,
+                CAST(max(mhi) - min(mlo) AS BIGINT) AS span,
+                CAST(max(mhi) - min(mlo) - sum(mhi - mlo) AS BIGINT) AS gap
+         FROM g GROUP BY 1 ORDER BY 1""",
+    // same rank-weighted sum in HUGEINT (the Decimal(38,0) twin), same
+    // fixed Gini/share trees
+    "q157_concentration" ->
+      """WITH pk AS (SELECT o_custkey AS k,
+                COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS x
+              FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS i FROM pk),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                      sum(i::HUGEINT * x::HUGEINT) AS six FROM r),
+         tc AS (SELECT COALESCE(sum(x), 0) AS top_x
+                FROM r, t WHERE i > n - CAST(floor((n + 9) / 10) AS BIGINT))
+         SELECT n AS n_keys, sx AS total,
+                CASE WHEN n > 0 AND sx > 0
+                     THEN CAST(round((six::DOUBLE * 2 - (n + 1)::DOUBLE * sx::DOUBLE)
+                          / (n::DOUBLE * sx::DOUBLE) * 1e6) AS BIGINT)
+                END AS gini_micro,
+                CASE WHEN sx > 0
+                     THEN CAST(round(top_x::DOUBLE / sx::DOUBLE * 1e6) AS BIGINT)
+                END AS top10_share_micro
+         FROM t, tc""",
+    // same key-partitioned lead pairing and row-normalization tree
+    "q158_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT event_type AS from_state, lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS to_state FROM e),
+         c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_trans
+               FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_state, CAST(sum(n_trans) AS BIGINT) AS rt
+               FROM c GROUP BY 1)
+         SELECT c.from_state, to_state, n_trans,
+                CAST(round(n_trans::DOUBLE / rt::DOUBLE * 1e6) AS BIGINT) AS p_micro
+         FROM c JOIN t ON c.from_state = t.from_state ORDER BY 1, 2""",
+    // same deterministic "next version" and the full-outer column-wise
+    // IS DISTINCT FROM compare
+    "q159_table_diff" ->
+      """WITH a AS (SELECT * FROM orders),
+         b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority
+               FROM orders WHERE o_orderkey % 13 <> 0
+               UNION ALL
+               SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+               FROM orders WHERE o_orderkey % 13 = 0),
+         j AS (SELECT a.o_orderkey IS NOT NULL AS in_a,
+                b.o_orderkey IS NOT NULL AS in_b,
+                ((a.o_custkey IS DISTINCT FROM b.o_custkey)
+                 OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                 OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                 OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+                 OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)) AS ch
+               FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         SELECT CASE WHEN NOT in_b THEN 'only_a' WHEN NOT in_a THEN 'only_b'
+                     WHEN ch THEN 'changed' ELSE 'same' END AS diff_status,
+                CAST(count(*) AS BIGINT) AS n_keys
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // same exact counts and the shared ln tree, micro-quantized
+    "q160_woe_iv" ->
+      """WITH d AS (SELECT source, (lang = 'en') AS lbl FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL),
+         lv AS (SELECT source, count(CASE WHEN lbl THEN 1 END) AS pos,
+                       count(CASE WHEN NOT lbl THEN 1 END) AS neg
+                FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                      CAST(sum(neg) AS BIGINT) AS tn FROM lv)
+         SELECT source, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+                CASE WHEN pos > 0 AND neg > 0
+                     THEN CAST(round(ln((pos::DOUBLE / tp::DOUBLE)
+                          / (neg::DOUBLE / tn::DOUBLE)) * 1e6) AS BIGINT)
+                END AS woe_micro,
+                COALESCE(CASE WHEN pos > 0 AND neg > 0
+                     THEN CAST(round((pos::DOUBLE / tp::DOUBLE - neg::DOUBLE / tn::DOUBLE)
+                          * ln((pos::DOUBLE / tp::DOUBLE) / (neg::DOUBLE / tn::DOUBLE))
+                          * 1e6) AS BIGINT) END, 0) AS iv_term_micro
+         FROM lv CROSS JOIN t ORDER BY source""",
+    // same hold-until-next pairing and Decimal/HUGEINT product sums
+    "q161_twap" ->
+      """WITH e AS (SELECT user_id,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                epoch_us(ts) AS t, event_id FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         h AS (SELECT user_id, cents,
+                lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+               FROM e),
+         g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+                CAST(sum(dur) AS BIGINT) AS held_us,
+                sum(cents::HUGEINT * dur::HUGEINT) AS vd
+               FROM h WHERE dur IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_holds, held_us,
+                CASE WHEN held_us > 0
+                     THEN CAST(round(vd::DOUBLE / held_us::DOUBLE * 1e6) AS BIGINT)
+                END AS twm_micro
+         FROM g ORDER BY user_id""",
+    // the oracle recomputes the matrix from ALL events in one pass — the
+    // incremental fold must reproduce it exactly
+    "q162_transitions_incremental" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT event_type AS from_state, lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id) AS to_state FROM e)
+         SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_trans
+         FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
+         ORDER BY 1, 2""",
+    // the same candidate pairs from the naive all-pairs filter, scored by
+    // DuckDB's own jaro_winkler_similarity (micro-rounded; the Spark side's
+    // exact-rational integer path agrees to the micro digit — verified on
+    // 30k random pairs plus this vocabulary)
+    "q163_jw_rerank" ->
+      """WITH names AS (SELECT p_name AS name FROM part GROUP BY p_name),
+         pairs AS (SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+               FROM names a JOIN names b ON a.name < b.name
+               WHERE levenshtein(a.name, b.name) <= 2)
+         SELECT name_a, name_b, dist,
+                CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
+         FROM pairs ORDER BY name_a, name_b""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->
@@ -4606,6 +4901,33 @@ object SparkEntry {
     * co-purchase graph: each round votes ONLY onto not-yet-labeled nodes
     * and argmaxes by (count DESC, label ASC) — Graph.labelPropagation's
     * label-once frontier, term for term. */
+  /** q154 oracle: the q131 co-purchase edge CTE + [[Graph.kCore]]'s peel
+    * unrolled round-for-round (degree, survivors, filtered edges). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e0 AS (SELECT p1 AS eu, p2 AS ev FROM pairs
+                GROUP BY p1, p2 HAVING count(*) >= 2)"""
+    val peel = (1 to rounds).map { i =>
+      s""",
+         d$i AS (SELECT node, count(*) AS deg FROM (
+                 SELECT eu AS node FROM e${i - 1}
+                 UNION ALL SELECT ev FROM e${i - 1}) u GROUP BY node),
+         a$i AS (SELECT node FROM d$i WHERE deg >= $k),
+         e$i AS (SELECT eu, ev FROM e${i - 1}
+                 WHERE eu IN (SELECT node FROM a$i)
+                   AND ev IN (SELECT node FROM a$i))"""
+    }.mkString
+    head + peel +
+      s"""
+         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT eu AS node FROM e$rounds
+           UNION ALL SELECT ev FROM e$rounds) u
+         GROUP BY node ORDER BY node"""
+  }
+
   private def lpaOracleSql(iters: Int): String = {
     val head =
       """WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2

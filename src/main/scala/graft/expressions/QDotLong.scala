@@ -135,6 +135,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SparseDotLong].getName, "graft_sdot"),
     (children: Seq[Expression]) => SparseDotLong(children(0), children(1)))
 
+  val jwInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jw_micro"),
+    new ExpressionInfo(classOf[JaroWinklerMicro].getName, "graft_jw_micro"),
+    (children: Seq[Expression]) => JaroWinklerMicro(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_qdot", children => QDotLong(children(0), children(1)), "scala_udf")
@@ -175,6 +180,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain",
       children => BloomMightContainLong(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jw_micro",
+      children => JaroWinklerMicro(children(0), children(1)), "scala_udf")
   }
 }
 
@@ -183,5 +191,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.qdotInfo)
     ext.injectFunction(GraftFunctions.normalizeInfo)
     ext.injectFunction(GraftFunctions.sdotInfo)
+    ext.injectFunction(GraftFunctions.jwInfo)
   }
 }

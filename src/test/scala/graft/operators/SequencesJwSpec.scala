@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.expressions.{GraftFunctions, JaroWinklerMicro}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Time-weighted means, incremental transition folds, and the
+  * Jaro-Winkler expression. */
+class SequencesJwSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Long =
+    JaroWinklerMicro.micro(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("JaroWinklerMicro: textbook values, empties, boost gating, prefix cap") {
+    // martha/marhta: jaro = 17/18, p = 3 -> jw = 17/18 + 0.3/18
+    assert(jw("martha", "marhta") == 961111L)
+    assert(jw("dixon", "dicksonx") == 813333L)
+    assert(jw("dwayne", "duane") == 840000L)
+    assert(jw("abc", "abc") == 1000000L)
+    assert(jw("", "abc") == 0L && jw("", "") == 0L && jw("a", "b") == 0L)
+    // jaro exactly 0.7333 > 0.7 but zero prefix: no boost
+    assert(jw("crate", "trace") == 733333L)
+    // prefix capped at 4: aaaaax/aaaaay jaro 8/9, jw = 8/9 + 0.4/9
+    assert(jw("aaaaax", "aaaaay") == 933333L)
+    // boost applies AT jaro = 0.7 exactly (DuckDB semantics)
+    assert(jw("dcceca", "ddccd") == 730000L)
+  }
+
+  test("graft_jw_micro: registered expression codegens and matches the static path") {
+    GraftFunctions.register(spark)
+    val df = Seq(("martha", "marhta"), ("crate", "trace"), ("abc", ""),
+      ("jellyfish", "smellyfish")).toDF("a", "b")
+    val got = df.select(call_function("graft_jw_micro", col("a"), col("b")).as("m"))
+      .collect().map(_.getAs[Long]("m")).toSeq
+    assert(got == Seq(961111L, 733333L, 0L, 896296L))
+    // null propagates
+    val n = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(call_function("graft_jw_micro", col("a"), col("b")).as("m")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("timeWeightedMean: hand-computed hold weighting; burst guard; single-event keys dropped") {
+    // u: v=10 holds 5us, v=20 holds 15us -> twm = (50+300)/20 = 17.5
+    val ev = Seq(
+      (1L, 10L, 0L, 1L), (1L, 20L, 5L, 2L), (1L, 99L, 20L, 3L),
+      (2L, 7L, 0L, 4L),                     // single event: no hold
+      (3L, 5L, 0L, 5L), (3L, 9L, 0L, 6L)    // same-ts burst: held_us = 0
+    ).toDF("u", "v", "t", "id")
+    val out = Sequences.timeWeightedMean(ev, "u", "t", "v", "id")
+      .collect().map(r => r.getAs[Long]("u") -> r).toMap
+    assert(out(1L).getAs[Long]("n_holds") == 2L)
+    assert(out(1L).getAs[Long]("held_us") == 20L)
+    assert(out(1L).getAs[Long]("twm_micro") == 17500000L)
+    assert(!out.contains(2L))
+    assert(out(3L).isNullAt(3)) // zero total hold -> null mean
+  }
+
+  test("ingestTransitions: fold(hist, batch) equals one-shot over everything") {
+    val all = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L), (1L, "c", 40L, 4L),
+      (2L, "b", 5L, 5L), (2L, "b", 35L, 6L),
+      (3L, "c", 50L, 7L)                    // only appears in the batch
+    ).toDF("u", "st", "t", "id")
+    val hist = all.filter(col("t") < 25)
+    val batch = all.filter(col("t") >= 25)
+    val (c0, l0) = Sequences.transitionState(hist, "u", "st", "t", "id")
+    // history alone: only 1:a->b
+    assert(c0.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      == Set(("a", "b", 1L)))
+    val (c1, l1) = Sequences.ingestTransitions(c0, l0, batch, "u", "st", "t", "id")
+    val oneShot = Sequences.transitionCounts(all, "u", "st", "t", "id")
+      .select(col("from_state"), col("to_state"), col("n_trans"))
+    val a = c1.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = oneShot.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+    // boundary pairs were stitched: 1:b->a counted (20 -> 30 crosses the split)
+    assert(a.contains(("b", "a", 1L)))
+    // lasts advanced to the batch frontier
+    val lasts = l1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lasts == Map(1L -> "c", 2L -> "b", 3L -> "c"))
+    // a second, empty-delta fold is a no-op on counts
+    val (c2, _) = Sequences.ingestTransitions(c1, l1, all.filter(col("t") > 999),
+      "u", "st", "t", "id")
+    assert(c2.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet == a)
+  }
+}

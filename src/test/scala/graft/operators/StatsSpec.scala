@@ -49,4 +49,93 @@ class StatsSpec extends SparkTestBase {
     val r2 = Stats.chiSquared(dep.repartition(5), "u", "w").collect()(0)
     assert(r2.getAs[Long]("chi2_micro") == r1.getAs[Long]("chi2_micro"))
   }
+
+  test("rocAuc: perfect separation 1.0, reversed 0.0, ties average; bucketWidth-invariant") {
+    // positives score strictly above negatives -> AUC = 1
+    val perfect = Seq((10L, true), (9L, true), (2L, false), (1L, false)).toDF("s", "y")
+    val rp = Stats.rocAuc(perfect, "s", "y", 1L).collect()(0)
+    assert(rp.getAs[Long]("n_pos") == 2L && rp.getAs[Long]("n_neg") == 2L)
+    assert(rp.getAs[Long]("auc_num2") == 8L && rp.getAs[Long]("auc_micro") == 1000000L)
+    val rr = Stats.rocAuc(perfect.withColumn("y", !col("y")), "s", "y", 1L).collect()(0)
+    assert(rr.getAs[Long]("auc_micro") == 0L)
+    // all scores tied -> AUC exactly 1/2 (the tie-correction half-credit)
+    val tied = Seq((5L, true), (5L, true), (5L, false)).toDF("s", "y")
+    assert(Stats.rocAuc(tied, "s", "y", 1L).collect()(0).getAs[Long]("auc_micro") == 500000L)
+    // the two-level prefix sum is a pure execution choice: any bucketWidth
+    // (and any partitioning) yields identical exact statistics
+    val mixed = Seq((3L, true), (7L, false), (7L, true), (1L, false), (9L, true),
+      (2L, false), (2L, true), (8L, false)).toDF("s", "y").repartition(5)
+    val a = Stats.rocAuc(mixed, "s", "y", 1L).collect()(0)
+    val b = Stats.rocAuc(mixed, "s", "y", 3L).collect()(0)
+    val c = Stats.rocAuc(mixed, "s", "y", 1000000L).collect()(0)
+    assert(a.getAs[Long]("auc_num2") == b.getAs[Long]("auc_num2"))
+    assert(a.getAs[Long]("auc_num2") == c.getAs[Long]("auc_num2"))
+    // one-class input -> null AUC
+    val oneClass = Seq((1L, true), (2L, true)).toDF("s", "y")
+    assert(Stats.rocAuc(oneClass, "s", "y", 1L).collect()(0).isNullAt(3))
+  }
+
+  test("robustOutliers: hand medians/MADs; zero-MAD group flags nothing; integer flag") {
+    // group a: 1,2,3,4,100 -> med=3 (med2=6), devs 2,1,0,1,97 -> MAD=1
+    // (mad4=4); k=3.5: outlier iff 20*|2x-6| > 35*4 = 140 <=> |2x-6| > 7
+    // -> only 100 (d2=194)
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L))
+      ++ Seq.fill(4)(("b", 7L))).toDF("g", "v")
+    val out = Stats.robustOutliers(df, "g", "v", k10 = 35)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("med_x2"), r.getAs[Long]("mad_x4"), r.getAs[Long]("n_outliers")))).toMap
+    assert(out("a") == ((6L, 4L, 1L)))
+    // group b constant: MAD = 0 -> degenerate, flags nothing
+    assert(out("b") == ((14L, 0L, 0L)))
+    // even-count median halves survive exactly: 1,2 -> med2 = 3
+    val even = Seq(("e", 1L), ("e", 2L)).toDF("g", "v")
+    val e = Stats.robustOutliers(even, "g", "v").collect()(0)
+    assert(e.getAs[Long]("med_x2") == 3L)
+    // partition-independence
+    val p = Stats.robustOutliers(df.repartition(7), "g", "v", k10 = 35)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("n_outliers")).toMap
+    assert(p == Map("a" -> 1L, "b" -> 0L))
+  }
+
+  test("woeIv: symmetric 2-level feature; pure levels null WoE and zero IV term") {
+    // level u: 9 pos 3 neg; level w: 3 pos 9 neg; P = N = 12
+    // WoE(u) = ln((9/12)/(3/12)) = ln 3; IV term = (9/12-3/12)*ln3
+    val df = (Seq.fill(9)(("u", true)) ++ Seq.fill(3)(("u", false))
+      ++ Seq.fill(3)(("w", true)) ++ Seq.fill(9)(("w", false))).toDF("f", "y")
+    val out = Stats.woeIv(df, "f", "y").collect()
+      .map(r => r.getAs[String]("f") ->
+        ((r.getAs[Long]("pos"), r.getAs[Long]("neg"),
+          r.getAs[Long]("woe_micro"), r.getAs[Long]("iv_term_micro")))).toMap
+    val ln3m = math.round(math.log(3.0) * 1e6)
+    val ivm = math.round(0.5 * math.log(3.0) * 1e6)
+    assert(out("u") == ((9L, 3L, ln3m, ivm)))
+    assert(out("w") == ((3L, 9L, -ln3m, ivm)))
+    // a pure level: null WoE, IV term coalesced to 0
+    val pure = (Seq.fill(2)(("p", true)) ++ Seq.fill(3)(("q", true))
+      ++ Seq.fill(3)(("q", false))).toDF("f", "y")
+    val pr = Stats.woeIv(pure, "f", "y").collect()
+      .map(r => r.getAs[String]("f") -> r).toMap
+    assert(pr("p").isNullAt(3) && pr("p").getAs[Long]("iv_term_micro") == 0L)
+  }
+
+  test("concentration: equal shares Gini 0; extreme concentration; exact top-decile cut") {
+    // 10 keys x value 5 -> Gini = 0, top decile = 1 key = 10% of mass
+    val eq = (1 to 10).map(i => (i.toLong, 5L)).toDF("k", "v")
+    val re = Stats.concentration(eq, "k", "v", 3L).collect()(0)
+    assert(re.getAs[Long]("n_keys") == 10L && re.getAs[Long]("total") == 50L)
+    assert(re.getAs[Long]("gini_micro") == 0L)
+    assert(re.getAs[Long]("top10_share_micro") == 100000L)
+    // one key holds everything: Gini = (n-1)/n = 0.8 over 5 keys
+    val one = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 100L)).toDF("k", "v")
+    val ro = Stats.concentration(one, "k", "v", 7L).collect()(0)
+    assert(ro.getAs[Long]("gini_micro") == 800000L)
+    assert(ro.getAs[Long]("top10_share_micro") == 1000000L)
+    // multi-row keys pre-aggregate; bucketWidth/partitioning invariance
+    val multi = Seq((1L, 3L), (1L, 4L), (2L, 1L), (3L, 9L), (4L, 2L), (5L, 6L))
+      .toDF("k", "v").repartition(4)
+    val a = Stats.concentration(multi, "k", "v", 1L).collect()(0)
+    val b = Stats.concentration(multi, "k", "v", 100L).collect()(0)
+    assert(a.getAs[Long]("gini_micro") == b.getAs[Long]("gini_micro"))
+    assert(a.getAs[Long]("top10_share_micro") == b.getAs[Long]("top10_share_micro"))
+  }
 }
