@@ -196,6 +196,15 @@ object ScaleProbe {
       val nTriNodes = graft.operators.Graph.triangles(pairs, "id_a", "id_b")
         .filter(col("n_tri") > 0).count()
       val trt1 = System.nanoTime()
+      // k-core axis (r9 batch 2): 3 peel rounds at k=2 over the same pair
+      // graph — per round one degree agg + two semi-joins, all
+      // edge-cardinality, so kcore_sec must track edges LINEARLY (the
+      // localCheckpoint per round pins the plan; without it this curve
+      // went 5^r in the optimizer, not the executors).
+      val kct0 = System.nanoTime()
+      val nCoreNodes = graft.operators.Graph.kCore(pairs, "id_a", "id_b",
+        k = 2, rounds = 3).count()
+      val kct1 = System.nanoTime()
       // fuzzy axis (r9): standing FastSS dictionary over the word
       // vocabulary plus `_k`-suffixed clone batches (≥2 edits from every
       // original, so d=1 match volume stays flat while the dictionary
@@ -214,8 +223,17 @@ object ScaleProbe {
       val nSigs = fzIx.signatures.count()
       val fzt1 = System.nanoTime()
       val fprobe = words0.filter(md5(col("word")) < "0c")
-      val nFzMatches = Joins.fuzzyProbe(fzIx, fprobe, "word", "word").count()
+      val fzMatches = Joins.fuzzyProbe(fzIx, fprobe, "word", "word")
+        .persist()
+      val nFzMatches = fzMatches.count()
       val fzt2 = System.nanoTime()
+      // JW rescore axis (r9 batch 2): graft_jw_micro over the matched
+      // pairs — a stateless codegen'd projection, so jw_sec must track
+      // fz_matches linearly and stay far below the probe join itself.
+      val nJwHigh = fzMatches.filter(call_function("graft_jw_micro",
+        col("str_l"), col("str_r")) >= 900000L).count()
+      val fzt3 = System.nanoTime()
+      fzMatches.unpersist(blocking = false)
       fzIx.release()
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
@@ -260,8 +278,10 @@ object ScaleProbe {
         s""""bloom_surv":$nBloomSurv,"bloom_build_sec":${sec(blt0, blt1)},""" +
         s""""bloom_probe_sec":${sec(blt1, blt2)},""" +
         s""""tri_nodes":$nTriNodes,"tri_sec":${sec(trt0, trt1)},""" +
+        s""""kcore_nodes":$nCoreNodes,"kcore_sec":${sec(kct0, kct1)},""" +
         s""""fz_dict":$nFdict,"fz_sigs":$nSigs,"fz_matches":$nFzMatches,""" +
         s""""fz_build_sec":${sec(fzt0, fzt1)},"fz_probe_sec":${sec(fzt1, fzt2)},""" +
+        s""""jw_high":$nJwHigh,"jw_sec":${sec(fzt2, fzt3)},""" +
         s""""bpe_jobs_batched":$bpeJobsBatched,"bpe_jobs_seq":$bpeJobsSeq,""" +
         s""""bpe_batched_sec":${sec(bpt0, bpt1)},"bpe_seq_sec":${sec(bpt1, bpt2)}""" +
         s"""$pqJson}""")

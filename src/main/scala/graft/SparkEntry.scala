@@ -1035,6 +1035,54 @@ object SparkEntry {
         "event_type", "ts_us", "event_id")
       c1.orderBy(col("from_state"), col("to_state"))
     }),
+    // wide→long melt ✚ (r9): the q36 pivot inverted by Spark's native
+    // unpivot (an Expand node — |cols| projections, NO shuffle, no
+    // explode-over-array that would block column pruning)
+    "q164_melt" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      Ops.melt(wide, Seq("user_id"), types, "event_type", "n_events")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    // rendezvous sharding ✚ (r9): HRW argmax over md5(key:shard) — the
+    // stateful-shard assignment that moves only ~1/(n+1) keys on regrow
+    // (modulo remaps ~100%); pure codegen'd per-row fold, no shuffle
+    "q165_rendezvous" -> ((s, d) => {
+      Layout.rendezvousAssign(Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+    // PSI drift ✚ (r9): event-type distribution, first half vs second half
+    // of the time range — appeared/vanished levels flagged, never epsilon'd
+    "q166_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg((min(col("ts_us"))
+        + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      Stats.psi(tagged.filter(col("ts_us") < col("mid")),
+          tagged.filter(col("ts_us") >= col("mid")), "event_type")
+        .orderBy(col("event_type"))
+    }),
+    // Benford audit ✚ (r9): leading digit of order cents vs log10(1+1/d) —
+    // digit from the decimal STRING, never a double log
+    "q167_benford" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      Stats.benford(o, "cents").orderBy(col("digit"))
+    }),
+    // Cohen's kappa ✚ (r9): chance-corrected agreement between the gold
+    // lang column and the q23 n-gram heuristic — the labeler-eval statistic
+    "q168_kappa" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+        .filter(col("lang").isNotNull)
+        .select(col("lang"), Text.langId(col("text")).as("lang_id"))
+      Stats.cohenKappa(doc, "lang", "lang_id")
+    }),
     // Jaro-Winkler fuzzy rerank ✚ (r9): the q132 FastSS candidate pairs
     // scored by the codegen'd exact-rational graft_jw_micro expression —
     // record-linkage ranking without a single float
@@ -4593,6 +4641,97 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // same exact split point, full-outer level grid, and shared ln tree
+    "q166_psi_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+         m AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2.0) AS BIGINT) AS mid
+               FROM e),
+         la AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+                FROM e, m WHERE t < mid AND event_type IS NOT NULL GROUP BY 1),
+         lb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_b
+                FROM e, m WHERE t >= mid AND event_type IS NOT NULL GROUP BY 1),
+         lv AS (SELECT COALESCE(la.event_type, lb.event_type) AS event_type,
+                       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                FROM la FULL OUTER JOIN lb ON la.event_type = lb.event_type),
+         t2 AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                       CAST(sum(n_b) AS BIGINT) AS tb FROM lv)
+         SELECT event_type, n_a, n_b, (n_a = 0 OR n_b = 0) AS one_sided,
+                CASE WHEN n_a > 0 AND n_b > 0
+                     THEN CAST(round((n_a::DOUBLE / ta::DOUBLE - n_b::DOUBLE / tb::DOUBLE)
+                          * ln((n_a::DOUBLE / ta::DOUBLE) / (n_b::DOUBLE / tb::DOUBLE))
+                          * 1e6) AS BIGINT)
+                END AS psi_term_micro
+         FROM lv CROSS JOIN t2 ORDER BY event_type""",
+    // the same decimal-string leading digit and micro trees
+    "q167_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         d AS (SELECT CAST(substr(c::VARCHAR, 1, 1) AS BIGINT) AS digit,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM v WHERE c IS NOT NULL AND c > 0 GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM d)
+         SELECT digit, n,
+                CAST(round(n::DOUBLE / tt::DOUBLE * 1e6) AS BIGINT) AS share_micro,
+                CAST(round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0) * 1e6) AS BIGINT) AS benford_micro,
+                CAST(round(n::DOUBLE / tt::DOUBLE * 1e6) AS BIGINT)
+                  - CAST(round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0) * 1e6) AS BIGINT) AS dev_micro
+         FROM d CROSS JOIN t ORDER BY digit""",
+    // the q23 lang-id CTE verbatim, then the exact-marginal kappa identity
+    "q168_kappa" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS lt
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh
+           FROM t),
+         lbl AS (
+           SELECT d.lang AS la,
+                CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                     WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                     WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                     ELSE 'und' END AS lb
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+           WHERE d.lang IS NOT NULL),
+         j AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM lbl GROUP BY 1, 2),
+         ra AS (SELECT la, CAST(sum(c) AS BIGINT) AS r FROM j GROUP BY 1),
+         cb AS (SELECT lb, CAST(sum(c) AS BIGINT) AS cc FROM j GROUP BY 1),
+         rc AS (SELECT COALESCE(sum(r::HUGEINT * cc::HUGEINT), 0::HUGEINT) AS src
+                FROM ra JOIN cb ON ra.la = cb.lb),
+         b AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS agree
+               FROM j)
+         SELECT n AS n_rows, agree AS n_agree,
+                CASE WHEN n::HUGEINT * n::HUGEINT <> src
+                     THEN CAST(round((n::DOUBLE * agree::DOUBLE - src::DOUBLE)
+                          / (n::DOUBLE * n::DOUBLE - src::DOUBLE) * 1e6) AS BIGINT)
+                END AS kappa_micro
+         FROM b CROSS JOIN rc""",
+    // the melt of the zero-filled pivot = the user × type count grid
+    "q164_melt" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+         c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+         SELECT u.user_id, t.event_type, COALESCE(c.n_events, 0) AS n_events
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+         ORDER BY u.user_id, t.event_type""",
+    // the same md5(key:shard) weights, argmax replayed as a ranked window
+    "q165_rendezvous" ->
+      """WITH g AS (SELECT doc_id, j,
+                md5(doc_id::VARCHAR || ':' || j::VARCHAR) AS w
+              FROM documents CROSS JOIN generate_series(0, 7) AS t(j)),
+         r AS (SELECT doc_id, j, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY w DESC, j) AS rn FROM g)
+         SELECT doc_id, CAST(j AS BIGINT) AS shard
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
     "q94_domain_kl" ->

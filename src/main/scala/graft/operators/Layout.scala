@@ -67,4 +67,36 @@ object Layout {
       .sortWithinPartitions(col(zCol))
       .drop(zCol)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998: key k goes to argmax_j md5(k ":" j) over shards
+    * j ∈ 0..nShards−1. Unlike `Ops.shardByHash`'s modulo (which remaps
+    * ~100% of keys when the shard count changes), HRW moves only ~1/(n+1)
+    * of keys on a grow from n to n+1 — the property that matters when the
+    * shards are STATEFUL (standing indexes, embedding stores, cache
+    * nodes), because every moved key is state that must be rebuilt or
+    * shipped. The weight is the md5 hex string compared lexicographically:
+    * deterministic, engine-portable (any SQL engine with md5 replays it),
+    * and uniform per (key, shard).
+    *
+    * Scale shape: a pure per-row fold over the literal shard sequence —
+    * stateless projection inside WholeStageCodegen, no shuffle, no join,
+    * no shard table to broadcast. Cost is O(nShards) hashes per row; for
+    * nShards beyond ~10² prefer two-level assignment (HRW over shard
+    * GROUPS, then within). Ties (a 128-bit md5 collision across two
+    * shards of one key) resolve to the smaller shard id via the strict
+    * `>` in the fold. */
+  def rendezvousAssign(df: DataFrame, keyCol: String, nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = (j: Column) =>
+      md5(concat(col(keyCol).cast("string"), lit(":"), j.cast("string")))
+    df.withColumn(shardCol,
+      aggregate(
+        sequence(lit(0), lit(nShards - 1)),
+        struct(lit("").as("w"), lit(-1).as("j")),
+        (acc, j) => when(w(j) > acc.getField("w"),
+          struct(w(j).as("w"), j.as("j"))).otherwise(acc))
+        .getField("j").cast("long"))
+  }
 }

@@ -123,6 +123,20 @@ object Ops {
   def describe(df: DataFrame, cols: String*): DataFrame =
     if (cols.isEmpty) df.describe() else df.describe(cols: _*)
 
+  /** Wide → long reshape (pandas `melt`): each of `valueCols` becomes one
+    * output row (idCols..., varName = column name, valName = value) — the
+    * inverse of `groupBy(...).pivot(...)`, and the shape feature matrices
+    * arrive in before per-feature aggregation. Delegates to Spark's native
+    * `unpivot` (an Expand node: `|valueCols|` projections of the input,
+    * NO shuffle, codegen-friendly — never an explode over a built array,
+    * which blocks column pruning). Value columns must share a common type
+    * (Spark resolves the least common type or errors — intentional: a
+    * silent cast to string would corrupt numeric aggs downstream). */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      varName: String = "variable", valName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valName)
+
   /** Per-key top-k: the k best rows within each key group under `orderBy`
     * (e.g. cap each domain/language at its k highest-quality documents — the
     * standard curation diversity cap). One window per key partition — the

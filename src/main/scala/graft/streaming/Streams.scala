@@ -422,6 +422,29 @@ object Streams {
         tombstoneCol))
     }
 
+  /** Streaming twin of [[graft.operators.Sequences.ingestTransitions]]:
+    * each micro-batch folds into the standing transition matrix via
+    * `foreachBatch` — load the (counts, lasts) state, stitch the batch
+    * (one carried last-event row per touched key seeds its sequence, so
+    * the boundary transition counts exactly once), store the updated
+    * state. History is never re-scanned; per micro-batch the work is the
+    * delta-sized [[graft.operators.Sequences.transitionCounts]] shape.
+    * Same delta contract as [[upsertStreamBulk]]: batch events of a key
+    * must (ts, id)-order after that key's stored last event — with an
+    * event-time-ordered source (a log topic), watermarking upstream
+    * enforces this. */
+  def transitionsStreamBulk(stream: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String, idCol: String)(
+      load: () => (DataFrame, DataFrame),
+      store: (DataFrame, DataFrame) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val (counts, lasts) = load()
+      val (c1, l1) = graft.operators.Sequences.ingestTransitions(
+        counts, lasts, batch.toDF(), keyCol, stateCol, tsCol, idCol)
+      store(c1, l1)
+    }
+
   /** Semantic-outlier gate for ONE micro-batch: keep rows whose cosine to
     * their group's STORED centroid ([[graft.operators.Similarity
     * .groupCentroids]] over the curated corpus snapshot — integer-SUM

@@ -94,4 +94,20 @@ class OpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(d("count") == "5" && d("min") == "24.0" && d("max") == "380.0")
   }
+
+  test("melt: wide to long inverts a pivot; plan is Expand, not explode") {
+    import spark.implicits._
+    val wide = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b")
+    val long = Ops.melt(wide, Seq("id"), Seq("a", "b"), "k", "v")
+    assert(long.columns.toSeq == Seq("id", "k", "v"))
+    val got = long.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L), (2L, "b", 40L)))
+    // melt(pivot(x)) round-trips to x (on the dense grid)
+    val back = long.groupBy("id").pivot("k", Seq("a", "b")).sum("v")
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == Set((1L, 10L, 20L), (2L, 30L, 40L)))
+    // shape check: native unpivot plans an Expand (no generator/explode)
+    val plan = long.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Expand") && !plan.contains("Generate"))
+  }
 }

@@ -248,4 +248,26 @@ class SketchesLayoutSpec extends SparkTestBase {
     assert(Ops.sampleToBudgets(df, Seq("grp"), "id", "w", zb)
       .select("grp").distinct().collect().map(_.getString(0)).toSeq == Seq("b"))
   }
+
+  test("rendezvousAssign: deterministic, uniform-ish, and minimal movement on regrow") {
+    val keys = spark.range(2000).toDF("id")
+    val a8 = Layout.rendezvousAssign(keys, "id", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic: a second run (different partitioning) is identical
+    val again = Layout.rendezvousAssign(keys.repartition(7), "id", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a8 == again)
+    // all shards in range and populated, no shard hogging (uniform-ish)
+    val byShard = a8.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.keys.forall(s => s >= 0 && s < 8) && byShard.size == 8)
+    assert(byShard.values.max < 2 * 2000 / 8) // < 2x fair share
+    // HRW minimal movement: growing 8 -> 9 moves only keys whose new
+    // shard-8 weight wins; expected ~1/9, assert well under modulo's ~88%
+    val a9 = Layout.rendezvousAssign(keys, "id", 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = a8.count { case (k, s) => a9(k) != s }
+    assert(moved < 2000 / 4, s"moved $moved of 2000")
+    // every moved key lands on the NEW shard (the HRW invariant)
+    assert(a8.forall { case (k, s) => a9(k) == s || a9(k) == 8L })
+  }
 }

@@ -118,6 +118,56 @@ class StatsSpec extends SparkTestBase {
     assert(pr("p").isNullAt(3) && pr("p").getAs[Long]("iv_term_micro") == 0L)
   }
 
+  test("psi: identical distributions 0; shifted shares hand-value; one-sided levels flagged null") {
+    val a = (Seq.fill(50)("x") ++ Seq.fill(50)("y")).toDF("f")
+    val same = Stats.psi(a, a, "f").collect()
+    assert(same.forall(r => r.getAs[Long]("psi_term_micro") == 0L && !r.getAs[Boolean]("one_sided")))
+    // a: 50/50; b: 80/20 -> term(x) = (0.5-0.8)*ln(0.5/0.8)
+    val b = (Seq.fill(80)("x") ++ Seq.fill(20)("y")).toDF("f")
+    val out = Stats.psi(a, b, "f").collect().map(r => r.getAs[String]("f") -> r).toMap
+    val tx = math.round((0.5 - 0.8) * math.log(0.5 / 0.8) * 1e6)
+    val ty = math.round((0.5 - 0.2) * math.log(0.5 / 0.2) * 1e6)
+    assert(out("x").getAs[Long]("psi_term_micro") == tx)
+    assert(out("y").getAs[Long]("psi_term_micro") == ty)
+    // a level only in b: flagged, null term, counts kept
+    val c = (Seq.fill(90)("x") ++ Seq.fill(10)("z")).toDF("f")
+    val oc = Stats.psi(a, c, "f").collect().map(r => r.getAs[String]("f") -> r).toMap
+    assert(oc("z").getAs[Boolean]("one_sided") && oc("z").isNullAt(4))
+    assert(oc("y").getAs[Boolean]("one_sided") && oc("y").getAs[Long]("n_a") == 50L)
+  }
+
+  test("benford: digits from decimal strings incl. exact powers of ten; non-positive dropped") {
+    // 10, 100, 1000 must all land on digit 1 (the double-log trap)
+    val v = Seq(10L, 100L, 1000L, 2L, 25L, 300L, 9L, -5L, 0L).toDF("v")
+    val out = Stats.benford(v, "v").collect().map(r => r.getAs[Long]("digit") -> r).toMap
+    assert(out(1L).getAs[Long]("n") == 3L)
+    assert(out(2L).getAs[Long]("n") == 2L)
+    assert(out(3L).getAs[Long]("n") == 1L && out(9L).getAs[Long]("n") == 1L)
+    assert(!out.contains(0L) && !out.contains(5L)) // -5, 0 dropped; no zero digit
+    // share of digit 1 = 3/7; benford(1) = log10(2)
+    assert(out(1L).getAs[Long]("share_micro") == math.round(3.0 / 7.0 * 1e6))
+    assert(out(1L).getAs[Long]("benford_micro") == math.round(math.log10(2.0) * 1e6))
+  }
+
+  test("cohenKappa: perfect 1, independence 0, degenerate single label null") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c")).toDF("x", "y")
+    assert(Stats.cohenKappa(perfect, "x", "y").collect()(0)
+      .getAs[Long]("kappa_micro") == 1000000L)
+    // statistical independence: every (x,y) cell equal -> kappa = 0
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("x", "y")
+    val ri = Stats.cohenKappa(indep, "x", "y").collect()(0)
+    assert(ri.getAs[Long]("n_rows") == 4L && ri.getAs[Long]("kappa_micro") == 0L)
+    // both raters constant: pe = 1 -> undefined
+    val const = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    assert(Stats.cohenKappa(const, "x", "y").collect()(0).isNullAt(2))
+    // hand value: 2x2 with known marginals
+    // n=10, agree=7, src = 6*5 + 4*5 = 50 -> kappa = (70-50)/(100-50) = 0.4
+    val hand = (Seq.fill(4)(("p", "p")) ++ Seq.fill(3)(("q", "q"))
+      ++ Seq.fill(2)(("p", "q")) ++ Seq.fill(1)(("q", "p"))).toDF("x", "y")
+    assert(Stats.cohenKappa(hand, "x", "y").collect()(0)
+      .getAs[Long]("kappa_micro") == 400000L)
+  }
+
   test("concentration: equal shares Gini 0; extreme concentration; exact top-decile cut") {
     // 10 keys x value 5 -> Gini = 0, top decile = 1 key = 10% of mass
     val eq = (1 to 10).map(i => (i.toLong, 5L)).toDF("k", "v")

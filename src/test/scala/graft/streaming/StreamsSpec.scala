@@ -580,4 +580,33 @@ class StreamsSpec extends SparkTestBase {
       assert(got == Set((1L, 20L, "a2"), (3L, 5L, "c"), (4L, 40L, "d"))) // k=2 deleted
     } finally q.stop()
   }
+
+  test("transitionsStreamBulk: micro-batch folds reproduce the one-shot matrix") {
+    import graft.operators.Sequences
+    implicit val sqlCtx = spark.sqlContext
+    val hist = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (2L, "b", 5L, 3L))
+      .toDF("u", "st", "t", "id")
+    val b1 = Seq((1L, "a", 30L, 4L), (2L, "b", 35L, 5L))
+    val b2 = Seq((1L, "c", 40L, 6L), (3L, "c", 50L, 7L))
+    var state = Sequences.transitionState(hist, "u", "st", "t", "id") match {
+      case (c, l) => (c.localCheckpoint(true), l.localCheckpoint(true))
+    }
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val q = Streams.transitionsStreamBulk(mem.toDF().toDF("u", "st", "t", "id"),
+        "u", "st", "t", "id")(
+        () => state,
+        (c, l) => state = (c.localCheckpoint(true), l.localCheckpoint(true)))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = hist.unionByName(b1.toDF("u", "st", "t", "id"))
+        .unionByName(b2.toDF("u", "st", "t", "id"))
+      val exp = Sequences.transitionCounts(all, "u", "st", "t", "id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val got = state._1.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == exp)
+    } finally q.stop()
+  }
 }
