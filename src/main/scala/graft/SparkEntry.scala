@@ -1056,6 +1056,24 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // decontamination ✚ (r9): training docs sharing any 5-gram with the
+    // held-out benchmark slice — the eval-leak screen; ONE keyed equi-join
+    // against the (broadcastable) benchmark shingle set
+    "q169_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBench = md5(col("doc_id").cast("string")) < "10"
+      Dedup.decontaminate(docs.filter(!isBench), "doc_id", "text",
+          docs.filter(isBench), "text", n = 5)
+        .orderBy(col("train_id"))
+    }),
+    // trimmed mean ✚ (r9): per-priority order value with 10% trimmed each
+    // side — exact kept sums, tie-invariant cut
+    "q170_trimmed_mean" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      Grouping.trimmedMean(o, "o_orderpriority", "cents", pNum = 1, pDen = 10)
+        .orderBy(col("o_orderpriority"))
+    }),
     // PSI drift ✚ (r9): event-type distribution, first half vs second half
     // of the time range — appeared/vanished levels flagged, never epsilon'd
     "q166_psi_drift" -> ((s, d) => {
@@ -4641,6 +4659,33 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // same tokenization/shingling as the Spark side, same md5 bench split
+    "q169_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents),
+         lbl AS (SELECT doc_id, w, md5(doc_id::VARCHAR) < '10' AS is_bench FROM t),
+         sh AS (SELECT doc_id, is_bench,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                               || w[i+3] || ' ' || w[i+4]
+                               for i in range(1, len(w) - 3)]) AS sh
+               FROM lbl),
+         te AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE NOT is_bench),
+         be AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE is_bench)
+         SELECT te.doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM te JOIN be USING (g) GROUP BY 1 ORDER BY 1""",
+    // same rank window, same floor cut, exact kept sums
+    "q170_trimmed_mean" ->
+      """WITH x AS (SELECT o_orderpriority AS g,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+              WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY g) AS n FROM x),
+         kk AS (SELECT g, v, rn, n,
+                      CAST(floor(n * 1 / 10) AS BIGINT) AS k FROM r)
+         SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(round(sum(v)::DOUBLE / count(*)::DOUBLE * 1e6) AS BIGINT) AS tmean_micro
+         FROM kk WHERE rn > k AND rn <= n - k GROUP BY 1 ORDER BY 1""",
     // same exact split point, full-outer level grid, and shared ln tree
     "q166_psi_drift" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),

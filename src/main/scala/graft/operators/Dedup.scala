@@ -1000,4 +1000,35 @@ object Dedup {
       threshold, seed = seed)
     keepRepresentatives(df, idCol, pairs, keepBy)
   }
+
+  /** Benchmark decontamination screen (the GPT-3 appendix-C / PaLM
+    * n-gram-collision shape): flag every training document sharing at
+    * least one word n-gram with the evaluation corpus — eval answers
+    * leaking into training data inflate benchmark scores silently, so
+    * curation pipelines run this screen before every training dump.
+    * Returns (train_id, n_hits) for CONTAMINATED docs only, n_hits = how
+    * many distinct benchmark n-grams the doc contains (the triage
+    * severity: 1 hit ≈ idiom collision, 50 hits ≈ a verbatim copy).
+    * Drop or quarantine via an anti-join on the result.
+    *
+    * Scale shape: both sides explode to distinct n-gram rows; ONE keyed
+    * equi-join — the benchmark side (thousands of docs) is tiny next to
+    * the training corpus, so Spark broadcasts it and the 100 TB side
+    * never shuffles; then one map-side-combined count. Raise `n` to
+    * sharpen precision (13 is the published choice for web-scale dumps;
+    * short-doc corpora want 5–8). */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val tSh = train.select(col(trainId).as("train_id"),
+      explode(graft.functions.Text.wordShingles(col(trainText), n)).as("sh"))
+    val bSh = bench
+      .select(explode(graft.functions.Text.wordShingles(col(benchText), n)).as("sh"))
+      .distinct()
+    // wordShingles is already per-doc distinct, so count(*) after the
+    // join is the distinct-collision count
+    tSh.join(bSh, Seq("sh"))
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -353,4 +353,38 @@ object Grouping {
           col(sc).cast("double") / col(s"${base}_n").cast("double")))
     }
   }
+
+  /** Per-group trimmed mean of an integer measure: drop each group's
+    * ⌊n·pNum/pDen⌋ smallest AND largest values, average the rest — the
+    * robust location estimate between the mean (trim 0) and the median
+    * (trim → ½), standard for latency/price metrics where a handful of
+    * wild rows swamps the mean but the median wastes data. Ties at the
+    * cut are harmless: ranking among equal values is arbitrary but the
+    * KEPT MULTISET is tie-invariant. Kept sums are exact longs; the one
+    * division is shared, micro-quantized. Output per group: `n_rows`,
+    * `n_kept`, `tmean_micro`.
+    *
+    * Scale shape: one key-partitioned window rank + one map-side-combined
+    * agg — the [[medianByWindow]] discipline, parallel across groups. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      pNum: Int = 1, pDen: Int = 10): DataFrame = {
+    require(pNum >= 0 && pDen > 2 * pNum,
+      "trim fraction must satisfy 0 <= pNum/pDen < 1/2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val ranked = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        col(valueCol).cast(org.apache.spark.sql.types.LongType).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .withColumn("k", floor(col("n") * pNum / pDen)
+        .cast(org.apache.spark.sql.types.LongType))
+    ranked.filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n_rows"), count(lit(1)).as("n_kept"),
+        round(sum(col("v")).cast("double") / count(lit(1)).cast("double") * 1e6)
+          .cast(org.apache.spark.sql.types.LongType).as("tmean_micro"))
+  }
 }

@@ -234,4 +234,25 @@ class CorpusOpsSpec extends SparkTestBase {
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("decontaminate: n-gram collisions flagged with distinct counts; clean docs absent") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over")).toDF("id", "text")
+    val train = Seq(
+      (1L, "a sentence with the quick brown fox inside it"), // shares 2 distinct 3-grams... compute below
+      (2L, "completely disjoint wording here throughout"),
+      (3L, "the quick brown fox jumps over the lazy dog"),   // shares many
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = Dedup.decontaminate(train, "id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getAs[Long]("train_id") -> r.getAs[Long]("n_hits")).toMap
+    // bench 3-grams: {the quick brown, quick brown fox, brown fox jumps, fox jumps over}
+    // doc 1 contains: "the quick brown", "quick brown fox" -> 2
+    // doc 3 contains all 4
+    assert(out == Map(1L -> 2L, 3L -> 4L))
+    // higher n sharpens: at n=5 doc 1 shares nothing, doc 3 shares 2
+    val out5 = Dedup.decontaminate(train, "id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getAs[Long]("train_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(out5 == Map(3L -> 2L))
+  }
 }

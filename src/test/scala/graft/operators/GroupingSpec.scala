@@ -213,4 +213,28 @@ class GroupingSpec extends SparkTestBase {
     assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       == Map("Falcon" -> 2L, "Parrot" -> 2L, "Goose" -> 1L))
   }
+
+  test("trimmedMean: hand cut, outlier resistance, small groups untrimmed, tie-invariant") {
+    import spark.implicits._
+    // group a: 1..10 values with one wild outlier replacing 10 -> 1000
+    // n=10, k=1: drop min(1) and max(1000), keep 2..9 -> mean 5.5
+    val a = ((1L to 9L) :+ 1000L).map(("a", _)).toDF("g", "v")
+    val ra = Grouping.trimmedMean(a, "g", "v").collect()(0)
+    assert(ra.getAs[Long]("n_rows") == 10L && ra.getAs[Long]("n_kept") == 8L)
+    assert(ra.getAs[Long]("tmean_micro") == 5500000L)
+    // n < 10: k = 0, nothing trimmed -> plain mean
+    val b = Seq(("b", 3L), ("b", 5L)).toDF("g", "v")
+    val rb = Grouping.trimmedMean(b, "g", "v").collect()(0)
+    assert(rb.getAs[Long]("n_kept") == 2L && rb.getAs[Long]("tmean_micro") == 4000000L)
+    // ties straddling the cut: kept multiset invariant under partitioning
+    val t = (Seq.fill(5)(("t", 7L)) ++ Seq.fill(5)(("t", 9L))).toDF("g", "v")
+    val r1 = Grouping.trimmedMean(t, "g", "v").collect()(0).getAs[Long]("tmean_micro")
+    val r2 = Grouping.trimmedMean(t.repartition(7), "g", "v").collect()(0)
+      .getAs[Long]("tmean_micro")
+    assert(r1 == r2 && r1 == 8000000L) // drop one 7 and one 9 -> mean 8
+    // invalid trim fraction rejected
+    intercept[IllegalArgumentException] {
+      Grouping.trimmedMean(b, "g", "v", pNum = 1, pDen = 2)
+    }
+  }
 }
