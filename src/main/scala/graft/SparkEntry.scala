@@ -1056,6 +1056,28 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // two-sample KS ✚ (r9): spend distribution, first half vs second half —
+    // the continuous drift monitor (q166 PSI is the categorical sibling);
+    // exact integer max over the merged step grid, Decimal(38,0) products
+    "q171_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg((min(col("ts_us"))
+        + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      Stats.ksTest(tagged.filter(col("ts_us") < col("mid")),
+        tagged.filter(col("ts_us") >= col("mid")), "cents", bucketWidth = 100L)
+    }),
+    // exact Spearman ✚ (r9): quantity vs line revenue — tie-averaged ranks
+    // as exact integers (2·below + cnt + 1), two-level prefix ranks
+    "q172_spearman" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("qty", col("l_quantity").cast(LongType))
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      Stats.spearman(l, "qty", "cents", bucketWidth = 1000000L)
+    }),
     // decontamination ✚ (r9): training docs sharing any 5-gram with the
     // held-out benchmark slice — the eval-leak screen; ONE keyed equi-join
     // against the (broadcastable) benchmark shingle set
@@ -4659,6 +4681,61 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // same mid split, merged step grid, HUGEINT cross products, max once
+    "q171_ks_drift" ->
+      """WITH raw AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                epoch_us(ts) AS t FROM events),
+         m AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2.0) AS BIGINT) AS mid
+               FROM raw),
+         la AS (SELECT v, count(*) AS ca FROM raw, m
+                WHERE t < mid AND v IS NOT NULL GROUP BY 1),
+         lb AS (SELECT v, count(*) AS cb FROM raw, m
+                WHERE t >= mid AND v IS NOT NULL GROUP BY 1),
+         g AS (SELECT COALESCE(la.v, lb.v) AS v, COALESCE(ca, 0) AS ca,
+                      COALESCE(cb, 0) AS cb
+               FROM la FULL OUTER JOIN lb ON la.v = lb.v),
+         c AS (SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM g
+               WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t2 AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM g),
+         dm AS (SELECT max(abs(nb::HUGEINT * cuma::HUGEINT
+                             - na::HUGEINT * cumb::HUGEINT)) AS dmax
+                FROM c CROSS JOIN t2)
+         SELECT na AS n_a, nb AS n_b,
+                CASE WHEN na > 0 AND nb > 0
+                     THEN CAST(round(dmax::DOUBLE / (na::DOUBLE * nb::DOUBLE) * 1e6) AS BIGINT)
+                END AS ks_micro
+         FROM t2 CROSS JOIN dm""",
+    // same doubled tie-averaged ranks and the shared Pearson tree
+    "q172_spearman" ->
+      """WITH r0 AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         lx AS (SELECT x AS v, count(*) AS c FROM r0 GROUP BY 1),
+         cx AS (SELECT v, 2 * COALESCE(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+                FROM lx),
+         ly AS (SELECT y AS v, count(*) AS c FROM r0 GROUP BY 1),
+         cy AS (SELECT v, 2 * COALESCE(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+                FROM ly),
+         rr AS (SELECT cx.r AS rx, cy.r AS ry
+                FROM r0 JOIN cx ON r0.x = cx.v JOIN cy ON r0.y = cy.v),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+                      sum(rx::HUGEINT * rx::HUGEINT) AS sxx,
+                      sum(ry::HUGEINT * ry::HUGEINT) AS syy,
+                      sum(rx::HUGEINT * ry::HUGEINT) AS sxy FROM rr)
+         SELECT n AS n_rows,
+                CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                      AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+                     THEN CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                          / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                          * 1e6) AS BIGINT)
+                END AS rho_micro
+         FROM s""",
     // same tokenization/shingling as the Spark side, same md5 bench split
     "q169_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

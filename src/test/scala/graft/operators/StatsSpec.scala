@@ -168,6 +168,48 @@ class StatsSpec extends SparkTestBase {
       .getAs[Long]("kappa_micro") == 400000L)
   }
 
+  test("ksTest: identical samples 0; disjoint samples 1; hand step value; width-invariant") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    assert(Stats.ksTest(a, a, "v", 2L).collect()(0).getAs[Long]("ks_micro") == 0L)
+    // fully separated: D = 1
+    val hi = Seq(10L, 11L, 12L).toDF("v")
+    val r = Stats.ksTest(a, hi, "v", 2L).collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("ks_micro") == 1000000L)
+    // hand case: a = {1,2}, b = {2,3}: at v=1 |F| = 1/2, at v=2 F_a=1,
+    // F_b=1/2 -> D = 1/2
+    val x = Seq(1L, 2L).toDF("v"); val y = Seq(2L, 3L).toDF("v")
+    assert(Stats.ksTest(x, y, "v", 1L).collect()(0).getAs[Long]("ks_micro") == 500000L)
+    // bucketWidth is an execution choice only
+    val big = (1L to 100L).map(i => i % 17).toDF("v")
+    val shift = (1L to 100L).map(i => (i % 23) + 3).toDF("v")
+    val k1 = Stats.ksTest(big, shift, "v", 1L).collect()(0).getAs[Long]("ks_micro")
+    val k2 = Stats.ksTest(big, shift, "v", 1000L).collect()(0).getAs[Long]("ks_micro")
+    assert(k1 == k2)
+    // empty side -> null
+    assert(Stats.ksTest(a, a.filter(col("v") > 99), "v").collect()(0).isNullAt(2))
+  }
+
+  test("spearman: monotone 1, reversed -1, ties averaged, constant margin null") {
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 90L), (4L, 100L)).toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y", 2L).collect()(0).getAs[Long]("rho_micro") == 1000000L)
+    val rev = Seq((1L, 100L), (2L, 90L), (3L, 20L)).toDF("x", "y")
+    assert(Stats.spearman(rev, "x", "y", 2L).collect()(0).getAs[Long]("rho_micro") == -1000000L)
+    // hand tie case: x = (1,2,2,3), y = (1,2,3,4): classic rho with one tie
+    // ranks x: 1, 2.5, 2.5, 4 ; y: 1,2,3,4 -> rho = 0.9486832980505138...
+    val tie = Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val rho = Stats.spearman(tie, "x", "y", 2L).collect()(0).getAs[Long]("rho_micro")
+    assert(rho == 948683L, s"got $rho")
+    // constant margin: undefined
+    val const = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    assert(Stats.spearman(const, "x", "y").collect()(0).isNullAt(1))
+    // partitioning/width invariance
+    val big = (1L to 200L).map(i => (i % 13, (i * 7) % 31)).toDF("x", "y")
+    val s1 = Stats.spearman(big.repartition(7), "x", "y", 1L).collect()(0).getAs[Long]("rho_micro")
+    val s2 = Stats.spearman(big, "x", "y", 1000L).collect()(0).getAs[Long]("rho_micro")
+    assert(s1 == s2)
+  }
+
   test("concentration: equal shares Gini 0; extreme concentration; exact top-decile cut") {
     // 10 keys x value 5 -> Gini = 0, top decile = 1 key = 10% of mass
     val eq = (1 to 10).map(i => (i.toLong, 5L)).toDF("k", "v")
