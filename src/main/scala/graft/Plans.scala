@@ -45,7 +45,14 @@ object Plans {
         // group-keyed centroid join (must broadcast the tiny centroid
         // side), and the seed-gated iterated-join walk
         "q136_fuzzy_index", "q137_centroid_outliers",
-        "q138_personalized_pagerank", "q139_label_propagation")
+        "q138_personalized_pagerank", "q139_label_propagation",
+        // r9 batch 2: the two-level prefix sum must show NO data-sized
+        // single-partition window (only the bucket frame sorts globally);
+        // melt must plan an Expand (not a Generate); decontaminate must
+        // BROADCAST the benchmark shingle side; the JW rescore must sit
+        // inside WholeStageCodegen on the joined pair frame
+        "q153_roc_auc", "q157_concentration", "q164_melt",
+        "q169_decontaminate", "q163_jw_rerank", "q171_ks_drift")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
