@@ -1056,6 +1056,19 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // hashing-trick features ✚ (r9): stateless fixed-dim categorical
+    // encoding (single + crossed) — no vocabulary fit, no schema explosion;
+    // md5-based so any engine replays the exact buckets
+    "q173_feature_hash" -> ((s, d) => {
+      val hashed = graft.ml.TableCleaner.hashFeatures(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        Seq(Seq("lang"), Seq("source")), dim = 16)
+      graft.ml.TableCleaner.hashFeatures(hashed,
+          Seq(Seq("lang", "source")), dim = 64)
+        .select(col("doc_id"), col("hx_lang"), col("hx_source"),
+          col("hx_lang_source"))
+        .orderBy(col("doc_id"))
+    }),
     // two-sample KS ✚ (r9): spend distribution, first half vs second half —
     // the continuous drift monitor (q166 PSI is the categorical sibling);
     // exact integer max over the merged step grid, Decimal(38,0) products
@@ -4681,6 +4694,19 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // the q95 md5→60-bit integer trick, mod the feature dim; nulls ride
+    // md5(NULL) = NULL on both engines
+    "q173_feature_hash" ->
+      """WITH h AS (SELECT doc_id,
+                list_sum([ (instr('0123456789abcdef', substr(md5(lang), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 16 AS hx_lang,
+                list_sum([ (instr('0123456789abcdef', substr(md5(source), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 16 AS hx_source,
+                list_sum([ (instr('0123456789abcdef', substr(md5(lang || '|' || source), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 64 AS hx_lang_source
+              FROM documents)
+         SELECT doc_id, hx_lang, hx_source, hx_lang_source
+         FROM h ORDER BY doc_id""",
     // same mid split, merged step grid, HUGEINT cross products, max once
     "q171_ks_drift" ->
       """WITH raw AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,

@@ -445,4 +445,34 @@ object TableCleaner {
     }
     cleaner
   }
+
+  /** Hashing-trick categorical encoder — the STATELESS scale path where
+    * [[CategoricalColumn]]'s label/one-hot encoders need a fitted (and
+    * capped) vocabulary: each feature (a single column, or a CROSS of
+    * columns — the classic "lang×source" interaction) maps to
+    * `md5(values joined by '|') mod dim`, a pure per-row function. No fit
+    * pass, no vocabulary table to broadcast or persist, no cap — new
+    * categories at serving time land in a bucket instead of exploding the
+    * schema; the price is hash collisions, bounded by dim (Weinberger
+    * 2009). Any null component nulls the feature (SQL semantics, matching
+    * `concat`'s null propagation — never a silent collision between
+    * ("a", null) and ("a",)). Output: input columns + one
+    * `<prefix><cols joined by '_'>` LongType bucket per feature.
+    *
+    * Scale shape: stateless projection inside WholeStageCodegen —
+    * md5-based (engine-portable, the [[graft.operators.Ops.sampleByHash]]
+    * determinism contract), so any SQL engine replays the exact buckets. */
+  def hashFeatures(df: DataFrame, features: Seq[Seq[String]], dim: Int,
+      prefix: String = "hx_"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(features.nonEmpty && features.forall(_.nonEmpty),
+      "each feature needs at least one column")
+    features.foldLeft(df) { (d, cols) =>
+      val joined = concat(cols.flatMap(c =>
+        Seq(col(c).cast("string"), lit("|"))).dropRight(1): _*)
+      d.withColumn(prefix + cols.mkString("_"),
+        pmod(conv(substring(md5(joined), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)))
+    }
+  }
 }

@@ -248,4 +248,37 @@ class TableCleanerSpec extends SparkTestBase {
       .zip(yTe.collect().map(_.getDouble(0)).sorted)
     assert(tePairs.forall { case (x, y) => y == 2 * x })
   }
+
+  test("hashFeatures: deterministic in-range buckets; crosses differ from parts; null propagates") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("en", "web"), ("en", "book"), ("de", "web"),
+      (null.asInstanceOf[String], "web")).toDF("lang", "source")
+    val out = TableCleaner.hashFeatures(df,
+      Seq(Seq("lang"), Seq("source"), Seq("lang", "source")), dim = 16)
+    assert(out.columns.toSeq ==
+      Seq("lang", "source", "hx_lang", "hx_source", "hx_lang_source"))
+    val rows = out.collect()
+    // in range, deterministic across partitionings
+    val again = TableCleaner.hashFeatures(df.repartition(3),
+      Seq(Seq("lang"), Seq("source"), Seq("lang", "source")), dim = 16)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        if (!r.isNullAt(i)) assert(r.getLong(i) >= 0 && r.getLong(i) < 16)
+      }
+      assert(again((Option(r.getString(0)), r.getString(1)))
+        == (if (r.isNullAt(2)) -1L else r.getLong(2)))
+    }
+    // known md5 buckets (python-verified): en→11, web→7, book→7,
+    // en|web→10, en|book→3 — same lang shares hx_lang, crosses differ
+    val byKey = rows.map(r => (Option(r.getString(0)), r.getString(1)) -> r).toMap
+    val enWeb = byKey((Some("en"), "web")); val enBook = byKey((Some("en"), "book"))
+    assert(enWeb.getLong(2) == 11L && enBook.getLong(2) == 11L)
+    assert(enWeb.getLong(3) == 7L && enBook.getLong(3) == 7L)
+    assert(enWeb.getLong(4) == 10L && enBook.getLong(4) == 3L)
+    // null component -> null feature (no silent collisions)
+    val nullRow = byKey((None, "web"))
+    assert(nullRow.isNullAt(2) && nullRow.isNullAt(4) && !nullRow.isNullAt(3))
+  }
 }
