@@ -1056,6 +1056,27 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // markup stripping ✚ (r9): synthetic HTML wrapped around real text,
+    // stripped back to clean prose — tags, entities (&amp; last), whitespace
+    "q174_strip_markup" -> ((s, d) => {
+      val marked = Tables.documents(s, d)
+        .withColumn("raw", concat(lit("<html><p class=\"x\">"),
+          substring(col("text"), 1, 60), lit("</p> &amp;amp; <br/>done&nbsp;&#39;q&#39;")))
+      marked.select(col("doc_id"),
+          length(col("raw")).cast(LongType).as("len_raw"),
+          Text.stripMarkup(col("raw")).as("clean"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("clean")).cast(LongType).as("len_clean"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // native session_window ✚ (r9): the q44 sessions as ONE hash-aggregate
+    // GROUP BY key (runs unchanged as a watermarked streaming agg); half-
+    // open boundary — an event exactly `gap` later starts a new session
+    "q175_session_window" -> ((s, d) => {
+      Streams.sessionWindowAgg(Tables.events(s, d), gapMinutes = 30)
+        .orderBy(col("user_id"), col("start_us"))
+    }),
     // hashing-trick features ✚ (r9): stateless fixed-dim categorical
     // encoding (single + crossed) — no vocabulary fit, no schema explosion;
     // md5-based so any engine replays the exact buckets
@@ -4694,6 +4715,41 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // same tag regex, same entity order (&amp; last), same whitespace fold
+    "q174_strip_markup" ->
+      """WITH r AS (SELECT doc_id,
+                '<html><p class="x">' || substr(text, 1, 60)
+                  || '</p> &amp;amp; <br/>done&nbsp;&#39;q&#39;' AS raw
+              FROM documents),
+         c AS (SELECT doc_id, raw,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS clean
+               FROM r)
+         SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+                CAST(length(clean) AS BIGINT) AS len_clean,
+                md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
+    // the > gap boundary rule (session_window merges diff <= gap — the
+    // SAME closed boundary as q44; spec-verified), flag + prefix sum
+    "q175_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT user_id, t, event_id,
+                CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         r AS (SELECT user_id, t, sum(ns) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM f)
+         SELECT user_id, CAST(min(t) AS BIGINT) AS start_us,
+                CAST(max(t) AS BIGINT) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM r GROUP BY user_id, sid ORDER BY user_id, start_us""",
     // the q95 md5→60-bit integer trick, mod the feature dim; nulls ride
     // md5(NULL) = NULL on both engines
     "q173_feature_hash" ->

@@ -62,6 +62,24 @@ object Text {
     * so the oracle matches exactly.) */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Markup stripper — the first pass a crawled corpus takes before any
+    * quality/dedup signal (raw HTML inflates length counts, poisons
+    * shingles, and scores as "high punctuation" garbage): drop `<...>`
+    * tags, decode the five ubiquitous HTML entities plus `&nbsp;`, and
+    * collapse runs of whitespace. `&amp;` decodes LAST so `&amp;lt;`
+    * correctly yields the literal `&lt;` (single-pass entity semantics).
+    * NOT a full HTML parser — no script/style content removal, no charset
+    * sniffing; it is the cheap codegen'd projection that handles the
+    * overwhelming bulk of markup residue, engine-portable (plain
+    * regex/replace on both sides of the q174 oracle). */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Distinct n-word shingles, built with `transform` over an index sequence
     * (no explode — stays one row per document until the caller decides to
     * shuffle). Empty array when the document has fewer than n tokens. */

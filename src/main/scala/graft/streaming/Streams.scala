@@ -168,6 +168,30 @@ object Streams {
         min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
   }
 
+  /** Spark-native sessionization via `session_window` — the same
+    * gap-merged per-user sessions as [[sessionizeBatch]] expressed as a
+    * GROUP BY key instead of two windows + a prefix sum, which (a) is the
+    * idiomatic form that also runs UNCHANGED as a watermarked streaming
+    * aggregation, and (b) plans one hash-aggregate instead of a sort-based
+    * window pass. The merge boundary is CLOSED — an event exactly `gap`
+    * after the previous one still joins the session (spec-verified;
+    * identical to [[sessionizeBatch]]'s `diff > gap → new` rule, so the
+    * two operators agree row-for-row). `end_us` is the session's LAST
+    * EVENT (the window end minus the gap), so output aligns with
+    * [[sessionizeBatch]]'s columns. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        (unix_micros(col("sw.end")) - gapUs).as("end_us"),
+        col("n_events"))
+  }
+
   /** Streaming sessionization state: accumulated per-user open session. */
   case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -107,4 +107,21 @@ class TextSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("NFC") || e.getMessage.contains("form"))
   }
+
+  test("stripMarkup: tags dropped, entities decoded once, whitespace folded, null rides") {
+    val df = Seq(
+      "<p>hello <b>world</b></p>",
+      "a &amp;lt; b",                       // double-encoded: ONE decode pass
+      "x&nbsp;&#39;y&#39;  <br/>\n z",
+      "&lt;tag&gt; is text",
+      null.asInstanceOf[String]
+    ).toDF("t")
+    val got = df.select(Text.stripMarkup(col("t")).as("c")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got(0) == "hello world")
+    assert(got(1) == "a &lt; b")            // NOT "a < b" - entities decode once
+    assert(got(2) == "x 'y' z")
+    assert(got(3) == "<tag> is text")       // decoded AFTER tag strip: stays text
+    assert(got(4) == null)
+  }
 }

@@ -29,6 +29,23 @@ class StreamsSpec extends SparkTestBase {
     assert(s1.getLong(3) == t(0).getTime * 1000 && s1.getLong(4) == t(10).getTime * 1000)
   }
 
+  test("sessionWindowAgg: native session_window matches sessionizeBatch incl. the closed gap boundary") {
+    val out = Streams.sessionWindowAgg(batchEvents, gapMinutes = 30)
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val us = (m: Int) => t(m).getTime * 1000
+    assert(out.toSeq == Seq(
+      (1L, us(0), us(10), 2L), (1L, us(50), us(50), 1L), (2L, us(5), us(5), 1L)))
+    // boundary: an event EXACTLY gap later still JOINS (closed boundary —
+    // matches sessionizeBatch's diff > gap rule); one tick past it splits
+    val edge = Seq(Ev(1, t(0), 1, "a", 0.0), Ev(2, t(30), 1, "b", 0.0)).toDF()
+    assert(Streams.sessionWindowAgg(edge, 30).count() == 1L)
+    assert(Streams.sessionizeBatch(edge, 30).count() == 1L)
+    val past = Seq(Ev(1, t(0), 1, "a", 0.0), Ev(2, t(30, 1), 1, "b", 0.0)).toDF()
+    assert(Streams.sessionWindowAgg(past, 30).count() == 2L)
+    assert(Streams.sessionizeBatch(past, 30).count() == 2L)
+  }
+
   test("resampleDense: empty intervals appear as explicit zero rows, totals conserved") {
     val evs = Seq(
       Ev(1, t(0), 1, "click", 1.0), Ev(2, t(5), 1, "click", 2.0), // bucket 00:00
