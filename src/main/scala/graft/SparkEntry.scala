@@ -1056,6 +1056,21 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // entity resolution ✚ (r9): the record-linkage stack end-to-end —
+    // FastSS signature candidates → codegen'd JW decision edges (≥0.93) →
+    // star-contraction components → lexicographic-min canonical name
+    "q176_entity_resolution" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      val edges = Joins.fuzzySelfPairs(names, "name", "name", maxDist = 2)
+        .withColumn("jw", call_function("graft_jw_micro", col("id_a"), col("id_b")))
+        .filter(col("jw") >= 930000L)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(edges, names, "name")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("name"), col("component").as("canon_name"))
+        .orderBy(col("name"))
+    }),
     // markup stripping ✚ (r9): synthetic HTML wrapped around real text,
     // stripped back to clean prose — tags, entities (&amp; last), whitespace
     "q174_strip_markup" -> ((s, d) => {
@@ -4715,6 +4730,20 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // naive all-pairs candidates + DuckDB's own JW at the same threshold,
+    // closure via recursive CTE, same min-name canonicalization
+    "q176_entity_resolution" ->
+      """WITH RECURSIVE
+         names AS (SELECT p_name AS name FROM part GROUP BY 1),
+         p AS (SELECT a.name AS na, b.name AS nb
+               FROM names a JOIN names b ON a.name < b.name
+               WHERE levenshtein(a.name, b.name) <= 2
+                 AND CAST(round(jaro_winkler_similarity(a.name, b.name) * 1e6) AS BIGINT) >= 930000),
+         edges AS (SELECT na AS a, nb AS b FROM p UNION SELECT nb, na FROM p),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS name, min(b) AS canon_name FROM reach
+         GROUP BY a HAVING min(b) < a ORDER BY name""",
     // same tag regex, same entity order (&amp; last), same whitespace fold
     "q174_strip_markup" ->
       """WITH r AS (SELECT doc_id,
