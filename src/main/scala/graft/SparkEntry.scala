@@ -1056,6 +1056,14 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // containment pairs ✚ (r9): the quote/excerpt detector — asymmetric
+    // overlap over the df-capped shingle vocabulary; exact integer
+    // threshold (inter·den ≥ num·min), inverted-index candidates only
+    "q177_containment" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, thrNum = 8, thrDen = 10, maxDf = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // entity resolution ✚ (r9): the record-linkage stack end-to-end —
     // FastSS signature candidates → codegen'd JW decision edges (≥0.93) →
     // star-contraction components → lexicographic-min canonical name
@@ -4730,6 +4738,28 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // same shingles, df cap, exact integer threshold, micro divisions
+    "q177_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents),
+         s AS (SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS sh
+               FROM w),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         dfc AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 10),
+         ke AS (SELECT e.doc_id, e.g FROM e JOIN dfc USING (g)),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM ke GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS BIGINT) AS inter
+               FROM ke a JOIN ke b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, x.nsh AS n_a, y.nsh AS n_b,
+                CAST(round(inter::DOUBLE / x.nsh::DOUBLE * 1e6) AS BIGINT) AS cont_a_micro,
+                CAST(round(inter::DOUBLE / y.nsh::DOUBLE * 1e6) AS BIGINT) AS cont_b_micro
+         FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         WHERE inter * 10 >= 8 * least(x.nsh, y.nsh)
+         ORDER BY id_a, id_b""",
     // naive all-pairs candidates + DuckDB's own JW at the same threshold,
     // closure via recursive CTE, same min-name canonicalization
     "q176_entity_resolution" ->

@@ -1031,4 +1031,45 @@ object Dedup {
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Asymmetric (containment) near-dup pairs — the quote/excerpt detector
+    * Jaccard misses: a 50-shingle snippet fully embedded in a 5000-shingle
+    * article has Jaccard ≈ 0.01 but containment 1.0 on the snippet side.
+    * Over the df-capped shingle vocabulary (a boilerplate shingle shared
+    * by half the corpus generates df² candidate pairs AND carries no
+    * evidence — the [[Similarity.sparseCosinePairs]] cap, mirrored by the
+    * oracle), emits each pair with the intersection size, both (capped)
+    * set sizes, and both containment directions, kept when the LARGER
+    * direction clears `thrNum/thrDen` — an exact integer test
+    * (inter·thrDen ≥ thrNum·min(n_a, n_b)), micro-quantized only for
+    * display. Output: (id_a, id_b, inter, n_a, n_b, cont_a_micro,
+    * cont_b_micro), id_a < id_b.
+    *
+    * Scale shape: inverted-index candidate generation (one keyed
+    * equi-join on the shingle), never all-pairs; two map-side-combined
+    * aggs; the df cap bounds any shingle's fan-out at maxDf². */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, thrNum: Long, thrDen: Long, maxDf: Long): DataFrame = {
+    require(n >= 1 && maxDf >= 2 && thrDen > 0 && thrNum >= 0,
+      "need n >= 1, maxDf >= 2, 0 <= thrNum/thrDen")
+    val sh = df.select(col(idCol).as("id"),
+      explode(graft.functions.Text.wordShingles(col(textCol), n)).as("sh"))
+    val kept = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("sh"), Seq("sh"))
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val inter = kept.select(col("id").as("id_a"), col("sh"))
+      .join(kept.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("n_b")), Seq("id_b"))
+      .filter(col("inter") * thrDen >= lit(thrNum) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        round(col("inter").cast("double") / col("n_a").cast("double") * 1e6)
+          .cast("long").as("cont_a_micro"),
+        round(col("inter").cast("double") / col("n_b").cast("double") * 1e6)
+          .cast("long").as("cont_b_micro"))
+  }
 }

@@ -255,4 +255,23 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("train_id") -> r.getAs[Long]("n_hits")).toMap
     assert(out5 == Map(3L -> 2L))
   }
+
+  test("containmentPairs: embedded snippet flags on the small side where Jaccard would not") {
+    import spark.implicits._
+    val snippet = "alpha beta gamma delta epsilon zeta"  // 4 3-shingles
+    val article = snippet + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val docs = Seq((1L, snippet), (2L, article),
+      (3L, "totally different words compose this other document here")).toDF("id", "text")
+    val out = Dedup.containmentPairs(docs, "id", "text",
+        n = 3, thrNum = 8, thrDen = 10, maxDf = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    val r = out((1L, 2L))
+    // all 4 snippet shingles inside the article: containment 1.0 on side a
+    assert(r.getAs[Long]("inter") == 4L && r.getAs[Long]("n_a") == 4L)
+    assert(r.getAs[Long]("cont_a_micro") == 1000000L)
+    assert(r.getAs[Long]("cont_b_micro") < 300000L) // Jaccard-style symmetric view is small
+    // raising the threshold past the larger direction drops the pair
+    assert(Dedup.containmentPairs(docs, "id", "text", 3, 101, 100, 10).count() == 0L)
+  }
 }
