@@ -1056,6 +1056,24 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // tokenizer fertility ✚ (r9): pieces-per-token by language under the
+    // corpus-learned BPE — the vocabulary-fairness diagnostic (a language
+    // the tokenizer under-serves pays more sequence length per word)
+    "q178_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.docPieceCounts(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("lang"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_tokens").cast("double") * 1e6)
+            .cast(LongType).as("fertility_micro"))
+        .orderBy(col("lang"))
+    }),
     // containment pairs ✚ (r9): the quote/excerpt detector — asymmetric
     // overlap over the df-capped shingle vocabulary; exact integer
     // threshold (inter·den ≥ num·min), inverted-index candidates only
@@ -4738,6 +4756,21 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // the q130 BPE chain rolled up by language instead of by document
+    "q178_bpe_fertility" ->
+      s"""WITH ${sqlBpeChain(8)},
+         bdt AS (SELECT doc_id, token AS word FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+                FROM documents) t WHERE len(token) > 0),
+         bwp AS (SELECT word, len(string_split(syms, ' ')) AS n_p FROM w8),
+         pl AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(n_p) AS BIGINT) AS n_pieces
+                FROM bdt JOIN bwp USING (word)
+                JOIN documents d USING (doc_id)
+                WHERE d.lang IS NOT NULL GROUP BY 1)
+         SELECT lang, n_tokens, n_pieces,
+                CAST(round(n_pieces::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS fertility_micro
+         FROM pl ORDER BY lang""",
     // same shingles, df cap, exact integer threshold, micro divisions
     "q177_containment" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
