@@ -223,4 +223,63 @@ object GraftProperties extends Properties("graft") {
       }
       (0L to 9L).forall(x => got(x) == find(x))
     }
+
+  private def longDf(name: String, xs: List[Long]) = {
+    spark.createDataFrame(xs.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  property("rocAuc: flipping every label maps AUC to 1 - AUC (exact in the 2U statistic)") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf(true, false)))) { rows0 =>
+      // force both classes present so AUC is defined
+      val rows = (0L, true) :: (1L, false) :: rows0
+      import spark.implicits._
+      val d = rows.toDF("s", "y")
+      val a = graft.operators.Stats.rocAuc(d, "s", "y", 3L).collect()(0)
+      val b = graft.operators.Stats.rocAuc(
+        d.withColumn("y", !col("y")), "s", "y", 3L).collect()(0)
+      // 2U + 2U' = 2*P*N  (tie half-credits included)
+      a.getAs[Long]("auc_num2") + b.getAs[Long]("auc_num2") ==
+        2L * a.getAs[Long]("n_pos") * a.getAs[Long]("n_neg")
+    }
+
+  property("ksTest: symmetric in its two samples; zero against itself") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
+        Gen.listOfN(12, Gen.chooseNum(0L, 8L))) { (xs, ys) =>
+      val (a, b) = (longDf("v", 0L :: xs), longDf("v", 1L :: ys))
+      val ab = graft.operators.Stats.ksTest(a, b, "v", 2L).collect()(0).getAs[Long]("ks_micro")
+      val ba = graft.operators.Stats.ksTest(b, a, "v", 2L).collect()(0).getAs[Long]("ks_micro")
+      val aa = graft.operators.Stats.ksTest(a, a, "v", 2L).collect()(0).getAs[Long]("ks_micro")
+      ab == ba && aa == 0L
+    }
+
+  property("spearman: invariant under any strictly increasing transform of either column") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { rows0 =>
+      // guarantee both margins non-constant
+      val rows = (0L, 0L) :: (9L, 9L) :: (3L, 7L) :: rows0
+      import spark.implicits._
+      val d = rows.toDF("x", "y")
+      val base = graft.operators.Stats.spearman(d, "x", "y", 2L)
+        .collect()(0).getAs[Long]("rho_micro")
+      // x -> 3x + 1 and y -> y^2 (monotone on 0..9) preserve all ranks
+      val t = d.selectExpr("x * 3 + 1 AS x", "y * y AS y")
+      val trans = graft.operators.Stats.spearman(t, "x", "y", 2L)
+        .collect()(0).getAs[Long]("rho_micro")
+      base == trans
+    }
+
+  property("robustOutliers: outlier flags invariant under integer shift of the values") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(-20L, 20L)), Gen.chooseNum(-100L, 100L)) { (xs0, c) =>
+      val xs = 0L :: xs0
+      import spark.implicits._
+      val d = xs.map(("g", _)).toDF("g", "v")
+      val a = graft.operators.Stats.robustOutliers(d, "g", "v")
+        .collect()(0).getAs[Long]("n_outliers")
+      val b = graft.operators.Stats.robustOutliers(
+        d.selectExpr("g", s"v + ($c) AS v"), "g", "v")
+        .collect()(0).getAs[Long]("n_outliers")
+      a == b
+    }
 }
