@@ -1056,6 +1056,25 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // Kaplan-Meier churn ✚ (r9): survival of user activity spans (hours),
+    // censored when the last event falls in the final 10% of the range —
+    // log-space product with per-level rounded-ln terms, two-level prefixes
+    "q179_kaplan_meier" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val spans = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("f"), max(col("ts_us")).as("l"))
+      val bounds = ev.agg(min(col("ts_us")).as("gmin"), max(col("ts_us")).as("gmax"))
+      val hourUs = 3600000000L
+      val obs = spans.crossJoin(broadcast(bounds))
+        .withColumn("cut",
+          col("gmax") - floor((col("gmax") - col("gmin")) / 10).cast(LongType))
+        .withColumn("span", col("l") - col("f"))
+        .withColumn("dur", ((col("span") - col("span") % hourUs) / hourUs).cast(LongType))
+        .withColumn("churned", col("l") < col("cut"))
+      Stats.kaplanMeier(obs, "dur", "churned", bucketWidth = 100L)
+    }),
     // tokenizer fertility ✚ (r9): pieces-per-token by language under the
     // corpus-learned BPE — the vocabulary-fairness diagnostic (a language
     // the tokenizer under-serves pays more sequence length per word)
@@ -4756,6 +4775,42 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // same censoring cut, level grid, rounded-ln terms, shared exp tree
+    "q179_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         sp AS (SELECT user_id, min(t) AS f, max(t) AS l FROM e GROUP BY 1),
+         g AS (SELECT min(t) AS gmin, max(t) AS gmax FROM e),
+         obs AS (SELECT ((l - f) - (l - f) % 3600000000) / 3600000000 AS dur,
+                        l < gmax - CAST(floor((gmax - gmin) / 10.0) AS BIGINT) AS ev
+                 FROM sp, g),
+         lv AS (SELECT CAST(dur AS BIGINT) AS dur,
+                       CAST(count(CASE WHEN ev THEN 1 END) AS BIGINT) AS d,
+                       CAST(count(CASE WHEN NOT ev THEN 1 END) AS BIGINT) AS c
+                FROM obs GROUP BY 1),
+         l2 AS (SELECT dur, d, c, d + c AS tot FROM lv),
+         t2 AS (SELECT CAST(sum(tot) AS BIGINT) AS N FROM l2),
+         r AS (SELECT dur, d, c,
+                CAST(N - COALESCE(sum(tot) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+               FROM l2, t2),
+         s AS (SELECT dur, d, c, n_risk,
+                CASE WHEN d > 0 AND d < n_risk
+                     THEN CAST(round(ln(1 - d::DOUBLE / n_risk::DOUBLE) * 1e6) AS BIGINT)
+                END AS term,
+                CASE WHEN d = n_risk THEN 1 ELSE 0 END AS pin
+               FROM r),
+         cum AS (SELECT dur, n_risk, d, c,
+                CAST(sum(term) OVER win AS BIGINT) AS ls, max(pin) OVER win AS dead
+               FROM s WINDOW win AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT dur, n_risk, d AS n_events, c AS n_censored,
+                CASE WHEN dead = 0 THEN ls END AS logsurv_micro,
+                CASE WHEN dead = 1 THEN 0
+                     WHEN ls IS NULL THEN 1000000
+                     ELSE CAST(round(exp(ls::DOUBLE / 1e6) * 1e6) AS BIGINT)
+                END AS surv_micro
+         FROM cum ORDER BY dur""",
     // the q130 BPE chain rolled up by language instead of by document
     "q178_bpe_fertility" ->
       s"""WITH ${sqlBpeChain(8)},

@@ -210,6 +210,34 @@ class StatsSpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("kaplanMeier: textbook curve with censoring; everyone-dies pins 0; all-censored stays 1") {
+    // durations: 1 death, 2 censored, 3 death, 4 death, 5 censored
+    val obs = Seq((1L, true), (2L, false), (3L, true), (4L, true), (5L, false))
+      .toDF("dur", "ev")
+    val out = Stats.kaplanMeier(obs, "dur", "ev", 2L)
+      .collect().map(r => r.getAs[Long]("dur") -> r).toMap
+    assert(out(1L).getAs[Long]("n_risk") == 5L && out(1L).getAs[Long]("surv_micro") == 800000L)
+    assert(out(2L).getAs[Long]("surv_micro") == 800000L) // censor: no step
+    assert(out(3L).getAs[Long]("n_risk") == 3L && out(3L).getAs[Long]("surv_micro") == 533333L)
+    assert(out(4L).getAs[Long]("n_risk") == 2L && out(4L).getAs[Long]("surv_micro") == 266667L)
+    assert(out(5L).getAs[Long]("surv_micro") == 266667L)
+    // everyone remaining dies: S pinned to exactly 0, log-surv null
+    val all = Seq((1L, true), (1L, true)).toDF("dur", "ev")
+    val ra = Stats.kaplanMeier(all, "dur", "ev").collect()(0)
+    assert(ra.getAs[Long]("surv_micro") == 0L && ra.isNullAt(4))
+    // nobody dies: S = 1 everywhere
+    val none = Seq((1L, false), (2L, false)).toDF("dur", "ev")
+    assert(Stats.kaplanMeier(none, "dur", "ev").collect()
+      .forall(_.getAs[Long]("surv_micro") == 1000000L))
+    // partitioning/width invariance (rounded terms, exact sums)
+    val big = (1L to 60L).map(i => (i % 9, i % 3 != 0)).toDF("dur", "ev")
+    val k1 = Stats.kaplanMeier(big.repartition(7), "dur", "ev", 1L)
+      .collect().map(r => (r.getAs[Long]("dur"), r.getAs[Long]("surv_micro"))).toSet
+    val k2 = Stats.kaplanMeier(big, "dur", "ev", 1000L)
+      .collect().map(r => (r.getAs[Long]("dur"), r.getAs[Long]("surv_micro"))).toSet
+    assert(k1 == k2)
+  }
+
   test("concentration: equal shares Gini 0; extreme concentration; exact top-decile cut") {
     // 10 keys x value 5 -> Gini = 0, top decile = 1 key = 10% of mass
     val eq = (1 to 10).map(i => (i.toLong, 5L)).toDF("k", "v")
