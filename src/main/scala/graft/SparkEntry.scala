@@ -1056,6 +1056,28 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // classifier calibration ✚ (r9): holdout accuracy by exact decision-
+    // margin bucket — the abstain-threshold / reliability report over the
+    // q133 NB stack; margins are exact micro-nat integer gaps
+    "q180_nb_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Classify.nbTrain(docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      val test = docs.filter(col("doc_id") % 5 === 0 && col("lang").isNotNull)
+      val w = 500000L
+      Classify.nbPredictTop2(model, test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+        .filter(col("margin_micro").isNotNull)
+        .withColumn("bucket",
+          ((col("margin_micro") - ((col("margin_micro") % w + w) % w)) / w)
+            .cast(LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pred_label") === col("true_lang"), lit(1))).as("n_correct"))
+        .select(col("bucket"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs").cast("double") * 1e6)
+            .cast(LongType).as("acc_micro"))
+        .orderBy(col("bucket"))
+    }),
     // Kaplan-Meier churn ✚ (r9): survival of user activity spans (hours),
     // censored when the last event falls in the final 10% of the range —
     // log-space product with per-level rounded-ln terms, two-level prefixes
@@ -4775,6 +4797,55 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
+    "q180_nb_calibration" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+         test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ttoks AS (SELECT lang AS label,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM train),
+         counts AS (SELECT label, token, count(*) AS c FROM ttoks GROUP BY 1, 2),
+         perlabel AS (SELECT label, CAST(sum(c) AS BIGINT) AS t_label FROM counts GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         nd AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+         nt AS (SELECT count(*) AS n_total FROM train),
+         stats AS (SELECT nd.label,
+                CAST(round(ln(n_docs) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_total) * 1000000) AS BIGINT) AS prior_micro,
+                CAST(round(ln(t_label + v) * 1000000) AS BIGINT) AS denom_micro
+              FROM nd CROSS JOIN nt JOIN perlabel ON nd.label = perlabel.label CROSS JOIN vocab),
+         lik AS (SELECT label, token, CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS lik_micro FROM counts),
+         dtoks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM test),
+         ntok AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+                ELSE CAST(len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS BIGINT) END AS n_tok
+              FROM test),
+         overlap AS (SELECT d.doc_id, l.label, CAST(sum(l.lik_micro) AS BIGINT) AS num_micro
+              FROM dtoks d JOIN lik l ON d.token = l.token GROUP BY 1, 2),
+         scored AS (SELECT t.doc_id, s.label,
+                s.prior_micro + COALESCE(o.num_micro, 0) - k.n_tok * s.denom_micro AS score_micro
+              FROM test t CROSS JOIN stats s
+              JOIN ntok k ON k.doc_id = t.doc_id
+              LEFT JOIN overlap o ON o.doc_id = t.doc_id AND o.label = s.label),
+         rk AS (SELECT doc_id, label, score_micro,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn
+              FROM scored),
+         p AS (SELECT doc_id,
+                max(CASE WHEN rn = 1 THEN label END) AS pred_label,
+                max(CASE WHEN rn = 1 THEN score_micro END) AS s1,
+                max(CASE WHEN rn = 2 THEN score_micro END) AS s2
+               FROM rk WHERE rn <= 2 GROUP BY 1),
+         m AS (SELECT p.doc_id, pred_label, s1 - s2 AS mg, t.lang AS true_lang
+               FROM p JOIN test t USING (doc_id)
+               WHERE t.lang IS NOT NULL AND s2 IS NOT NULL),
+         b AS (SELECT CAST((mg - ((mg % 500000 + 500000) % 500000)) / 500000 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(CASE WHEN pred_label = true_lang THEN 1 END) AS BIGINT) AS n_correct
+               FROM m GROUP BY 1)
+         SELECT bucket, n_docs, n_correct,
+                CAST(round(n_correct::DOUBLE / n_docs::DOUBLE * 1e6) AS BIGINT) AS acc_micro
+         FROM b ORDER BY bucket""",
     // same censoring cut, level grid, rounded-ln terms, shared exp tree
     "q179_kaplan_meier" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events

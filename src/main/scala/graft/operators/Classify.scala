@@ -109,6 +109,41 @@ object Classify {
       .select(col(idCol), col("label").as("pred_label"), col("score_micro"))
   }
 
+  /** [[nbPredict]] plus the DECISION MARGIN — the exact micro-nat gap
+    * between the best and runner-up class scores, the confidence proxy a
+    * calibration report or an abstain threshold keys on (a posterior
+    * would need an exp/normalize tree; the margin is the same ordering in
+    * exact integers). Single-class models emit a null margin. Output:
+    * (id, pred_label, score_micro, margin_micro). Same scale shape as
+    * [[nbPredict]] — the window keeps two rows per doc instead of one. */
+  def nbPredictTop2(model: NbModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = toks(docs, Seq(idCol), textCol)
+    val overlap = t.join(model.tokenLik, Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("lik_micro")).as("num_micro"))
+    val nTok = docs.select(col(idCol), col(textCol))
+      .withColumn("n_tok", size(Text.tokens(Text.normalize(col(textCol)))))
+      .select(col(idCol), when(col("n_tok") > 0, col("n_tok")).otherwise(lit(0))
+        .cast(LongType).as("n_tok"))
+    val scored = nTok.crossJoin(broadcast(model.classStats))
+      .join(overlap, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("prior_micro") + coalesce(col("num_micro"), lit(0L)) -
+          col("n_tok") * col("denom_micro")).as("score_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("label"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("rn") === 1, col("label"))).as("pred_label"),
+        max(when(col("rn") === 1, col("score_micro"))).as("score_micro"),
+        max(when(col("rn") === 2, col("score_micro"))).as("second_micro"))
+      .select(col(idCol), col("pred_label"), col("score_micro"),
+        (col("score_micro") - col("second_micro")).as("margin_micro"))
+  }
+
   /** Parquet persistence for the standing-classifier shape (train once,
     * classify every ingest batch): two tables + the [[NbModel]] layout
     * contract. Both tables are written to a `_staging` subdirectory first,

@@ -67,4 +67,30 @@ class ClassifySpec extends SparkTestBase {
     val p = Classify.nbPredict(m, Seq((9L, "x")).toDF("id", "text"), "id", "text").collect().head
     assert(p.getString(1) == "a") // identical score under both labels
   }
+
+  test("nbPredictTop2: same winner as nbPredict, exact top1-top2 margin, single-class null") {
+    val m = Classify.nbTrain(corpus, "label", "text")
+    val test = Seq((30L, "cheap meeting"), (31L, "pills review deal")).toDF("id", "text")
+    val top1 = Classify.nbPredict(m, test, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val top2 = Classify.nbPredictTop2(m, test, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    top1.foreach { case (id, (lbl, s1)) =>
+      val r = top2(id)
+      assert(r.getString(1) == lbl && r.getLong(2) == s1)
+      assert(r.getLong(3) >= 0L) // margin = s1 - s2 >= 0, exact micro-nats
+    }
+    // symmetric two-doc tie: margin exactly 0
+    val symModel = Classify.nbTrain(
+      Seq((1L, "a", "x"), (2L, "b", "x")).toDF("id", "label", "text"), "label", "text")
+    val tie = Classify.nbPredictTop2(symModel,
+      Seq((9L, "x")).toDF("id", "text"), "id", "text").collect().head
+    assert(tie.getLong(3) == 0L)
+    // one-class model: no runner-up, null margin
+    val one = Classify.nbTrain(
+      Seq((1L, "a", "x y")).toDF("id", "label", "text"), "label", "text")
+    val r1 = Classify.nbPredictTop2(one, Seq((9L, "x")).toDF("id", "text"),
+      "id", "text").collect().head
+    assert(r1.isNullAt(3))
+  }
 }
