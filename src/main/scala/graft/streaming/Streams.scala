@@ -446,6 +446,32 @@ object Streams {
         tombstoneCol))
     }
 
+  /** Confidence-gated streaming classification — label each micro-batch
+    * with a STORED Naive Bayes model ([[graft.operators.Classify
+    * .loadNbModel]]; train once, classify every ingest batch) and keep
+    * only predictions whose exact micro-nat decision margin
+    * ([[graft.operators.Classify.nbPredictTop2]]) clears `minMarginMicro`
+    * — the abstain threshold a q180-style calibration report picks. Rows
+    * below the margin (or with no runner-up to measure against — a
+    * single-class model abstains rather than rubber-stamps) are DROPPED:
+    * a routing gate fails closed, the [[surprisalGateBatch]] contract.
+    * Stateless across batches; refresh the model when the corpus rolls,
+    * not per micro-batch. */
+  def classifyGateBatch(batch: DataFrame, idCol: String, textCol: String,
+      model: graft.operators.Classify.NbModel, minMarginMicro: Long): DataFrame =
+    graft.operators.Classify.nbPredictTop2(model, batch, idCol, textCol)
+      .filter(col("margin_micro").isNotNull
+        && col("margin_micro") >= minMarginMicro)
+      .join(batch, Seq(idCol))
+
+  /** [[classifyGateBatch]] as a `foreachBatch` sink. */
+  def classifyGateStreamBulk(stream: DataFrame, idCol: String, textCol: String,
+      model: graft.operators.Classify.NbModel, minMarginMicro: Long)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(classifyGateBatch(batch.toDF(), idCol, textCol, model, minMarginMicro))
+    }
+
   /** Streaming twin of [[graft.operators.Sequences.ingestTransitions]]:
     * each micro-batch folds into the standing transition matrix via
     * `foreachBatch` — load the (counts, lasts) state, stitch the batch

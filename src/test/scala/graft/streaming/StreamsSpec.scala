@@ -598,6 +598,34 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("classifyGateStreamBulk: stored-model streaming classification ≡ batch; abstains below margin") {
+    import graft.operators.Classify
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "spam", "buy pills now cheap pills"),
+      (2L, "spam", "cheap deal pills"), (3L, "ham", "meeting notes review"),
+      (4L, "ham", "project review meeting agenda")).toDF("id", "label", "text")
+    val model = Classify.nbTrain(corpus, "label", "text")
+    val batch = Seq((10L, "cheap pills deal now"), (11L, "review meeting"),
+      (12L, "now")) // ambiguous short doc: low margin -> abstain at high tau
+    val expect = Streams.classifyGateBatch(batch.toDF("id", "text"),
+        "id", "text", model, minMarginMicro = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var got: Map[Long, String] = Map.empty
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.classifyGateStreamBulk(mem.toDF().toDF("id", "text"),
+        "id", "text", model, minMarginMicro = 100000L)(
+        out => got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+      .start()
+    try {
+      mem.addData(batch: _*); q.processAllAvailable()
+      assert(got == expect && got.nonEmpty)
+      assert(got.get(10L).contains("spam") && got.get(11L).contains("ham"))
+    } finally q.stop()
+    // an absurd threshold abstains on everything
+    assert(Streams.classifyGateBatch(batch.toDF("id", "text"), "id", "text",
+      model, minMarginMicro = Long.MaxValue).count() == 0L)
+  }
+
   test("transitionsStreamBulk: micro-batch folds reproduce the one-shot matrix") {
     import graft.operators.Sequences
     implicit val sqlCtx = spark.sqlContext
