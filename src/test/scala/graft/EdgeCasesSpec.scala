@@ -107,4 +107,41 @@ class EdgeCasesSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(Set(1L, 3L)) && kept == Set(1L, 3L))
   }
+
+  test("r9 stats on empty/degenerate inputs: no crashes, defined nulls or empty outputs") {
+    import graft.operators.{Audit, Intervals, Sequences, Stats}
+    import spark.implicits._
+    val eLS = Seq.empty[(Long, String)].toDF("v", "g")
+    val eLB = Seq.empty[(Long, Boolean)].toDF("v", "y")
+    val eLL = Seq.empty[(Long, Long)].toDF("x", "y")
+    // scalar-summary ops on empty input: a single all-null/zero row or empty
+    val auc = Stats.rocAuc(eLB, "v", "y").collect()
+    assert(auc.isEmpty || auc(0).isNullAt(3))
+    assert(Stats.ksTest(eLL.select(col("x").as("v")),
+      eLL.select(col("x").as("v")), "v").collect()
+      .forall(r => r.isNullAt(2)))
+    val sp = Stats.spearman(eLL, "x", "y").collect()
+    assert(sp.isEmpty || sp(0).isNullAt(1))
+    val conc = Stats.concentration(eLS.select(col("v").as("k"), col("v").as("x")),
+      "k", "x").collect()
+    assert(conc.isEmpty || conc(0).isNullAt(2))
+    // grouped/per-level ops on empty input: empty output, never a throw
+    assert(Stats.robustOutliers(eLS, "g", "v").collect().isEmpty)
+    assert(Stats.kaplanMeier(eLB, "v", "y").collect().isEmpty)
+    assert(Stats.psi(eLS, eLS, "g").collect().isEmpty)
+    assert(Stats.benford(eLS, "v").collect().isEmpty)
+    assert(Stats.woeIv(eLS.select(col("g").as("f"), (col("v") > 0).as("y")),
+      "f", "y").collect().isEmpty)
+    assert(Intervals.coverage(Seq.empty[(String, Long, Long)].toDF("k", "lo", "hi"),
+      "k", "lo", "hi").collect().isEmpty)
+    assert(Sequences.transitionCounts(
+      Seq.empty[(Long, String, Long, Long)].toDF("u", "s", "t", "id"),
+      "u", "s", "t", "id").collect().isEmpty)
+    // diff of two empties: no keys, no rows
+    assert(Audit.diffSummary(eLS, eLS, Seq("g")).collect().isEmpty)
+    // kappa on empty: one null row or empty
+    val kp = Stats.cohenKappa(eLS.select(col("g").as("a"), col("g").as("b")),
+      "a", "b").collect()
+    assert(kp.isEmpty || kp(0).isNullAt(2))
+  }
 }
