@@ -1056,6 +1056,21 @@ object SparkEntry {
           "doc_id", nShards = 8)
         .orderBy(col("doc_id"))
     }),
+    // grouped KS sweep ✚ (r9): every event type's spend drift in ONE pass
+    // — per-segment monitoring as one shuffle, not |segments| jobs
+    "q181_ks_by_group" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg((min(col("ts_us"))
+        + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      Stats.ksTestByGroup(tagged.filter(col("ts_us") < col("mid")),
+          tagged.filter(col("ts_us") >= col("mid")), "event_type", "cents",
+          bucketWidth = 100L)
+        .orderBy(col("event_type"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -4797,6 +4812,33 @@ object SparkEntry {
          SELECT name_a, name_b, dist,
                 CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6) AS BIGINT) AS jw_micro
          FROM pairs ORDER BY name_a, name_b""",
+    // the q171 step-grid machinery with the group as an extra key
+    "q181_ks_by_group" ->
+      """WITH raw AS (SELECT event_type AS g,
+                CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS t
+              FROM events),
+         m AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2.0) AS BIGINT) AS mid
+               FROM raw),
+         la AS (SELECT g, v, count(*) AS ca FROM raw, m
+                WHERE t < mid AND v IS NOT NULL AND g IS NOT NULL GROUP BY 1, 2),
+         lb AS (SELECT g, v, count(*) AS cb FROM raw, m
+                WHERE t >= mid AND v IS NOT NULL AND g IS NOT NULL GROUP BY 1, 2),
+         gm AS (SELECT COALESCE(la.g, lb.g) AS g, COALESCE(la.v, lb.v) AS v,
+                       COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                FROM la FULL OUTER JOIN lb ON la.g = lb.g AND la.v = lb.v),
+         c AS (SELECT g, v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM gm
+               WINDOW w AS (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t2 AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM gm GROUP BY 1),
+         dm AS (SELECT c.g, max(abs(nb::HUGEINT * cuma::HUGEINT
+                              - na::HUGEINT * cumb::HUGEINT)) AS dmax
+                FROM c JOIN t2 ON c.g = t2.g GROUP BY 1)
+         SELECT t2.g AS event_type, na AS n_a, nb AS n_b,
+                CASE WHEN na > 0 AND nb > 0
+                     THEN CAST(round(dmax::DOUBLE / (na::DOUBLE * nb::DOUBLE) * 1e6) AS BIGINT)
+                END AS ks_micro
+         FROM t2 JOIN dm ON t2.g = dm.g ORDER BY event_type""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

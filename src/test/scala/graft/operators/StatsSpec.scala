@@ -190,6 +190,24 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.ksTest(a, a.filter(col("v") > 99), "v").collect()(0).isNullAt(2))
   }
 
+  test("ksTestByGroup: one pass equals per-group ksTest calls; width-invariant") {
+    val a = (Seq.fill(6)(("x", 1L)) ++ Seq.fill(4)(("x", 5L))
+      ++ Seq.fill(5)(("y", 2L)) ++ Seq.fill(5)(("y", 8L))).toDF("g", "v")
+    val b = (Seq.fill(3)(("x", 4L)) ++ Seq.fill(7)(("x", 6L))
+      ++ Seq.fill(5)(("y", 2L)) ++ Seq.fill(5)(("y", 8L))).toDF("g", "v")
+    val grouped = Stats.ksTestByGroup(a, b, "g", "v", 2L)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("ks_micro")).toMap
+    Seq("x", "y").foreach { g =>
+      val single = Stats.ksTest(a.filter(col("g") === g), b.filter(col("g") === g),
+        "v", 2L).collect()(0).getAs[Long]("ks_micro")
+      assert(grouped(g) == single, s"group $g")
+    }
+    assert(grouped("y") == 0L) // identical distributions in group y
+    val w2 = Stats.ksTestByGroup(a, b, "g", "v", 1000L)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("ks_micro")).toMap
+    assert(w2 == grouped)
+  }
+
   test("spearman: monotone 1, reversed -1, ties averaged, constant margin null") {
     val mono = Seq((1L, 10L), (2L, 20L), (3L, 90L), (4L, 100L)).toDF("x", "y")
     assert(Stats.spearman(mono, "x", "y", 2L).collect()(0).getAs[Long]("rho_micro") == 1000000L)
