@@ -1071,6 +1071,24 @@ object SparkEntry {
           bucketWidth = 100L)
         .orderBy(col("event_type"))
     }),
+    // count-min sketch ✚ (r9): mergeable relational frequency cells — the
+    // sketch is built per half of the stream, MERGED by cell-wise sum, and
+    // every user's event count estimated from merged state; md5 row hashes
+    // make the estimates engine-exact (one-sided: est ≥ exact always)
+    "q182_countmin" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val (depth, width) = (4, 256)
+      val halves = Seq(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1))
+        .map(h => Sketches.countMinBuild(h, "user_id", depth, width))
+      val merged = Sketches.countMinMerge(halves)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c_exact"))
+      Sketches.countMinProbe(merged, ev, "user_id", depth, width)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("c_exact"), col("c_est"),
+          (col("c_est") - col("c_exact")).as("overcount"))
+        .orderBy(col("user_id"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -4839,6 +4857,29 @@ object SparkEntry {
                      THEN CAST(round(dmax::DOUBLE / (na::DOUBLE * nb::DOUBLE) * 1e6) AS BIGINT)
                 END AS ks_micro
          FROM t2 JOIN dm ON t2.g = dm.g ORDER BY event_type""",
+    // the identical md5 hex fold (15 chars → 60-bit long) % width gives the
+    // same cells; a one-shot build equals Spark's merged half-sketches by
+    // the cell-sum identity, so every estimate hash-compares exactly
+    "q182_countmin" ->
+      """WITH it AS (SELECT user_id::VARCHAR AS it FROM events
+                     WHERE user_id IS NOT NULL),
+         cells AS (SELECT r,
+                list_sum([ (instr('0123456789abcdef',
+                                  substr(md5(r::VARCHAR || ':' || it), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) % 256 AS b,
+                count(*) AS c
+              FROM it, range(0, 4) t(r) GROUP BY 1, 2),
+         ex AS (SELECT it, count(*) AS c_exact FROM it GROUP BY 1),
+         probes AS (SELECT it, r,
+                list_sum([ (instr('0123456789abcdef',
+                                  substr(md5(r::VARCHAR || ':' || it), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) % 256 AS b
+              FROM ex, range(0, 4) t(r)),
+         est AS (SELECT it, min(COALESCE(c, 0)) AS c_est
+                 FROM probes LEFT JOIN cells USING (r, b) GROUP BY 1)
+         SELECT CAST(ex.it AS BIGINT) AS user_id, c_exact, c_est,
+                c_est - c_exact AS overcount
+         FROM ex JOIN est USING (it) ORDER BY user_id""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -128,4 +128,67 @@ object Sketches {
     * sketch Columns: op ∈ intersect / diff (A∖B) / union. */
   def thetaSetBounds(a: Column, b: Column, op: String): Column =
     call_function(s"graft_theta_$op", a, b)
+
+  // ---- count-min sketch: a mergeable RELATIONAL frequency table ----------
+
+  /** Row-`r` bucket of an item under the repo hash contract: md5 of
+    * `"r:item"` folded to a 60-bit long (15 hex chars — the
+    * [[Dedup]] fold), mod `width`. Codegen'd, engine-exact: the DuckDB
+    * oracle replays the identical hex fold, so estimates hash-compare. */
+  private def cmBucket(item: Column, r: Column, width: Int): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), item)), 1, 15),
+      16, 10).cast("long") % width
+
+  /** Count-min sketch of `itemCol` frequencies as a RELATION of
+    * `depth × width` cells `(r, b, c)` — the streaming-classic frequency
+    * sketch (Cormode & Muthukrishnan 2005) expressed as a tiny table
+    * instead of an opaque binary: cells merge across shards/days by plain
+    * `(r, b)`-keyed SUM ([[countMinMerge]]), persist as parquet, and
+    * estimate membership counts with a broadcast join ([[countMinProbe]]).
+    *
+    * Deterministic by construction (md5 row hashes, integer sums), so
+    * unlike the HLL/KLL binaries the ESTIMATES themselves are
+    * engine-exact and oracle-hashable; the approximation contract is the
+    * usual one-sided bound est ≥ exact (never under), with overcount
+    * ≤ e·N/width at 1−e^−depth probability per probe.
+    *
+    * Scale shape: the depth-way row expansion collapses map-side into at
+    * most depth·width cells per partition (hash-agg partials), so the
+    * shuffle is sketch-sized, not data-sized — the same reason the sketch
+    * family exists at 100 TB. */
+  def countMinBuild(df: DataFrame, itemCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__it"))
+      .select(col("__it"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), cmBucket(col("__it"), col("r"), width).as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge count-min sketches built with the SAME (depth, width): plain
+    * cell-wise sum — the mergeability that makes the sketch a standing,
+    * incrementally-foldable store (add a day by unioning its sketch). */
+  def countMinMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_.unionByName(_)).groupBy(col("r"), col("b"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Estimated count of each distinct `itemCol` value in `items`:
+    * min over the depth rows of the probed cell (a missing cell counts 0).
+    * The sketch side is depth·width rows — broadcast it; the probe is one
+    * map-side join, no shuffle of the item stream. Output: the distinct
+    * items with `c_est`. */
+  def countMinProbe(cms: DataFrame, items: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024,
+      estCol: String = "c_est"): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    items.filter(col(itemCol).isNotNull).select(col(itemCol)).distinct()
+      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b", cmBucket(col(itemCol).cast("string"), col("r"), width))
+      .join(broadcast(cms), Seq("r", "b"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as(estCol))
+  }
 }

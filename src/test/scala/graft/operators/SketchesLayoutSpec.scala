@@ -270,4 +270,34 @@ class SketchesLayoutSpec extends SparkTestBase {
     // every moved key lands on the NEW shard (the HRW invariant)
     assert(a8.forall { case (k, s) => a9(k) == s || a9(k) == 8L })
   }
+
+  test("countMin: one-sided bound, merge ≡ one-shot, absent item reads 0 on empty sketch") {
+    // zipf-ish: item i appears 400/i times, 40 distinct items
+    val rows = (1 to 40).flatMap(i => Seq.fill(400 / i)(i.toLong)).map(Tuple1(_))
+    val df = rows.toDF("item")
+    val (depth, width) = (4, 64)
+    val cms = Sketches.countMinBuild(df, "item", depth, width)
+    // cell invariants: depth rows used, every bucket in range, total mass
+    // per row equals N (each item increments exactly one cell per row)
+    val n = rows.size.toLong
+    val perRow = cms.groupBy("r").agg(sum("c").as("m")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow.keySet == (0 until depth).toSet && perRow.values.forall(_ == n))
+    assert(cms.filter(col("b") < 0 || col("b") >= width).count() == 0)
+    // one-sided estimate bound: est >= exact, always
+    val exact = df.groupBy("item").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Sketches.countMinProbe(cms, df, "item", depth, width).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (k, c) => est(k) >= c }, "count-min must never undercount")
+    // merge identity: two disjoint half-sketches summed == one-shot build
+    val halves = Seq(df.filter(col("item") % 2 === 0), df.filter(col("item") % 2 === 1))
+      .map(h => Sketches.countMinBuild(h, "item", depth, width))
+    assert(rowSet(Sketches.countMinMerge(halves)) == rowSet(cms))
+    // an empty sketch answers 0 (missing cells count 0, not null)
+    val empty = Sketches.countMinBuild(df.filter(col("item") < 0), "item", depth, width)
+    val z = Sketches.countMinProbe(empty, df.limit(3), "item", depth, width)
+      .collect().map(_.getLong(1))
+    assert(z.nonEmpty && z.forall(_ == 0L))
+  }
 }
