@@ -1089,6 +1089,18 @@ object SparkEntry {
           (col("c_est") - col("c_exact")).as("overcount"))
         .orderBy(col("user_id"))
     }),
+    // change-point detection ✚ (r9): per event type, WHEN did the spend
+    // level shift — exact integer between-means contrast maximized over
+    // every split, ties to the earliest; the level-shift monitor that
+    // pairs with q181's "did it drift" KS sweep
+    "q183_change_point" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      Stats.changePointByGroup(ev, "event_type", "ts_us", "event_id", "cents")
+        .withColumnRenamed("split_o", "split_ts_us")
+        .orderBy(col("event_type"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -4880,6 +4892,31 @@ object SparkEntry {
          SELECT CAST(ex.it AS BIGINT) AS user_id, c_exact, c_est,
                 c_est - c_exact AS overcount
          FROM ex JOIN est USING (it) ORDER BY user_id""",
+    // one global window stands in for the engine's two-level prefix — same
+    // exact integer D_i = |n·S_i − i·S_n|, argmax ties to smallest i
+    "q183_change_point" ->
+      """WITH raw AS (SELECT event_type AS g, epoch_us(ts) AS o, event_id AS id,
+                CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL AND event_id IS NOT NULL),
+         c AS (SELECT g, o, id, v, count(*) OVER w AS i, sum(v) OVER w AS si
+               FROM raw WINDOW w AS (PARTITION BY g ORDER BY o, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT g, count(*) AS n, sum(v) AS sn FROM raw GROUP BY 1),
+         s AS (SELECT c.g, i, o, n,
+                      abs(n::HUGEINT * si::HUGEINT - i::HUGEINT * sn::HUGEINT) AS d
+               FROM c JOIN t USING (g) WHERE i < n),
+         dm AS (SELECT g, max(d) AS dmax FROM s GROUP BY 1),
+         best AS (SELECT s.g, min(i) AS split_i
+                  FROM s JOIN dm ON s.g = dm.g AND s.d = dm.dmax GROUP BY 1)
+         SELECT s.g AS event_type, s.n, best.split_i, s.o AS split_ts_us,
+                CAST(round(dm.dmax::DOUBLE
+                  / (best.split_i::DOUBLE * (s.n - best.split_i)::DOUBLE) * 1e6)
+                  AS BIGINT) AS gap_micro
+         FROM s JOIN dm ON s.g = dm.g AND s.d = dm.dmax
+                JOIN best ON s.g = best.g AND s.i = best.split_i
+         ORDER BY event_type""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -276,4 +276,27 @@ class StatsSpec extends SparkTestBase {
     assert(a.getAs[Long]("gini_micro") == b.getAs[Long]("gini_micro"))
     assert(a.getAs[Long]("top10_share_micro") == b.getAs[Long]("top10_share_micro"))
   }
+
+  test("changePointByGroup: finds the level shift, ties to earliest, bucket-invariant") {
+    // group "a": level 10 for 3 rows then 50 for 2 -> split at i=3, gap 40
+    val rows = Seq(
+      ("a", 1L, 1L, 10L), ("a", 2L, 2L, 10L), ("a", 3L, 3L, 10L),
+      ("a", 4L, 4L, 50L), ("a", 5L, 5L, 50L),
+      // group "b": constant level -> D_i = 0 everywhere, argmax ties to i=1
+      ("b", 1L, 6L, 7L), ("b", 2L, 7L, 7L), ("b", 3L, 8L, 7L),
+      // group "c": single row -> no valid split, absent from output
+      ("c", 1L, 9L, 99L))
+      .toDF("g", "o", "id", "v").repartition(5)
+    val r = Stats.changePointByGroup(rows, "g", "o", "id", "v", bucketWidth = 2L)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("n"), x.getAs[Long]("split_i"),
+         x.getAs[Long]("split_o"), x.getAs[Long]("gap_micro"))).toMap
+    assert(r.keySet == Set("a", "b"))
+    assert(r("a") == ((5L, 3L, 3L, 40000000L)))
+    assert(r("b") == ((3L, 1L, 1L, 0L)))
+    // bucket width must not change the answer (two-level prefix correctness)
+    val wide = Stats.changePointByGroup(rows, "g", "o", "id", "v", bucketWidth = 1000L)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("split_i")).toMap
+    assert(wide == Map("a" -> 3L, "b" -> 1L))
+  }
 }
