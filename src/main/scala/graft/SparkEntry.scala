@@ -1101,6 +1101,14 @@ object SparkEntry {
         .withColumnRenamed("split_o", "split_ts_us")
         .orderBy(col("event_type"))
     }),
+    // Hamilton apportionment ✚ (r9): split a 100k-unit sampling budget
+    // across sources pro rata to character mass — floors + largest
+    // remainders, Σalloc ≡ budget exactly, no float rounding
+    "q184_apportion" -> ((s, d) => {
+      Pack.apportion(Tables.documents(s, d), Seq("source"), "n_chars",
+          budget = 100000L)
+        .orderBy(col("source"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -4917,6 +4925,23 @@ object SparkEntry {
          FROM s JOIN dm ON s.g = dm.g AND s.d = dm.dmax
                 JOIN best ON s.g = best.g AND s.i = best.split_i
          ORDER BY event_type""",
+    // HUGEINT products/mods replay the engine's Decimal(38,0) arithmetic;
+    // // is exact because budget·w − rem is divisible by W by construction
+    "q184_apportion" ->
+      """WITH pg AS (SELECT source AS g, CAST(sum(n_chars) AS HUGEINT) AS w
+                     FROM documents
+                     WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                       AND n_chars >= 0 GROUP BY 1),
+         t AS (SELECT sum(w) AS wt FROM pg),
+         j AS (SELECT g, w, (100000::HUGEINT * w) % wt AS rem,
+                      (100000::HUGEINT * w) // wt AS fq
+               FROM pg, t WHERE wt > 0),
+         l AS (SELECT 100000 - sum(fq) AS lf FROM j),
+         r AS (SELECT g, w, fq, rem,
+                      row_number() OVER (ORDER BY rem DESC, g) AS rk FROM j)
+         SELECT g AS source, CAST(w AS BIGINT) AS w,
+                CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         FROM r, l ORDER BY source""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -86,4 +86,49 @@ object Pack {
         size(col("__chunk")).cast(LongType).as("n_tok"),
         md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer `budget`
+    * across groups proportional to `weightCol` — the exact-integer
+    * mixture planner behind "sample B documents across sources pro rata":
+    * each group's ideal quota budget·w/W is split into its floor plus a
+    * remainder; floors are granted outright and the Σfloor..budget
+    * leftover goes to the largest remainders (ties to the smallest group
+    * key), so Σalloc = budget EXACTLY and every allocation is within one
+    * of its ideal share — no float rounding can gain or lose a unit.
+    * All arithmetic is integral: budget·w products and mods run in
+    * Decimal(38,0) (a token-mass weight passes 2⁶³ at fleet scale); the
+    * final quotient (budget·w − rem)/W is exactly divisible, so the
+    * decimal divide is exact. Output per group: the group columns, `w`
+    * (summed weight, long), `alloc`. Zero-weight groups keep their rows
+    * (rem 0 sorts last — they get leftover only after every positive
+    * remainder). Empty/zero-total input yields no rows.
+    *
+    * Scale shape: one map-side-combined agg to the GROUP table, one
+    * broadcast total, one |groups|-sized ranking window — the output is a
+    * budget plan keyed by source/domain, orders of magnitude smaller than
+    * the data; pair with [[Ops.sampleToBudgets]] to execute the plan. */
+  def apportion(df: DataFrame, groupCols: Seq[String], weightCol: String,
+      budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(budget >= 0, "budget must be >= 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perG = df
+      .filter(groupCols.map(c => col(c).isNotNull).reduce(_ && _)
+        && col(weightCol).isNotNull && col(weightCol) >= 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(weightCol).cast(LongType)).as("w"))
+    val tot = perG.agg(sum(col("w")).as("wt"))
+    val j = perG.crossJoin(broadcast(tot)).filter(col("wt") > 0)
+      .withColumn("bw", lit(budget).cast(dec) * col("w").cast(dec))
+      .withColumn("rem", pmod(col("bw"), col("wt").cast(dec)))
+      .withColumn("fq", ((col("bw") - col("rem")) / col("wt").cast(dec))
+        .cast(LongType))
+    val leftover = j.agg((lit(budget) - sum(col("fq"))).as("lf"))
+    val rk = Window.orderBy(col("rem").desc +: groupCols.map(col(_).asc): _*)
+    j.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(rk))
+      .select(groupCols.map(col) ++ Seq(col("w"),
+        (col("fq") + when(col("__rk") <= col("lf"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc")): _*)
+  }
 }

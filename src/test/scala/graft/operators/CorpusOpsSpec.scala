@@ -274,4 +274,35 @@ class CorpusOpsSpec extends SparkTestBase {
     // raising the threshold past the larger direction drops the pair
     assert(Dedup.containmentPairs(docs, "id", "text", 3, 101, 100, 10).count() == 0L)
   }
+
+  test("apportion: exact Hamilton allocation - sums to budget, within one of ideal") {
+    import spark.implicits._
+    // exact proportions: 5/3/2 of 10 need no remainder distribution
+    val even = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("src", "w")
+    val e = Pack.apportion(even, Seq("src"), "w", 10L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(e == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // equal remainders: floors 3+3+3, one leftover unit -> smallest key
+    val tie = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("src", "w")
+    val t = Pack.apportion(tie, Seq("src"), "w", 10L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(t == Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
+    // token-mass weights past 2^53 (double-unsafe) and near-2^63 products:
+    // the Decimal(38,0) path must stay exact — 40/60 split, sum == budget
+    val huge = Seq(("p", 4000000000000000L), ("q", 6000000000000000L))
+      .toDF("src", "w")
+    val h = Pack.apportion(huge, Seq("src"), "w", 100L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(h == Map("p" -> 40L, "q" -> 60L))
+    // multi-row groups pre-aggregate; zero-weight group rides along with 0;
+    // Σalloc == budget and every alloc within one of its ideal share
+    val mixed = Seq(("a", 7L), ("a", 6L), ("b", 1L), ("z", 0L), ("c", 9L))
+      .toDF("src", "w").repartition(3)
+    val rows = Pack.apportion(mixed, Seq("src"), "w", 17L).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("w"), r.getAs[Long]("alloc")))
+    assert(rows.map(_._3).sum == 17L)
+    val wt = rows.map(_._2).sum.toDouble
+    assert(rows.forall { case (_, w, a) => math.abs(a - 17L * w / wt) <= 1.0 })
+    assert(rows.find(_._1 == "z").get._3 == 0L)
+  }
 }
