@@ -1109,6 +1109,13 @@ object SparkEntry {
           budget = 100000L)
         .orderBy(col("source"))
     }),
+    // Good-Turing ✚ (r9): frequency-of-frequencies + adjusted counts —
+    // the unseen-mass estimate (r=1 row: P0 = N1/T) a vocab/LM pipeline
+    // reads before choosing its smoothing
+    "q185_good_turing" -> ((s, d) => {
+      Lm.goodTuring(Tables.documents(s, d), "text")
+        .orderBy(col("r"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -4942,6 +4949,21 @@ object SparkEntry {
          SELECT g AS source, CAST(w AS BIGINT) AS w,
                 CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
          FROM r, l ORDER BY source""",
+    // same normalize/tokenize as the LM family; the only division is the
+    // final r* ratio over exact integer counts
+    "q185_good_turing" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                '\s+')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+         ff AS (SELECT c AS r, count(*) AS n_r FROM c GROUP BY 1),
+         nx AS (SELECT r - 1 AS r, n_r AS n_next FROM ff)
+         SELECT ff.r, ff.n_r,
+                CASE WHEN n_next IS NOT NULL
+                     THEN CAST(round((ff.r + 1)::DOUBLE * n_next::DOUBLE
+                                     / ff.n_r::DOUBLE * 1e6) AS BIGINT)
+                END AS r_star_micro
+         FROM ff LEFT JOIN nx USING (r) ORDER BY r""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -233,4 +233,30 @@ object Lm {
       .groupBy(col("n").as("n_pairs"))
       .agg(sum(col("term_micro")).as("mi_micro"))
   }
+
+  /** Good–Turing frequency-of-frequencies table (Gale & Sampson's raw GT
+    * counts): for each observed occurrence count r, how many vocabulary
+    * types have it (`n_r`) and the GT-adjusted count
+    *   r* = (r+1)·N_{r+1}/N_r
+    * (`r_star_micro`, micro-quantized; null where N_{r+1} = 0 — the
+    * highest counts, where raw GT is undefined and real smoothers switch
+    * to a fitted tail). The r = 1 row doubles as the unseen-mass estimate:
+    * P₀ = N₁/T. Everything upstream of the one final division is an exact
+    * integer, so the table hash-compares across engines.
+    *
+    * Scale shape: the [[unigramCounts]] token agg (shuffle volume =
+    * vocabulary), then a count-keyed agg to the TINY (distinct r) table
+    * and a self-join on r+1 — the output is bounded by the largest count,
+    * not the vocab. */
+  def goodTuring(df: DataFrame, textCol: String): DataFrame = {
+    val ff = unigramCounts(df, textCol)
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val nx = ff.select((col("r") - 1).as("r"), col("n_r").as("__n_next"))
+    ff.join(nx, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        when(col("__n_next").isNotNull,
+          round((col("r") + 1).cast("double") * col("__n_next").cast("double")
+            / col("n_r").cast("double") * 1e6).cast(LongType))
+          .as("r_star_micro"))
+  }
 }

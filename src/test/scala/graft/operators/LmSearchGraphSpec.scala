@@ -479,4 +479,23 @@ class LmSearchGraphSpec extends SparkTestBase {
     val r2 = Lm.mutualInfo(copy.repartition(7), "u", "v").collect()(0)
     assert(r2.getAs[Long]("mi_micro") == r1.getAs[Long]("mi_micro"))
   }
+
+  test("goodTuring: adjusted counts from the freq-of-freq table, tail undefined") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1  ->  N1=N2=N3=1
+    val docs = Seq(Tuple1("a a a b"), Tuple1("b c")).toDF("text")
+    val r = Lm.goodTuring(docs, "text").collect()
+      .map(x => x.getAs[Long]("r") ->
+        Option(x.getAs[Any]("r_star_micro")).map(_.asInstanceOf[Long])).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L).contains(2000000L)) // r* = (1+1)*N2/N1 = 2
+    assert(r(2L).contains(3000000L)) // r* = (2+1)*N3/N2 = 3
+    assert(r(3L).isEmpty)            // N4 = 0: raw GT undefined at the tail
+    // gapped counts: a,b,c=1 and d=3 -> N1=3, N2 absent, N3=1
+    val gap = Seq(Tuple1("a b c d d d")).toDF("text")
+    val g = Lm.goodTuring(gap, "text").collect()
+      .map(x => x.getAs[Long]("r") ->
+        Option(x.getAs[Any]("r_star_micro")).map(_.asInstanceOf[Long])).toMap
+    assert(g.keySet == Set(1L, 3L) && g(1L).isEmpty && g(3L).isEmpty)
+  }
 }
