@@ -1116,6 +1116,15 @@ object SparkEntry {
       Lm.goodTuring(Tables.documents(s, d), "text")
         .orderBy(col("r"))
     }),
+    // winnowing ✚ (r9): MOSS positional fingerprints — any shared run of
+    // ≥ k+w−1 chars leaves a shared fingerprint, so pairs LOCALIZE copied
+    // spans (vs q27/q28's whole-doc resemblance); df-capped inverted index
+    "q186_winnow_pairs" -> ((s, d) => {
+      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 8, w = 4, maxDf = 20)
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -4964,6 +4973,39 @@ object SparkEntry {
                                      / ff.n_r::DOUBLE * 1e6) AS BIGINT)
                 END AS r_star_micro
          FROM ff LEFT JOIN nx USING (r) ORDER BY r""",
+    // windows replayed by bounded fan-out (gram × offset 0..w−1), argmin
+    // tie-to-rightmost as max(p) among the window's min-hash rows
+    "q186_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id AS id,
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         d2 AS (SELECT id, t, len(t) AS n FROM d WHERE len(t) >= 11),
+         gp AS (SELECT id, t, n - 7 AS np,
+                unnest([pp for pp in range(1, n - 6)]) AS p FROM d2),
+         g AS (SELECT id, p, np,
+                list_sum([ (instr('0123456789abcdef',
+                                  substr(md5(substr(t, p::INT, 8)), kk, 1)) - 1)
+                           * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)]) AS h
+               FROM gp),
+         j AS (SELECT id, p + o AS e, p, h FROM g, range(0, 4) o(o)
+               WHERE p + o >= 4 AND p + o <= np),
+         wm AS (SELECT id, e, min(h) AS mh FROM j GROUP BY 1, 2),
+         sel AS (SELECT j.id, max(j.p) AS p, wm.mh AS h
+                 FROM j JOIN wm ON j.id = wm.id AND j.e = wm.e AND j.h = wm.mh
+                 GROUP BY j.id, j.e, wm.mh),
+         fp AS (SELECT DISTINCT id, h FROM sel),
+         kept AS (SELECT fp.* FROM fp JOIN (SELECT h FROM fp GROUP BY h
+                    HAVING count(*) <= 20) ok ON fp.h = ok.h),
+         sizes AS (SELECT id, count(*) AS nf FROM kept GROUP BY 1),
+         pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+                   FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared, sa.nf AS n_a, sb.nf AS n_b,
+                CAST(round(n_shared::DOUBLE
+                  / (sa.nf + sb.nf - n_shared)::DOUBLE * 1e6) AS BIGINT) AS jac_micro
+         FROM pairs JOIN sizes sa ON pairs.id_a = sa.id
+                    JOIN sizes sb ON pairs.id_b = sb.id
+         WHERE n_shared >= 3 ORDER BY id_a, id_b""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1077,5 +1078,87 @@ object Dedup {
           .cast("long").as("cont_a_micro"),
         round(col("inter").cast("double") / col("n_b").cast("double") * 1e6)
           .cast("long").as("cont_b_micro"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS local fingerprinting scheme): hash every character `k`-gram of
+    * the normalized text, slide a `w`-gram window, and keep each window's
+    * minimum hash with ties broken to the RIGHTMOST position — the
+    * selection whose guarantee is positional: any shared substring of
+    * length ≥ k+w−1 yields at least one shared fingerprint, while
+    * expected density stays ~2/(w+1) of the grams. Hashes are the repo
+    * md5 fold (15 hex → 60-bit long), so fingerprints are engine-exact.
+    * Documents shorter than k+w−1 normalized chars have no full window
+    * and yield no rows (the scheme is defined on full windows only).
+    * Output: distinct (`idCol`, `p` — 1-based gram position, `h`).
+    *
+    * Scale shape: one projection explodes positions (codegen'd substring/
+    * md5, no UDF), then ONE per-document window min — partitioned by doc,
+    * ordered by position, a (w)-row moving frame; the argmin-with-
+    * rightmost-tie is a lexicographic struct min (h, −p), no self-join.
+    * Shuffle volume is the gram stream keyed by doc. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    // slice k-char grams INSIDE the array builder so the exploded rows
+    // carry 8-char grams, not the whole document text (carrying __t per
+    // gram row multiplies the shuffled bytes by ~n_chars/k); md5 runs
+    // AFTER the explode, codegen'd on a plain string column
+    val grams = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.Text.normalize(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= k + w - 1)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), length(col("__t")) - (k - 1)),
+        p => col("__t").substr(p, lit(k)))))
+      .select(col("id"), (col("pos") + 1).as("p"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("h"))
+    val fr = Window.partitionBy(col("id")).orderBy(col("p"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("__sel",
+        min(struct(col("h").as("mh"), (-col("p")).as("np"))).over(fr))
+      .filter(col("p") >= w) // full frames only
+      .select(col("id"),
+        (-col("__sel").getField("np")).as("p"),
+        col("__sel").getField("mh").as("h"))
+      .distinct()
+  }
+
+  /** Cross-document shared-fingerprint pairs over [[winnowFingerprints]]
+    * — the plagiarism/quote detector that LOCALIZES: a shared fingerprint
+    * pins a shared ≥k-char span, so `n_shared` measures copied material
+    * directly. Fingerprints in more than `maxDf` documents are dropped
+    * before pairing (boilerplate — the [[containmentPairs]] df-cap
+    * discipline; set sizes are counted over the SAME capped set so the
+    * Jaccard is internally consistent). Output per pair (id_a < id_b):
+    * `n_shared`, `n_a`, `n_b`, `jac_micro`.
+    *
+    * Scale shape: inverted-index equi-join on the fingerprint hash —
+    * never all-pairs; the df-cap bounds each hash's pair fan-out at
+    * maxDf², and the fingerprint stream is ~2/(w+1) of the gram stream.
+    * The capped set is pinned once and feeds sizes + both join sides. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Long = 50): DataFrame = {
+    require(maxDf >= 2, "maxDf must be >= 2 to ever produce a pair")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("h")).distinct()
+      .localCheckpoint(true)
+    val kept = fp.join(
+      fp.groupBy("h").agg(count(lit(1)).as("dfh"))
+        .filter(col("dfh") <= maxDf).select("h"), Seq("h"))
+      .localCheckpoint(true)
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("nf"))
+    kept.select(col("id").as("id_a"), col("h"))
+      .join(kept.select(col("id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("nf").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nf").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")).cast("double") * 1e6)
+          .cast("long").as("jac_micro"))
   }
 }
