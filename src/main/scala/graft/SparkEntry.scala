@@ -1125,6 +1125,18 @@ object SparkEntry {
         .filter(col("n_shared") >= 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // retrieval eval ✚ (r9): MRR / recall@k / nDCG@k of a dim-truncated
+    // retrieval run vs the exact top-10 — the scorecard grammar every ANN
+    // dial is tuned by, with pre-rounded integer log discounts
+    "q187_retrieval_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+      def cut(df: DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val sys = Similarity.bruteForceTopK(cut(emb), cut(qs), "vec_id", "embedding", k = 10)
+      Similarity.rankingMetrics(sys, truth).orderBy(col("query_id"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -5006,6 +5018,48 @@ object SparkEntry {
          FROM pairs JOIN sizes sa ON pairs.id_a = sa.id
                     JOIN sizes sb ON pairs.id_b = sb.id
          WHERE n_shared >= 3 ORDER BY id_a, id_b""",
+    // two brute-force rankings (full dim, first-16-dim) + pre-rounded
+    // integer log2 discounts; the only division is the final nDCG ratio
+    "q187_retrieval_eval" ->
+      s"""WITH $sqlVecs,
+         v16 AS (SELECT vec_id, q[1:16] AS q,
+                        list_sum([qq * qq for qq in q[1:16]]) AS nn FROM v),
+         truth AS (SELECT query_id, nbr_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                 / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
+                               c.vec_id) AS rank
+             FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) t
+           WHERE rank <= 10),
+         sys AS (SELECT query_id, nbr_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                 / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
+                               c.vec_id) AS rank
+             FROM v16 q JOIN v16 c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) t
+           WHERE rank <= 10),
+         tagg AS (SELECT query_id, count(*) AS n_truth,
+                CAST(sum(CAST(round(1e6 / (ln(rank + 1) / ln(2))) AS BIGINT)) AS BIGINT) AS idcg_micro
+              FROM truth GROUP BY 1),
+         hagg AS (SELECT s.query_id, count(*) AS n_hit,
+                CAST(sum(CAST(round(1e6 / (ln(s.rank + 1) / ln(2))) AS BIGINT)) AS BIGINT) AS dcg_micro
+              FROM sys s JOIN truth t
+                ON s.query_id = t.query_id AND s.nbr_id = t.nbr_id GROUP BY 1),
+         rr AS (SELECT t.query_id,
+                COALESCE(CAST(round(1e6 / s.rank) AS BIGINT), 0) AS rr_micro
+              FROM (SELECT query_id, nbr_id FROM truth WHERE rank = 1) t
+              LEFT JOIN sys s ON s.query_id = t.query_id AND s.nbr_id = t.nbr_id)
+         SELECT tagg.query_id, n_truth, COALESCE(n_hit, 0) AS n_hit, rr.rr_micro,
+                COALESCE(dcg_micro, 0) AS dcg_micro, idcg_micro,
+                CASE WHEN idcg_micro > 0
+                     THEN CAST(round(COALESCE(dcg_micro, 0)::DOUBLE
+                                     / idcg_micro::DOUBLE * 1e6) AS BIGINT)
+                END AS ndcg_micro
+         FROM tagg LEFT JOIN hagg ON tagg.query_id = hagg.query_id
+              LEFT JOIN rr ON tagg.query_id = rr.query_id
+         ORDER BY tagg.query_id""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

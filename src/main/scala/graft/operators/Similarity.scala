@@ -1222,4 +1222,46 @@ object Similarity {
         .cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Offline IR evaluation of a ranked retrieval run against an exact
+    * ground-truth ranking — the scorecard every ANN/retrieval dial
+    * ([[bucketedTopK]] tables, IVF probes, PQ bits, dim truncation) is
+    * tuned by. Both inputs are the standard (query_id, nbr_id, rank)
+    * shape ([[bruteForceTopK]] et al.), already cut to their top-k.
+    * Per query: `n_truth`, `n_hit` (overlap — recall@k·k), `rr_micro`
+    * (reciprocal rank of the TRUE top-1 inside the system list; 0 when
+    * missed), `dcg_micro`/`idcg_micro`/`ndcg_micro` (binary relevance =
+    * membership in the truth set). Log-discount weights are pre-rounded
+    * micro integers (round(1e6/log2(r+1)) — the [[Lm.mutualInfo]]
+    * pre-rounded-term discipline), so DCG sums are exact longs and the
+    * one final ratio is a fixed double tree — engine-exact.
+    *
+    * Scale shape: three keyed joins + per-query hash aggs over lists that
+    * are k rows per query; cost is O(queries·k), independent of corpus
+    * size. */
+  def rankingMetrics(sys: DataFrame, truth: DataFrame): DataFrame = {
+    val wt = (r: Column) =>
+      round(lit(1e6) / (log(r + 1) / log(lit(2.0)))).cast("long")
+    val t = truth.select(col("query_id"), col("nbr_id"), col("rank").as("rt"))
+    val sy = sys.select(col("query_id"), col("nbr_id"), col("rank").as("rs"))
+    val tagg = t.groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(wt(col("rt"))).as("idcg_micro"))
+    val hagg = sy.join(t.select("query_id", "nbr_id"), Seq("query_id", "nbr_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hit"), sum(wt(col("rs"))).as("dcg_micro"))
+    val rr = t.filter(col("rt") === 1).select("query_id", "nbr_id")
+      .join(sy, Seq("query_id", "nbr_id"), "left")
+      .select(col("query_id"),
+        coalesce(round(lit(1e6) / col("rs")).cast("long"), lit(0L)).as("rr_micro"))
+    tagg.join(hagg, Seq("query_id"), "left").join(rr, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("rr_micro"), lit(0L)).as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          round(coalesce(col("dcg_micro"), lit(0L)).cast("double")
+            / col("idcg_micro").cast("double") * 1e6).cast("long"))
+          .as("ndcg_micro"))
+  }
 }

@@ -599,6 +599,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ns >= 1 && jm == math.round(ns.toDouble / (na + nb - ns) * 1e6))
   }
 
+  test("rankingMetrics: MRR/overlap/nDCG from two ranked lists, misses read zero") {
+    def wt(r: Long): Long = math.round(1e6 / (math.log(r + 1) / math.log(2.0)))
+    val truth = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "x", 1L), (2L, "y", 2L)).toDF("query_id", "nbr_id", "rank")
+    // q1: system finds b (rank 1) and a (rank 3); q2: total miss
+    val sys = Seq((1L, "b", 1L), (1L, "d", 2L), (1L, "a", 3L),
+      (2L, "p", 1L), (2L, "q", 2L)).toDF("query_id", "nbr_id", "rank")
+    val m = Similarity.rankingMetrics(sys, truth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("n_truth") == 3L && r1.getAs[Long]("n_hit") == 2L)
+    assert(r1.getAs[Long]("rr_micro") == math.round(1e6 / 3)) // true top-1 'a' at sys rank 3
+    val dcg = wt(1) + wt(3)
+    val idcg = wt(1) + wt(2) + wt(3)
+    assert(r1.getAs[Long]("dcg_micro") == dcg && r1.getAs[Long]("idcg_micro") == idcg)
+    assert(r1.getAs[Long]("ndcg_micro") == math.round(dcg.toDouble / idcg * 1e6))
+    val r2 = m(2L)
+    assert(r2.getAs[Long]("n_hit") == 0L && r2.getAs[Long]("rr_micro") == 0L)
+    assert(r2.getAs[Long]("dcg_micro") == 0L && r2.getAs[Long]("ndcg_micro") == 0L)
+    // a perfect run scores nDCG exactly 1
+    val perfect = Similarity.rankingMetrics(truth, truth).collect()
+    assert(perfect.forall(_.getAs[Long]("ndcg_micro") == 1000000L))
+    assert(perfect.forall(_.getAs[Long]("rr_micro") == 1000000L))
+  }
+
   test("graft_qdot: dimension mismatch raises instead of silently truncating (VERDICT r2 #5)") {
     graft.expressions.GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
