@@ -1137,6 +1137,16 @@ object SparkEntry {
       val sys = Similarity.bruteForceTopK(cut(emb), cut(qs), "vec_id", "embedding", k = 10)
       Similarity.rankingMetrics(sys, truth).orderBy(col("query_id"))
     }),
+    // skyline ✚ (r9): per-brand Pareto frontier of (size, price) — the
+    // "no other part beats it on both axes" curation shape, two-level
+    // suffix max, exact over integer axes
+    "q188_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .withColumn("cents", round(col("p_retailprice") * 100).cast(LongType))
+      Ops.skylinePerGroup(p, "p_brand", "p_size", "cents")
+        .withColumnRenamed("x", "p_size").withColumnRenamed("ymax", "max_cents")
+        .orderBy(col("p_brand"), col("p_size"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -5060,6 +5070,17 @@ object SparkEntry {
          FROM tagg LEFT JOIN hagg ON tagg.query_id = hagg.query_id
               LEFT JOIN rr ON tagg.query_id = rr.query_id
          ORDER BY tagg.query_id""",
+    // one suffix-max window stands in for the engine's two-level form
+    "q188_skyline" ->
+      """WITH lx AS (SELECT p_brand AS g, p_size AS x,
+                max(CAST(round(p_retailprice * 100) AS BIGINT)) AS ymax
+              FROM part
+              WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+                AND p_retailprice IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT g, x, ymax, max(ymax) OVER (PARTITION BY g ORDER BY x DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mgt FROM lx)
+         SELECT g AS p_brand, CAST(x AS BIGINT) AS p_size, ymax AS max_cents
+         FROM m WHERE mgt IS NULL OR mgt < ymax ORDER BY p_brand, p_size""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -516,4 +516,41 @@ object Ops {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
       .select((keyCols ++ attrCols).map(col) :+ col("valid_from") :+ col("valid_to"): _*)
   }
+
+  /** Per-group 2-D skyline (Pareto frontier), both axes maximized — the
+    * curation query "keep the documents no other document beats on BOTH
+    * quality and length". A point is dominated iff some other point is ≥
+    * on both axes and > on at least one; ties on both axes dominate
+    * neither. Exact over integer axes. Output: one row per frontier
+    * (group, `x`, `ymax`) level — `ymax` is the best y at that x, which
+    * is the only y value at x that can be non-dominated.
+    *
+    * Scale shape: reduce to distinct-x levels first (map-side-combined
+    * agg — the shuffled volume is |x levels|, not rows), then the
+    * dominance test M(x) = max y over x' > x uses the
+    * [[Stats.rocAuc]]-style two-level suffix max keyed on (group,
+    * x-bucket): a bucket-count window per group + per-bucket windows —
+    * never a group-sized single-partition sort. */
+  def skylinePerGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, bucketWidth: Long = 16L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    def floorDiv(x: Column, w: Long): Column =
+      ((x - ((x % w + w) % w)) / w).cast("long")
+    val lx = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull
+        && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(xCol).cast("long").as("x"))
+      .agg(max(col(yCol).cast("long")).as("ymax"))
+      .withColumn("__pb", floorDiv(col("x"), bucketWidth))
+    val wb = Window.partitionBy(col("g")).orderBy(col("__pb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = lx.groupBy("g", "__pb").agg(max(col("ymax")).as("bm"))
+      .withColumn("off", max(col("bm")).over(wb))
+      .select(col("g"), col("__pb"), col("off"))
+    val wIn = Window.partitionBy(col("g"), col("__pb")).orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lx.join(buckets, Seq("g", "__pb"))
+      .withColumn("__mgt", greatest(col("off"), max(col("ymax")).over(wIn)))
+      .filter(col("__mgt").isNull || col("__mgt") < col("ymax"))
+      .select(col("g").as(groupCol), col("x"), col("ymax"))
+  }
 }

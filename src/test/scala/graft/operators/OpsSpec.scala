@@ -110,4 +110,24 @@ class OpsSpec extends SparkTestBase {
     val plan = long.queryExecution.optimizedPlan.toString
     assert(plan.contains("Expand") && !plan.contains("Generate"))
   }
+
+  test("skylinePerGroup: dominance exact, equal points both survive via level max") {
+    val pts = Seq(
+      ("a", 1L, 10L), ("a", 2L, 9L), ("a", 3L, 9L), ("a", 3L, 1L),
+      ("a", 4L, 9L), ("a", 5L, 5L),
+      // group b: strictly increasing -> only the last point survives
+      ("b", 1L, 1L), ("b", 2L, 2L), ("b", 3L, 3L),
+      // group c: negative axes exercise floorDiv on negatives
+      ("c", -7L, -1L), ("c", -3L, -5L), ("c", -3L, -9L))
+      .toDF("g", "x", "y").repartition(4)
+    val got = Ops.skylinePerGroup(pts, "g", "x", "y", bucketWidth = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // a: (3,9) dominated by (4,9); (2,9) by (4,9); (3,1) by the level max
+    assert(got == Set(("a", 1L, 10L), ("a", 4L, 9L), ("a", 5L, 5L),
+      ("b", 3L, 3L), ("c", -7L, -1L), ("c", -3L, -5L)))
+    // bucket width must not change the frontier
+    val wide = Ops.skylinePerGroup(pts, "g", "x", "y", bucketWidth = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide == got)
+  }
 }
