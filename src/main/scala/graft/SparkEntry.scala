@@ -1147,6 +1147,16 @@ object SparkEntry {
         .withColumnRenamed("x", "p_size").withColumnRenamed("ymax", "max_cents")
         .orderBy(col("p_brand"), col("p_size"))
     }),
+    // average precision ✚ (r9): PR-curve area for the q153 score/label —
+    // imbalance-robust ranking metric, id tie-break total order, per-row
+    // two-level ranks, pre-rounded integer precision terms
+    "q189_avg_precision" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+        .withColumn("is_f", col("o_orderstatus") === "F")
+      Stats.averagePrecision(o, "cents", "o_orderkey", "is_f",
+        bucketWidth = 1000000L)
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -5081,6 +5091,29 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mgt FROM lx)
          SELECT g AS p_brand, CAST(x AS BIGINT) AS p_size, ymax AS max_cents
          FROM m WHERE mgt IS NULL OR mgt < ymax ORDER BY p_brand, p_size""",
+    // one global (score DESC, id) window stands in for the two-level rank;
+    // precision terms pre-rounded to micro ints, summed exactly
+    "q189_avg_precision" ->
+      """WITH raw AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+                o_orderkey AS id, o_orderstatus = 'F' AS y
+              FROM orders WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL AND o_orderkey IS NOT NULL),
+         c AS (SELECT s, id, y, row_number() OVER w AS k,
+                      sum(CASE WHEN y THEN 1 ELSE 0 END) OVER
+                        (ORDER BY s DESC, id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+               FROM raw WINDOW w AS (ORDER BY s DESC, id)),
+         t AS (SELECT count(*) AS n_rows,
+                      CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+               FROM raw),
+         st AS (SELECT COALESCE(sum(CAST(round(cp::DOUBLE / k::DOUBLE * 1e6)
+                                         AS BIGINT)), 0) AS st
+                FROM c WHERE y)
+         SELECT n_rows, n_pos,
+                CASE WHEN n_pos > 0
+                     THEN CAST(round(st::DOUBLE / n_pos::DOUBLE) AS BIGINT)
+                END AS ap_micro
+         FROM t, st""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

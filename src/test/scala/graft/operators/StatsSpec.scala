@@ -277,6 +277,29 @@ class StatsSpec extends SparkTestBase {
     assert(a.getAs[Long]("top10_share_micro") == b.getAs[Long]("top10_share_micro"))
   }
 
+  test("averagePrecision: exact PR area, id tie-break, bucket-invariant, no-pos null") {
+    val rows = Seq((10L, 1L, true), (9L, 2L, false), (8L, 3L, true),
+      (7L, 4L, true), (6L, 5L, false)).toDF("s", "id", "y").repartition(3)
+    val r = Stats.averagePrecision(rows, "s", "id", "y", bucketWidth = 2L).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 5L && r.getAs[Long]("n_pos") == 3L)
+    // terms: 1/1, 2/3, 3/4 pre-rounded micro -> mean rounded
+    val expected = math.round((1000000L + math.round(2.0 / 3 * 1e6)
+      + 750000L).toDouble / 3)
+    assert(r.getAs[Long]("ap_micro") == expected)
+    // score ties: id asc decides; pos at id 1 outranks neg at id 2
+    val tie = Seq((5L, 1L, true), (5L, 2L, false)).toDF("s", "id", "y")
+    assert(Stats.averagePrecision(tie, "s", "id", "y").collect()(0)
+      .getAs[Long]("ap_micro") == 1000000L)
+    // bucket width cannot change the answer
+    val wide = Stats.averagePrecision(rows, "s", "id", "y", bucketWidth = 1000L)
+      .collect()(0)
+    assert(wide.getAs[Long]("ap_micro") == r.getAs[Long]("ap_micro"))
+    // no positives: null AP, counts still reported
+    val nop = Seq((1L, 1L, false)).toDF("s", "id", "y")
+    val n = Stats.averagePrecision(nop, "s", "id", "y").collect()(0)
+    assert(n.getAs[Long]("n_pos") == 0L && n.isNullAt(n.fieldIndex("ap_micro")))
+  }
+
   test("changePointByGroup: finds the level shift, ties to earliest, bucket-invariant") {
     // group "a": level 10 for 3 rows then 50 for 2 -> split at i=3, gap 40
     val rows = Seq(
