@@ -1157,6 +1157,14 @@ object SparkEntry {
       Stats.averagePrecision(o, "cents", "o_orderkey", "is_f",
         bucketWidth = 1000000L)
     }),
+    // Poisson bootstrap ✚ (r9): deterministic seeded resampling — 64
+    // map-side replicates from md5-derived Poisson(1) weights, CI from
+    // order statistics of the replicate means; the scalable bootstrap
+    "q190_bootstrap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      Stats.poissonBootstrapMean(ev, "event_id", "cents", reps = 64)
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -5114,6 +5122,49 @@ object SparkEntry {
                      THEN CAST(round(st::DOUBLE / n_pos::DOUBLE) AS BIGINT)
                 END AS ap_micro
          FROM t, st""",
+    // identical md5 fold + the SAME literal Poisson CDF thresholds (never
+    // recomputed via libm); lo/hi indices fixed at ceil(0.025·64) = 2
+    "q190_bootstrap" ->
+      """WITH base AS (SELECT event_id::VARCHAR AS id,
+                CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         e AS (SELECT id, v, r FROM base, range(0, 64) t(r)),
+         wts AS (SELECT r, v,
+                CASE WHEN u < 424136118829305344 THEN 0
+                     WHEN u < 848272237658610688 THEN 1
+                     WHEN u < 1060340297073263360 THEN 2
+                     WHEN u < 1131029650211480960 THEN 3
+                     WHEN u < 1148701988496035328 THEN 4
+                     WHEN u < 1152236456152946176 THEN 5
+                     WHEN u < 1152825534095764608 THEN 6
+                     ELSE 7 END AS w
+              FROM (SELECT r, v,
+                      list_sum([ (instr('0123456789abcdef',
+                                        substr(md5(r::VARCHAR || ':' || id), k, 1)) - 1)
+                                 * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) AS u
+                    FROM e) t),
+         rs AS (SELECT r, CAST(round(sum(w * v)::DOUBLE / sum(w)::DOUBLE * 1e6)
+                               AS BIGINT) AS m
+                FROM wts GROUP BY r HAVING sum(w) > 0),
+         rk AS (SELECT r, m, row_number() OVER (ORDER BY m, r) AS ra,
+                       row_number() OVER (ORDER BY m DESC, r DESC) AS rd FROM rs),
+         ci AS (SELECT count(*) AS nb,
+                       max(CASE WHEN ra = 2 THEN m END) AS lo,
+                       max(CASE WHEN rd = 2 THEN m END) AS hi,
+                       sum(m::HUGEINT) AS sm,
+                       sum(m::HUGEINT * m::HUGEINT) AS sm2 FROM rk),
+         f AS (SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sv FROM base)
+         SELECT n_rows,
+                CASE WHEN n_rows > 0
+                     THEN CAST(round(sv::DOUBLE / n_rows::DOUBLE * 1e6) AS BIGINT)
+                END AS mean_micro,
+                lo AS boot_lo_micro, hi AS boot_hi_micro,
+                CASE WHEN nb >= 2
+                     THEN CAST(round(sqrt((sm2::DOUBLE - sm::DOUBLE * sm::DOUBLE
+                                           / nb::DOUBLE) / (nb::DOUBLE - 1)))
+                               AS BIGINT)
+                END AS boot_se_micro
+         FROM f, ci""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

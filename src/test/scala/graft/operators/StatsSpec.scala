@@ -277,6 +277,26 @@ class StatsSpec extends SparkTestBase {
     assert(a.getAs[Long]("top10_share_micro") == b.getAs[Long]("top10_share_micro"))
   }
 
+  test("poissonBootstrapMean: deterministic, degenerate-exact on constant data") {
+    // constant data: every replicate mean is exactly the value -> zero-width CI
+    val const = (1 to 400).map(i => (i.toLong, 100L)).toDF("id", "v")
+    val c = Stats.poissonBootstrapMean(const, "id", "v", reps = 64).collect()(0)
+    assert(c.getAs[Long]("n_rows") == 400L)
+    assert(c.getAs[Long]("mean_micro") == 100000000L)
+    assert(c.getAs[Long]("boot_lo_micro") == 100000000L)
+    assert(c.getAs[Long]("boot_hi_micro") == 100000000L)
+    assert(c.getAs[Long]("boot_se_micro") == 0L)
+    // varied data: CI brackets the mean, se positive, fully deterministic
+    val varied = (1 to 500).map(i => (i.toLong, (i % 97).toLong)).toDF("id", "v")
+    val a = Stats.poissonBootstrapMean(varied, "id", "v", reps = 64).collect()(0)
+    val b = Stats.poissonBootstrapMean(varied.repartition(7), "id", "v", reps = 64)
+      .collect()(0)
+    assert(a.toSeq == b.toSeq, "bootstrap must be a pure function of the data")
+    assert(a.getAs[Long]("boot_lo_micro") <= a.getAs[Long]("mean_micro")
+      && a.getAs[Long]("mean_micro") <= a.getAs[Long]("boot_hi_micro"))
+    assert(a.getAs[Long]("boot_se_micro") > 0L)
+  }
+
   test("averagePrecision: exact PR area, id tie-break, bucket-invariant, no-pos null") {
     val rows = Seq((10L, 1L, true), (9L, 2L, false), (8L, 3L, true),
       (7L, 4L, true), (6L, 5L, false)).toDF("s", "id", "y").repartition(3)
