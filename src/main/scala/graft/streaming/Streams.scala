@@ -446,6 +446,27 @@ object Streams {
         tombstoneCol))
     }
 
+  /** Count-min frequency ingest: sketch each micro-batch
+    * ([[graft.operators.Sketches.countMinBuild]]) and fold the cells into
+    * the standing sketch by cell-wise sum — the mergeable-relational-state
+    * pattern of [[upsertStreamBulk]]: Spark keeps no state between batches
+    * (the depth×width cell table lives in the caller's store), the fold is
+    * EXACTLY the batch [[graft.operators.Sketches.countMinMerge]] identity
+    * (q182's merge gate), and any moment's standing cells answer
+    * [[graft.operators.Sketches.countMinProbe]] with the same one-sided
+    * est ≥ exact bound as a from-scratch build over everything ingested.
+    * Replayed batches DO double-count (a counting sketch has no key to
+    * dedup on) — feed it exactly-once input or an upstream-deduped topic. */
+  def countMinStreamBulk(stream: DataFrame, itemCol: String, depth: Int = 4,
+      width: Int = 1024)(
+      load: () => DataFrame, store: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      store(graft.operators.Sketches.countMinMerge(Seq(load(),
+        graft.operators.Sketches.countMinBuild(batch.toDF(), itemCol,
+          depth, width))))
+    }
+
   /** Confidence-gated streaming classification — label each micro-batch
     * with a STORED Naive Bayes model ([[graft.operators.Classify
     * .loadNbModel]]; train once, classify every ingest batch) and keep

@@ -598,6 +598,34 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("countMinStreamBulk: streamed cell folds ≡ one-shot sketch over everything") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val (depth, width) = (4, 32)
+    val b1 = (1 to 60).map(i => Tuple1((i % 7).toLong))
+    val b2 = (1 to 40).map(i => Tuple1((i % 5).toLong))
+    // standing state starts as an EMPTY cell table
+    var state = Seq.empty[(Int, Long, Long)].toDF("r", "b", "c")
+    val mem = MemoryStream[Tuple1[Long]]
+    val q = Streams.countMinStreamBulk(mem.toDF().toDF("item"), "item",
+        depth, width)(() => state, out => state = out.localCheckpoint(true))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = (b1 ++ b2).map(t => Tuple1(t._1)).toDF("item")
+      val oneShot = Sketches.countMinBuild(all, "item", depth, width)
+      assert(rowSet(state) == rowSet(oneShot),
+        "incremental cell folds must equal the from-scratch sketch")
+      // the standing state answers probes with the one-sided bound intact
+      val exact = all.groupBy("item").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val est = Sketches.countMinProbe(state, all, "item", depth, width)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact.forall { case (k, c) => est(k) >= c })
+    } finally q.stop()
+  }
+
   test("classifyGateStreamBulk: stored-model streaming classification ≡ batch; abstains below margin") {
     import graft.operators.Classify
     implicit val sqlCtx = spark.sqlContext
