@@ -1165,6 +1165,13 @@ object SparkEntry {
         .withColumn("cents", round(col("value") * 100).cast(LongType))
       Stats.poissonBootstrapMean(ev, "event_id", "cents", reps = 64)
     }),
+    // HITS ✚ (r9): hubs/authorities on the bipartite user→event-type
+    // graph — 3 pure-integer rounds, one final max-normalized report;
+    // string nodes, no id remapping
+    "q191_hits" -> ((s, d) => {
+      Graph.hits(Tables.events(s, d), "user_id", "event_type", iterations = 3)
+        .orderBy(col("node"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -5165,6 +5172,40 @@ object SparkEntry {
                                AS BIGINT)
                 END AS boot_se_micro
          FROM f, ci""",
+    // 3 HITS rounds unrolled; HUGEINT sums replay Decimal(38,0)
+    "q191_hits" ->
+      """WITH e AS (SELECT DISTINCT user_id::VARCHAR AS src, event_type AS dst
+                    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+         h0 AS (SELECT n, 1::HUGEINT AS h FROM nodes),
+         a1 AS (SELECT nodes.n, COALESCE(t.s, 0::HUGEINT) AS a FROM nodes
+                LEFT JOIN (SELECT e.dst AS n, sum(h0.h) AS s FROM e
+                           JOIN h0 ON h0.n = e.src GROUP BY 1) t ON nodes.n = t.n),
+         h1 AS (SELECT nodes.n, COALESCE(t.s, 0::HUGEINT) AS h FROM nodes
+                LEFT JOIN (SELECT e.src AS n, sum(a1.a) AS s FROM e
+                           JOIN a1 ON a1.n = e.dst GROUP BY 1) t ON nodes.n = t.n),
+         a2 AS (SELECT nodes.n, COALESCE(t.s, 0::HUGEINT) AS a FROM nodes
+                LEFT JOIN (SELECT e.dst AS n, sum(h1.h) AS s FROM e
+                           JOIN h1 ON h1.n = e.src GROUP BY 1) t ON nodes.n = t.n),
+         h2 AS (SELECT nodes.n, COALESCE(t.s, 0::HUGEINT) AS h FROM nodes
+                LEFT JOIN (SELECT e.src AS n, sum(a2.a) AS s FROM e
+                           JOIN a2 ON a2.n = e.dst GROUP BY 1) t ON nodes.n = t.n),
+         a3 AS (SELECT nodes.n, COALESCE(t.s, 0::HUGEINT) AS a FROM nodes
+                LEFT JOIN (SELECT e.dst AS n, sum(h2.h) AS s FROM e
+                           JOIN h2 ON h2.n = e.src GROUP BY 1) t ON nodes.n = t.n),
+         h3 AS (SELECT nodes.n, COALESCE(t.s, 0::HUGEINT) AS h FROM nodes
+                LEFT JOIN (SELECT e.src AS n, sum(a3.a) AS s FROM e
+                           JOIN a3 ON a3.n = e.dst GROUP BY 1) t ON nodes.n = t.n),
+         sc AS (SELECT a3.n, a3.a, h3.h FROM a3 JOIN h3 ON a3.n = h3.n),
+         mx AS (SELECT max(a) AS ma, max(h) AS mh FROM sc)
+         SELECT n AS node,
+                CASE WHEN ma > 0
+                     THEN CAST(round(a::DOUBLE / ma::DOUBLE * 1e6) AS BIGINT)
+                END AS auth_micro,
+                CASE WHEN mh > 0
+                     THEN CAST(round(h::DOUBLE / mh::DOUBLE * 1e6) AS BIGINT)
+                END AS hub_micro
+         FROM sc, mx ORDER BY node""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -480,6 +480,24 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(r2.getAs[Long]("mi_micro") == r1.getAs[Long]("mi_micro"))
   }
 
+  test("hits: hand-computed bipartite authorities/hubs, partition-invariant") {
+    import spark.implicits._
+    val edges = Seq(("u1", "x"), ("u1", "y"), ("u2", "x")).toDF("s", "d")
+    // 3 unnormalized rounds: a3(x)=13, a3(y)=8; h3(u1)=21, h3(u2)=13
+    val r = Graph.hits(edges, "s", "d", iterations = 3).collect()
+      .map(x => x.getString(0) ->
+        (x.getAs[Long]("auth_micro"), x.getAs[Long]("hub_micro"))).toMap
+    assert(r.keySet == Set("u1", "u2", "x", "y"))
+    assert(r("x") == ((1000000L, 0L)))
+    assert(r("y") == ((math.round(8.0 / 13 * 1e6), 0L)))
+    assert(r("u1") == ((0L, 1000000L)))
+    assert(r("u2") == ((0L, math.round(13.0 / 21 * 1e6))))
+    val again = Graph.hits(edges.repartition(5), "s", "d", iterations = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("auth_micro"), x.getAs[Long]("hub_micro"))).toMap
+    assert(again == r)
+  }
+
   test("goodTuring: adjusted counts from the freq-of-freq table, tail undefined") {
     import spark.implicits._
     // counts: a=3, b=2, c=1  ->  N1=N2=N3=1
