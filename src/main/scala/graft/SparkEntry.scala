@@ -1172,6 +1172,23 @@ object SparkEntry {
       Graph.hits(Tables.events(s, d), "user_id", "event_type", iterations = 3)
         .orderBy(col("node"))
     }),
+    // zone maps ✚ (r9): the measured I/O story behind q65's layout — the
+    // SAME rows chunked under a natural vs a z-ordered layout, and the
+    // chunk-pruning answer a partkey range predicate gets from each
+    "q192_zone_maps" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("idc", col("l_orderkey") * 8 + col("l_linenumber"))
+      def scan(df: DataFrame, label: String) =
+        Layout.zonesScanned(
+          Layout.zoneMap(df, "k", "idc", Seq("l_partkey"), chunkRows = 1024L),
+          "l_partkey", 100L, 199L)
+          .select(lit(label).as("layout"), col("n_chunks"), col("n_scanned"),
+            col("rows_total"), col("rows_scanned"), col("scan_micro"))
+      scan(li.withColumn("k", col("idc")), "natural")
+        .unionByName(scan(li.withColumn("k",
+          Layout.zValue2(col("l_partkey"), col("l_suppkey"), bits = 20)), "zorder"))
+        .orderBy(col("layout"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -5206,6 +5223,38 @@ object SparkEntry {
                      THEN CAST(round(h::DOUBLE / mh::DOUBLE * 1e6) AS BIGINT)
                 END AS hub_micro
          FROM sc, mx ORDER BY node""",
+    // global row_number stands in for the engine's two-level position;
+    // the bit-interleave replays Layout.zValue2 (a at even bits, b odd)
+    "q192_zone_maps" ->
+      """WITH li AS (SELECT l_orderkey * 8 + l_linenumber AS idc,
+                l_partkey, l_suppkey FROM lineitem),
+         zz AS (SELECT list_sum([ ((l_partkey >> i) & 1) * (1::BIGINT << (2*i))
+                  + ((l_suppkey >> i) & 1) * (1::BIGINT << (2*i + 1))
+                  for i in range(0, 20)]) AS k, idc, l_partkey FROM li),
+         cn AS (SELECT (row_number() OVER (ORDER BY idc, idc) - 1) // 1024 AS chunk,
+                       l_partkey FROM li),
+         cz AS (SELECT (row_number() OVER (ORDER BY k, idc) - 1) // 1024 AS chunk,
+                       l_partkey FROM zz),
+         mn AS (SELECT chunk, count(*) AS n_rows, min(l_partkey) AS lo,
+                       max(l_partkey) AS hi FROM cn GROUP BY 1),
+         mz AS (SELECT chunk, count(*) AS n_rows, min(l_partkey) AS lo,
+                       max(l_partkey) AS hi FROM cz GROUP BY 1),
+         sn AS (SELECT 'natural' AS layout, count(*) AS n_chunks,
+                  CAST(sum(CASE WHEN hi >= 100 AND lo <= 199 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+                  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+                  CAST(sum(CASE WHEN hi >= 100 AND lo <= 199 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+                FROM mn),
+         sz AS (SELECT 'zorder' AS layout, count(*) AS n_chunks,
+                  CAST(sum(CASE WHEN hi >= 100 AND lo <= 199 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+                  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+                  CAST(sum(CASE WHEN hi >= 100 AND lo <= 199 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+                FROM mz)
+         SELECT layout, n_chunks, n_scanned, rows_total, rows_scanned,
+                CASE WHEN rows_total > 0
+                     THEN CAST(round(rows_scanned::DOUBLE / rows_total::DOUBLE * 1e6)
+                               AS BIGINT)
+                END AS scan_micro
+         FROM (SELECT * FROM sn UNION ALL SELECT * FROM sz) u ORDER BY layout""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -99,4 +99,66 @@ object Layout {
           struct(w(j).as("w"), j.as("j"))).otherwise(acc))
         .getField("j").cast("long"))
   }
+
+  /** Zone map of a table under a chosen physical layout: rows are laid
+    * out in (`keyCol`, `idCol`) order (the id breaks key ties so the
+    * layout is total), cut into `chunkRows`-row chunks — the model of a
+    * parquet row group / Delta file — and each chunk keeps min/max
+    * per stat column plus its row count: exactly the footer statistics a
+    * lakehouse scan prunes on. Output: `chunk`, `n_rows`,
+    * `min_<c>`/`max_<c>` per stat column.
+    *
+    * Scale shape: the global position uses the [[graft.operators.Stats
+    * .rocAuc]] two-level pattern (key-bucket counts + a bucket-frame
+    * window + per-bucket row_numbers — no data-sized single-partition
+    * sort, which is also why this models the real writer: range
+    * partitioning + within-partition sort); the map itself is
+    * chunk-count-sized. */
+  def zoneMap(df: DataFrame, keyCol: String, idCol: String,
+      statCols: Seq[String], chunkRows: Long,
+      bucketWidth: Long = 1L << 40): DataFrame = {
+    require(chunkRows >= 1 && bucketWidth >= 1 && statCols.nonEmpty,
+      "need chunkRows >= 1, bucketWidth >= 1, stat columns")
+    def floorDiv(x: Column, w: Long): Column =
+      ((x - ((x % w + w) % w)) / w).cast("long")
+    val rows = df.filter(col(keyCol).isNotNull && col(idCol).isNotNull)
+      .select(Seq(col(keyCol).cast("long").as("__k"), col(idCol).as("__id"))
+        ++ statCols.map(c => col(c).cast("long").as(c)): _*)
+      .withColumn("__pb", floorDiv(col("__k"), bucketWidth))
+    val buckets = rows.groupBy("__pb").agg(count(lit(1)).as("bn"))
+      .withColumn("offn", coalesce(sum(col("bn")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__pb"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pb"), col("offn"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pb")).orderBy(col("__k"), col("__id"))
+    val chunked = rows.join(buckets, Seq("__pb"))
+      .withColumn("__pos", col("offn") + row_number().over(wIn))
+      .withColumn("chunk", floorDiv(col("__pos") - 1, chunkRows))
+    chunked.groupBy("chunk")
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Pruning answer a range predicate `lo ≤ statCol ≤ hi` gets from a
+    * [[zoneMap]]: a chunk must be scanned iff its [min, max] interval
+    * overlaps the predicate's. One row: `n_chunks`, `n_scanned`,
+    * `rows_total`, `rows_scanned`, `scan_micro` (scanned row fraction —
+    * the I/O ratio a layout buys; null on an empty map). */
+  def zonesScanned(zm: DataFrame, statCol: String, lo: Long,
+      hi: Long): DataFrame = {
+    val hit = col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi
+    zm.agg(count(lit(1)).as("n_chunks"),
+        count(when(hit, lit(1))).as("n_scanned"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("rows_total"),
+        coalesce(sum(when(hit, col("n_rows"))), lit(0L)).as("rows_scanned"))
+      .select(col("n_chunks"), col("n_scanned"), col("rows_total"),
+        col("rows_scanned"),
+        when(col("rows_total") > 0,
+          round(col("rows_scanned").cast("double")
+            / col("rows_total").cast("double") * 1e6).cast("long"))
+          .as("scan_micro"))
+  }
 }

@@ -271,6 +271,34 @@ class SketchesLayoutSpec extends SparkTestBase {
     assert(a8.forall { case (k, s) => a9(k) == s || a9(k) == 8L })
   }
 
+  test("zoneMap + zonesScanned: chunk stats exact, pruning counts, bucket-invariant") {
+    val rows = (1 to 10).map(i => (i.toLong, i.toLong, i * 10L)).toDF("k", "id", "v")
+      .repartition(4)
+    val zm = Layout.zoneMap(rows, "k", "id", Seq("v"), chunkRows = 4L)
+    val m = zm.collect().map(r => r.getAs[Long]("chunk") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))).toMap
+    assert(m == Map(0L -> ((4L, 10L, 40L)), 1L -> ((4L, 50L, 80L)),
+      2L -> ((2L, 90L, 100L))))
+    // predicate 55..75 overlaps only chunk 1
+    val s = Layout.zonesScanned(zm, "v", 55L, 75L).collect()(0)
+    assert(s.getAs[Long]("n_chunks") == 3L && s.getAs[Long]("n_scanned") == 1L)
+    assert(s.getAs[Long]("rows_total") == 10L && s.getAs[Long]("rows_scanned") == 4L)
+    assert(s.getAs[Long]("scan_micro") == 400000L)
+    // bucket width must not change the layout positions
+    val wide = Layout.zoneMap(rows, "k", "id", Seq("v"), 4L, bucketWidth = 3L)
+    assert(rowSet(wide) == rowSet(zm))
+    // a clustered layout prunes what a scattered one cannot: same rows,
+    // key=v clusters the stat column; key=id xor-ish scatters it
+    val scattered = (0 until 64).map(i => ((i * 37 % 64).toLong, i.toLong, (i % 8).toLong))
+      .toDF("k", "id", "v")
+    val clustered = scattered.withColumn("k", col("v") * 100 + col("id"))
+    val sc = Layout.zonesScanned(
+      Layout.zoneMap(scattered, "k", "id", Seq("v"), 8L), "v", 3L, 3L).collect()(0)
+    val cl = Layout.zonesScanned(
+      Layout.zoneMap(clustered, "k", "id", Seq("v"), 8L), "v", 3L, 3L).collect()(0)
+    assert(cl.getAs[Long]("n_scanned") < sc.getAs[Long]("n_scanned"))
+  }
+
   test("countMin: one-sided bound, merge ≡ one-shot, absent item reads 0 on empty sketch") {
     // zipf-ish: item i appears 400/i times, 40 distinct items
     val rows = (1 to 40).flatMap(i => Seq.fill(400 / i)(i.toLong)).map(Tuple1(_))
