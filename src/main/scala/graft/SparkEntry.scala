@@ -1189,6 +1189,18 @@ object SparkEntry {
           Layout.zValue2(col("l_partkey"), col("l_suppkey"), bits = 20)), "zorder"))
         .orderBy(col("layout"))
     }),
+    // sorted-neighborhood blocking ✚ (r9): the Hernández–Stolfo candidate
+    // generator — N·(w−1) pairs from sort-order locality, scored by the
+    // q163 exact-rational Jaro-Winkler, matches kept at ≥ 0.9
+    "q193_sorted_neighborhood" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      Joins.sortedNeighborhoodPairs(names, "name", "name", window = 5)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"), col("gap"),
+          call_function("graft_jw_micro", col("key_a"), col("key_b")).as("jw_micro"))
+        .filter(col("jw_micro") >= 900000L)
+        .orderBy(col("name_a"), col("name_b"))
+    }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
     // q133 NB stack; margins are exact micro-nat integer gaps
@@ -5255,6 +5267,22 @@ object SparkEntry {
                                AS BIGINT)
                 END AS scan_micro
          FROM (SELECT * FROM sn UNION ALL SELECT * FROM sz) u ORDER BY layout""",
+    // position join replayed with a global row_number; DuckDB's own
+    // jaro_winkler_similarity micro-rounds to the q163-verified digits
+    "q193_sorted_neighborhood" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
+                        WHERE p_name IS NOT NULL),
+         pos AS (SELECT name, row_number() OVER (ORDER BY name) AS p FROM names),
+         pr AS (SELECT a.name AS name_a, b.name AS name_b, j AS gap
+                FROM pos a, range(1, 5) t(j)
+                JOIN pos b ON b.p = a.p + j)
+         SELECT name_a, name_b, gap,
+                CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6)
+                     AS BIGINT) AS jw_micro
+         FROM pr
+         WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6)
+                    AS BIGINT) >= 900000
+         ORDER BY name_a, name_b""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

@@ -456,4 +456,46 @@ object Joins {
     FuzzyIndex(p.getAs[String]("id_col"), p.getAs[String]("str_col"),
       p.getAs[Int]("max_dist"), pin(spark.read.parquet(s"$path/signatures")))
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the OTHER
+    * classic entity-resolution candidate generator next to
+    * [[fuzzySelfPairs]]'s FastSS: sort records by a blocking key and emit
+    * every pair within `window` positions of each other. Complements
+    * FastSS where typos preserve prefixes but exceed its edit budget
+    * (k=1,2): SNM's recall is ordering-local, FastSS's is edit-local.
+    * Deterministic: position order is (`keyCol`, `idCol`) — a total
+    * order. Output: (`id_a`, `id_b`, `key_a`, `key_b`, `gap` 1..w−1),
+    * each unordered pair once (a precedes b in sort order).
+    *
+    * Scale shape: the global position uses the two-level pattern with
+    * PREFIX buckets (first `prefixLen` chars — fixed-length prefix order
+    * is consistent with full string order), so no data-sized
+    * single-partition sort; candidates come from a position equi-join
+    * with (window−1)-way fan-out — pair volume is exactly N·(w−1),
+    * linear, never quadratic. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      window: Int, prefixLen: Int = 2): DataFrame = {
+    require(window >= 2, "window must be >= 2 to ever emit a pair")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    val rows = df.filter(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"))
+      .withColumn("__pb", substring(col("__k"), 1, prefixLen))
+    val wb = Window.orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = rows.groupBy("__pb").agg(count(lit(1)).as("bn"))
+      .withColumn("offn", coalesce(sum(col("bn")).over(wb), lit(0L)))
+      .select(col("__pb"), col("offn"))
+    val wIn = Window.partitionBy(col("__pb")).orderBy(col("__k"), col("__id"))
+    val pos = rows.join(buckets, Seq("__pb"))
+      .select(col("__id"), col("__k"),
+        (col("offn") + row_number().over(wIn)).as("__pos"))
+      .localCheckpoint(true)
+    pos.select(col("__id").as("id_a"), col("__k").as("key_a"), col("__pos"))
+      .withColumn("__j", explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("gap", col("__j").cast("long")).drop("__j")
+      .withColumn("__pos_b", col("__pos") + col("gap"))
+      .join(pos.select(col("__id").as("id_b"), col("__k").as("key_b"),
+        col("__pos").as("__pos_b")), Seq("__pos_b"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("gap"))
+  }
 }

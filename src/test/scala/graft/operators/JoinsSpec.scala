@@ -137,6 +137,23 @@ class JoinsSpec extends SparkTestBase {
   }
 
   /** Classic DP reference implementation for the spec oracle. */
+  test("sortedNeighborhoodPairs: exact window pairs across bucket boundaries") {
+    import spark.implicits._
+    val names = Seq("aa", "ab", "ac", "ba", "bb").map(Tuple1(_)).toDF("name")
+      .repartition(3)
+    val got = Joins.sortedNeighborhoodPairs(names, "name", "name",
+        window = 3, prefixLen = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
+    // every pair within 2 sort positions, INCLUDING the a/b prefix boundary
+    assert(got == Set(("aa", "ab", 1L), ("aa", "ac", 2L), ("ab", "ac", 1L),
+      ("ab", "ba", 2L), ("ac", "ba", 1L), ("ac", "bb", 2L), ("ba", "bb", 1L)))
+    // pair volume is exactly N·(w−1) minus the tail clip, never quadratic
+    val n = 40
+    val big = (1 to n).map(i => Tuple1(f"k$i%03d")).toDF("name")
+    assert(Joins.sortedNeighborhoodPairs(big, "name", "name", window = 4)
+      .count() == (n * 3 - 3 - 2 - 1).toLong)
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
