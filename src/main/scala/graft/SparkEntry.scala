@@ -1178,15 +1178,21 @@ object SparkEntry {
     "q192_zone_maps" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .withColumn("idc", col("l_orderkey") * 8 + col("l_linenumber"))
-      def scan(df: DataFrame, label: String) =
+      // bucketWidth sized to each key's RANGE (idc tops out near 8·maxkey,
+      // the 20-bit interleave near 2³¹) so the two-level position runs over
+      // real buckets — a too-wide width degenerates into one global window
+      // (measured: 23 s → the sized widths at sf0.1)
+      def scan(df: DataFrame, label: String, width: Long) =
         Layout.zonesScanned(
-          Layout.zoneMap(df, "k", "idc", Seq("l_partkey"), chunkRows = 1024L),
+          Layout.zoneMap(df, "k", "idc", Seq("l_partkey"), chunkRows = 1024L,
+            bucketWidth = width),
           "l_partkey", 100L, 199L)
           .select(lit(label).as("layout"), col("n_chunks"), col("n_scanned"),
             col("rows_total"), col("rows_scanned"), col("scan_micro"))
-      scan(li.withColumn("k", col("idc")), "natural")
+      scan(li.withColumn("k", col("idc")), "natural", 1L << 15)
         .unionByName(scan(li.withColumn("k",
-          Layout.zValue2(col("l_partkey"), col("l_suppkey"), bits = 20)), "zorder"))
+          Layout.zValue2(col("l_partkey"), col("l_suppkey"), bits = 20)),
+          "zorder", 1L << 22))
         .orderBy(col("layout"))
     }),
     // sorted-neighborhood blocking ✚ (r9): the Hernández–Stolfo candidate
@@ -1200,6 +1206,26 @@ object SparkEntry {
           call_function("graft_jw_micro", col("key_a"), col("key_b")).as("jw_micro"))
         .filter(col("jw_micro") >= 900000L)
         .orderBy(col("name_a"), col("name_b"))
+    }),
+    // rank-biased overlap ✚ (r9): top-weighted similarity of the q187
+    // run pair WITHOUT designating a truth side — pre-rounded weight
+    // lookup at the worse rank, exact integer sums
+    "q194_rbo" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+      def cut(df: DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val sys = Similarity.bruteForceTopK(cut(emb), cut(qs), "vec_id", "embedding", k = 10)
+      Similarity.rboOverlap(sys, truth).orderBy(col("query_id"))
+    }),
+    // vocabulary growth ✚ (r9): the Heaps'-law saturation curve — one
+    // corpus scan, per-type first-checkpoint assignment, running sums
+    // over the checkpoint table
+    "q195_vocab_growth" -> ((s, d) => {
+      Lm.vocabGrowth(Tables.documents(s, d), "doc_id", "text",
+          Seq(16L, 64L, 256L, 1024L, 4096L, 16384L))
+        .orderBy(col("k"))
     }),
     // classifier calibration ✚ (r9): holdout accuracy by exact decision-
     // margin bucket — the abstain-threshold / reliability report over the
@@ -5158,27 +5184,30 @@ object SparkEntry {
                      THEN CAST(round(st::DOUBLE / n_pos::DOUBLE) AS BIGINT)
                 END AS ap_micro
          FROM t, st""",
-    // identical md5 fold + the SAME literal Poisson CDF thresholds (never
-    // recomputed via libm); lo/hi indices fixed at ceil(0.025·64) = 2
+    // one md5 per ROW → (w0, w1) words; replicate uniforms via the
+    // Kirsch–Mitzenmacher (w0 + r·w1) mod (2³¹−1), SAME literal CDF
+    // thresholds; lo/hi indices fixed at ceil(0.025·64) = 2
     "q190_bootstrap" ->
       """WITH base AS (SELECT event_id::VARCHAR AS id,
                 CAST(round(value * 100) AS BIGINT) AS v
               FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
-         e AS (SELECT id, v, r FROM base, range(0, 64) t(r)),
+         hw AS (SELECT v,
+                list_sum([ (instr('0123456789abcdef', substr(md5(id), k, 1)) - 1)
+                           * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                list_sum([ (instr('0123456789abcdef', substr(md5(id), k + 8, 1)) - 1)
+                           * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+              FROM base),
          wts AS (SELECT r, v,
-                CASE WHEN u < 424136118829305344 THEN 0
-                     WHEN u < 848272237658610688 THEN 1
-                     WHEN u < 1060340297073263360 THEN 2
-                     WHEN u < 1131029650211480960 THEN 3
-                     WHEN u < 1148701988496035328 THEN 4
-                     WHEN u < 1152236456152946176 THEN 5
-                     WHEN u < 1152825534095764608 THEN 6
+                CASE WHEN u < 790015083 THEN 0
+                     WHEN u < 1580030167 THEN 1
+                     WHEN u < 1975037709 THEN 2
+                     WHEN u < 2106706890 THEN 3
+                     WHEN u < 2139624185 THEN 4
+                     WHEN u < 2146207644 THEN 5
+                     WHEN u < 2147304887 THEN 6
                      ELSE 7 END AS w
-              FROM (SELECT r, v,
-                      list_sum([ (instr('0123456789abcdef',
-                                        substr(md5(r::VARCHAR || ':' || id), k, 1)) - 1)
-                                 * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) AS u
-                    FROM e) t),
+              FROM (SELECT r, v, (w0 + w1 * r) % 2147483647 AS u
+                    FROM hw, range(0, 64) t(r)) t),
          rs AS (SELECT r, CAST(round(sum(w * v)::DOUBLE / sum(w)::DOUBLE * 1e6)
                                AS BIGINT) AS m
                 FROM wts GROUP BY r HAVING sum(w) > 0),
@@ -5283,6 +5312,72 @@ object SparkEntry {
          WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6)
                     AS BIGINT) >= 900000
          ORDER BY name_a, name_b""",
+    // the q187 run pair + the SAME literal RBO weights (k=10, p=0.9),
+    // one lookup at the worse rank per shared item
+    "q194_rbo" ->
+      s"""WITH $sqlVecs,
+         v16 AS (SELECT vec_id, q[1:16] AS q,
+                        list_sum([qq * qq for qq in q[1:16]]) AS nn FROM v),
+         truth AS (SELECT query_id, nbr_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                 / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
+                               c.vec_id) AS rank
+             FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) t
+           WHERE rank <= 10),
+         sys AS (SELECT query_id, nbr_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                 / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
+                               c.vec_id) AS rank
+             FROM v16 q JOIN v16 c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) t
+           WHERE rank <= 10),
+         sh AS (SELECT s.query_id,
+                ([235416,135416,90416,63416,45191,32069,22228,14636,8657,3874])
+                  [greatest(s.rank, t.rank)::INT] AS w
+              FROM sys s JOIN truth t
+                ON s.query_id = t.query_id AND s.nbr_id = t.nbr_id),
+         ag AS (SELECT query_id, count(*) AS n_shared,
+                       CAST(sum(w) AS BIGINT) AS rbo_micro FROM sh GROUP BY 1),
+         qs AS (SELECT DISTINCT query_id FROM
+                (SELECT query_id FROM sys UNION SELECT query_id FROM truth) u)
+         SELECT qs.query_id, COALESCE(n_shared, 0) AS n_shared,
+                COALESCE(rbo_micro, 0) AS rbo_micro
+         FROM qs LEFT JOIN ag ON qs.query_id = ag.query_id
+         ORDER BY qs.query_id""",
+    // the same normalize/tokenize; smallest covering checkpoint via a
+    // filtered list min; running sums over the checkpoint table
+    "q195_vocab_growth" ->
+      """WITH cps AS (SELECT unnest([16, 64, 256, 1024, 4096, 16384]) AS k),
+         toks AS (SELECT doc_id AS id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents WHERE doc_id IS NOT NULL),
+         ft AS (SELECT k, count(*) AS new_types FROM (
+                  SELECT list_min([c for c in [16, 64, 256, 1024, 4096, 16384]
+                                   if c >= fid]) AS k
+                  FROM (SELECT token, min(id) AS fid FROM toks GROUP BY 1) t) u
+                WHERE k IS NOT NULL GROUP BY 1),
+         tm AS (SELECT k, count(*) AS new_tokens FROM (
+                  SELECT list_min([c for c in [16, 64, 256, 1024, 4096, 16384]
+                                   if c >= id]) AS k FROM toks) u
+                WHERE k IS NOT NULL GROUP BY 1),
+         cur AS (SELECT cps.k,
+                sum(COALESCE(new_tokens, 0)) OVER (ORDER BY cps.k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_tokens,
+                sum(COALESCE(new_types, 0)) OVER (ORDER BY cps.k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
+              FROM cps LEFT JOIN ft ON cps.k = ft.k
+                       LEFT JOIN tm ON cps.k = tm.k)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_types AS BIGINT) AS n_types,
+                CASE WHEN n_tokens > 0
+                     THEN CAST(round(n_types::DOUBLE / n_tokens::DOUBLE * 1e6)
+                               AS BIGINT)
+                END AS ttr_micro
+         FROM cur ORDER BY k""",
     // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
     "q180_nb_calibration" ->
       """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),

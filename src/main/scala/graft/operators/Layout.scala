@@ -113,7 +113,11 @@ object Layout {
     * window + per-bucket row_numbers — no data-sized single-partition
     * sort, which is also why this models the real writer: range
     * partitioning + within-partition sort); the map itself is
-    * chunk-count-sized. */
+    * chunk-count-sized. SIZE `bucketWidth` to the key's actual range
+    * (aim for 10²–10⁵ buckets): a width wider than the whole range puts
+    * every row in one bucket and the position window degenerates into
+    * exactly the global sort this shape exists to avoid (q192 measured
+    * 23 s that way at sf0.1). */
   def zoneMap(df: DataFrame, keyCol: String, idCol: String,
       statCols: Seq[String], chunkRows: Long,
       bucketWidth: Long = 1L << 40): DataFrame = {
@@ -121,10 +125,17 @@ object Layout {
       "need chunkRows >= 1, bucketWidth >= 1, stat columns")
     def floorDiv(x: Column, w: Long): Column =
       ((x - ((x % w + w) % w)) / w).cast("long")
+    // eager-materialize the key projection: without the barrier the
+    // optimizer collapses projects and a computed layout key (e.g. a
+    // 40-node z-interleave) is re-inlined into the bucket keys and the
+    // window SORT comparator — measured 22 s → 1.9 s at sf0.1 for the
+    // q192 z-order side; a layout build reads its input exactly once
+    // anyway, so the checkpoint costs one narrow pass
     val rows = df.filter(col(keyCol).isNotNull && col(idCol).isNotNull)
       .select(Seq(col(keyCol).cast("long").as("__k"), col(idCol).as("__id"))
         ++ statCols.map(c => col(c).cast("long").as(c)): _*)
       .withColumn("__pb", floorDiv(col("__k"), bucketWidth))
+      .localCheckpoint(true)
     val buckets = rows.groupBy("__pb").agg(count(lit(1)).as("bn"))
       .withColumn("offn", coalesce(sum(col("bn")).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("__pb"))

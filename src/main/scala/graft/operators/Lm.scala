@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -258,5 +258,50 @@ object Lm {
           round((col("r") + 1).cast("double") * col("__n_next").cast("double")
             / col("n_r").cast("double") * 1e6).cast(LongType))
           .as("r_star_micro"))
+  }
+
+  /** Vocabulary-growth (Heaps'-law) curve: at each corpus-prefix
+    * checkpoint — all documents with `idCol` ≤ K — the cumulative token
+    * count, distinct-type count, and type/token ratio. The saturation
+    * diagnostic a corpus-collection effort reads: a flattening type curve
+    * means new data is re-treading old vocabulary. Checkpoints with no
+    * documents report zeros (their curve point is real: nothing collected
+    * yet). Exact integers; the one division (TTR) is micro-quantized.
+    *
+    * Scale shape: one token explode feeding TWO tiny aggregates — each
+    * type's FIRST checkpoint (min doc id → smallest covering K) and
+    * per-checkpoint token mass — then a |checkpoints|-sized running sum;
+    * the corpus is scanned once, never once per checkpoint. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted
+      && checkpoints.distinct == checkpoints, "checkpoints must be sorted, distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.toDF("k")
+    val cpArr = array(checkpoints.map(lit): _*)
+    // smallest checkpoint covering a doc id (null = beyond every checkpoint)
+    def cover(id: Column): Column =
+      array_min(filter(cpArr, c => c >= id))
+    val toks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+    // per-type: the first checkpoint at which the type exists
+    val firstK = toks.groupBy("token").agg(min(col("id")).as("fid"))
+      .select(cover(col("fid")).as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("new_types"))
+    val tokMass = toks.select(cover(col("id")).as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cps.join(firstK, Seq("k"), "left").join(tokMass, Seq("k"), "left")
+      .withColumn("n_tokens", sum(coalesce(col("new_tokens"), lit(0L))).over(w))
+      .withColumn("n_types", sum(coalesce(col("new_types"), lit(0L))).over(w))
+      .select(col("k"), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens").cast("double") * 1e6)
+            .cast(LongType)).as("ttr_micro"))
   }
 }

@@ -1264,4 +1264,45 @@ object Similarity {
             / col("idcg_micro").cast("double") * 1e6).cast("long"))
           .as("ndcg_micro"))
   }
+
+  /** Truncated rank-biased overlap weights for (k = 10, p = 0.9): entry
+    * m−1 is a shared item's contribution (micro) when its WORSE rank is m,
+    *   w_m = round((1−p) · Σ_{d=m..k} p^{d−1}/d · 10⁶)
+    * — precomputed literals shared verbatim with the SQL oracle (the
+    * [[graft.operators.Stats]] Poisson-threshold discipline: never
+    * recomputed with runtime float pow). A perfect overlap sums to
+    * 651319 ≈ 1 − pᵏ: truncated RBO has no extrapolation residual. */
+  val rboWeights10: Seq[Long] = Seq(235416L, 135416L, 90416L, 63416L,
+    45191L, 32069L, 22228L, 14636L, 8657L, 3874L)
+
+  /** Truncated rank-biased overlap (Webber et al. 2010) between two
+    * ranked runs in the (query_id, nbr_id, rank) shape — the top-weighted
+    * list-similarity that, unlike [[rankingMetrics]], needs NO ground
+    * truth side: it compares any two rankings symmetrically (yesterday's
+    * index vs today's, exact vs ANN). Per shared item the closed form
+    * collapses to one weight lookup at max(rank_a, rank_b), so the score
+    * is an exact integer sum of pre-rounded terms. Output per query id
+    * present in either run: `n_shared`, `rbo_micro` (0 when disjoint;
+    * upper bound Σw = 651319 for the default weights).
+    *
+    * Scale shape: one (query, item)-keyed equi-join + a per-query hash
+    * agg over ≤ k rows per query — O(queries·k). */
+  def rboOverlap(a: DataFrame, b: DataFrame,
+      weightsMicro: Seq[Long] = rboWeights10): DataFrame = {
+    val k = weightsMicro.length
+    val wArr = array(weightsMicro.map(lit): _*)
+    val ra = a.select(col("query_id"), col("nbr_id"), col("rank").as("ra"))
+      .filter(col("ra") <= k)
+    val rb = b.select(col("query_id"), col("nbr_id"), col("rank").as("rb"))
+      .filter(col("rb") <= k)
+    val shared = ra.join(rb, Seq("query_id", "nbr_id"))
+      .select(col("query_id"),
+        element_at(wArr, greatest(col("ra"), col("rb")).cast("int")).as("w"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_shared"), sum(col("w")).as("rbo_micro"))
+    ra.select("query_id").union(rb.select("query_id")).distinct()
+      .join(shared, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+  }
 }

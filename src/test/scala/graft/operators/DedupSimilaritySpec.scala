@@ -624,6 +624,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(perfect.forall(_.getAs[Long]("rr_micro") == 1000000L))
   }
 
+  test("rboOverlap: identical runs hit the truncated ceiling, disjoint read zero") {
+    val runA = (1L to 10L).map(r => (7L, s"n$r", r)).toDF("query_id", "nbr_id", "rank")
+    val idSelf = Similarity.rboOverlap(runA, runA).collect()(0)
+    assert(idSelf.getAs[Long]("n_shared") == 10L)
+    assert(idSelf.getAs[Long]("rbo_micro") == Similarity.rboWeights10.sum) // 651319
+    // disjoint: present query id, zero overlap
+    val runB = (1L to 10L).map(r => (7L, s"m$r", r)).toDF("query_id", "nbr_id", "rank")
+    val dis = Similarity.rboOverlap(runA, runB).collect()(0)
+    assert(dis.getAs[Long]("n_shared") == 0L && dis.getAs[Long]("rbo_micro") == 0L)
+    // hand case: only 'b' shared, worse rank 2 -> weight index 2
+    val a2 = Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("query_id", "nbr_id", "rank")
+    val b2 = Seq((1L, "b", 1L), (1L, "c", 2L)).toDF("query_id", "nbr_id", "rank")
+    val h = Similarity.rboOverlap(a2, b2).collect()(0)
+    assert(h.getAs[Long]("n_shared") == 1L)
+    assert(h.getAs[Long]("rbo_micro") == Similarity.rboWeights10(1))
+  }
+
   test("graft_qdot: dimension mismatch raises instead of silently truncating (VERDICT r2 #5)") {
     graft.expressions.GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")

@@ -498,6 +498,24 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(again == r)
   }
 
+  test("vocabGrowth: hand Heaps curve, beyond-checkpoint docs excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (20L, "b c"), (100L, "d"), (300L, "z"))
+      .toDF("doc_id", "text").repartition(3)
+    val r = Lm.vocabGrowth(docs, "doc_id", "text", Seq(16L, 64L, 256L))
+      .collect().map(x => x.getAs[Long]("k") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_types"),
+         x.getAs[Long]("ttr_micro"))).toMap
+    // doc 300 is beyond every checkpoint: never counted
+    assert(r == Map(16L -> ((2L, 2L, 1000000L)), 64L -> ((4L, 3L, 750000L)),
+      256L -> ((5L, 4L, 800000L))))
+    // empty prefix: zero point is real, TTR null
+    val late = Seq((50L, "x y")).toDF("doc_id", "text")
+    val z = Lm.vocabGrowth(late, "doc_id", "text", Seq(10L, 100L)).collect()
+      .map(x => x.getAs[Long]("k") -> x.getAs[Long]("n_tokens")).toMap
+    assert(z == Map(10L -> 0L, 100L -> 2L))
+  }
+
   test("goodTuring: adjusted counts from the freq-of-freq table, tail undefined") {
     import spark.implicits._
     // counts: a=3, b=2, c=1  ->  N1=N2=N3=1
