@@ -144,4 +144,43 @@ class EdgeCasesSpec extends SparkTestBase {
       "a", "b").collect()
     assert(kp.isEmpty || kp(0).isNullAt(2))
   }
+
+  test("wave-6/7 operators on empty/degenerate inputs: defined zeros/nulls, not errors") {
+    import graft.operators.{Graph, Joins, Layout, Lm, Pack, Sketches, Stats}
+    val emptyKV = Seq.empty[(Long, Long)].toDF("id", "v")
+    val emptyGrp = Seq.empty[(String, Long, Long, Long)].toDF("g", "o", "id", "v")
+    // apportion: empty and all-zero-weight inputs yield no rows (wt = 0 guard)
+    assert(Pack.apportion(emptyKV.toDF("src", "w"), Seq("src"), "w", 10L).count() == 0)
+    assert(Pack.apportion(Seq(("a", 0L)).toDF("src", "w"), Seq("src"), "w", 10L)
+      .count() == 0)
+    // change point: empty and single-row groups are absent, not wrong
+    assert(Stats.changePointByGroup(emptyGrp, "g", "o", "id", "v").count() == 0)
+    // average precision on empty input: one row, zero counts, null AP
+    val ap = Stats.averagePrecision(
+      Seq.empty[(Long, Long, Boolean)].toDF("s", "id", "y"), "s", "id", "y")
+      .collect()(0)
+    assert(ap.getAs[Long]("n_rows") == 0L && ap.isNullAt(ap.fieldIndex("ap_micro")))
+    // bootstrap on empty input: zero rows, null mean/CI (no replicate survives)
+    val bs = Stats.poissonBootstrapMean(emptyKV, "id", "v").collect()(0)
+    assert(bs.getAs[Long]("n_rows") == 0L && bs.isNullAt(bs.fieldIndex("mean_micro")))
+    // HITS on an empty edge list: empty output, no max-division blowup
+    assert(Graph.hits(Seq.empty[(String, String)].toDF("s", "d"), "s", "d").count() == 0)
+    // skyline/zone maps/SNM/winnow/count-min/good-turing/vocab growth on empty
+    assert(Ops.skylinePerGroup(emptyGrp, "g", "o", "v").count() == 0)
+    val zm = Layout.zoneMap(emptyKV.toDF("k", "id"), "k", "id", Seq("k"), 4L)
+    assert(zm.count() == 0)
+    val zs = Layout.zonesScanned(zm, "k", 0L, 10L).collect()(0)
+    assert(zs.getAs[Long]("n_chunks") == 0L && zs.isNullAt(zs.fieldIndex("scan_micro")))
+    assert(Joins.sortedNeighborhoodPairs(
+      Seq.empty[(String, String)].toDF("id", "k"), "id", "k", 3).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Lm.goodTuring(emptyDocs, "text").count() == 0)
+    val vg = Lm.vocabGrowth(emptyDocs, "doc_id", "text", Seq(10L)).collect()(0)
+    assert(vg.getAs[Long]("n_tokens") == 0L && vg.isNullAt(vg.fieldIndex("ttr_micro")))
+    // rboOverlap of two empty runs: no query ids, empty output
+    val emptyRun = Seq.empty[(Long, String, Long)].toDF("query_id", "nbr_id", "rank")
+    assert(Similarity.rboOverlap(emptyRun, emptyRun).count() == 0)
+    assert(Sketches.countMinBuild(emptyKV.toDF("item", "x"), "item").count() == 0)
+  }
 }
