@@ -235,6 +235,27 @@ object ScaleProbe {
       val fzt3 = System.nanoTime()
       fzMatches.unpersist(blocking = false)
       fzIx.release()
+      // winnowing axis (r9 wave 6): MOSS fingerprints + df-capped pair
+      // join over the cloned corpus. Clones collide on EVERY fingerprint,
+      // so the df-cap is what keeps the curve linear — maxDf sized to the
+      // clone count exercises the cap exactly at its boundary.
+      val wnt0 = System.nanoTime()
+      val nWinnowPairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 8, w = 4, maxDf = math.max(20L, factor * 4L)).count()
+      val wnt1 = System.nanoTime()
+
+      // count-min axis (r9 wave 6): cell build + full-key probe. The cell
+      // table is CONSTANT size (depth×width) at any corpus scale — build
+      // time must grow linearly, probe time with the DISTINCT keys only.
+      val cmt0 = System.nanoTime()
+      val cmCells = graft.operators.Sketches.countMinBuild(docs, "doc_id", 4, 1024)
+        .localCheckpoint(true)
+      val nCmCells = cmCells.count()
+      val cmt1 = System.nanoTime()
+      val nCmProbed = graft.operators.Sketches.countMinProbe(
+        cmCells, docs, "doc_id", 4, 1024).count()
+      val cmt2 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -283,7 +304,10 @@ object ScaleProbe {
         s""""fz_build_sec":${sec(fzt0, fzt1)},"fz_probe_sec":${sec(fzt1, fzt2)},""" +
         s""""jw_high":$nJwHigh,"jw_sec":${sec(fzt2, fzt3)},""" +
         s""""bpe_jobs_batched":$bpeJobsBatched,"bpe_jobs_seq":$bpeJobsSeq,""" +
-        s""""bpe_batched_sec":${sec(bpt0, bpt1)},"bpe_seq_sec":${sec(bpt1, bpt2)}""" +
+        s""""bpe_batched_sec":${sec(bpt0, bpt1)},"bpe_seq_sec":${sec(bpt1, bpt2)},""" +
+        s""""winnow_pairs":$nWinnowPairs,"winnow_sec":${sec(wnt0, wnt1)},""" +
+        s""""cm_cells":$nCmCells,"cm_probed":$nCmProbed,""" +
+        s""""cm_build_sec":${sec(cmt0, cmt1)},"cm_probe_sec":${sec(cmt1, cmt2)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
