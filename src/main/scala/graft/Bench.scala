@@ -124,7 +124,19 @@ object Bench {
     // MEDIAN map (the regression-adjudication number) right before it, the
     // min-of-N map first (the one sacrificed if the window is short — r7's
     // artifact kept only 67/120 of whichever map came second).
-    println(s"""{"queries_min":$qmins,"failed":$fj,"queries":$qs,"recall":$rj,"sf":"$sfDir","metric":"total","unit":"sec","total_min":${ms(totalMin)},"value":${ms(total)}}""")
+    val line = s"""{"queries_min":$qmins,"failed":$fj,"queries":$qs,"recall":$rj,"sf":"$sfDir","metric":"total","unit":"sec","total_min":${ms(totalMin)},"value":${ms(total)}}"""
+    println(line)
+    // ALSO persist the full JSON to a workspace file (VERDICT r9 §wrong-2):
+    // the driver keeps only the TAIL of stdout, and at 196+ queries the
+    // min-of-N map — and soon the medians — fall off the capture; the file
+    // keeps every per-query number for regression adjudication. Best-effort:
+    // a read-only workspace must not fail the bench.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

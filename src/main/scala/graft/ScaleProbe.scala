@@ -255,6 +255,9 @@ object ScaleProbe {
       val nCmProbed = graft.operators.Sketches.countMinProbe(
         cmCells, docs, "doc_id", 4, 1024).count()
       val cmt2 = System.nanoTime()
+      // release the pinned cell table like the neighboring axes do
+      // (ADVICE r9 §5): its blocks otherwise accumulate across factors
+      cmCells.unpersist(blocking = false)
 
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip

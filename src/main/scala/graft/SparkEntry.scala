@@ -1078,8 +1078,13 @@ object SparkEntry {
     "q182_countmin" -> ((s, d) => {
       val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
       val (depth, width) = (4, 256)
-      val halves = Seq(ev.filter(col("event_id") % 2 === 0),
-        ev.filter(col("event_id") % 2 === 1))
+      // null-safe, sign-safe split (ADVICE r9 §3): a bare `% 2 === 0/1`
+      // drops null event_ids (and negative odds, where % yields −1) from
+      // BOTH halves while `exact` still counts them — breaking the
+      // one-sided est ≥ exact contract; pmod(coalesce(·,0), 2) partitions
+      // every row into exactly one half
+      val half = pmod(coalesce(col("event_id"), lit(0L)), lit(2L))
+      val halves = Seq(ev.filter(half === 0), ev.filter(half === 1))
         .map(h => Sketches.countMinBuild(h, "user_id", depth, width))
       val merged = Sketches.countMinMerge(halves)
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c_exact"))

@@ -333,7 +333,14 @@ object Graph {
     * key, the whole k-round plan materialized by ONE localCheckpoint. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
-    require(iterations >= 1, "iterations must be >= 1")
+    // ADVICE r9 §1: unnormalized sums grow like degree^(2k); 38 decimal
+    // digits absorb k ≤ 4 for any real graph (degree 10⁴ → 10³²), and a
+    // mid-loop overflow is UNDETECTABLE downstream (sum ignores the null it
+    // produces), so bound the rounds instead of trusting the arithmetic.
+    require(iterations >= 1 && iterations <= 4,
+      "hits(): iterations must be in [1, 4] - unnormalized Decimal(38,0) " +
+        "sums grow like degree^(2k) and overflow silently beyond that; " +
+        "for deeper propagation use pageRank (per-round normalized)")
     val dec = DecimalType(38, 0)
     val e = pin(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
@@ -353,10 +360,21 @@ object Graph {
       hub = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
     }
+    // the zero-fill coalesce applies ONLY to the left-join miss case: a
+    // node PRESENT in the agg frame with a null sum can only mean decimal
+    // overflow in the final round (sum of non-null values), and silently
+    // scoring it 0 would be wrong output with no error (ADVICE r9 §1) —
+    // fail loudly instead (codegen'd raise_error: free when it never fires)
     val scores = nodes
-      .join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
-      .select(col("node"), coalesce(col("a"), lit(0).cast(dec)).as("a"),
-        coalesce(col("h"), lit(0).cast(dec)).as("h"))
+      .join(auth.withColumn("__hit_a", lit(1)), Seq("node"), "left")
+      .join(hub.withColumn("__hit_h", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__hit_a") === 1 && col("a").isNull, raise_error(lit(
+          "hits(): Decimal(38,0) overflow in authority sums - lower iterations")))
+          .otherwise(coalesce(col("a"), lit(0).cast(dec))).as("a"),
+        when(col("__hit_h") === 1 && col("h").isNull, raise_error(lit(
+          "hits(): Decimal(38,0) overflow in hub sums - lower iterations")))
+          .otherwise(coalesce(col("h"), lit(0).cast(dec))).as("h"))
     val mx = scores.agg(max(col("a")).as("ma"), max(col("h")).as("mh"))
     val out = scores.crossJoin(broadcast(mx))
       .select(col("node"),

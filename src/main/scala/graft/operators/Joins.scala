@@ -479,16 +479,9 @@ object Joins {
     require(prefixLen >= 1, "prefixLen must be >= 1")
     val rows = df.filter(col(idCol).isNotNull && col(keyCol).isNotNull)
       .select(col(idCol).as("__id"), col(keyCol).as("__k"))
-      .withColumn("__pb", substring(col("__k"), 1, prefixLen))
-    val wb = Window.orderBy(col("__pb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = rows.groupBy("__pb").agg(count(lit(1)).as("bn"))
-      .withColumn("offn", coalesce(sum(col("bn")).over(wb), lit(0L)))
-      .select(col("__pb"), col("offn"))
-    val wIn = Window.partitionBy(col("__pb")).orderBy(col("__k"), col("__id"))
-    val pos = rows.join(buckets, Seq("__pb"))
-      .select(col("__id"), col("__k"),
-        (col("offn") + row_number().over(wIn)).as("__pos"))
+    val pos = Ranks.positions(rows, substring(col("__k"), 1, prefixLen),
+        Seq(col("__k"), col("__id")), "__pos")
+      .select(col("__id"), col("__k"), col("__pos"))
       .localCheckpoint(true)
     pos.select(col("__id").as("id_a"), col("__k").as("key_a"), col("__pos"))
       .withColumn("__j", explode(sequence(lit(1), lit(window - 1))))

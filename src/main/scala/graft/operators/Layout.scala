@@ -123,8 +123,7 @@ object Layout {
       bucketWidth: Long = 1L << 40): DataFrame = {
     require(chunkRows >= 1 && bucketWidth >= 1 && statCols.nonEmpty,
       "need chunkRows >= 1, bucketWidth >= 1, stat columns")
-    def floorDiv(x: Column, w: Long): Column =
-      ((x - ((x % w + w) % w)) / w).cast("long")
+    def floorDiv(x: Column, w: Long): Column = Ranks.floorDiv(x, w)
     // eager-materialize the key projection: without the barrier the
     // optimizer collapses projects and a computed layout key (e.g. a
     // 40-node z-interleave) is re-inlined into the bucket keys and the
@@ -134,18 +133,9 @@ object Layout {
     val rows = df.filter(col(keyCol).isNotNull && col(idCol).isNotNull)
       .select(Seq(col(keyCol).cast("long").as("__k"), col(idCol).as("__id"))
         ++ statCols.map(c => col(c).cast("long").as(c)): _*)
-      .withColumn("__pb", floorDiv(col("__k"), bucketWidth))
       .localCheckpoint(true)
-    val buckets = rows.groupBy("__pb").agg(count(lit(1)).as("bn"))
-      .withColumn("offn", coalesce(sum(col("bn")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__pb"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__pb"), col("offn"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pb")).orderBy(col("__k"), col("__id"))
-    val chunked = rows.join(buckets, Seq("__pb"))
-      .withColumn("__pos", col("offn") + row_number().over(wIn))
+    val chunked = Ranks.positions(rows, floorDiv(col("__k"), bucketWidth),
+        Seq(col("__k"), col("__id")), "__pos")
       .withColumn("chunk", floorDiv(col("__pos") - 1, chunkRows))
     chunked.groupBy("chunk")
       .agg(count(lit(1)).as("n_rows"),

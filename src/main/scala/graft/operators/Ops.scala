@@ -534,8 +534,7 @@ object Ops {
   def skylinePerGroup(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, bucketWidth: Long = 16L): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
-    def floorDiv(x: Column, w: Long): Column =
-      ((x - ((x % w + w) % w)) / w).cast("long")
+    def floorDiv(x: Column, w: Long): Column = Ranks.floorDiv(x, w)
     val lx = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull
         && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(xCol).cast("long").as("x"))

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The repo's shared two-level rank machinery (VERDICT r9 §next-2): global
+  * order statistics — positions, running sums, running maxes — over a frame
+  * that may be data-sized, WITHOUT a single-partition `Window.orderBy`.
+  *
+  * Shape: rows are keyed by an order-consistent BUCKET expression; one
+  * window over the bucket-COUNT-sized frame computes cross-bucket offsets,
+  * and per-bucket windows (parallel across buckets, spillable within)
+  * finish the job. A global sort of N rows becomes a |buckets|-row window
+  * plus embarrassingly parallel in-bucket work — the difference between a
+  * stage that serializes on one task at 100 TB and one that scales with
+  * the cluster. Sum, count (row_number) and max all decompose this way
+  * (offset ⊕ in-bucket running value), which covers every call site in the
+  * repo: prefix counts ([[Stats]]), global positions ([[Layout.zoneMap]],
+  * [[Joins.sortedNeighborhoodPairs]], [[Stats.concentration]]), quantile
+  * ranks ([[Profile.equalFrequencyBins]], `TableCleaner.BinnedColumn`),
+  * and skew ranks ([[Profile.keySkew]]).
+  *
+  * Bucket choice: the bucket expression MUST be order-consistent with the
+  * in-bucket order columns (v₁ < v₂ ⟹ bucket(v₁) ≤ bucket(v₂)) and SHOULD
+  * split the frame into ~10²–10⁶ cells. [[floorDiv]] handles fixed-width
+  * long keys; [[withRangeBucket]] derives a data-adaptive equi-width bucket
+  * for numeric columns (two cheap extremes of the LEVEL table, not the
+  * rows); a `substring` prefix works for strings (binary collation makes
+  * prefix order consistent with full-string order). A degenerate bucket
+  * expression (all rows in one cell) silently degrades to the global sort
+  * this object exists to avoid — it stays correct, just serial. */
+object Ranks {
+
+  /** Exact floor division of a long column by a positive long constant.
+    * SQL `/` on longs promotes to DOUBLE: beyond 2⁵³ the quotient can be
+    * off by one — fatal for bucket keys, where two engines disagreeing on
+    * a boundary row breaks join/offset alignment (ADVICE r9 §2). Uses
+    * integral `div` with a sign correction, so it is exact over the full
+    * 64-bit range and floors (not truncates) for negative x. */
+  def floorDiv(x: Column, w: Long): Column = {
+    require(w >= 1, s"floorDiv width must be positive, got $w")
+    val q = call_function("div", x, lit(w))
+    when(x % w < 0, q - 1).otherwise(q)
+  }
+
+  /** Append a data-adaptive order-consistent bucket column for a NUMERIC
+    * column: equi-width cells over the observed [min, max] (one extra agg
+    * over `df` itself — call on the LEVEL table, where that scan is
+    * |levels|-sized, not on raw rows). All-equal (or all-null) ranges
+    * degrade to one bucket. The mapping x ↦ ⌊(x−lo)/(hi−lo)·cells⌋ is
+    * monotone under IEEE-754 round-to-nearest (subtraction, multiplication
+    * and division by non-negative constants are non-decreasing), so bucket
+    * order is consistent with value order for any distribution — the
+    * property a FIXED bucket width cannot promise without knowing the
+    * data's range. */
+  def withRangeBucket(df: DataFrame, valueCol: String, bucketName: String,
+      cells: Int = 4096): DataFrame = {
+    require(cells >= 1, "cells must be positive")
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("__rk_lo"), max(v).as("__rk_hi"))
+    df.crossJoin(broadcast(mm))
+      .withColumn(bucketName,
+        when(col("__rk_hi") <= col("__rk_lo"), lit(0L))
+          .otherwise(least(
+            floor((v - col("__rk_lo"))
+              / (col("__rk_hi") - col("__rk_lo")) * lit(cells.toLong)),
+            lit(cells - 1L))).cast("long"))
+      .drop("__rk_lo", "__rk_hi")
+  }
+
+  /** The core pass: append, in ONE two-level sweep, any combination of a
+    * global 1-based position (`posCol`, via per-bucket `row_number`) and
+    * running sums (`sums`: srcCol → outCol), as if `df` were ordered
+    * globally by (`order`*) — optionally per partition group
+    * (`partCols`, by NAME: the grouped variants' shape). Sums are over
+    * rows strictly before this one (`inclusive=false`, the "count below"
+    * shape) or up to and including it (`inclusive=true`, the CDF shape);
+    * the position is always inclusive. Null sum sources contribute
+    * nothing (SQL sum). `descBuckets=true` flips the CROSS-BUCKET order
+    * for descending sweeps — the in-bucket `order` columns must then
+    * carry their own `.desc`, consistently.
+    *
+    * `bucket` must be order-consistent with the head of `order`; ties
+    * beyond `order` are deterministic only if `order` is a total order —
+    * pass enough columns to make it one (the call sites all do). */
+  def twoLevel(df: DataFrame, bucket: Column, order: Seq[Column],
+      sums: Seq[(String, String)] = Nil, posCol: Option[String] = None,
+      inclusive: Boolean = false, descBuckets: Boolean = false,
+      partCols: Seq[String] = Nil): DataFrame = {
+    require(sums.nonEmpty || posCol.nonEmpty, "nothing to compute")
+    val tagged = df.withColumn("__rk_b", bucket)
+    val bKey = if (descBuckets) col("__rk_b").desc else col("__rk_b").asc
+    val joinKeys = partCols :+ "__rk_b"
+    val wb = Window.partitionBy(partCols.map(col): _*).orderBy(bKey)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bAggs = sums.zipWithIndex.map { case ((src, _), i) =>
+      sum(col(src)).as(s"__rk_s$i") } ++
+      posCol.map(_ => count(lit(1)).as("__rk_bn"))
+    val buckets = tagged.groupBy(joinKeys.map(col): _*)
+      .agg(bAggs.head, bAggs.tail: _*)
+    val offNames = sums.indices.map(i => s"__rk_o$i") ++
+      posCol.map(_ => "__rk_off").toSeq
+    val srcNames = sums.indices.map(i => s"__rk_s$i") ++
+      posCol.map(_ => "__rk_bn").toSeq
+    val withOffs = srcNames.zip(offNames).foldLeft(buckets) {
+      case (b, (s, o)) =>
+        b.withColumn(o, coalesce(sum(col(s)).over(wb), lit(0L)))
+    }.select((joinKeys ++ offNames).map(col): _*)
+    val hi = if (inclusive) 0L else -1L
+    val wInBase = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
+    val wIn = wInBase.rowsBetween(Window.unboundedPreceding, hi)
+    val joined = tagged.join(withOffs, joinKeys)
+    val withSums = sums.zipWithIndex.foldLeft(joined) {
+      case (d, ((src, out), i)) =>
+        d.withColumn(out,
+          col(s"__rk_o$i") + coalesce(sum(col(src)).over(wIn), lit(0L)))
+    }
+    posCol.fold(withSums) { p =>
+      withSums.withColumn(p, col("__rk_off") + row_number().over(wInBase))
+    }.drop("__rk_b" +: offNames: _*)
+  }
+
+  /** Append a global 1-based position `posCol` to `df`, as if ordered by
+    * (`order`*) — bucket offsets + per-bucket `row_number`, no
+    * single-partition sort. See [[twoLevel]] for the bucket contract. */
+  def positions(df: DataFrame, bucket: Column, order: Seq[Column],
+      posCol: String): DataFrame =
+    twoLevel(df, bucket, order, posCol = Some(posCol))
+
+  /** Append running SUMS of `sums` (srcCol → outCol) to `df`, as if
+    * ordered globally by (`order`*). See [[twoLevel]]. */
+  def runningSums(df: DataFrame, bucket: Column, order: Seq[Column],
+      sums: Seq[(String, String)], inclusive: Boolean = false): DataFrame =
+    twoLevel(df, bucket, order, sums = sums, inclusive = inclusive)
+}

@@ -72,6 +72,43 @@ class ProfileSpec extends SparkTestBase {
     assert(a.keySet == (0L until 10L).toSet) // 97 distinct values spread all 10 bins
   }
 
+  test("equalFrequencyBins: continuous doubles (range-bucket path) and strings (prefix path) match brute-force ranks") {
+    // continuous: distinct ≈ rows — exactly the shape the r9 single-
+    // partition window serialized on; the two-level port must agree with
+    // the definition bin = below·nBins div N
+    val xs = (1 to 400).map(i => math.sin(i.toDouble) * 100.0)
+    val df = xs.toDF("x")
+    val got = Profile.equalFrequencyBins(df, "x", 8)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = xs.sorted
+    for (x <- xs) {
+      val below = sorted.count(_ < x)
+      assert(got(x) == below * 8 / 400, s"x=$x")
+    }
+    // strings, including values sharing the 4-char prefix bucket
+    val ss = Seq("alpha", "alphabet", "alps", "beta", "beta", "gamma", "gam")
+    val sdf = ss.toDF("s")
+    val sg = Profile.equalFrequencyBins(sdf, "s", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sSorted = ss.sorted
+    for (s <- ss.distinct)
+      assert(sg(s) == sSorted.count(_ < s) * 3 / ss.size, s"s=$s")
+  }
+
+  test("keySkew: heavy-tail key distribution matches the brute-force rank formula") {
+    // Zipf-ish counts with many tie runs — exercises the distinct-count-
+    // value collapse c·(m·below + m(m+1)/2) against literal per-key ranks
+    val keys = (0 until 300).flatMap(i => Seq.fill(300 / (i + 1))(s"k$i"))
+    val df = keys.toDF("k")
+    val r = Profile.keySkew(df, "k", topN = 5).collect()(0)
+    val counts = keys.groupBy(identity).map(_._2.size.toLong).toSeq.sorted
+    val n = counts.sum; val m = counts.size.toLong
+    val sic = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    assert(r.getAs[Long]("n_rows") == n && r.getAs[Long]("n_keys") == m)
+    assert(r.getAs[Long]("gini_ppm") == (2 * sic - (m + 1) * n) * 1000000L / (m * n))
+    assert(r.getAs[Long]("top_n_rows") == counts.takeRight(5).sum)
+  }
+
   test("profile plans ONE aggregation pass: single exchange, no Expand, no per-column jobs") {
     val df = (0 until 100).map(i => (i.toLong, s"v$i", i % 7)).toDF("a", "b", "c")
     val plan = Profile.profile(df).queryExecution.executedPlan.toString
