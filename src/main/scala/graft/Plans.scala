@@ -52,7 +52,12 @@ object Plans {
         // BROADCAST the benchmark shingle side; the JW rescore must sit
         // inside WholeStageCodegen on the joined pair frame
         "q153_roc_auc", "q157_concentration", "q164_melt",
-        "q169_decontaminate", "q163_jw_rerank", "q171_ks_drift")
+        "q169_decontaminate", "q163_jw_rerank", "q171_ks_drift",
+        // r10: the shared Ranks two-level shapes in the ported operators
+        // (keySkew's count-value collapse; q84 above now shows the
+        // range-bucketed bins) and the unigram DP — the Viterbi must be
+        // ONE projection over the broadcast cost map, not a join chain
+        "q148_key_skew", "q196_unigram_train", "q197_unigram_encode")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

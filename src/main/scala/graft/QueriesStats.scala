@@ -1,0 +1,931 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Audit, Bpe, Classify, Dedup, Dsir, Graph, Grouping, Intervals, Joins, Layout, Lm, Ops, Pack, Profile, Search, Sequences, Similarity, Sketches, Stats}
+import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
+import graft.streaming.Streams
+
+/** [[SparkEntry]] registry slice — statistics & sketches: hypothesis tests, rank metrics, survival, drift, HLL/KLL/Theta/count-min.
+  * Pure move from SparkEntry.scala (r10 registry split): every entry kept
+  * verbatim next to its DuckDB oracle twin. First ids: q23_text_stats, q26_token_freq, q113_theta_sets, q137_centroid_outliers, q150_welch_ab, q153_roc_auc, … */
+private[graft] object QueriesStats extends OracleSqlHelpers {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- ✚ text analysis (documents) -------------------------------------
+    "q23_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          Text.fingerprint(col("text")).as("fingerprint"),
+          Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q26_token_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+    // theta-sketch set algebra ✚ (the capability HLL lacks): per-event-type
+    // theta sketches of the user id stream; "users who did BOTH view and
+    // purchase" (intersection) and "view-only users" (A∖B) answered from
+    // the two binaries and asserted inside the sketches' 3σ bounds —
+    // below sketch capacity the sketch is EXACT and the bounds collapse
+    // onto the true count. Exact sides hash-compare; oracle emits TRUE.
+    "q113_theta_sets" -> ((s, d) => {
+      graft.expressions.GraftFunctions.register(s)
+      val e = Tables.events(s, d).filter(col("event_type").isin("view", "purchase"))
+      val sk = Sketches.thetaSketch(e, Seq("event_type"), "user_id")
+      val sv = sk.filter(col("event_type") === "view").select(col("tsketch").as("sv"))
+      val sp = sk.filter(col("event_type") === "purchase").select(col("tsketch").as("sp"))
+      val flags = e.groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+      flags.agg(
+          sum(when(col("v") === 1 && col("p") === 1, 1L).otherwise(0L)).as("n_both_exact"),
+          sum(when(col("v") === 1 && col("p") === 0, 1L).otherwise(0L)).as("n_view_only_exact"))
+        .crossJoin(broadcast(sv)).crossJoin(broadcast(sp))
+        .withColumn("bi", Sketches.thetaSetBounds(col("sv"), col("sp"), "intersect"))
+        .withColumn("bd", Sketches.thetaSetBounds(col("sv"), col("sp"), "diff"))
+        .select(col("n_both_exact"), col("n_view_only_exact"),
+          (element_at(col("bi"), 2) <= col("n_both_exact") &&
+            col("n_both_exact") <= element_at(col("bi"), 3)).as("ok_intersect"),
+          (element_at(col("bd"), 2) <= col("n_view_only_exact") &&
+            col("n_view_only_exact") <= element_at(col("bd"), 3)).as("ok_diff"))
+    }),
+    // per-group centroid outliers ✚ (r9): 8 pseudo-domains (vec_id % 8),
+    // bottom-5 cosine-to-centroid per group — the "doesn't belong to its
+    // domain" curation prune. The centroid enters as the per-dim integer
+    // SUM (cosine is scale-invariant), so the only double rounding is the
+    // final nano-quantized cosine — engine-exact ranks
+    "q137_centroid_outliers" -> ((s, d) => {
+      Similarity.centroidOutliers(
+          Tables.embeddings(s, d).withColumn("grp", pmod(col("vec_id"), lit(8L))),
+          "vec_id", "embedding", "grp", k = 5)
+        .orderBy("grp", "rank")
+    }),
+    // Welch two-sample t ✚ (r9): the A/B-test statistic for click-vs-view
+    // spend — conditional exact cent sums in ONE aggregation, one fixed
+    // division tree both engines share, micro-quantized t
+    "q150_welch_ab" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      Stats.welchT(ev, "event_type", "cents", "click", "view")
+    }),
+    // exact ROC-AUC ✚ (r9): does order value separate finished from open
+    // orders — tie-corrected rank-sum in exact longs, two-level prefix sum
+    // (no data-sized single-partition window), one shared final division
+    "q153_roc_auc" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+        .withColumn("is_f", col("o_orderstatus") === "F")
+      Stats.rocAuc(o, "cents", "is_f", bucketWidth = 1000000L)
+    }),
+    // robust MAD outlier screen ✚ (r9): per-language length outliers —
+    // all-integer flag (20·|2x−med2| > k10·mad4), no floating point at all
+    "q155_robust_outliers" -> ((s, d) => {
+      Stats.robustOutliers(Tables.documents(s, d), "lang", "n_chars", k10 = 35)
+        .orderBy(col("lang"))
+    }),
+    // value concentration ✚ (r9): exact Gini + top-decile share of
+    // customer revenue — Decimal(38,0) rank-weighted sum, two-level ranks
+    "q157_concentration" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      Stats.concentration(o, "o_custkey", "cents", bucketWidth = 10000000L)
+    }),
+    // WoE / IV feature screen ✚ (r9): how strongly `source` separates
+    // English from the rest — exact counts, shared ln tree, micro-quantized
+    "q160_woe_iv" -> ((s, d) => {
+      val doc = Tables.documents(s, d).withColumn("is_en", col("lang") === "en")
+      Stats.woeIv(doc, "source", "is_en")
+        .orderBy(col("source"))
+    }),
+    // grouped KS sweep ✚ (r9): every event type's spend drift in ONE pass
+    // — per-segment monitoring as one shuffle, not |segments| jobs
+    "q181_ks_by_group" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg((min(col("ts_us"))
+        + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      Stats.ksTestByGroup(tagged.filter(col("ts_us") < col("mid")),
+          tagged.filter(col("ts_us") >= col("mid")), "event_type", "cents",
+          bucketWidth = 100L)
+        .orderBy(col("event_type"))
+    }),
+    // count-min sketch ✚ (r9): mergeable relational frequency cells — the
+    // sketch is built per half of the stream, MERGED by cell-wise sum, and
+    // every user's event count estimated from merged state; md5 row hashes
+    // make the estimates engine-exact (one-sided: est ≥ exact always)
+    "q182_countmin" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val (depth, width) = (4, 256)
+      // null-safe, sign-safe split (ADVICE r9 §3): a bare `% 2 === 0/1`
+      // drops null event_ids (and negative odds, where % yields −1) from
+      // BOTH halves while `exact` still counts them — breaking the
+      // one-sided est ≥ exact contract; pmod(coalesce(·,0), 2) partitions
+      // every row into exactly one half
+      val half = pmod(coalesce(col("event_id"), lit(0L)), lit(2L))
+      val halves = Seq(ev.filter(half === 0), ev.filter(half === 1))
+        .map(h => Sketches.countMinBuild(h, "user_id", depth, width))
+      val merged = Sketches.countMinMerge(halves)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c_exact"))
+      Sketches.countMinProbe(merged, ev, "user_id", depth, width)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("c_exact"), col("c_est"),
+          (col("c_est") - col("c_exact")).as("overcount"))
+        .orderBy(col("user_id"))
+    }),
+    // change-point detection ✚ (r9): per event type, WHEN did the spend
+    // level shift — exact integer between-means contrast maximized over
+    // every split, ties to the earliest; the level-shift monitor that
+    // pairs with q181's "did it drift" KS sweep
+    "q183_change_point" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      Stats.changePointByGroup(ev, "event_type", "ts_us", "event_id", "cents")
+        .withColumnRenamed("split_o", "split_ts_us")
+        .orderBy(col("event_type"))
+    }),
+    // Hamilton apportionment ✚ (r9): split a 100k-unit sampling budget
+    // across sources pro rata to character mass — floors + largest
+    // remainders, Σalloc ≡ budget exactly, no float rounding
+    "q184_apportion" -> ((s, d) => {
+      Pack.apportion(Tables.documents(s, d), Seq("source"), "n_chars",
+          budget = 100000L)
+        .orderBy(col("source"))
+    }),
+    // Good-Turing ✚ (r9): frequency-of-frequencies + adjusted counts —
+    // the unseen-mass estimate (r=1 row: P0 = N1/T) a vocab/LM pipeline
+    // reads before choosing its smoothing
+    "q185_good_turing" -> ((s, d) => {
+      Lm.goodTuring(Tables.documents(s, d), "text")
+        .orderBy(col("r"))
+    }),
+    // Poisson bootstrap ✚ (r9): deterministic seeded resampling — 64
+    // map-side replicates from md5-derived Poisson(1) weights, CI from
+    // order statistics of the replicate means; the scalable bootstrap
+    "q190_bootstrap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      Stats.poissonBootstrapMean(ev, "event_id", "cents", reps = 64)
+    }),
+    // rank-biased overlap ✚ (r9): top-weighted similarity of the q187
+    // run pair WITHOUT designating a truth side — pre-rounded weight
+    // lookup at the worse rank, exact integer sums
+    "q194_rbo" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+      def cut(df: DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val sys = Similarity.bruteForceTopK(cut(emb), cut(qs), "vec_id", "embedding", k = 10)
+      Similarity.rboOverlap(sys, truth).orderBy(col("query_id"))
+    }),
+    // vocabulary growth ✚ (r9): the Heaps'-law saturation curve — one
+    // corpus scan, per-type first-checkpoint assignment, running sums
+    // over the checkpoint table
+    "q195_vocab_growth" -> ((s, d) => {
+      Lm.vocabGrowth(Tables.documents(s, d), "doc_id", "text",
+          Seq(16L, 64L, 256L, 1024L, 4096L, 16384L))
+        .orderBy(col("k"))
+    }),
+    // Kaplan-Meier churn ✚ (r9): survival of user activity spans (hours),
+    // censored when the last event falls in the final 10% of the range —
+    // log-space product with per-level rounded-ln terms, two-level prefixes
+    "q179_kaplan_meier" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val spans = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("f"), max(col("ts_us")).as("l"))
+      val bounds = ev.agg(min(col("ts_us")).as("gmin"), max(col("ts_us")).as("gmax"))
+      val hourUs = 3600000000L
+      val obs = spans.crossJoin(broadcast(bounds))
+        .withColumn("cut",
+          col("gmax") - floor((col("gmax") - col("gmin")) / 10).cast(LongType))
+        .withColumn("span", col("l") - col("f"))
+        .withColumn("dur", ((col("span") - col("span") % hourUs) / hourUs).cast(LongType))
+        .withColumn("churned", col("l") < col("cut"))
+      Stats.kaplanMeier(obs, "dur", "churned", bucketWidth = 100L)
+    }),
+    // two-sample KS ✚ (r9): spend distribution, first half vs second half —
+    // the continuous drift monitor (q166 PSI is the categorical sibling);
+    // exact integer max over the merged step grid, Decimal(38,0) products
+    "q171_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg((min(col("ts_us"))
+        + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      Stats.ksTest(tagged.filter(col("ts_us") < col("mid")),
+        tagged.filter(col("ts_us") >= col("mid")), "cents", bucketWidth = 100L)
+    }),
+    // exact Spearman ✚ (r9): quantity vs line revenue — tie-averaged ranks
+    // as exact integers (2·below + cnt + 1), two-level prefix ranks
+    "q172_spearman" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .withColumn("qty", col("l_quantity").cast(LongType))
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      Stats.spearman(l, "qty", "cents", bucketWidth = 1000000L)
+    }),
+    // PSI drift ✚ (r9): event-type distribution, first half vs second half
+    // of the time range — appeared/vanished levels flagged, never epsilon'd
+    "q166_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg((min(col("ts_us"))
+        + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      Stats.psi(tagged.filter(col("ts_us") < col("mid")),
+          tagged.filter(col("ts_us") >= col("mid")), "event_type")
+        .orderBy(col("event_type"))
+    }),
+    // Benford audit ✚ (r9): leading digit of order cents vs log10(1+1/d) —
+    // digit from the decimal STRING, never a double log
+    "q167_benford" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      Stats.benford(o, "cents").orderBy(col("digit"))
+    }),
+    // Cohen's kappa ✚ (r9): chance-corrected agreement between the gold
+    // lang column and the q23 n-gram heuristic — the labeler-eval statistic
+    "q168_kappa" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+        .filter(col("lang").isNotNull)
+        .select(col("lang"), Text.langId(col("text")).as("lang_id"))
+      Stats.cohenKappa(doc, "lang", "lang_id")
+    }),
+    // mergeable-sketch distinct: per-shard HLL sketches of the token stream,
+    // unioned to a global estimate; the oracle asserts the error bound
+    // against the exact count (the estimate itself is approximate and not
+    // partitioning-deterministic — see Sketches scaladoc)
+    "q64_sketch_distinct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
+      val sk = Sketches.sketch(Ops.shardByHash(toks, "token", 8), Seq("shard"), "token")
+      val est = Sketches.mergeEstimate(sk, Nil)
+      val exact = toks.agg(countDistinct(col("token")).as("n_exact"))
+      exact.crossJoin(est).select(
+        lit(8L).as("n_shards"), col("n_exact"),
+        Sketches.withinTolerance(col("n_distinct_est"), col("n_exact"), 0.05)
+          .as("within_5pct"))
+    }),
+    // equal-frequency binning ✚: rank-percentile bins derived from the
+    // per-VALUE count table (ntile semantics minus its engine-specific tie
+    // split); rows are never globally sorted — the tiny value->bin map
+    // broadcast-joins back onto the input
+    "q84_quantile_bins" -> ((s, d) => {
+      operators.Profile.equalFrequencyBins(Tables.lineitem(s, d), "l_quantity", 8)
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+        .orderBy("bin")
+    }),
+    // exact per-group correlation ✚: Pearson r from fixed-order plain sums
+    // (integral columns -> exact sums -> engine-identical doubles), where
+    // built-in streaming corr is partition-order dependent
+    "q76_corr_exact" -> ((s, d) => {
+      Grouping.groupby(Tables.lineitem(s, d), Seq("l_returnflag"))
+        .corrExact("l_quantity", "l_linenumber", "corr_qty_line")
+        .orderBy("l_returnflag")
+    }),
+    // mergeable KLL quantile sketches ✚ (VERDICT r5 §next-6, q64's
+    // percentile sibling): per-(returnflag, linestatus) shard sketches
+    // over exact cents, merged UP to returnflag — store-and-merge, no raw
+    // rows at query time. The k=200 sketch bounds normalized RANK error
+    // (~1.65%, 99% conf), so each estimate is asserted inside the exact
+    // values at rank p±2.5% (bracket booleans; oracle emits TRUE — the
+    // sketch value itself is merge-tree-specific and never hash-compared,
+    // exactly q64's contract); the exact percentiles hash-compare.
+    "q110_kll_quantiles" -> ((s, d) => {
+      val x = Tables.lineitem(s, d).filter(col("l_extendedprice").isNotNull)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+      val sk = Sketches.quantileSketch(x, Seq("l_returnflag", "l_linestatus"), "cents")
+      val est = Sketches.mergeQuantiles(sk, Seq("l_returnflag"), Seq(0.5, 0.9, 0.99))
+      val exact = Grouping.groupby(x, Seq("l_returnflag"))
+        .percentilesDisc("cents", Seq(
+          0.5 -> "p50_cents", 0.475 -> "lo50", 0.525 -> "hi50",
+          0.9 -> "p90_cents", 0.875 -> "lo90", 0.925 -> "hi90",
+          0.99 -> "p99_cents", 0.965 -> "lo99", 1.0 -> "hi99"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          col("p50_cents"), col("p90_cents"), col("p99_cents"),
+          (col("q50") >= col("lo50") && col("q50") <= col("hi50")).as("ok_p50"),
+          (col("q90") >= col("lo90") && col("q90") <= col("hi90")).as("ok_p90"),
+          (col("q99") >= col("lo99") && col("q99") <= col("hi99")).as("ok_p99"))
+        .orderBy("l_returnflag")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q23_text_stats" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS lt,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+         sc AS (
+           SELECT doc_id, text, n_tokens,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+             len(lt) AS ntok
+           FROM t)
+         SELECT doc_id, n_tokens,
+                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+                CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                     WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                     WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                     ELSE 'und' END AS lang_id,
+                CASE WHEN text IS NULL THEN NULL
+                     WHEN length(trim(text)) > 0 THEN
+                       0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                       + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                       + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+                     ELSE 0.0 END AS quality
+         FROM sc ORDER BY doc_id""",
+    "q26_token_freq" ->
+      """SELECT t AS token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents)
+         GROUP BY t ORDER BY n DESC, t LIMIT 20""",
+    // exact flag-sums replayed; the theta set-operation bounds are
+    // asserted Spark-side against the sketch's own 3σ interval, TRUE here
+    "q113_theta_sets" ->
+      """WITH f AS (SELECT user_id,
+                max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY user_id)
+         SELECT CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_exact,
+                CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only_exact,
+                TRUE AS ok_intersect, TRUE AS ok_diff
+         FROM f""",
+    // centroid in per-dim integer-SUM form (exact BIGINT hash-agg); the
+    // single rounding is the final nano cosine, ranks ascending — the
+    // zero-norm sentinel mirrors the Spark side's -2e9 pin
+    "q137_centroid_outliers" ->
+      s"""WITH $sqlVecs,
+         g AS (SELECT vec_id, vec_id % 8 AS grp, q, nn FROM v),
+         e AS (SELECT grp, d, q[d] AS x
+               FROM g, unnest(range(1, len(q) + 1)) AS t(d)),
+         sums AS (SELECT grp, d, CAST(sum(x) AS BIGINT) AS sx FROM e GROUP BY 1, 2),
+         cvec AS (SELECT grp, list(sx ORDER BY d) AS cs FROM sums GROUP BY 1),
+         cn AS (SELECT grp, cs, list_sum([y * y for y in cs]) AS cnn FROM cvec),
+         scored AS (SELECT g.grp, g.vec_id,
+                COALESCE(CAST(round(
+                    list_sum([p[1] * p[2] for p in list_zip(g.q, cn.cs)])::DOUBLE
+                      / NULLIF(sqrt(g.nn::DOUBLE) * sqrt(cn.cnn::DOUBLE), 0)
+                      * 1000000000) AS BIGINT), -2000000000) AS cos_nano
+              FROM g JOIN cn ON g.grp = cn.grp),
+         rk AS (SELECT grp, vec_id, cos_nano,
+                row_number() OVER (PARTITION BY grp
+                  ORDER BY cos_nano ASC, vec_id) AS rank
+              FROM scored)
+         SELECT grp, vec_id, cos_nano, CAST(rank AS BIGINT) AS rank
+         FROM rk WHERE rank <= 5 ORDER BY grp, rank""",
+    // identical division tree: v = (Σx² − (Σx)²/n)/(n−1), se² = va/na+vb/nb,
+    // t = (ma − mb)/√se² — exact cent sums make the doubles engine-equal
+    "q150_welch_ab" ->
+      """WITH x AS (SELECT event_type AS g,
+                CAST(round(value * 100) AS BIGINT)::DOUBLE AS v FROM events),
+         s AS (SELECT
+                count(CASE WHEN g = 'click' AND v IS NOT NULL THEN 1 END)::DOUBLE AS na,
+                sum(CASE WHEN g = 'click' THEN v END) AS sa,
+                sum(CASE WHEN g = 'click' THEN v * v END) AS sa2,
+                count(CASE WHEN g = 'view' AND v IS NOT NULL THEN 1 END)::DOUBLE AS nb,
+                sum(CASE WHEN g = 'view' THEN v END) AS sb,
+                sum(CASE WHEN g = 'view' THEN v * v END) AS sb2
+               FROM x)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CASE WHEN na >= 1 THEN sa / na END AS mean_a,
+                CASE WHEN nb >= 1 THEN sb / nb END AS mean_b,
+                CASE WHEN na >= 2 AND nb >= 2
+                      AND (sa2 - sa * sa / na) / (na - 1) / na
+                        + (sb2 - sb * sb / nb) / (nb - 1) / nb > 0
+                     THEN CAST(round((sa / na - sb / nb)
+                          / sqrt((sa2 - sa * sa / na) / (na - 1) / na
+                               + (sb2 - sb * sb / nb) / (nb - 1) / nb) * 1e6) AS BIGINT)
+                END AS t_micro
+         FROM s""",
+    // same exact rank-sum identity over distinct score levels; the oracle
+    // uses the one-level window (result-identical — the stats are exact
+    // longs; the Spark side's two-level shape is a scale choice, not a
+    // semantics one)
+    "q153_roc_auc" ->
+      """WITH x AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+                (o_orderstatus = 'F') AS lbl FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+         lv AS (SELECT s, count(CASE WHEN lbl THEN 1 END) AS p,
+                       count(CASE WHEN NOT lbl THEN 1 END) AS n
+                FROM x GROUP BY s),
+         w AS (SELECT p, n, COALESCE(sum(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+               FROM lv),
+         t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                      CAST(sum(n) AS BIGINT) AS n_neg,
+                      CAST(sum(p * (cb * 2 + n)) AS BIGINT) AS auc_num2 FROM w)
+         SELECT n_pos, n_neg, auc_num2,
+                CASE WHEN n_pos > 0 AND n_neg > 0
+                     THEN CAST(round(auc_num2::DOUBLE
+                          / (n_pos::DOUBLE * n_neg::DOUBLE * 2) * 1e6) AS BIGINT)
+                END AS auc_micro
+         FROM t""",
+    // same integer flag tree; DuckDB median of BIGINT interpolates the two
+    // middles, so 2·median casts back to an exact BIGINT
+    "q155_robust_outliers" ->
+      """WITH x AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+              FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         m AS (SELECT g, CAST(2 * median(v) AS BIGINT) AS med2 FROM x GROUP BY g),
+         d AS (SELECT x.g, v, abs(2 * v - med2) AS d2, med2
+               FROM x JOIN m ON x.g = m.g),
+         md AS (SELECT g, CAST(2 * median(d2) AS BIGINT) AS mad4 FROM d GROUP BY g)
+         SELECT d.g AS lang, CAST(count(*) AS BIGINT) AS n_rows,
+                max(med2) AS med_x2, max(mad4) AS mad_x4,
+                count(CASE WHEN mad4 > 0 AND 20 * d2 > 35 * mad4 THEN 1 END) AS n_outliers
+         FROM d JOIN md ON d.g = md.g GROUP BY 1 ORDER BY 1""",
+    // same rank-weighted sum in HUGEINT (the Decimal(38,0) twin), same
+    // fixed Gini/share trees
+    "q157_concentration" ->
+      """WITH pk AS (SELECT o_custkey AS k,
+                COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS x
+              FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS i FROM pk),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                      sum(i::HUGEINT * x::HUGEINT) AS six FROM r),
+         tc AS (SELECT COALESCE(sum(x), 0) AS top_x
+                FROM r, t WHERE i > n - CAST(floor((n + 9) / 10) AS BIGINT))
+         SELECT n AS n_keys, sx AS total,
+                CASE WHEN n > 0 AND sx > 0
+                     THEN CAST(round((six::DOUBLE * 2 - (n + 1)::DOUBLE * sx::DOUBLE)
+                          / (n::DOUBLE * sx::DOUBLE) * 1e6) AS BIGINT)
+                END AS gini_micro,
+                CASE WHEN sx > 0
+                     THEN CAST(round(top_x::DOUBLE / sx::DOUBLE * 1e6) AS BIGINT)
+                END AS top10_share_micro
+         FROM t, tc""",
+    // same exact counts and the shared ln tree, micro-quantized
+    "q160_woe_iv" ->
+      """WITH d AS (SELECT source, (lang = 'en') AS lbl FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL),
+         lv AS (SELECT source, count(CASE WHEN lbl THEN 1 END) AS pos,
+                       count(CASE WHEN NOT lbl THEN 1 END) AS neg
+                FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                      CAST(sum(neg) AS BIGINT) AS tn FROM lv)
+         SELECT source, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+                CASE WHEN pos > 0 AND neg > 0
+                     THEN CAST(round(ln((pos::DOUBLE / tp::DOUBLE)
+                          / (neg::DOUBLE / tn::DOUBLE)) * 1e6) AS BIGINT)
+                END AS woe_micro,
+                COALESCE(CASE WHEN pos > 0 AND neg > 0
+                     THEN CAST(round((pos::DOUBLE / tp::DOUBLE - neg::DOUBLE / tn::DOUBLE)
+                          * ln((pos::DOUBLE / tp::DOUBLE) / (neg::DOUBLE / tn::DOUBLE))
+                          * 1e6) AS BIGINT) END, 0) AS iv_term_micro
+         FROM lv CROSS JOIN t ORDER BY source""",
+    // the q171 step-grid machinery with the group as an extra key
+    "q181_ks_by_group" ->
+      """WITH raw AS (SELECT event_type AS g,
+                CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS t
+              FROM events),
+         m AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2.0) AS BIGINT) AS mid
+               FROM raw),
+         la AS (SELECT g, v, count(*) AS ca FROM raw, m
+                WHERE t < mid AND v IS NOT NULL AND g IS NOT NULL GROUP BY 1, 2),
+         lb AS (SELECT g, v, count(*) AS cb FROM raw, m
+                WHERE t >= mid AND v IS NOT NULL AND g IS NOT NULL GROUP BY 1, 2),
+         gm AS (SELECT COALESCE(la.g, lb.g) AS g, COALESCE(la.v, lb.v) AS v,
+                       COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                FROM la FULL OUTER JOIN lb ON la.g = lb.g AND la.v = lb.v),
+         c AS (SELECT g, v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM gm
+               WINDOW w AS (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t2 AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM gm GROUP BY 1),
+         dm AS (SELECT c.g, max(abs(nb::HUGEINT * cuma::HUGEINT
+                              - na::HUGEINT * cumb::HUGEINT)) AS dmax
+                FROM c JOIN t2 ON c.g = t2.g GROUP BY 1)
+         SELECT t2.g AS event_type, na AS n_a, nb AS n_b,
+                CASE WHEN na > 0 AND nb > 0
+                     THEN CAST(round(dmax::DOUBLE / (na::DOUBLE * nb::DOUBLE) * 1e6) AS BIGINT)
+                END AS ks_micro
+         FROM t2 JOIN dm ON t2.g = dm.g ORDER BY event_type""",
+    // the identical md5 hex fold (15 chars → 60-bit long) % width gives the
+    // same cells; a one-shot build equals Spark's merged half-sketches by
+    // the cell-sum identity, so every estimate hash-compares exactly
+    "q182_countmin" ->
+      """WITH it AS (SELECT user_id::VARCHAR AS it FROM events
+                     WHERE user_id IS NOT NULL),
+         cells AS (SELECT r,
+                list_sum([ (instr('0123456789abcdef',
+                                  substr(md5(r::VARCHAR || ':' || it), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) % 256 AS b,
+                count(*) AS c
+              FROM it, range(0, 4) t(r) GROUP BY 1, 2),
+         ex AS (SELECT it, count(*) AS c_exact FROM it GROUP BY 1),
+         probes AS (SELECT it, r,
+                list_sum([ (instr('0123456789abcdef',
+                                  substr(md5(r::VARCHAR || ':' || it), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) % 256 AS b
+              FROM ex, range(0, 4) t(r)),
+         est AS (SELECT it, min(COALESCE(c, 0)) AS c_est
+                 FROM probes LEFT JOIN cells USING (r, b) GROUP BY 1)
+         SELECT CAST(ex.it AS BIGINT) AS user_id, c_exact, c_est,
+                c_est - c_exact AS overcount
+         FROM ex JOIN est USING (it) ORDER BY user_id""",
+    // one global window stands in for the engine's two-level prefix — same
+    // exact integer D_i = |n·S_i − i·S_n|, argmax ties to smallest i
+    "q183_change_point" ->
+      """WITH raw AS (SELECT event_type AS g, epoch_us(ts) AS o, event_id AS id,
+                CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL AND event_id IS NOT NULL),
+         c AS (SELECT g, o, id, v, count(*) OVER w AS i, sum(v) OVER w AS si
+               FROM raw WINDOW w AS (PARTITION BY g ORDER BY o, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT g, count(*) AS n, sum(v) AS sn FROM raw GROUP BY 1),
+         s AS (SELECT c.g, i, o, n,
+                      abs(n::HUGEINT * si::HUGEINT - i::HUGEINT * sn::HUGEINT) AS d
+               FROM c JOIN t USING (g) WHERE i < n),
+         dm AS (SELECT g, max(d) AS dmax FROM s GROUP BY 1),
+         best AS (SELECT s.g, min(i) AS split_i
+                  FROM s JOIN dm ON s.g = dm.g AND s.d = dm.dmax GROUP BY 1)
+         SELECT s.g AS event_type, s.n, best.split_i, s.o AS split_ts_us,
+                CAST(round(dm.dmax::DOUBLE
+                  / (best.split_i::DOUBLE * (s.n - best.split_i)::DOUBLE) * 1e6)
+                  AS BIGINT) AS gap_micro
+         FROM s JOIN dm ON s.g = dm.g AND s.d = dm.dmax
+                JOIN best ON s.g = best.g AND s.i = best.split_i
+         ORDER BY event_type""",
+    // HUGEINT products/mods replay the engine's Decimal(38,0) arithmetic;
+    // // is exact because budget·w − rem is divisible by W by construction
+    "q184_apportion" ->
+      """WITH pg AS (SELECT source AS g, CAST(sum(n_chars) AS HUGEINT) AS w
+                     FROM documents
+                     WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                       AND n_chars >= 0 GROUP BY 1),
+         t AS (SELECT sum(w) AS wt FROM pg),
+         j AS (SELECT g, w, (100000::HUGEINT * w) % wt AS rem,
+                      (100000::HUGEINT * w) // wt AS fq
+               FROM pg, t WHERE wt > 0),
+         l AS (SELECT 100000 - sum(fq) AS lf FROM j),
+         r AS (SELECT g, w, fq, rem,
+                      row_number() OVER (ORDER BY rem DESC, g) AS rk FROM j)
+         SELECT g AS source, CAST(w AS BIGINT) AS w,
+                CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         FROM r, l ORDER BY source""",
+    // same normalize/tokenize as the LM family; the only division is the
+    // final r* ratio over exact integer counts
+    "q185_good_turing" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                '\s+')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+         ff AS (SELECT c AS r, count(*) AS n_r FROM c GROUP BY 1),
+         nx AS (SELECT r - 1 AS r, n_r AS n_next FROM ff)
+         SELECT ff.r, ff.n_r,
+                CASE WHEN n_next IS NOT NULL
+                     THEN CAST(round((ff.r + 1)::DOUBLE * n_next::DOUBLE
+                                     / ff.n_r::DOUBLE * 1e6) AS BIGINT)
+                END AS r_star_micro
+         FROM ff LEFT JOIN nx USING (r) ORDER BY r""",
+    // one md5 per ROW → (w0, w1) words; replicate uniforms via the
+    // Kirsch–Mitzenmacher (w0 + r·w1) mod (2³¹−1), SAME literal CDF
+    // thresholds; lo/hi indices fixed at ceil(0.025·64) = 2
+    "q190_bootstrap" ->
+      """WITH base AS (SELECT event_id::VARCHAR AS id,
+                CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         hw AS (SELECT v,
+                list_sum([ (instr('0123456789abcdef', substr(md5(id), k, 1)) - 1)
+                           * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                list_sum([ (instr('0123456789abcdef', substr(md5(id), k + 8, 1)) - 1)
+                           * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+              FROM base),
+         wts AS (SELECT r, v,
+                CASE WHEN u < 790015083 THEN 0
+                     WHEN u < 1580030167 THEN 1
+                     WHEN u < 1975037709 THEN 2
+                     WHEN u < 2106706890 THEN 3
+                     WHEN u < 2139624185 THEN 4
+                     WHEN u < 2146207644 THEN 5
+                     WHEN u < 2147304887 THEN 6
+                     ELSE 7 END AS w
+              FROM (SELECT r, v, (w0 + w1 * r) % 2147483647 AS u
+                    FROM hw, range(0, 64) t(r)) t),
+         rs AS (SELECT r, CAST(round(sum(w * v)::DOUBLE / sum(w)::DOUBLE * 1e6)
+                               AS BIGINT) AS m
+                FROM wts GROUP BY r HAVING sum(w) > 0),
+         rk AS (SELECT r, m, row_number() OVER (ORDER BY m, r) AS ra,
+                       row_number() OVER (ORDER BY m DESC, r DESC) AS rd FROM rs),
+         ci AS (SELECT count(*) AS nb,
+                       max(CASE WHEN ra = 2 THEN m END) AS lo,
+                       max(CASE WHEN rd = 2 THEN m END) AS hi,
+                       sum(m::HUGEINT) AS sm,
+                       sum(m::HUGEINT * m::HUGEINT) AS sm2 FROM rk),
+         f AS (SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sv FROM base)
+         SELECT n_rows,
+                CASE WHEN n_rows > 0
+                     THEN CAST(round(sv::DOUBLE / n_rows::DOUBLE * 1e6) AS BIGINT)
+                END AS mean_micro,
+                lo AS boot_lo_micro, hi AS boot_hi_micro,
+                CASE WHEN nb >= 2
+                     THEN CAST(round(sqrt((sm2::DOUBLE - sm::DOUBLE * sm::DOUBLE
+                                           / nb::DOUBLE) / (nb::DOUBLE - 1)))
+                               AS BIGINT)
+                END AS boot_se_micro
+         FROM f, ci""",
+    // the q187 run pair + the SAME literal RBO weights (k=10, p=0.9),
+    // one lookup at the worse rank per shared item
+    "q194_rbo" ->
+      s"""WITH $sqlVecs,
+         v16 AS (SELECT vec_id, q[1:16] AS q,
+                        list_sum([qq * qq for qq in q[1:16]]) AS nn FROM v),
+         truth AS (SELECT query_id, nbr_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                 / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
+                               c.vec_id) AS rank
+             FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) t
+           WHERE rank <= 10),
+         sys AS (SELECT query_id, nbr_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_sum([p[1] * p[2] for p in list_zip(q.q, c.q)])::DOUBLE
+                                 / NULLIF(sqrt(q.nn::DOUBLE) * sqrt(c.nn::DOUBLE), 0) DESC,
+                               c.vec_id) AS rank
+             FROM v16 q JOIN v16 c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) t
+           WHERE rank <= 10),
+         sh AS (SELECT s.query_id,
+                ([235416,135416,90416,63416,45191,32069,22228,14636,8657,3874])
+                  [greatest(s.rank, t.rank)::INT] AS w
+              FROM sys s JOIN truth t
+                ON s.query_id = t.query_id AND s.nbr_id = t.nbr_id),
+         ag AS (SELECT query_id, count(*) AS n_shared,
+                       CAST(sum(w) AS BIGINT) AS rbo_micro FROM sh GROUP BY 1),
+         qs AS (SELECT DISTINCT query_id FROM
+                (SELECT query_id FROM sys UNION SELECT query_id FROM truth) u)
+         SELECT qs.query_id, COALESCE(n_shared, 0) AS n_shared,
+                COALESCE(rbo_micro, 0) AS rbo_micro
+         FROM qs LEFT JOIN ag ON qs.query_id = ag.query_id
+         ORDER BY qs.query_id""",
+    // the same normalize/tokenize; smallest covering checkpoint via a
+    // filtered list min; running sums over the checkpoint table
+    "q195_vocab_growth" ->
+      """WITH cps AS (SELECT unnest([16, 64, 256, 1024, 4096, 16384]) AS k),
+         toks AS (SELECT doc_id AS id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents WHERE doc_id IS NOT NULL),
+         ft AS (SELECT k, count(*) AS new_types FROM (
+                  SELECT list_min([c for c in [16, 64, 256, 1024, 4096, 16384]
+                                   if c >= fid]) AS k
+                  FROM (SELECT token, min(id) AS fid FROM toks GROUP BY 1) t) u
+                WHERE k IS NOT NULL GROUP BY 1),
+         tm AS (SELECT k, count(*) AS new_tokens FROM (
+                  SELECT list_min([c for c in [16, 64, 256, 1024, 4096, 16384]
+                                   if c >= id]) AS k FROM toks) u
+                WHERE k IS NOT NULL GROUP BY 1),
+         cur AS (SELECT cps.k,
+                sum(COALESCE(new_tokens, 0)) OVER (ORDER BY cps.k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_tokens,
+                sum(COALESCE(new_types, 0)) OVER (ORDER BY cps.k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
+              FROM cps LEFT JOIN ft ON cps.k = ft.k
+                       LEFT JOIN tm ON cps.k = tm.k)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_types AS BIGINT) AS n_types,
+                CASE WHEN n_tokens > 0
+                     THEN CAST(round(n_types::DOUBLE / n_tokens::DOUBLE * 1e6)
+                               AS BIGINT)
+                END AS ttr_micro
+         FROM cur ORDER BY k""",
+    // same censoring cut, level grid, rounded-ln terms, shared exp tree
+    "q179_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         sp AS (SELECT user_id, min(t) AS f, max(t) AS l FROM e GROUP BY 1),
+         g AS (SELECT min(t) AS gmin, max(t) AS gmax FROM e),
+         obs AS (SELECT ((l - f) - (l - f) % 3600000000) / 3600000000 AS dur,
+                        l < gmax - CAST(floor((gmax - gmin) / 10.0) AS BIGINT) AS ev
+                 FROM sp, g),
+         lv AS (SELECT CAST(dur AS BIGINT) AS dur,
+                       CAST(count(CASE WHEN ev THEN 1 END) AS BIGINT) AS d,
+                       CAST(count(CASE WHEN NOT ev THEN 1 END) AS BIGINT) AS c
+                FROM obs GROUP BY 1),
+         l2 AS (SELECT dur, d, c, d + c AS tot FROM lv),
+         t2 AS (SELECT CAST(sum(tot) AS BIGINT) AS N FROM l2),
+         r AS (SELECT dur, d, c,
+                CAST(N - COALESCE(sum(tot) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+               FROM l2, t2),
+         s AS (SELECT dur, d, c, n_risk,
+                CASE WHEN d > 0 AND d < n_risk
+                     THEN CAST(round(ln(1 - d::DOUBLE / n_risk::DOUBLE) * 1e6) AS BIGINT)
+                END AS term,
+                CASE WHEN d = n_risk THEN 1 ELSE 0 END AS pin
+               FROM r),
+         cum AS (SELECT dur, n_risk, d, c,
+                CAST(sum(term) OVER win AS BIGINT) AS ls, max(pin) OVER win AS dead
+               FROM s WINDOW win AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT dur, n_risk, d AS n_events, c AS n_censored,
+                CASE WHEN dead = 0 THEN ls END AS logsurv_micro,
+                CASE WHEN dead = 1 THEN 0
+                     WHEN ls IS NULL THEN 1000000
+                     ELSE CAST(round(exp(ls::DOUBLE / 1e6) * 1e6) AS BIGINT)
+                END AS surv_micro
+         FROM cum ORDER BY dur""",
+    // same mid split, merged step grid, HUGEINT cross products, max once
+    "q171_ks_drift" ->
+      """WITH raw AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                epoch_us(ts) AS t FROM events),
+         m AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2.0) AS BIGINT) AS mid
+               FROM raw),
+         la AS (SELECT v, count(*) AS ca FROM raw, m
+                WHERE t < mid AND v IS NOT NULL GROUP BY 1),
+         lb AS (SELECT v, count(*) AS cb FROM raw, m
+                WHERE t >= mid AND v IS NOT NULL GROUP BY 1),
+         g AS (SELECT COALESCE(la.v, lb.v) AS v, COALESCE(ca, 0) AS ca,
+                      COALESCE(cb, 0) AS cb
+               FROM la FULL OUTER JOIN lb ON la.v = lb.v),
+         c AS (SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM g
+               WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t2 AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM g),
+         dm AS (SELECT max(abs(nb::HUGEINT * cuma::HUGEINT
+                             - na::HUGEINT * cumb::HUGEINT)) AS dmax
+                FROM c CROSS JOIN t2)
+         SELECT na AS n_a, nb AS n_b,
+                CASE WHEN na > 0 AND nb > 0
+                     THEN CAST(round(dmax::DOUBLE / (na::DOUBLE * nb::DOUBLE) * 1e6) AS BIGINT)
+                END AS ks_micro
+         FROM t2 CROSS JOIN dm""",
+    // same doubled tie-averaged ranks and the shared Pearson tree
+    "q172_spearman" ->
+      """WITH r0 AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         lx AS (SELECT x AS v, count(*) AS c FROM r0 GROUP BY 1),
+         cx AS (SELECT v, 2 * COALESCE(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+                FROM lx),
+         ly AS (SELECT y AS v, count(*) AS c FROM r0 GROUP BY 1),
+         cy AS (SELECT v, 2 * COALESCE(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+                FROM ly),
+         rr AS (SELECT cx.r AS rx, cy.r AS ry
+                FROM r0 JOIN cx ON r0.x = cx.v JOIN cy ON r0.y = cy.v),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+                      sum(rx::HUGEINT * rx::HUGEINT) AS sxx,
+                      sum(ry::HUGEINT * ry::HUGEINT) AS syy,
+                      sum(rx::HUGEINT * ry::HUGEINT) AS sxy FROM rr)
+         SELECT n AS n_rows,
+                CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                      AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+                     THEN CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                          / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                          * 1e6) AS BIGINT)
+                END AS rho_micro
+         FROM s""",
+    // same exact split point, full-outer level grid, and shared ln tree
+    "q166_psi_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+         m AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2.0) AS BIGINT) AS mid
+               FROM e),
+         la AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+                FROM e, m WHERE t < mid AND event_type IS NOT NULL GROUP BY 1),
+         lb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_b
+                FROM e, m WHERE t >= mid AND event_type IS NOT NULL GROUP BY 1),
+         lv AS (SELECT COALESCE(la.event_type, lb.event_type) AS event_type,
+                       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                FROM la FULL OUTER JOIN lb ON la.event_type = lb.event_type),
+         t2 AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                       CAST(sum(n_b) AS BIGINT) AS tb FROM lv)
+         SELECT event_type, n_a, n_b, (n_a = 0 OR n_b = 0) AS one_sided,
+                CASE WHEN n_a > 0 AND n_b > 0
+                     THEN CAST(round((n_a::DOUBLE / ta::DOUBLE - n_b::DOUBLE / tb::DOUBLE)
+                          * ln((n_a::DOUBLE / ta::DOUBLE) / (n_b::DOUBLE / tb::DOUBLE))
+                          * 1e6) AS BIGINT)
+                END AS psi_term_micro
+         FROM lv CROSS JOIN t2 ORDER BY event_type""",
+    // the same decimal-string leading digit and micro trees
+    "q167_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         d AS (SELECT CAST(substr(c::VARCHAR, 1, 1) AS BIGINT) AS digit,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM v WHERE c IS NOT NULL AND c > 0 GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM d)
+         SELECT digit, n,
+                CAST(round(n::DOUBLE / tt::DOUBLE * 1e6) AS BIGINT) AS share_micro,
+                CAST(round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0) * 1e6) AS BIGINT) AS benford_micro,
+                CAST(round(n::DOUBLE / tt::DOUBLE * 1e6) AS BIGINT)
+                  - CAST(round(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0) * 1e6) AS BIGINT) AS dev_micro
+         FROM d CROSS JOIN t ORDER BY digit""",
+    // the q23 lang-id CTE verbatim, then the exact-marginal kappa identity
+    "q168_kappa" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS lt
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh
+           FROM t),
+         lbl AS (
+           SELECT d.lang AS la,
+                CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                     WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                     WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                     ELSE 'und' END AS lb
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+           WHERE d.lang IS NOT NULL),
+         j AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM lbl GROUP BY 1, 2),
+         ra AS (SELECT la, CAST(sum(c) AS BIGINT) AS r FROM j GROUP BY 1),
+         cb AS (SELECT lb, CAST(sum(c) AS BIGINT) AS cc FROM j GROUP BY 1),
+         rc AS (SELECT COALESCE(sum(r::HUGEINT * cc::HUGEINT), 0::HUGEINT) AS src
+                FROM ra JOIN cb ON ra.la = cb.lb),
+         b AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS agree
+               FROM j)
+         SELECT n AS n_rows, agree AS n_agree,
+                CASE WHEN n::HUGEINT * n::HUGEINT <> src
+                     THEN CAST(round((n::DOUBLE * agree::DOUBLE - src::DOUBLE)
+                          / (n::DOUBLE * n::DOUBLE - src::DOUBLE) * 1e6) AS BIGINT)
+                END AS kappa_micro
+         FROM b CROSS JOIN rc""",
+    "q64_sketch_distinct" ->
+      """SELECT CAST(8 AS BIGINT) AS n_shards,
+                CAST(count(DISTINCT t) AS BIGINT) AS n_exact,
+                TRUE AS within_5pct
+         FROM (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+               FROM documents)""",
+    "q84_quantile_bins" ->
+      """WITH vc AS (SELECT l_quantity AS v, count(*) AS n FROM lineitem
+                     WHERE l_quantity IS NOT NULL GROUP BY 1),
+         b AS (SELECT v,
+                      CAST((coalesce(sum(n) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 8)
+                        // sum(n) OVER () AS BIGINT) AS bin
+               FROM vc)
+         SELECT bin, count(*) AS n, min(l_quantity) AS lo, max(l_quantity) AS hi
+         FROM lineitem JOIN b ON l_quantity = b.v
+         GROUP BY 1 ORDER BY 1""",
+    "q76_corr_exact" ->
+      """WITH a AS (
+           SELECT l_returnflag,
+                  sum(l_quantity) AS sx, sum(l_linenumber::DOUBLE) AS sy,
+                  sum(l_quantity * l_linenumber::DOUBLE) AS sxy,
+                  sum(l_quantity * l_quantity) AS sx2,
+                  sum(l_linenumber::DOUBLE * l_linenumber::DOUBLE) AS sy2,
+                  count(*)::DOUBLE AS n
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                CASE WHEN n >= 2 AND n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+                     THEN (n * sxy - sx * sy)
+                          / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+                END AS corr_qty_line
+         FROM a ORDER BY l_returnflag""",
+    // exact percentiles replayed (q105's tree); the KLL bracket booleans
+    // are asserted Spark-side and emitted TRUE here (q64's contract for
+    // merge-tree-specific sketch values)
+    "q110_kll_quantiles" ->
+      """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS cnt
+               FROM x)
+         SELECT l_returnflag,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT)) THEN cents END) AS p50_cents,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT)) THEN cents END) AS p90_cents,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.99 AS DOUBLE) * cnt) AS BIGINT)) THEN cents END) AS p99_cents,
+                TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}

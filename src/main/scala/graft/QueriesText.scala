@@ -1,0 +1,982 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Audit, Bpe, Classify, Dedup, Dsir, Graph, Grouping, Intervals, Joins, Layout, Lm, Ops, Pack, Profile, Search, Sequences, Similarity, Sketches, Stats, Unigram}
+import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
+import graft.streaming.Streams
+
+/** [[SparkEntry]] registry slice — text analysis & curation: language/quality/tokens, BPE, sampling, budgets, packing, DSIR, classification.
+  * Pure move from SparkEntry.scala (r10 registry split): every entry kept
+  * verbatim next to its DuckDB oracle twin. First ids: q51_token_budget, q25_lang_quality_agg, q114_temperature_mix, q127_bpe_train, q128_bpe_encode, q130_bpe_doc_tokens, … */
+private[graft] object QueriesText extends OracleSqlHelpers {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_token_budget" -> ((s, d) => {
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).cast(LongType).as("n_whitespace"),
+          Text.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "q25_lang_quality_agg" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(Text.langId(col("text")).as("lang_id"),
+          Text.qualityScore(col("text")).as("q"))
+        .groupBy("lang_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round(col("q") * 1000000).cast(LongType)).as("quality_sum_micro"))
+        .orderBy("lang_id")
+    }),
+    // temperature-scaled mixture ✚ (T5 §3.4.3 / XLM sampling): per-source
+    // token budgets ∝ n_s^0.5 (α=0.5 flattens the source mix), realized by
+    // the deterministic hash-order admission — the complete "mix sources
+    // for a training run" pipeline, all exact integer arithmetic
+    "q114_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast(LongType))
+      val budgets = Ops.temperatureBudgets(docs, Seq("source"), "n_tokens",
+        alpha = 0.5, totalBudget = 50000L)
+      val sel = Ops.sampleToBudgets(docs, Seq("source"), "doc_id", "n_tokens", budgets)
+      sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_sel"))
+        .join(budgets.select(col("source"), col("w_total"), col("budget")), Seq("source"))
+        .orderBy("source")
+    }),
+    // learned BPE vocabulary training ✚ (Sennrich 2016): 8 merge rounds
+    // over the unique-word-frequency table; every pair count an exact
+    // weighted long sum, argmax tie-broken (count DESC, left, right) —
+    // the oracle unrolls the identical loop as a CTE chain whose greedy
+    // merge fold is DuckDB's list_reduce of the same accumulator logic
+    "q127_bpe_train" -> ((s, d) =>
+      Bpe.train(Tables.documents(s, d), "text", numMerges = 8).orderBy("rank")),
+    // BPE encode ✚ — two code paths, one answer: the Spark side RE-ENCODES
+    // the corpus dictionary by sequentially applying the learned merges
+    // (fresh fold chain per word), while the oracle reads the TRAINING
+    // loop's final segmentation state — equal only because greedy merge
+    // application commutes with the training iteration order
+    "q128_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.pieceCounts(docs, "text", merges)
+        .orderBy(col("total").desc, col("piece")).limit(20)
+    }),
+    // per-doc token budgets under the LEARNED vocab ✚ — the dictionary
+    // join-back shape: encode each unique word ONCE (vocab-sized fold),
+    // then one (doc, word) equi-join + per-doc sum; oracle reads the
+    // training chain's final state, Spark re-encodes fresh
+    "q130_bpe_doc_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.docPieceCounts(docs, "doc_id", "text", merges)
+        .orderBy(col("n_pieces").desc, col("doc_id")).limit(20)
+    }),
+    // multinomial Naive Bayes language ID ✚ — train on the 80% hash split,
+    // classify the held-out 20%; every ln quantized to micro-nats per
+    // (label, token) BEFORE the long sums, so the argmax label is
+    // engine-stable (ties → lexicographically first label)
+    "q133_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Classify.nbTrain(docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      Classify.nbPredict(model, test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // deterministic negative sampling ✚ (r9): 4 hash-ring successors per
+    // anchor doc — contrastive-pair generation as a pure function of
+    // (anchor, j, seed); the oracle replays the ring with correlated
+    // min-successor subqueries (the naive form the bucketed join avoids)
+    "q141_negative_sample" -> ((s, d) => {
+      Ops.negativeSample(Tables.documents(s, d).select("doc_id"), "doc_id",
+          k = 4, seed = 42L)
+        .select(col("anchor_id"), col("j").cast(LongType).as("j"), col("neg_id"))
+        .orderBy("anchor_id", "j")
+    }),
+    // top-mass (nucleus) curation ✚ (r9): keep each source's best docs (by
+    // n_chars, id ties) until they cover 3/5 of the source's token mass —
+    // exact rational test (prior·5 < total·3), no float thresholds
+    "q142_top_mass" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          Text.tokenCount(col("text")).cast(LongType).as("w"))
+      Ops.takeTopMass(docs, Seq("source"), "doc_id", "n_chars", "w",
+          pNum = 3, pDen = 5)
+        .orderBy("source", "doc_id")
+    }),
+    // classifier calibration ✚ (r9): holdout accuracy by exact decision-
+    // margin bucket — the abstain-threshold / reliability report over the
+    // q133 NB stack; margins are exact micro-nat integer gaps
+    "q180_nb_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Classify.nbTrain(docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      val test = docs.filter(col("doc_id") % 5 === 0 && col("lang").isNotNull)
+      val w = 500000L
+      Classify.nbPredictTop2(model, test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+        .filter(col("margin_micro").isNotNull)
+        .withColumn("bucket",
+          ((col("margin_micro") - ((col("margin_micro") % w + w) % w)) / w)
+            .cast(LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pred_label") === col("true_lang"), lit(1))).as("n_correct"))
+        .select(col("bucket"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs").cast("double") * 1e6)
+            .cast(LongType).as("acc_micro"))
+        .orderBy(col("bucket"))
+    }),
+    // tokenizer fertility ✚ (r9): pieces-per-token by language under the
+    // corpus-learned BPE — the vocabulary-fairness diagnostic (a language
+    // the tokenizer under-serves pays more sequence length per word)
+    "q178_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.docPieceCounts(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("lang"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_tokens").cast("double") * 1e6)
+            .cast(LongType).as("fertility_micro"))
+        .orderBy(col("lang"))
+    }),
+    // markup stripping ✚ (r9): synthetic HTML wrapped around real text,
+    // stripped back to clean prose — tags, entities (&amp; last), whitespace
+    "q174_strip_markup" -> ((s, d) => {
+      val marked = Tables.documents(s, d)
+        .withColumn("raw", concat(lit("<html><p class=\"x\">"),
+          substring(col("text"), 1, 60), lit("</p> &amp;amp; <br/>done&nbsp;&#39;q&#39;")))
+      marked.select(col("doc_id"),
+          length(col("raw")).cast(LongType).as("len_raw"),
+          Text.stripMarkup(col("raw")).as("clean"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("clean")).cast(LongType).as("len_clean"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- ✚ corpus assembly: hash sampling, decontamination, packing ----
+    // deterministic hash sample + shard: pure function of the id, so the
+    // split re-derives identically on any engine/cluster (unlike sample())
+    "q56_hash_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Ops.shardByHash(Ops.sampleByHash(docs, "doc_id", 0.0, 0.25), "doc_id", 10)
+        .select(col("doc_id"), col("shard"))
+        .orderBy("doc_id")
+    }),
+    // stratified sample ✚: exactly 5 docs per (lang, source) stratum, taken
+    // in id-hash order — the same md5-derived hash q56 re-derives, so the
+    // selected set is a pure function of the data on any engine
+    "q85_stratified_sample" -> ((s, d) => {
+      Ops.sampleNPerGroup(Tables.documents(s, d), Seq("lang", "source"), "doc_id", 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+    // sequence packing: per-shard greedy token-budget bins (straddle rule)
+    "q58_sequence_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val withTok = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val sharded = Ops.shardByHash(withTok, "doc_id", 8)
+      Pack.packSequences(sharded, "shard", "doc_id", "n_tokens", budget = 4096L)
+        .select(col("doc_id"), col("shard"), col("bin_tokens_before"), col("bin"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-style repetition signals: bigram coverage/duplication and
+    // duplicate-line fractions per doc, parts-per-million (integer DIV)
+    "q61_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bi = Repetition.ngramRepetition(docs, "doc_id", "text", 2)
+        .withColumnRenamed("n_ngrams", "n_bigrams")
+        .withColumnRenamed("top_ngram_cover_ppm", "top_bigram_cover_ppm")
+        .withColumnRenamed("dup_ngram_char_ppm", "dup_bigram_char_ppm")
+      val li = Repetition.lineRepetition(docs, "doc_id", "text")
+      bi.join(li, Seq("doc_id")).orderBy("doc_id")
+    }),
+    // PII scrub: seed each doc with deterministic synthetic PII (the corpus
+    // itself is word-soup), then count + redact with the Java∩RE2 patterns
+    "q62_pii_scrub" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org ip 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"), lit(" call +1 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("ft"))
+      seeded.select(col("doc_id"),
+          Pii.emailCount(col("ft")).cast(LongType).as("n_email"),
+          Pii.ipv4Count(col("ft")).cast(LongType).as("n_ip"),
+          Pii.phoneCount(col("ft")).cast(LongType).as("n_phone"),
+          md5(Pii.redact(col("ft"))).as("redacted_md5"),
+          length(Pii.redact(col("ft"))).cast(LongType).as("n_chars_redacted"))
+        .orderBy("doc_id")
+    }),
+    // domain mixing: cap each (lang, source) at a 3000-char budget, rows
+    // admitted in deterministic hash order
+    "q63_budget_sample" -> ((s, d) => {
+      Ops.sampleToBudget(Tables.documents(s, d), Seq("lang", "source"),
+          "doc_id", "n_chars", budget = 3000L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // dense resample ✚: 6-hour buckets with explicit zero rows for empty
+    // intervals (pandas resample+asfreq analog; spine size = range/step,
+    // independent of event volume)
+    "q78_resample_dense" -> ((s, d) => {
+      Streams.resampleDense(Tables.events(s, d), "ts", "value", everyMinutes = 360)
+        .orderBy("bucket_us")
+    }),
+    // ----- ✚ the full curation pipeline: dedup -> quality -> language ------
+    // The composite a 100-TB training-data run actually executes: drop
+    // near-duplicate docs (keep each cluster's min id), then quality- and
+    // language-gate, then account surviving tokens per source.
+    "q49_curation_pipeline" -> ((s, d) => {
+      // routed through the one-call dedupedCorpus (VERDICT r6 §next-1) —
+      // same plan semantics as the previous pairs→CC→anti-join spelling,
+      // but through the minhashIndex-backed API a real pipeline invokes
+      val kept = Dedup.dedupedCorpus(Tables.documents(s, d), "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      kept
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .withColumn("lang_id", Text.langId(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_id") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+        .orderBy("source")
+    }),
+    // ----- ✚ TF-IDF top terms ----------------------------------------------
+    "q44_tfidf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).select(countDistinct(col("doc_id")).as("n_docs"))
+      // df/n come from the FULL corpus; scoring + ranking only needs the
+      // output docs, so prune before the join and window
+      val scored = tf.filter(col("doc_id") < 50)
+        .join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3 && col("doc_id") < 50)
+        .select("doc_id", "term", "rank") // float column excluded: ln() may
+        // differ in the last ulp across libm implementations; ORDER is stable
+        .orderBy("doc_id", "rank")
+    }),
+    // unigram-LM surprisal (CCNet-style perplexity filter); exact micro-nat
+    // longs — see Lm.surprisal's quantization contract
+    "q91_unigram_surprisal" -> ((s, d) => {
+      Lm.surprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // per-source KL(P_source ‖ P_corpus) over unigram distributions — the
+    // domain-mix audit metric; exact micro-nat longs
+    "q94_domain_kl" -> ((s, d) => {
+      Lm.domainKl(Tables.documents(s, d), "source", "text")
+        .orderBy("source")
+    }),
+    // deterministic weighted sampling ✚ (Efraimidis–Spirakis A-ES with the
+    // idHash60 uniform): 50 docs weighted by length — inclusion ∝ n_chars,
+    // identical set on any engine
+    "q95_weighted_sample" -> ((s, d) => {
+      Ops.sampleWeighted(Tables.documents(s, d), "doc_id", "n_chars", k = 50)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // DSIR importance resampling ✚ (Xie et al. 2023): hashed-n-gram bag
+    // models of a TARGET (English docs) vs the RAW pool (the rest); each
+    // raw doc scored by the exact micro-nat log importance ratio, then
+    // A-ES-resampled in log space — "pick crawl pages that look like the
+    // target", deterministic and fully replayed by the oracle
+    "q111_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dsir.select(docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"), "doc_id", "text", k = 50)
+        .orderBy("doc_id")
+    }),
+    // bigram-LM surprisal ✚: transition-level fluency scoring (word salad
+    // has plausible unigrams but improbable bigrams); exact micro-nat longs
+    "q100_bigram_surprisal" -> ((s, d) => {
+      Lm.bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // frozen-LM delta scoring ✚: LM fit on hash shards [0.1, 1.0), the
+    // incoming [0, 0.1) batch scored against it (unseen tokens take the
+    // add-one max-surprisal floor) — the incremental-curation shape
+    "q96_delta_surprisal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = Ops.sampleByHash(docs, "doc_id", 0.1, 1.0)
+      val delta = Ops.sampleByHash(docs, "doc_id", 0.0, 0.1)
+      Lm.surprisalAgainst(Lm.unigramCounts(corpus, "text"), delta, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // unigram-LM tokenizer training ✚ (r10, Kudo 2018): the second
+    // production vocab family next to BPE — substring seed, 2 hard-EM
+    // shrink rounds; oracle replays the identical DP as unrolled CTEs
+    "q196_unigram_train" -> ((s, d) =>
+      Unigram.train(Tables.documents(s, d), "text")
+        .orderBy(col("cnt").desc, col("piece"))),
+    // encode under the trained vocab: one DP pass over DISTINCT words
+    // (codegen'd higher-order expression, zero joins per word), then a
+    // join back onto per-doc token counts
+    "q197_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Unigram.encodeCounts(docs, "doc_id", "text",
+          Unigram.train(docs, "text"))
+        .orderBy("doc_id")
+    }),
+    // the two vocab families side by side (completes q178's diagnostic):
+    // per language, pieces-per-word under the 8-merge BPE vocab vs the
+    // 2-round unigram vocab trained on the same corpus
+    "q198_unigram_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, "text", numMerges = 8).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val bpe = Bpe.docPieceCounts(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_pieces")).as("bpe_pieces"))
+      val uni = Unigram.encodeCounts(docs, "doc_id", "text",
+          Unigram.train(docs, "text"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_pieces")).as("uni_pieces"))
+      bpe.join(uni, Seq("lang"))
+        .select(col("lang"), col("n_tokens"), col("bpe_pieces"),
+          col("uni_pieces"),
+          round(col("bpe_pieces").cast("double")
+            / col("n_tokens").cast("double") * 1e6)
+            .cast(LongType).as("bpe_fertility_micro"),
+          round(col("uni_pieces").cast("double")
+            / col("n_tokens").cast("double") * 1e6)
+            .cast(LongType).as("uni_fertility_micro"))
+        .orderBy("lang")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q51_token_budget" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_whitespace,
+                len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))::BIGINT AS n_bpeish,
+                length(text)::BIGINT AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "q25_lang_quality_agg" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS lt
+           FROM documents),
+         sc AS (
+           SELECT doc_id, text,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+             len(lt) AS ntok
+           FROM t),
+         q AS (
+           SELECT CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                       ELSE 'und' END AS lang_id,
+                  CASE WHEN text IS NULL THEN NULL
+                       WHEN length(trim(text)) > 0 THEN
+                         0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                         + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                         + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+                       ELSE 0.0 END AS quality
+           FROM sc)
+         SELECT lang_id, count(*) AS n_docs,
+                CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_sum_micro
+         FROM q GROUP BY lang_id ORDER BY lang_id""",
+    // temperature budgets replayed: per-source pow(n,0.5) micro-rounded,
+    // long-summed normalizer, integer-division budgets, q63's hash-order
+    // cumulative admission rule
+    "q114_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT AS ntok,
+                list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+              FROM documents),
+         tot AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS w_total FROM d GROUP BY source),
+         pm AS (SELECT source, w_total,
+                       CAST(round(pow(w_total::DOUBLE, 0.5) * 1000000) AS BIGINT) AS pw
+                FROM tot),
+         z AS (SELECT CAST(sum(pw) AS BIGINT) AS zm FROM pm),
+         bud AS (SELECT source, w_total, (50000 * pw) // zm AS budget FROM pm, z),
+         adm AS (SELECT d.source, d.ntok, bud.budget, bud.w_total,
+                        sum(ntok) OVER (PARTITION BY d.source ORDER BY h60, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM d JOIN bud USING (source))
+         SELECT source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens_sel,
+                max(w_total) AS w_total, max(budget) AS budget
+         FROM adm WHERE cum - ntok < budget
+         GROUP BY source ORDER BY source""",
+    // the unrolled training loop's 8 argmax rows, in merge order
+    "q127_bpe_train" ->
+      s"""WITH ${sqlBpeChain(8)}
+         SELECT * FROM (
+           ${(1 to 8).map(i =>
+             s"SELECT CAST($i AS INTEGER) AS rank, a AS sym_a, b AS sym_b, pc AS pair_count FROM bb$i")
+             .mkString("\n           UNION ALL ")})
+         ORDER BY rank""",
+    // top-20 subword pieces read from the training loop's FINAL state w8 —
+    // the Spark side re-encodes from scratch (fresh fold chain per word),
+    // so agreement proves encode ≡ training segmentation
+    "q128_bpe_encode" ->
+      s"""WITH ${sqlBpeChain(8)}
+         SELECT piece, CAST(sum(cnt) AS BIGINT) AS total FROM (
+           SELECT unnest(string_split(syms, ' ')) AS piece, cnt FROM w8) t
+         GROUP BY piece ORDER BY total DESC, piece LIMIT 20""",
+    // per-doc budgets from the training chain's final state: the
+    // (doc, word) rows join w8's piece counts, summed per doc
+    "q130_bpe_doc_tokens" ->
+      s"""WITH ${sqlBpeChain(8)},
+         bdt AS (SELECT doc_id, token AS word FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+                FROM documents) t WHERE len(token) > 0),
+         bwp AS (SELECT word, len(string_split(syms, ' ')) AS n_p FROM w8)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(n_p) AS BIGINT) AS n_pieces
+         FROM bdt JOIN bwp USING (word) GROUP BY doc_id
+         ORDER BY n_pieces DESC, doc_id LIMIT 20""",
+    // same micro-nat quantize-then-sum contract as q91: one rounded ln per
+    // (label, token) count and per label scalar, exact BIGINT score sums,
+    // argmax via the identical (score DESC, label) window
+    "q133_nb_classify" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+         test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ttoks AS (SELECT lang AS label,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM train),
+         counts AS (SELECT label, token, count(*) AS c FROM ttoks GROUP BY 1, 2),
+         perlabel AS (SELECT label, CAST(sum(c) AS BIGINT) AS t_label FROM counts GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         nd AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+         nt AS (SELECT count(*) AS n_total FROM train),
+         stats AS (SELECT nd.label,
+                CAST(round(ln(n_docs) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_total) * 1000000) AS BIGINT) AS prior_micro,
+                CAST(round(ln(t_label + v) * 1000000) AS BIGINT) AS denom_micro
+              FROM nd CROSS JOIN nt JOIN perlabel ON nd.label = perlabel.label CROSS JOIN vocab),
+         lik AS (SELECT label, token, CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS lik_micro FROM counts),
+         dtoks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM test),
+         ntok AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+                ELSE CAST(len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS BIGINT) END AS n_tok
+              FROM test),
+         overlap AS (SELECT d.doc_id, l.label, CAST(sum(l.lik_micro) AS BIGINT) AS num_micro
+              FROM dtoks d JOIN lik l ON d.token = l.token GROUP BY 1, 2),
+         scored AS (SELECT t.doc_id, s.label,
+                s.prior_micro + COALESCE(o.num_micro, 0) - k.n_tok * s.denom_micro AS score_micro
+              FROM test t CROSS JOIN stats s
+              JOIN ntok k ON k.doc_id = t.doc_id
+              LEFT JOIN overlap o ON o.doc_id = t.doc_id AND o.label = s.label),
+         best AS (SELECT doc_id, label, score_micro,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn
+              FROM scored)
+         SELECT b.doc_id, b.label AS pred_label, b.score_micro, t.lang AS true_lang
+         FROM best b JOIN test t USING (doc_id) WHERE rn = 1 ORDER BY doc_id""",
+    // the naive correlated-successor form of the bucketed ring join; the
+    // same 60-bit md5 expansion as q95, self-hits dropped on both sides
+    "q141_negative_sample" ->
+      """WITH ring AS (
+           SELECT doc_id AS neg_id,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), kk, 1)) - 1)
+                             * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)])::BIGINT AS pos
+           FROM documents),
+         probes AS (
+           SELECT d.doc_id AS anchor_id, u.j,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(d.doc_id::VARCHAR || '|' || u.j::VARCHAR || '|42'), kk, 1)) - 1)
+                             * pow(16, 15 - kk)::BIGINT for kk in range(1, 16)])::BIGINT AS t
+           FROM documents d, unnest(range(1, 5)) AS u(j)),
+         succ AS (
+           SELECT p.anchor_id, p.j,
+                  COALESCE(
+                    (SELECT r.neg_id FROM ring r WHERE r.pos >= p.t ORDER BY r.pos, r.neg_id LIMIT 1),
+                    (SELECT r.neg_id FROM ring r ORDER BY r.pos, r.neg_id LIMIT 1)) AS neg_id
+           FROM probes p)
+         SELECT anchor_id, CAST(j AS BIGINT) AS j, neg_id
+         FROM succ WHERE neg_id <> anchor_id
+         ORDER BY anchor_id, j""",
+    // same rational admission test; the boundary row crossing the target
+    // is included, at least one row survives per group
+    "q142_top_mass" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+              FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         t AS (SELECT source, CAST(sum(w) AS BIGINT) AS tot FROM d GROUP BY 1),
+         c AS (SELECT d.source, d.doc_id, d.n_chars, d.w, t.tot,
+                sum(w) OVER (PARTITION BY d.source ORDER BY n_chars DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d JOIN t USING (source))
+         SELECT source, doc_id, n_chars, w FROM c
+         WHERE (cum - w) * 5 < tot * 3
+         ORDER BY source, doc_id""",
+    // the q133 NB chain through `scored`, top-2 pivot, exact margin bucket
+    "q180_nb_calibration" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
+         test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ttoks AS (SELECT lang AS label,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM train),
+         counts AS (SELECT label, token, count(*) AS c FROM ttoks GROUP BY 1, 2),
+         perlabel AS (SELECT label, CAST(sum(c) AS BIGINT) AS t_label FROM counts GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         nd AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+         nt AS (SELECT count(*) AS n_total FROM train),
+         stats AS (SELECT nd.label,
+                CAST(round(ln(n_docs) * 1000000) AS BIGINT)
+                  - CAST(round(ln(n_total) * 1000000) AS BIGINT) AS prior_micro,
+                CAST(round(ln(t_label + v) * 1000000) AS BIGINT) AS denom_micro
+              FROM nd CROSS JOIN nt JOIN perlabel ON nd.label = perlabel.label CROSS JOIN vocab),
+         lik AS (SELECT label, token, CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS lik_micro FROM counts),
+         dtoks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM test),
+         ntok AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0
+                ELSE CAST(len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS BIGINT) END AS n_tok
+              FROM test),
+         overlap AS (SELECT d.doc_id, l.label, CAST(sum(l.lik_micro) AS BIGINT) AS num_micro
+              FROM dtoks d JOIN lik l ON d.token = l.token GROUP BY 1, 2),
+         scored AS (SELECT t.doc_id, s.label,
+                s.prior_micro + COALESCE(o.num_micro, 0) - k.n_tok * s.denom_micro AS score_micro
+              FROM test t CROSS JOIN stats s
+              JOIN ntok k ON k.doc_id = t.doc_id
+              LEFT JOIN overlap o ON o.doc_id = t.doc_id AND o.label = s.label),
+         rk AS (SELECT doc_id, label, score_micro,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn
+              FROM scored),
+         p AS (SELECT doc_id,
+                max(CASE WHEN rn = 1 THEN label END) AS pred_label,
+                max(CASE WHEN rn = 1 THEN score_micro END) AS s1,
+                max(CASE WHEN rn = 2 THEN score_micro END) AS s2
+               FROM rk WHERE rn <= 2 GROUP BY 1),
+         m AS (SELECT p.doc_id, pred_label, s1 - s2 AS mg, t.lang AS true_lang
+               FROM p JOIN test t USING (doc_id)
+               WHERE t.lang IS NOT NULL AND s2 IS NOT NULL),
+         b AS (SELECT CAST((mg - ((mg % 500000 + 500000) % 500000)) / 500000 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(CASE WHEN pred_label = true_lang THEN 1 END) AS BIGINT) AS n_correct
+               FROM m GROUP BY 1)
+         SELECT bucket, n_docs, n_correct,
+                CAST(round(n_correct::DOUBLE / n_docs::DOUBLE * 1e6) AS BIGINT) AS acc_micro
+         FROM b ORDER BY bucket""",
+    // the q130 BPE chain rolled up by language instead of by document
+    "q178_bpe_fertility" ->
+      s"""WITH ${sqlBpeChain(8)},
+         bdt AS (SELECT doc_id, token AS word FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+                FROM documents) t WHERE len(token) > 0),
+         bwp AS (SELECT word, len(string_split(syms, ' ')) AS n_p FROM w8),
+         pl AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(n_p) AS BIGINT) AS n_pieces
+                FROM bdt JOIN bwp USING (word)
+                JOIN documents d USING (doc_id)
+                WHERE d.lang IS NOT NULL GROUP BY 1)
+         SELECT lang, n_tokens, n_pieces,
+                CAST(round(n_pieces::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS fertility_micro
+         FROM pl ORDER BY lang""",
+    // same tag regex, same entity order (&amp; last), same whitespace fold
+    "q174_strip_markup" ->
+      """WITH r AS (SELECT doc_id,
+                '<html><p class="x">' || substr(text, 1, 60)
+                  || '</p> &amp;amp; <br/>done&nbsp;&#39;q&#39;' AS raw
+              FROM documents),
+         c AS (SELECT doc_id, raw,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS clean
+               FROM r)
+         SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+                CAST(length(clean) AS BIGINT) AS len_clean,
+                md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
+    "q56_hash_sample" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents)
+         SELECT doc_id, (h60 % 10)::BIGINT AS shard
+         FROM h WHERE h60 >= 0 AND h60 < CAST(0.25 * pow(2, 60) AS BIGINT)
+         ORDER BY doc_id""",
+    "q85_stratified_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, source,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents),
+         r AS (SELECT doc_id, lang, source,
+                      row_number() OVER (PARTITION BY lang, source
+                                         ORDER BY h60, doc_id) AS rn
+               FROM h)
+         SELECT doc_id, lang, source FROM r WHERE rn <= 5 ORDER BY doc_id""",
+    "q58_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+                  (list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                              * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 8)
+                    AS shard
+           FROM documents),
+         p AS (
+           SELECT doc_id, shard,
+                  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                    AS bin_tokens_before
+           FROM t)
+         SELECT doc_id, shard, bin_tokens_before,
+                (bin_tokens_before // 4096)::BIGINT AS bin
+         FROM p ORDER BY doc_id""",
+    "q61_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+                FROM w WHERE len(w) >= 2),
+         bc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         ba AS (SELECT doc_id,
+                  CAST(sum(cnt) AS BIGINT) AS n_bg,
+                  CAST(max(cnt * length(g)) AS BIGINT) AS cover,
+                  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(g) END), 0) AS BIGINT) AS dupc
+                FROM bc GROUP BY 1),
+         ln0 AS (SELECT doc_id, trim(l) AS l
+                 FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+                 WHERE trim(l) <> ''),
+         lc AS (SELECT doc_id, l, count(*) AS cnt FROM ln0 GROUP BY 1, 2),
+         la AS (SELECT doc_id,
+                  CAST(sum(cnt) AS BIGINT) AS n_ln,
+                  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS ndup,
+                  CAST(sum(cnt * length(l)) AS BIGINT) AS allc,
+                  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(l) END), 0) AS BIGINT) AS dupl
+                FROM lc GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(ba.n_bg, 0) AS n_bigrams,
+                coalesce(ba.cover * 1000000 // length(d.text), 0) AS top_bigram_cover_ppm,
+                coalesce(ba.dupc * 1000000 // length(d.text), 0) AS dup_bigram_char_ppm,
+                coalesce(la.n_ln, 0) AS n_lines,
+                coalesce(la.ndup * 1000000 // la.n_ln, 0) AS dup_line_ppm,
+                coalesce(la.dupl * 1000000 // la.allc, 0) AS dup_line_char_ppm
+         FROM documents d
+         LEFT JOIN ba ON ba.doc_id = d.doc_id
+         LEFT JOIN la ON la.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q62_pii_scrub" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  text || ' contact u' || doc_id::VARCHAR || '@ex' || (doc_id % 7)::VARCHAR
+                       || '.org ip 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+                       || ' call +1 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                       || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS ft
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(ft, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                  len(regexp_extract_all(ft, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+                  len(regexp_extract_all(ft, '(\+1[- ]|\b1[- ])?\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS n_phone,
+                  regexp_replace(regexp_replace(regexp_replace(ft,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                    '(\+1[- ]|\b1[- ])?\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g') AS red
+           FROM f)
+         SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ip AS BIGINT) AS n_ip,
+                CAST(n_phone AS BIGINT) AS n_phone, md5(red) AS redacted_md5,
+                CAST(length(red) AS BIGINT) AS n_chars_redacted
+         FROM r ORDER BY doc_id""",
+    "q63_budget_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, source, n_chars,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, source, n_chars,
+                  CAST(sum(n_chars) OVER (PARTITION BY lang, source ORDER BY h60, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM h)
+         SELECT doc_id, lang, source, n_chars
+         FROM c WHERE cum - n_chars < 3000 ORDER BY doc_id""",
+    "q78_resample_dense" ->
+      """WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(CAST(ts AS TIMESTAMP)) % 21600000000 AS bucket_us,
+                           value
+                    FROM events),
+         a AS (SELECT bucket_us, count(*) AS n_events,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+               FROM b GROUP BY bucket_us),
+         mm AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM a),
+         spine AS (SELECT unnest(range(lo, hi + 21600000000, 21600000000)) AS bucket_us
+                   FROM mm)
+         SELECT s.bucket_us,
+                coalesce(a.n_events, 0) AS n_events,
+                coalesce(a.value_cents, 0) AS value_cents
+         FROM spine s LEFT JOIN a ON s.bucket_us = a.bucket_us
+         ORDER BY s.bucket_us""",
+    "q49_curation_pipeline" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+                      list_sort(list_distinct([
+                        list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        for x in list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w) - 1)])])) AS sh
+               FROM w),
+         s2 AS (SELECT doc_id, sh, len(sh) AS nsh FROM s WHERE len(sh) > 0),
+         ws AS (SELECT doc_id, unnest(sh)::VARCHAR AS x FROM s2),
+         ww AS (SELECT doc_id,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w0,
+                       list_sum([ (instr('0123456789abcdef', substr(md5(x), k + 8, 1)) - 1)
+                                  * pow(16, 8 - k)::BIGINT for k in range(1, 9)]) AS w1
+                FROM ws),
+         sigl AS (SELECT doc_id, i, min((w0 + i * w1) % 2147483647) AS mh
+                  FROM ww, range(0, 12) r(i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 3 AS bi,
+                          md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bk
+                   FROM sigl GROUP BY doc_id, i // 3),
+         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         pairs AS (SELECT id_a, id_b FROM (
+           SELECT c.ia AS id_a, c.ib AS id_b,
+                  len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))) AS jaccard
+           FROM cand c JOIN s2 x ON x.doc_id = c.ia JOIN s2 y ON y.doc_id = c.ib) t
+           WHERE jaccard >= 0.8),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         folded AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+         kept AS (SELECT d.* FROM documents d
+                  WHERE NOT EXISTS (SELECT 1 FROM folded f WHERE f.doc_id = d.doc_id)),
+         lt AS (SELECT doc_id, source, text,
+                       string_split_regex(trim(lower(text)), '\s+') AS lt
+                FROM kept),
+         sc AS (SELECT doc_id, source, text,
+                  len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+                  len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+                  len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+                  len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+                  len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+                  len(lt) AS ntok
+                FROM lt),
+         gated AS (
+           SELECT doc_id, source, text, ntok FROM sc
+           WHERE (CASE WHEN text IS NULL THEN NULL
+                       WHEN length(trim(text)) > 0 THEN
+                         0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                         + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                         + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+                       ELSE 0.0 END) >= 0.5
+             AND (CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                       ELSE 'und' END) = 'en')
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         FROM gated GROUP BY source ORDER BY source""",
+    "q44_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term, tf * ln(n_docs::DOUBLE / df) AS tfidf
+                    FROM tf JOIN dfreq USING (term), n),
+         r AS (SELECT doc_id, term,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+               FROM scored)
+         SELECT doc_id, term, rank FROM r
+         WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
+    // add-one-smoothed unigram LM fit on the corpus itself; the ln values
+    // are quantized to micro-nat BIGINTs BEFORE any sum (order-independent)
+    "q91_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents),
+         counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS T, count(*) AS V FROM counts),
+         per AS (SELECT doc_id, CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS s_micro
+                 FROM toks JOIN counts USING (token)),
+         agg AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(s_micro) AS BIGINT) AS sum_c_micro
+                 FROM per GROUP BY doc_id)
+         SELECT doc_id, n_tok,
+                n_tok * CAST(round(ln(T + V) * 1000000) AS BIGINT) - sum_c_micro AS surprisal_micro
+         FROM agg, tot ORDER BY doc_id""",
+    // same quantize-then-sum contract as q91; term order matches the Spark
+    // expression tree term-for-term
+    "q94_domain_kl" ->
+      """WITH toks AS (SELECT source,
+                unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents),
+         dt AS (SELECT source, token, count(*) AS cst FROM toks GROUP BY source, token),
+         ds AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ts FROM dt GROUP BY source),
+         ct AS (SELECT token, CAST(sum(cst) AS BIGINT) AS ctok FROM dt GROUP BY token),
+         tt AS (SELECT CAST(sum(ctok) AS BIGINT) AS ttot FROM ct),
+         term AS (SELECT dt.source,
+                         CAST(round((ln(cst) - ln(ts) - ln(ctok) + ln(ttot)) * cst * 1000000) AS BIGINT) AS term_micro,
+                         ts
+                  FROM dt JOIN ct USING (token) JOIN ds USING (source) CROSS JOIN tt)
+         SELECT source, max(ts) AS n_tokens, CAST(sum(term_micro) AS BIGINT) AS kl_sum_micro
+         FROM term GROUP BY source ORDER BY source""",
+    // A-ES key ln(u)/w re-derived from the same md5 hash. u = (h60+1)/2^60
+    // is NOT exact (h60 has 60 bits, a double mantissa 53): both engines
+    // apply the same IEEE round-to-nearest-even when casting the identical
+    // 60-bit integer, then an exact power-of-two division — determinism
+    // rests on identical rounding, not exactness (ADVICE r5). Keys of
+    // distinct docs are far beyond ulp apart, id tie-break totalizes
+    "q95_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, n_chars,
+                      row_number() OVER (ORDER BY ln((h60 + 1) / pow(2, 60)) / n_chars DESC, doc_id) AS rk
+               FROM h)
+         SELECT doc_id, n_chars FROM r WHERE rk <= 50 ORDER BY doc_id""",
+    // DSIR replay: unigram+bigram features → md5-60-bit bucket % 65536,
+    // add-one models over the bucket space, q94's four-ln tree rounded
+    // once per (doc, bucket), A-ES log-space key from the q95 h60 uniform
+    "q111_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang,
+                string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS ts
+              FROM documents),
+         feats AS (
+           SELECT doc_id, lang, unnest(ts) AS f FROM tok
+           UNION ALL
+           SELECT doc_id, lang, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS f
+           FROM tok WHERE len(ts) >= 2),
+         fb AS (SELECT doc_id, lang,
+                       (list_sum([ (instr('0123456789abcdef', substr(md5(f), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 65536) AS bucket
+                FROM feats),
+         rfc AS (SELECT doc_id, bucket, count(*) AS c FROM fb WHERE lang <> 'en' GROUP BY 1, 2),
+         tb AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+         rb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM rfc GROUP BY 1),
+         tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tot_t FROM tb),
+         rt AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tot_r FROM rb),
+         w AS (SELECT rfc.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                      CAST(sum(CAST(round((ln(coalesce(ct, 0) + 1) - ln(tot_t + 65536)
+                                           - ln(cr + 1) + ln(tot_r + 65536)) * c * 1000000) AS BIGINT)) AS BIGINT) AS logw_micro
+               FROM rfc LEFT JOIN tb USING (bucket) JOIN rb USING (bucket)
+               CROSS JOIN tt CROSS JOIN rt
+               GROUP BY rfc.doc_id),
+         h AS (SELECT doc_id, n_feats, logw_micro,
+                      list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                                 * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+               FROM w),
+         sel AS (SELECT doc_id, n_feats, logw_micro,
+                        row_number() OVER (ORDER BY ln(-ln(least((h60 + 1) / pow(2, 60), 1 - pow(2::DOUBLE, -53)))) - logw_micro / 1000000.0,
+                                           doc_id) AS rk
+                 FROM h)
+         SELECT doc_id, n_feats, logw_micro FROM sel WHERE rk <= 50 ORDER BY doc_id""",
+    // bigram positions = two parallel array slices zipped (DuckDB zips
+    // same-length unnests); same quantize-then-sum contract as q91
+    "q100_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+              FROM documents),
+         uni AS (SELECT count(DISTINCT t) AS V FROM (SELECT unnest(w) AS t FROM toks)),
+         bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+                FROM toks WHERE len(w) >= 2),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         per AS (SELECT doc_id,
+                        CAST(round(ln(c1 + V) * 1000000) AS BIGINT)
+                          - CAST(round(ln(c2 + 1) * 1000000) AS BIGINT) AS s_micro
+                 FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), uni)
+         SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s_micro) AS BIGINT) AS surprisal_micro
+         FROM per GROUP BY doc_id ORDER BY doc_id""",
+    // frozen-LM split re-derived from the same md5 hash band; unseen tokens
+    // coalesce to count 0 → ln(1) = 0 → the full ln(T+V) surprisal
+    "q96_delta_surprisal" ->
+      """WITH h AS (
+           SELECT doc_id, text,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents),
+         corpus AS (SELECT text FROM h WHERE h60 >= CAST(0.1 * pow(2, 60) AS BIGINT)),
+         delta AS (SELECT doc_id, text FROM h WHERE h60 < CAST(0.1 * pow(2, 60) AS BIGINT)),
+         ctoks AS (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+                   FROM corpus),
+         counts AS (SELECT token, count(*) AS c FROM ctoks GROUP BY token),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS T, count(*) AS V FROM counts),
+         dtoks AS (SELECT doc_id,
+                          unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+                   FROM delta),
+         per AS (SELECT doc_id, CAST(round(ln(coalesce(c, 0) + 1) * 1000000) AS BIGINT) AS s_micro
+                 FROM dtoks LEFT JOIN counts USING (token)),
+         agg AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(s_micro) AS BIGINT) AS sum_c_micro
+                 FROM per GROUP BY doc_id)
+         SELECT doc_id, n_tok,
+                n_tok * CAST(round(ln(T + V) * 1000000) AS BIGINT) - sum_c_micro AS surprisal_micro
+         FROM agg, tot ORDER BY doc_id""",
+    // the full 2-round hard-EM chain unrolled: seed, (DP, count, floor,
+    // prune, re-cost) x 2 — every arithmetic step mirrors Unigram.train
+    "q196_unigram_train" ->
+      s"""WITH ${sqlUnigramChain()}
+         SELECT piece, cnt, cost AS cost_micro FROM v2 ORDER BY cnt DESC, piece""",
+    // train chain + ONE more DP pass under the final vocab, joined back
+    // onto per-doc token occurrences (unsegmentable/over-cap words fall
+    // back to one piece per char, both engines)
+    "q197_unigram_encode" ->
+      s"""WITH ${sqlUnigramChain()},
+         ${sqlUnigramDp("e", "v2", 8, 4)},
+         dt AS (SELECT doc_id, token AS word, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+                FROM documents) t WHERE len(token) > 0 GROUP BY 1, 2),
+         npw AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS np FROM sege)
+         SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_words,
+                CAST(sum(d.n * coalesce(npw.np, len(d.word))) AS BIGINT) AS n_pieces
+         FROM dt d LEFT JOIN npw USING (word)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // both tokenizer chains in one statement: the q178 BPE fertility CTEs
+    // next to the unigram train+encode chain, joined per language
+    "q198_unigram_fertility" ->
+      s"""WITH ${sqlBpeChain(8)},
+         ${sqlUnigramChain()},
+         ${sqlUnigramDp("e", "v2", 8, 4)},
+         bdt AS (SELECT doc_id, token AS word FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+                FROM documents) t WHERE len(token) > 0),
+         bwp AS (SELECT word, len(string_split(syms, ' ')) AS n_p FROM w8),
+         pl AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(n_p) AS BIGINT) AS bpe_pieces
+                FROM bdt JOIN bwp USING (word)
+                JOIN documents d USING (doc_id)
+                WHERE d.lang IS NOT NULL GROUP BY 1),
+         npw AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS np FROM sege),
+         ul AS (SELECT d.lang, CAST(sum(coalesce(npw.np, len(bdt.word))) AS BIGINT) AS uni_pieces
+                FROM bdt LEFT JOIN npw USING (word)
+                JOIN documents d USING (doc_id)
+                WHERE d.lang IS NOT NULL GROUP BY 1)
+         SELECT pl.lang, n_tokens, bpe_pieces, uni_pieces,
+                CAST(round(bpe_pieces::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS bpe_fertility_micro,
+                CAST(round(uni_pieces::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS uni_fertility_micro
+         FROM pl JOIN ul USING (lang) ORDER BY pl.lang""",
+  )
+}

@@ -255,9 +255,54 @@ object ScaleProbe {
       val nCmProbed = graft.operators.Sketches.countMinProbe(
         cmCells, docs, "doc_id", 4, 1024).count()
       val cmt2 = System.nanoTime()
+      // standing-store fold axis (r10 §next-7a): fold a FIXED batch (the
+      // base corpus, re-id'd) into the factor-sized standing cell table.
+      // The cell table is CONSTANT (depth×width) at any history size, so
+      // this curve must be flat — the measured "history never re-scanned"
+      // claim for the count-min ingest gate.
+      val batch = base.select(
+        (col("doc_id") + lit(factor.toLong * offset)).as("doc_id"), col("text"))
+      val nCmFold = graft.operators.Sketches.countMinMerge(Seq(cmCells,
+        graft.operators.Sketches.countMinBuild(batch, "doc_id", 4, 1024)))
+        .count()
+      val cmt3 = System.nanoTime()
       // release the pinned cell table like the neighboring axes do
       // (ADVICE r9 §5): its blocks otherwise accumulate across factors
       cmCells.unpersist(blocking = false)
+
+      // standing-store fold axis (r10 §next-7b): BM25. Extend unions the
+      // fixed batch's postings into a store that grows with factor and
+      // re-pins — the extend cost may track the STORE size (one narrow
+      // union write) but must never re-derive history contributions; the
+      // build/extend ratio across factors is the measured claim.
+      val bmt0 = System.nanoTime()
+      val bmIx = graft.operators.Search.bm25Index(docs, "doc_id", "text")
+      val nBmPostings = bmIx.postings.count()
+      val bmt1 = System.nanoTime()
+      val bmIx2 = graft.operators.Search.extendBm25Index(bmIx, batch, "text")
+      val nBmExtended = bmIx2.postings.count()
+      val bmt2 = System.nanoTime()
+      bmIx.release(); bmIx2.release()
+
+      // stats axis (r10 §next-6): grouped KS + concentration through the
+      // shared two-level rank machinery. KS levels are text LENGTHS and
+      // concentration keys the (fixed) vocabulary, so both window frames
+      // stay level-sized while rows replicate — the curves must track the
+      // level hash-agg (linear in docs), never a data-sized sort.
+      val stt0 = System.nanoTime()
+      val sfm = docs.select(pmod(col("doc_id"), lit(8L)).as("g"),
+        length(col("text")).cast("long").as("len"),
+        pmod(col("doc_id"), lit(2L)).as("h"))
+      val nKsGroups = graft.operators.Stats.ksTestByGroup(
+        sfm.filter(col("h") === 0), sfm.filter(col("h") === 1), "g", "len",
+        bucketWidth = 64L).count()
+      val stt1 = System.nanoTime()
+      val toks = docs.select(
+          explode(Text.tokens(Text.normalize(col("text")))).as("w"))
+        .filter(length(col("w")) > 0).withColumn("one", lit(1L))
+      val nConc = graft.operators.Stats.concentration(toks, "w", "one",
+        bucketWidth = 100000L).count()
+      val stt2 = System.nanoTime()
 
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
@@ -310,7 +355,12 @@ object ScaleProbe {
         s""""bpe_batched_sec":${sec(bpt0, bpt1)},"bpe_seq_sec":${sec(bpt1, bpt2)},""" +
         s""""winnow_pairs":$nWinnowPairs,"winnow_sec":${sec(wnt0, wnt1)},""" +
         s""""cm_cells":$nCmCells,"cm_probed":$nCmProbed,""" +
-        s""""cm_build_sec":${sec(cmt0, cmt1)},"cm_probe_sec":${sec(cmt1, cmt2)}""" +
+        s""""cm_build_sec":${sec(cmt0, cmt1)},"cm_probe_sec":${sec(cmt1, cmt2)},""" +
+        s""""cm_fold_rows":$nCmFold,"cm_fold_sec":${sec(cmt2, cmt3)},""" +
+        s""""bm25_postings":$nBmPostings,"bm25_build_sec":${sec(bmt0, bmt1)},""" +
+        s""""bm25_extended":$nBmExtended,"bm25_extend_sec":${sec(bmt1, bmt2)},""" +
+        s""""ks_groups":$nKsGroups,"ks_sec":${sec(stt0, stt1)},""" +
+        s""""conc_rows":$nConc,"conc_sec":${sec(stt1, stt2)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
