@@ -282,4 +282,23 @@ object GraftProperties extends Properties("graft") {
         .collect()(0).getAs[Long]("n_outliers")
       a == b
     }
+
+  property("Ranks.positions/runningSums: equal global ranks for ANY bucket width, incl. degenerate") =
+    forAll(Gen.listOfN(20, Gen.chooseNum(-50L, 50L)), Gen.oneOf(1L, 3L, 17L, 1000L)) { (vs0, w) =>
+      import spark.implicits._
+      val vs = vs0.distinct
+      val d = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val pos = graft.operators.Ranks.positions(d,
+          graft.operators.Ranks.floorDiv(col("v"), w), Seq(col("v")), "p")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val sums = graft.operators.Ranks.runningSums(d,
+          graft.operators.Ranks.floorDiv(col("v"), w), Seq(col("v")),
+          Seq("v" -> "below"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val sorted = vs.sorted
+      vs.forall { v =>
+        pos(v) == sorted.indexOf(v) + 1 &&
+          sums(v) == sorted.takeWhile(_ < v).sum
+      }
+    }
 }
