@@ -365,6 +365,18 @@ private[graft] object QueriesText extends OracleSqlHelpers {
             .cast(LongType).as("uni_fertility_micro"))
         .orderBy("lang")
     }),
+    // frozen-vocab token-budget admission ✚ (r10): the batch sibling of
+    // Streams.unigramBudgetStream — keep documents whose subword cost
+    // under the trained vocab fits the budget (the context-window /
+    // storage-cost gate an ingest pipeline runs before paying to embed)
+    "q199_unigram_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = Unigram.train(docs, "text")
+      Streams.unigramBudgetBatch(docs, "doc_id", "text", vocab,
+          maxPieces = 120L)
+        .select(col("doc_id"), col("n_pieces"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -978,5 +990,18 @@ private[graft] object QueriesText extends OracleSqlHelpers {
                 CAST(round(bpe_pieces::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS bpe_fertility_micro,
                 CAST(round(uni_pieces::DOUBLE / n_tokens::DOUBLE * 1e6) AS BIGINT) AS uni_fertility_micro
          FROM pl JOIN ul USING (lang) ORDER BY pl.lang""",
+    // the q197 encode chain with the admission filter on top
+    "q199_unigram_budget" ->
+      s"""WITH ${sqlUnigramChain()},
+         ${sqlUnigramDp("e", "v2", 8, 4)},
+         dt AS (SELECT doc_id, token AS word, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+                FROM documents) t WHERE len(token) > 0 GROUP BY 1, 2),
+         npw AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS np FROM sege),
+         enc AS (SELECT d.doc_id,
+                CAST(sum(d.n * coalesce(npw.np, len(d.word))) AS BIGINT) AS n_pieces
+                FROM dt d LEFT JOIN npw USING (word) GROUP BY d.doc_id)
+         SELECT doc_id, n_pieces FROM enc WHERE n_pieces <= 120
+         ORDER BY doc_id""",
   )
 }

@@ -304,6 +304,21 @@ object ScaleProbe {
         bucketWidth = 100000L).count()
       val stt2 = System.nanoTime()
 
+      // unigram-LM axis (r10): ALL training statistics live on the
+      // unique-word table (fixed vocabulary under replication), so the
+      // train curve must track the ONE corpus wordCounts shuffle and the
+      // encode curve the doc-word hash-agg — both linear in docs, with
+      // the per-word Viterbi DP a constant (map-side expression, never a
+      // join). Clone replication multiplies counts, not words: the
+      // learned vocab is replication-invariant.
+      val ugt0 = System.nanoTime()
+      val ugVocab = graft.operators.Unigram.train(docs, "text")
+      val nUgVocab = ugVocab.count()
+      val ugt1 = System.nanoTime()
+      val nUgDocs = graft.operators.Unigram.encodeCounts(
+        docs, "doc_id", "text", ugVocab).count()
+      val ugt2 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -360,7 +375,9 @@ object ScaleProbe {
         s""""bm25_postings":$nBmPostings,"bm25_build_sec":${sec(bmt0, bmt1)},""" +
         s""""bm25_extended":$nBmExtended,"bm25_extend_sec":${sec(bmt1, bmt2)},""" +
         s""""ks_groups":$nKsGroups,"ks_sec":${sec(stt0, stt1)},""" +
-        s""""conc_rows":$nConc,"conc_sec":${sec(stt1, stt2)}""" +
+        s""""conc_rows":$nConc,"conc_sec":${sec(stt1, stt2)},""" +
+        s""""ug_vocab":$nUgVocab,"ug_train_sec":${sec(ugt0, ugt1)},""" +
+        s""""ug_docs":$nUgDocs,"ug_encode_sec":${sec(ugt1, ugt2)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()

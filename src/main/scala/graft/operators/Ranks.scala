@@ -53,7 +53,11 @@ object Ranks {
     * and division by non-negative constants are non-decreasing), so bucket
     * order is consistent with value order for any distribution — the
     * property a FIXED bucket width cannot promise without knowing the
-    * data's range. */
+    * data's range. A NaN anywhere in the column makes max() return NaN
+    * and every row's cell arithmetic go NaN — all rows collapse into one
+    * shared bucket: correct (trivially order-consistent) but serial, so
+    * scrub NaNs upstream if the column can carry them (RanksSpec pins
+    * this degenerate). */
   def withRangeBucket(df: DataFrame, valueCol: String, bucketName: String,
       cells: Int = 4096): DataFrame = {
     require(cells >= 1, "cells must be positive")

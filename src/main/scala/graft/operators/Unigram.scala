@@ -65,14 +65,16 @@ object Unigram {
       .filter(col("i") + col("l") <= length(col("word")))
       .select(col("word").substr(col("i") + 1, col("l")).as("piece"), col("cnt"))
       .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
-    val ranked = subs.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("piece").asc)))
-    // the rank window rides a seed-candidate-sized frame; candidates are
-    // bounded by |distinct words|·maxWordLen·maxPieceLen — vocabulary-
-    // sized, not corpus-sized (the wordCounts contract)
-    ranked.filter(col("rk") <= seedSize || length(col("piece")) === 1)
-      .select(col("piece"), col("cnt"))
+    // top-seedSize via orderBy+limit = TakeOrdered (per-partition heaps,
+    // never a global sort): the substring candidate table is
+    // |distinct words|·maxWordLen·maxPieceLen rows — at fleet scale a
+    // rank window over it would serialize exactly the way the r10 Ranks
+    // ports exist to avoid. Same rows as rank ≤ seedSize by the
+    // (cnt DESC, piece) total order; single chars union in afterwards
+    // (max-dedup: a char inside the top-K keeps its identical count).
+    val top = subs.orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    top.unionByName(subs.filter(length(col("piece")) === 1))
+      .groupBy("piece").agg(max(col("cnt")).as("cnt"))
   }
 
   /** Attach integer micro costs to a (piece, cnt) vocabulary:

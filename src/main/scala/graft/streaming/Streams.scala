@@ -609,6 +609,43 @@ object Streams {
         maxMeanSurprisalMicro))
     }
 
+  /** Token-budget gate under a FROZEN unigram-LM vocabulary (r10 — the
+    * tokenizer sibling of [[surprisalGateBatch]]): per micro-batch, count
+    * each document's subword pieces against the standing
+    * [[graft.operators.Unigram.train]] vocab (caller-held, never
+    * retrained here) and keep documents within `maxPieces` — the
+    * "does this doc fit the context window / cost budget" admission test
+    * an ingest pipeline runs BEFORE paying to store or embed. Stateless
+    * across batches: state is the vocab the caller owns, so stream ≡
+    * batch row-for-row (StreamsSpec). Output: the surviving rows plus
+    * `n_pieces` (null text and unsegmentable words already degrade to
+    * char-fallback counts inside encodeCounts — a doc with NO countable
+    * tokens has no encode row and is dropped: a budget gate fails
+    * closed). */
+  def unigramBudgetBatch(batch: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieces: Long): DataFrame = {
+    val reserved = Seq("__ugid", "n_words", "n_pieces")
+    val clash = batch.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"unigramBudgetBatch reserves column names ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    val counts = graft.operators.Unigram
+      .encodeCounts(batch, idCol, textCol, vocab)
+      .select(col(idCol).as("__ugid"), col("n_pieces"))
+    batch.join(counts, col(idCol) === col("__ugid"))
+      .filter(col("n_pieces") <= maxPieces)
+      .drop("__ugid")
+  }
+
+  /** [[unigramBudgetBatch]] as a `foreachBatch` sink — same contract as
+    * [[surprisalGateStream]]. */
+  def unigramBudgetStream(stream: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieces: Long)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(unigramBudgetBatch(batch.toDF(), idCol, textCol, vocab, maxPieces))
+    }
+
   /** Watermarked stream-stream inner join: pair each left event with right
     * events for the same key within `[0, windowMinutes]` AFTER it. Both
     * sides carry watermarks and the time-range predicate bounds the join

