@@ -205,6 +205,29 @@ object Unigram {
     vocab
   }
 
+  /** Persist a trained vocabulary: ONE parquet table — (piece, cnt,
+    * cost_micro) IS the whole model, so the single atomic-enough table
+    * write needs no multi-table commit marker (a crash mid-write leaves a
+    * directory [[loadVocab]] rejects fail-fast, never a mixed model —
+    * the single-table degenerate of the [[Classify.saveNbModel]]
+    * staged-swap contract). Train once, [[encodeCounts]] every ingest
+    * batch forever. */
+  def saveVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select(col("piece"), col("cnt"), col("cost_micro"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Reload a [[saveVocab]] vocabulary, schema-checked fail-fast. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val v = try spark.read.parquet(path)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"unigram vocab at $path is unreadable - not a saved vocab?", e) }
+    val need = Seq("piece", "cnt", "cost_micro")
+    require(need.forall(v.columns.contains),
+      s"unigram vocab at $path lacks ${need.filterNot(v.columns.contains).mkString(",")}")
+    v
+  }
+
   /** Encode a corpus under a trained vocabulary: per document, the word
     * count and total piece count, with the conventional char fallback
     * (an unsegmentable word costs length(word) pieces — how production

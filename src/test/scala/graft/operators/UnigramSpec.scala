@@ -66,6 +66,23 @@ class UnigramSpec extends SparkTestBase {
       assert(cost == math.round(-math.log(cnt / total) * 1e6))
   }
 
+  test("saveVocab/loadVocab: round-trip encodes identically; load rejects junk") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the mat")).toDF("doc_id", "text")
+    val vocab = Unigram.train(docs, "text", maxWordLen = 8, maxPieceLen = 3,
+      seedSize = 10, vocabSize = 8, emRounds = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ugvocab").toString
+    Unigram.saveVocab(vocab, s"$dir/v")
+    val re = Unigram.loadVocab(spark, s"$dir/v")
+    def enc(v: org.apache.spark.sql.DataFrame) =
+      Unigram.encodeCounts(docs, "doc_id", "text", v)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(enc(re) == enc(vocab))
+    // wrong-schema directory rejected fail-fast
+    docs.write.mode("overwrite").parquet(s"$dir/junk")
+    intercept[IllegalArgumentException](Unigram.loadVocab(spark, s"$dir/junk"))
+    intercept[IllegalArgumentException](Unigram.loadVocab(spark, s"$dir/missing"))
+  }
+
   test("encodeCounts: per-doc word/piece totals; unknown-char words fall back to one piece per char") {
     val docs = Seq((1L, "ab ab ba"), (2L, "zq ab")).toDF("doc_id", "text")
     val v = vocabDf("a" -> 100L, "b" -> 100L, "ab" -> 150L)
