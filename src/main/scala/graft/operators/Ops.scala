@@ -534,21 +534,14 @@ object Ops {
   def skylinePerGroup(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, bucketWidth: Long = 16L): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
-    def floorDiv(x: Column, w: Long): Column = Ranks.floorDiv(x, w)
     val lx = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull
         && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(xCol).cast("long").as("x"))
       .agg(max(col(yCol).cast("long")).as("ymax"))
-      .withColumn("__pb", floorDiv(col("x"), bucketWidth))
-    val wb = Window.partitionBy(col("g")).orderBy(col("__pb").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = lx.groupBy("g", "__pb").agg(max(col("ymax")).as("bm"))
-      .withColumn("off", max(col("bm")).over(wb))
-      .select(col("g"), col("__pb"), col("off"))
-    val wIn = Window.partitionBy(col("g"), col("__pb")).orderBy(col("x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    lx.join(buckets, Seq("g", "__pb"))
-      .withColumn("__mgt", greatest(col("off"), max(col("ymax")).over(wIn)))
+    // M(x) = max ymax over x' > x: exclusive descending two-level max
+    Ranks.twoLevel(lx, Ranks.floorDiv(col("x"), bucketWidth),
+        Seq(col("x").desc), maxes = Seq("ymax" -> "__mgt"),
+        descBuckets = true, partCols = Seq("g"))
       .filter(col("__mgt").isNull || col("__mgt") < col("ymax"))
       .select(col("g").as(groupCol), col("x"), col("ymax"))
   }

@@ -74,16 +74,25 @@ object Ranks {
   }
 
   /** The core pass: append, in ONE two-level sweep, any combination of a
-    * global 1-based position (`posCol`, via per-bucket `row_number`) and
-    * running sums (`sums`: srcCol → outCol), as if `df` were ordered
-    * globally by (`order`*) — optionally per partition group
-    * (`partCols`, by NAME: the grouped variants' shape). Sums are over
-    * rows strictly before this one (`inclusive=false`, the "count below"
-    * shape) or up to and including it (`inclusive=true`, the CDF shape);
-    * the position is always inclusive. Null sum sources contribute
-    * nothing (SQL sum). `descBuckets=true` flips the CROSS-BUCKET order
-    * for descending sweeps — the in-bucket `order` columns must then
-    * carry their own `.desc`, consistently.
+    * global 1-based position (`posCol`, via per-bucket `row_number`),
+    * running sums (`sums`: srcCol → outCol), and running maxes
+    * (`maxes`: srcCol → outCol), as if `df` were ordered globally by
+    * (`order`*) — optionally per partition group (`partCols`, by NAME:
+    * the grouped variants' shape). Sums and maxes are over rows strictly
+    * before this one (`inclusive=false`, the "count below" shape) or up
+    * to and including it (`inclusive=true`, the CDF shape); the position
+    * is always inclusive. Null sources contribute nothing (SQL sum/max).
+    * `descBuckets=true` flips the CROSS-BUCKET order for descending
+    * sweeps — the in-bucket `order` columns must then carry their own
+    * `.desc`, consistently (so an exclusive descending max is a SUFFIX
+    * max: the [[Ops.skylinePerGroup]] dominance test).
+    *
+    * Empty-prefix semantics: sums default to 0 over an empty prefix;
+    * `nullEmptySums=true` yields NULL instead when NO non-null source
+    * value precedes (the "no information yet" shape [[Stats.kaplanMeier]]
+    * needs to distinguish log-survival 0 from not-yet-started). Maxes are
+    * always NULL over an empty prefix — `greatest` of the two levels
+    * skips the absent one, so no flag is needed.
     *
     * `bucket` must be order-consistent with the head of `order`; ties
     * beyond `order` are deterministic only if `order` is a total order —
@@ -91,8 +100,10 @@ object Ranks {
   def twoLevel(df: DataFrame, bucket: Column, order: Seq[Column],
       sums: Seq[(String, String)] = Nil, posCol: Option[String] = None,
       inclusive: Boolean = false, descBuckets: Boolean = false,
-      partCols: Seq[String] = Nil): DataFrame = {
-    require(sums.nonEmpty || posCol.nonEmpty, "nothing to compute")
+      partCols: Seq[String] = Nil, maxes: Seq[(String, String)] = Nil,
+      nullEmptySums: Boolean = false): DataFrame = {
+    require(sums.nonEmpty || posCol.nonEmpty || maxes.nonEmpty,
+      "nothing to compute")
     val tagged = df.withColumn("__rk_b", bucket)
     val bKey = if (descBuckets) col("__rk_b").desc else col("__rk_b").asc
     val joinKeys = partCols :+ "__rk_b"
@@ -100,29 +111,46 @@ object Ranks {
       .rowsBetween(Window.unboundedPreceding, -1)
     val bAggs = sums.zipWithIndex.map { case ((src, _), i) =>
       sum(col(src)).as(s"__rk_s$i") } ++
+      maxes.zipWithIndex.map { case ((src, _), i) =>
+        max(col(src)).as(s"__rk_m$i") } ++
       posCol.map(_ => count(lit(1)).as("__rk_bn"))
     val buckets = tagged.groupBy(joinKeys.map(col): _*)
       .agg(bAggs.head, bAggs.tail: _*)
-    val offNames = sums.indices.map(i => s"__rk_o$i") ++
-      posCol.map(_ => "__rk_off").toSeq
-    val srcNames = sums.indices.map(i => s"__rk_s$i") ++
-      posCol.map(_ => "__rk_bn").toSeq
-    val withOffs = srcNames.zip(offNames).foldLeft(buckets) {
-      case (b, (s, o)) =>
-        b.withColumn(o, coalesce(sum(col(s)).over(wb), lit(0L)))
-    }.select((joinKeys ++ offNames).map(col): _*)
+    // offsets stay UN-coalesced here (null = empty/all-null prefix); the
+    // combine step below decides 0-vs-null per output family
+    val offs: Seq[(String, String, Column => Column)] =
+      sums.indices.map(i => (s"__rk_s$i", s"__rk_o$i",
+        (c: Column) => sum(c).over(wb))) ++
+      maxes.indices.map(i => (s"__rk_m$i", s"__rk_om$i",
+        (c: Column) => max(c).over(wb))) ++
+      posCol.map(_ => ("__rk_bn", "__rk_off",
+        (c: Column) => sum(c).over(wb))).toSeq
+    val withOffs = offs.foldLeft(buckets) { case (b, (s, o, f)) =>
+      b.withColumn(o, f(col(s)))
+    }.select((joinKeys ++ offs.map(_._2)).map(col): _*)
     val hi = if (inclusive) 0L else -1L
     val wInBase = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
     val wIn = wInBase.rowsBetween(Window.unboundedPreceding, hi)
     val joined = tagged.join(withOffs, joinKeys)
     val withSums = sums.zipWithIndex.foldLeft(joined) {
       case (d, ((src, out), i)) =>
+        val inSum = sum(col(src)).over(wIn)
+        val total = coalesce(col(s"__rk_o$i"), lit(0L)) +
+          coalesce(inSum, lit(0L))
         d.withColumn(out,
-          col(s"__rk_o$i") + coalesce(sum(col(src)).over(wIn), lit(0L)))
+          if (nullEmptySums)
+            when(col(s"__rk_o$i").isNull && inSum.isNull,
+              lit(null).cast("long")).otherwise(total)
+          else total)
     }
-    posCol.fold(withSums) { p =>
-      withSums.withColumn(p, col("__rk_off") + row_number().over(wInBase))
-    }.drop("__rk_b" +: offNames: _*)
+    val withMaxes = maxes.zipWithIndex.foldLeft(withSums) {
+      case (d, ((src, out), i)) =>
+        d.withColumn(out, greatest(col(s"__rk_om$i"), max(col(src)).over(wIn)))
+    }
+    posCol.fold(withMaxes) { p =>
+      withMaxes.withColumn(p,
+        coalesce(col("__rk_off"), lit(0L)) + row_number().over(wInBase))
+    }.drop("__rk_b" +: offs.map(_._2): _*)
   }
 
   /** Append a global 1-based position `posCol` to `df`, as if ordered by

@@ -65,6 +65,58 @@ class RanksSpec extends SparkTestBase {
       assert(gotIn(v) == ca + lvMap(v), s"v=$v")
   }
 
+  test("maxes: exclusive descending (suffix max) and inclusive match global windows; NULL over empty prefix") {
+    val W = org.apache.spark.sql.expressions.Window
+    val lv = (1 to 200).map(i => ((i % 4).toLong, ((i * 29) % 83).toLong,
+      ((i * 7) % 50).toLong)).toDF("g", "x", "y")
+      .groupBy("g", "x").agg(max("y").as("y"))
+    // suffix max per group: max y over x' > x (the skyline dominance test)
+    val wSuf = W.partitionBy(col("g")).orderBy(col("x").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val expected = lv.withColumn("m", max(col("y")).over(wSuf))
+      .select("g", "x", "m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    for (w <- Seq(1L, 8L, 1000L)) {
+      val got = Ranks.twoLevel(lv.repartition(6),
+          Ranks.floorDiv(col("x"), w), Seq(col("x").desc),
+          maxes = Seq("y" -> "m"), descBuckets = true, partCols = Seq("g"))
+        .select("g", "x", "m").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(got == expected, s"w=$w")
+      // the global max of each group has an empty prefix -> NULL
+      assert(got.count(_._2.isEmpty) == 4)
+    }
+    // inclusive ascending running max equals the global inclusive window
+    val wInc = W.orderBy(col("x"), col("g")).rowsBetween(W.unboundedPreceding, 0)
+    val expInc = lv.withColumn("m", max(col("y")).over(wInc))
+      .select("g", "x", "m").as[(Long, Long, Long)].collect().toSet
+    val gotInc = Ranks.twoLevel(lv, Ranks.floorDiv(col("x"), 16L),
+        Seq(col("x"), col("g")), maxes = Seq("y" -> "m"), inclusive = true)
+      .select("g", "x", "m").as[(Long, Long, Long)].collect().toSet
+    assert(gotInc == expInc)
+  }
+
+  test("nullEmptySums: NULL until the first non-null source, then coalesced prefix sums") {
+    // terms null for v < 50: the running sum must stay NULL there
+    val lv = (1 to 100).map(_.toLong).toDF("v")
+      .withColumn("t", when(col("v") >= 50, col("v")))
+    val got = Ranks.twoLevel(lv, Ranks.floorDiv(col("v"), 9L), Seq(col("v")),
+        sums = Seq("t" -> "s"), inclusive = true, nullEmptySums = true)
+      .select("v", "s").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    for (v <- 1L to 49L) assert(got(v).isEmpty, s"v=$v")
+    for (v <- 50L to 100L)
+      assert(got(v).contains((50L to v).sum), s"v=$v")
+    // default (nullEmptySums=false) coalesces the same empty prefix to 0
+    val dflt = Ranks.twoLevel(lv, Ranks.floorDiv(col("v"), 9L), Seq(col("v")),
+        sums = Seq("t" -> "s"), inclusive = true)
+      .filter(col("v") < 50).select("s").as[Long].collect()
+    assert(dflt.forall(_ == 0L))
+  }
+
   test("withRangeBucket: NaN values land in the top cell (order-consistent with Spark's NaN-greatest sort)") {
     val df = (Seq(1.0, 5.0, 9.0, Double.NaN, 3.0)).toDF("x")
     val b = Ranks.withRangeBucket(df, "x", "bkt", cells = 4)
