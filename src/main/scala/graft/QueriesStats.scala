@@ -325,6 +325,22 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
           (col("q99") >= col("lo99") && col("q99") <= col("hi99")).as("ok_p99"))
         .orderBy("l_returnflag")
     }),
+    // Mann–Whitney rank-sum ✚ (r10): the nonparametric twin of q150's
+    // Welch t on the SAME click-vs-view spend — tie-averaged doubled
+    // midranks over distinct cent levels (two-level prefix sum), exact
+    // Decimal rank/tie sums, one shared z tree, micro-quantized
+    "q200_mann_whitney" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      Stats.mannWhitney(ev, "event_type", "cents", "click", "view")
+    }),
+    // Kruskal–Wallis H ✚ (r10): k-group rank ANOVA — do document lengths
+    // differ by language — per-group H terms micro-quantized THEN
+    // long-summed (the chiSquared quantize-then-sum contract), tie
+    // correction divided once at the end
+    "q201_kruskal_wallis" -> ((s, d) => {
+      Stats.kruskalWallis(Tables.documents(s, d), "lang", "n_chars")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -927,5 +943,71 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                 max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.99 AS DOUBLE) * cnt) AS BIGINT)) THEN cents END) AS p99_cents,
                 TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
          FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // same doubled-midrank identity over distinct cent levels, HUGEINT
+    // rank/tie sums (the Decimal(38,0) twin), the identical z tree
+    "q200_mann_whitney" ->
+      """WITH x AS (SELECT (event_type = 'click') AS isa,
+                CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE event_type IN ('click', 'view')
+                AND value IS NOT NULL),
+         lv AS (SELECT v, count(CASE WHEN isa THEN 1 END) AS ca,
+                       count(CASE WHEN NOT isa THEN 1 END) AS cb
+                FROM x GROUP BY v),
+         w AS (SELECT ca, cb, ca + cb AS tot,
+                      COALESCE(sum(ca + cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+               FROM lv),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+                      sum(ca::HUGEINT * (below * 2 + tot + 1)::HUGEINT) AS r2a,
+                      sum(tot::HUGEINT * tot::HUGEINT * tot::HUGEINT - tot::HUGEINT) AS ties
+               FROM w)
+         SELECT na AS n_a, nb AS n_b,
+                CAST(r2a - na::HUGEINT * (na + 1)::HUGEINT AS BIGINT) AS u2_a,
+                CASE WHEN na > 0 AND nb > 0
+                      AND (na::DOUBLE + nb::DOUBLE + 1)
+                        - ties::DOUBLE / ((na::DOUBLE + nb::DOUBLE) * (na::DOUBLE + nb::DOUBLE - 1)) > 0
+                     THEN CAST(round(((r2a - na::HUGEINT * (na + 1)::HUGEINT)::DOUBLE
+                            - na::DOUBLE * nb::DOUBLE)
+                          / (2 * sqrt(na::DOUBLE * nb::DOUBLE
+                              * ((na::DOUBLE + nb::DOUBLE + 1)
+                                - ties::DOUBLE / ((na::DOUBLE + nb::DOUBLE) * (na::DOUBLE + nb::DOUBLE - 1)))
+                              / 12)) * 1e6) AS BIGINT)
+                END AS z_micro
+         FROM t""",
+    // per-group term tree micro-quantized then BIGINT-summed, identical
+    // to the Spark side's quantize-then-sum; one tie division at the end
+    "q201_kruskal_wallis" ->
+      """WITH gv AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+              FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              GROUP BY 1, 2),
+         lv AS (SELECT v, sum(c) AS tot FROM gv GROUP BY v),
+         rk AS (SELECT v, 2 * COALESCE(sum(tot) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tot + 1 AS r2
+                FROM lv),
+         tt AS (SELECT CAST(sum(tot) AS BIGINT) AS nn,
+                       sum(tot::HUGEINT * tot::HUGEINT * tot::HUGEINT - tot::HUGEINT) AS ties
+                FROM lv),
+         pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                       sum(c::HUGEINT * r2::HUGEINT) AS r2g
+                FROM gv JOIN rk USING (v) GROUP BY g),
+         tm AS (SELECT CAST(round(12 * ng::DOUBLE
+                    * (r2g::DOUBLE / (2 * ng::DOUBLE) - (nn::DOUBLE + 1) / 2)
+                    * (r2g::DOUBLE / (2 * ng::DOUBLE) - (nn::DOUBLE + 1) / 2)
+                    / (nn::DOUBLE * (nn::DOUBLE + 1)) * 1e6) AS BIGINT) AS t_micro,
+                   nn, ties
+                FROM pg, tt),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(t_micro) AS BIGINT) AS h,
+                    max(nn) AS nn, max(ties) AS ties FROM tm)
+         SELECT k AS n_groups, nn AS n_total, k - 1 AS dof,
+                CASE WHEN nn >= 2
+                      AND 1 - ties::DOUBLE / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE) > 0
+                     THEN h END AS h_micro,
+                CASE WHEN nn >= 2
+                      AND 1 - ties::DOUBLE / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE) > 0
+                     THEN CAST(round(h::DOUBLE
+                          / (1 - ties::DOUBLE / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE))) AS BIGINT)
+                END AS h_tie_micro
+         FROM agg""",
   )
 }

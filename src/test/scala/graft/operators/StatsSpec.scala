@@ -342,4 +342,51 @@ class StatsSpec extends SparkTestBase {
       .collect().map(x => x.getString(0) -> x.getAs[Long]("split_i")).toMap
     assert(wide == Map("a" -> 3L, "b" -> 1L))
   }
+
+  test("mannWhitney: hand U with ties; all-tied null z; other levels/nulls ignored; width-invariant") {
+    // a = [1,2,3,3], b = [3,4,5]: doubled midranks 2,4,8,8 | 8,12,14
+    // -> R2a = 22, u2_a = 22 - 4*5 = 2; ties term (t=3) = 24
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", Some(3L)), ("b", Some(3L)), ("b", Some(4L)), ("b", Some(5L)),
+      ("c", Some(99L)), ("a", None)).toDF("g", "v")
+    for (w <- Seq(1L, 1000L)) {
+      val r = Stats.mannWhitney(df.repartition(5), "g", "v", "a", "b", w).collect()(0)
+      assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+      assert(r.getAs[Long]("u2_a") == 2L)
+      assert(r.getAs[Long]("z_micro") == -1834498L, s"w=$w")
+    }
+    // every value tied: variance 0 -> no test, U still defined
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v")
+    val rt = Stats.mannWhitney(tied, "g", "v", "a", "b").collect()(0)
+    assert(rt.getAs[Long]("u2_a") == 2L * 4L - 2L * 3L) // R2a = ca·r2 = 8, minus na(na+1)
+    assert(rt.isNullAt(rt.fieldIndex("z_micro")))
+    // empty side -> null z
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(one.transform(Stats.mannWhitney(_, "g", "v", "a", "b"))
+      .collect()(0).isNullAt(3))
+  }
+
+  test("kruskalWallis: hand H with tie correction; single-value null; width/partition-invariant") {
+    // x=[1,2,3], y=[3,4], z=[5]: doubled rank sums 13, 17, 12; N=6, T=6
+    val df = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 3L), ("y", 4L),
+      ("z", 5L)).toDF("g", "v")
+    for (w <- Seq(1L, 16L, 1000L); parts <- Seq(1, 5)) {
+      val r = Stats.kruskalWallis(df.repartition(parts), "g", "v", w).collect()(0)
+      assert(r.getAs[Long]("n_groups") == 3L && r.getAs[Long]("n_total") == 6L)
+      assert(r.getAs[Long]("dof") == 2L)
+      assert(r.getAs[Long]("h_micro") == 3630953L, s"w=$w parts=$parts")
+      assert(r.getAs[Long]("h_tie_micro") == 3737746L, s"w=$w parts=$parts")
+    }
+    // identical-to-scipy spot check without ties: H = 12/(N(N+1))·ΣR²/n − 3(N+1)
+    val nt = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("y", 4L)).toDF("g", "v")
+    val rn = Stats.kruskalWallis(nt, "g", "v").collect()(0)
+    // rank sums 3, 7 -> H = 12/20*(9/2+49/2) - 15 = 2.4 - but quantize-then-sum:
+    // terms: 12*2*1^2/20 = 1.2 each -> 1200000+1200000
+    assert(rn.getAs[Long]("h_micro") == 2400000L)
+    assert(rn.getAs[Long]("h_tie_micro") == 2400000L) // no ties
+    // all values tied across all groups: corr = 0 -> degenerate, null H
+    val allt = Seq(("x", 5L), ("y", 5L), ("z", 5L)).toDF("g", "v")
+    val ra = Stats.kruskalWallis(allt, "g", "v").collect()(0)
+    assert(ra.isNullAt(ra.fieldIndex("h_micro")) && ra.isNullAt(ra.fieldIndex("h_tie_micro")))
+  }
 }
