@@ -621,4 +621,84 @@ private[graft] trait OracleSqlHelpers {
     }.mkString(",\n         ")
     sqlUnigramSeed(maxWordLen, maxPieceLen, seedSize) + ",\n         " + rounds
   }
+
+  // Mirrors graft.operators.WordPiece term for term: ##-prefixed initial
+  // symbols, likelihood score pc/(sc_a·sc_b) as ONE double division of
+  // exact HUGEINT products (the Decimal(38,0) twin), (score DESC, a, b)
+  // argmax, and the same greedy list_reduce fold as the BPE chain with the
+  // WordPiece fusion rule (strip the right side's ## when fusing).
+
+  /** Corpus word table + ##-symbol initial state: CTEs wpwc/wpw0. */
+  protected val sqlWpBase =
+    """wpwc AS (SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+              FROM documents) t WHERE len(token) > 0 GROUP BY 1),
+         wpw0 AS MATERIALIZED (SELECT word, cnt,
+                replace(trim(regexp_replace(word, '(.)', '\1 ', 'g')), ' ', ' ##') AS syms
+              FROM wpwc)"""
+
+  /** One WordPiece merge round: symbol counts, pair counts, likelihood
+    * argmax, folded state. CTEs wps{i}/wpp{i}/wpb{i}/wpw{i}. */
+  protected def sqlWpStep(i: Int): String =
+    s"""wps$i AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS sc FROM (
+             SELECT cnt, unnest(string_split(syms, ' ')) AS piece FROM wpw${i - 1}) t
+           GROUP BY 1),
+         wpp$i AS (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+             FROM (SELECT cnt, unnest([[p[1], p[2]] for p in list_zip(sy, sy[2:])]) AS pr
+                   FROM (SELECT cnt, string_split(syms, ' ') AS sy FROM wpw${i - 1}) s) t
+             WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+         wpb$i AS MATERIALIZED (SELECT p.a, p.b, p.pc,
+               p.a || CASE WHEN starts_with(p.b, '##') THEN substr(p.b, 3) ELSE p.b END AS merged,
+               p.pc::DOUBLE / (x.sc::HUGEINT * y.sc::HUGEINT)::DOUBLE AS score
+             FROM wpp$i p JOIN wps$i x ON x.piece = p.a JOIN wps$i y ON y.piece = p.b
+             ORDER BY score DESC, p.a, p.b LIMIT 1),
+         wpw$i AS MATERIALIZED (SELECT word, cnt, list_reduce(string_split(syms, ' '),
+               (acc, x) -> CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                                THEN acc || CASE WHEN starts_with(m.b, '##')
+                                                 THEN substr(m.b, 3) ELSE m.b END
+                                ELSE acc || ' ' || x END) AS syms
+             FROM wpw${i - 1}, wpb$i m)"""
+
+  protected def sqlWpChain(m: Int): String =
+    sqlWpBase + ",\n         " + (1 to m).map(sqlWpStep).mkString(",\n         ")
+
+  /** Encoding vocab + greedy MaxMatch walk over the distinct words of
+    * `documents` (corpus words are ≤ 8 normalized chars — the same bound
+    * the unigram DP oracle rides). CTEs wpv/wpdt/wpdw/wpj/wpg0..8/wpnp:
+    * wpnp = (word, np) with np = piece count, [UNK] word = 1. */
+  protected def sqlWpEncode(m: Int): String = {
+    val mergedUnion = (1 to m)
+      .map(i => s"UNION ALL SELECT merged AS piece FROM wpb$i")
+      .mkString("\n              ")
+    val steps = (1 to 8).map { i =>
+      s"""wpg$i AS (SELECT g.word,
+               CASE WHEN g.unk OR g.pos > len(g.word) THEN g.pos
+                    WHEN j.lm IS NULL THEN len(g.word) + 1
+                    ELSE g.pos + j.lm::INT END AS pos,
+               CASE WHEN g.unk OR g.pos > len(g.word) OR j.lm IS NULL THEN g.np
+                    ELSE g.np + 1 END AS np,
+               CASE WHEN g.unk THEN TRUE
+                    WHEN g.pos <= len(g.word) AND j.lm IS NULL THEN TRUE
+                    ELSE FALSE END AS unk
+             FROM wpg${i - 1} g LEFT JOIN wpj j ON j.word = g.word AND j.p = g.pos)"""
+    }.mkString(",\n         ")
+    s"""wpv AS MATERIALIZED (SELECT DISTINCT piece FROM (
+              SELECT unnest(string_split(syms, ' ')) AS piece FROM wpw0
+              $mergedUnion) t),
+         wpdt AS (SELECT doc_id, token AS word, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS token
+              FROM documents) t WHERE len(token) > 0 GROUP BY 1, 2),
+         wpdw AS MATERIALIZED (SELECT DISTINCT word FROM wpdt),
+         wpj AS MATERIALIZED (
+           SELECT word, p, max(l) AS lm FROM (
+             SELECT w.word, s.p, l.l
+             FROM wpdw w, range(1, 9) s(p), range(1, 9) l(l), wpv v
+             WHERE s.p + l.l <= len(w.word) + 1
+               AND v.piece = CASE WHEN s.p = 1 THEN substr(w.word, s.p::INT, l.l::INT)
+                                  ELSE '##' || substr(w.word, s.p::INT, l.l::INT) END) t
+           GROUP BY 1, 2),
+         wpg0 AS (SELECT word, 1 AS pos, 0 AS np, FALSE AS unk FROM wpdw),
+         $steps,
+         wpnp AS (SELECT word, CASE WHEN unk THEN 1 ELSE np END AS np FROM wpg8)"""
+  }
 }

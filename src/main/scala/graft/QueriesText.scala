@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Audit, Bpe, Classify, Dedup, Dsir, Graph, Grouping, Intervals, Joins, Layout, Lm, Ops, Pack, Profile, Search, Sequences, Similarity, Sketches, Stats, Unigram}
+import graft.operators.{Audit, Bpe, Classify, Dedup, Dsir, Graph, Grouping, Intervals, Joins, Layout, Lm, Ops, Pack, Profile, Search, Sequences, Similarity, Sketches, Stats, Unigram, WordPiece}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -376,6 +376,43 @@ private[graft] object QueriesText extends OracleSqlHelpers {
           maxPieces = 120L)
         .select(col("doc_id"), col("n_pieces"))
         .orderBy("doc_id")
+    }),
+    // WordPiece training ✚ (r10, Schuster & Nakajima 2012): the third
+    // tokenizer family - 8 LIKELIHOOD-scored merges pc/(sc_a*sc_b), one
+    // double division of exact integer sums, (score DESC, a, b) argmax;
+    // the oracle unrolls the identical loop with list_reduce folds
+    "q202_wordpiece_train" -> ((s, d) =>
+      WordPiece.train(Tables.documents(s, d), "text", numMerges = 8)
+        .orderBy("rank")),
+    // WordPiece encode ✚ - greedy longest-match-first (MaxMatch) against
+    // the FINAL vocab, NOT a merge replay (the family's defining encode
+    // difference): one codegen'd fold over DISTINCT words, [UNK] words
+    // cost exactly 1 piece; the oracle walks precomputed jump pointers
+    "q203_wordpiece_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = WordPiece.train(docs, "text", numMerges = 8)
+      WordPiece.encodeCounts(docs, "doc_id", "text",
+          WordPiece.vocabPieces(docs, "text", merges))
+        .orderBy("doc_id")
+    }),
+    // all three vocab families side by side ✚ - completes the q178/q198
+    // fertility diagnostic: per language, pieces-per-word under same-corpus
+    // BPE, unigram-LM and WordPiece vocabularies in one frame
+    "q204_wordpiece_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = WordPiece.train(docs, "text", numMerges = 8)
+      WordPiece.encodeCounts(docs, "doc_id", "text",
+          WordPiece.vocabPieces(docs, "text", merges))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_tokens"),
+          sum(col("n_pieces")).as("wp_pieces"))
+        .select(col("lang"), col("n_tokens"), col("wp_pieces"),
+          round(col("wp_pieces").cast("double")
+            / col("n_tokens").cast("double") * 1e6)
+            .cast(LongType).as("wp_fertility_micro"))
+        .orderBy("lang")
     }),
   )
 
@@ -1003,5 +1040,38 @@ private[graft] object QueriesText extends OracleSqlHelpers {
                 FROM dt d LEFT JOIN npw USING (word) GROUP BY d.doc_id)
          SELECT doc_id, n_pieces FROM enc WHERE n_pieces <= 120
          ORDER BY doc_id""",
+    // the identical 8-round likelihood-merge loop unrolled; each round's
+    // argmax is the same (score DESC, a, b) one-row sort
+    "q202_wordpiece_train" ->
+      s"""WITH ${sqlWpChain(8)}
+         SELECT * FROM (
+           ${(1 to 8).map(i =>
+             s"SELECT CAST($i AS INTEGER) AS rank, a AS sym_a, b AS sym_b, merged, pc AS pair_count, CAST(round(score * 1e9) AS BIGINT) AS score_nano FROM wpb$i")
+             .mkString("\n           UNION ALL ")})
+         ORDER BY rank""",
+    // MaxMatch replayed as jump-pointer walking: per (word, pos) the
+    // longest vocab match precomputes a jump table, then 8 unrolled steps
+    // follow it (corpus words are <= 8 normalized chars); [UNK] words -> 1
+    "q203_wordpiece_encode" ->
+      s"""WITH ${sqlWpChain(8)},
+         ${sqlWpEncode(8)}
+         SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_words,
+                CAST(sum(d.n * wpnp.np) AS BIGINT) AS n_pieces
+         FROM wpdt d JOIN wpnp USING (word)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // q203's encode rolled up per language with the fixed fertility tree
+    "q204_wordpiece_fertility" ->
+      s"""WITH ${sqlWpChain(8)},
+         ${sqlWpEncode(8)},
+         wpdoc AS (SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_words,
+                CAST(sum(d.n * wpnp.np) AS BIGINT) AS n_pieces
+              FROM wpdt d JOIN wpnp USING (word) GROUP BY d.doc_id)
+         SELECT doc.lang, CAST(sum(w.n_words) AS BIGINT) AS n_tokens,
+                CAST(sum(w.n_pieces) AS BIGINT) AS wp_pieces,
+                CAST(round(sum(w.n_pieces)::DOUBLE / sum(w.n_words)::DOUBLE * 1e6) AS BIGINT)
+                  AS wp_fertility_micro
+         FROM wpdoc w JOIN documents doc USING (doc_id)
+         WHERE doc.lang IS NOT NULL
+         GROUP BY doc.lang ORDER BY doc.lang""",
   )
 }

@@ -77,8 +77,9 @@ object Bpe {
   }
 
   /** The adjacent-pair frequency table of a (word, cnt, syms) state frame:
-    * (a, b, pc) with pc = Σ cnt over every adjacent occurrence. */
-  private def pairCounts(words: DataFrame): DataFrame = {
+    * (a, b, pc) with pc = Σ cnt over every adjacent occurrence. Shared
+    * with [[WordPiece]], whose training differs only in the pair SCORE. */
+  private[operators] def pairCounts(words: DataFrame): DataFrame = {
     val sy = split(col("syms"), " ")
     words
       .select(col("cnt"),
