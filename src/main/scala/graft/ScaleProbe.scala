@@ -319,6 +319,20 @@ object ScaleProbe {
         docs, "doc_id", "text", ugVocab).count()
       val ugt2 = System.nanoTime()
 
+      // WordPiece axis (r10): same unique-word-table invariance as the
+      // unigram axis, but rounds are inherently sequential (likelihood
+      // denominators change per merge), so train cost = rounds × a
+      // vocab-sized job — flat under clone replication; the MaxMatch
+      // encode tracks the doc-word hash-agg, its per-word fold constant.
+      val wpt0 = System.nanoTime()
+      val wpMerges = graft.operators.WordPiece.train(docs, "text", 12)
+      val nWpMerges = wpMerges.count()
+      val wpVocab = graft.operators.WordPiece.vocabPieces(docs, "text", wpMerges)
+      val wpt1 = System.nanoTime()
+      val nWpDocs = graft.operators.WordPiece.encodeCounts(
+        docs, "doc_id", "text", wpVocab).count()
+      val wpt2 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -377,7 +391,9 @@ object ScaleProbe {
         s""""ks_groups":$nKsGroups,"ks_sec":${sec(stt0, stt1)},""" +
         s""""conc_rows":$nConc,"conc_sec":${sec(stt1, stt2)},""" +
         s""""ug_vocab":$nUgVocab,"ug_train_sec":${sec(ugt0, ugt1)},""" +
-        s""""ug_docs":$nUgDocs,"ug_encode_sec":${sec(ugt1, ugt2)}""" +
+        s""""ug_docs":$nUgDocs,"ug_encode_sec":${sec(ugt1, ugt2)},""" +
+        s""""wp_merges":$nWpMerges,"wp_train_sec":${sec(wpt0, wpt1)},""" +
+        s""""wp_docs":$nWpDocs,"wp_encode_sec":${sec(wpt1, wpt2)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
