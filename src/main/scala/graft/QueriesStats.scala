@@ -341,6 +341,15 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q201_kruskal_wallis" -> ((s, d) => {
       Stats.kruskalWallis(Tables.documents(s, d), "lang", "n_chars")
     }),
+    // grouped Mann–Whitney ✚ (r10): the q200 test per SOURCE cohort in
+    // one pass — are English docs longer than German within each source —
+    // per-segment midranks via Ranks.twoLevel's grouped path, windows
+    // stay (segment × bucket)-sized
+    "q205_mw_by_group" -> ((s, d) => {
+      Stats.mannWhitneyByGroup(Tables.documents(s, d), "source", "lang",
+          "n_chars", "en", "de")
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1009,5 +1018,36 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                           / (1 - ties::DOUBLE / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE))) AS BIGINT)
                 END AS h_tie_micro
          FROM agg""",
+    // the q200 machinery with the segment as an extra key on every
+    // level/window/aggregate - identical z tree per segment
+    "q205_mw_by_group" ->
+      """WITH x AS (SELECT source AS g, (lang = 'en') AS isa,
+                CAST(n_chars AS BIGINT) AS v
+              FROM documents WHERE source IS NOT NULL
+                AND lang IN ('en', 'de') AND n_chars IS NOT NULL),
+         lv AS (SELECT g, v, count(CASE WHEN isa THEN 1 END) AS ca,
+                       count(CASE WHEN NOT isa THEN 1 END) AS cb
+                FROM x GROUP BY 1, 2),
+         w AS (SELECT g, ca, cb, ca + cb AS tot,
+                      COALESCE(sum(ca + cb) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+               FROM lv),
+         t AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+                      sum(ca::HUGEINT * (below * 2 + tot + 1)::HUGEINT) AS r2a,
+                      sum(tot::HUGEINT * tot::HUGEINT * tot::HUGEINT - tot::HUGEINT) AS ties
+               FROM w GROUP BY g)
+         SELECT g AS source, na AS n_a, nb AS n_b,
+                CAST(r2a - na::HUGEINT * (na + 1)::HUGEINT AS BIGINT) AS u2_a,
+                CASE WHEN na > 0 AND nb > 0
+                      AND (na::DOUBLE + nb::DOUBLE + 1)
+                        - ties::DOUBLE / ((na::DOUBLE + nb::DOUBLE) * (na::DOUBLE + nb::DOUBLE - 1)) > 0
+                     THEN CAST(round(((r2a - na::HUGEINT * (na + 1)::HUGEINT)::DOUBLE
+                            - na::DOUBLE * nb::DOUBLE)
+                          / (2 * sqrt(na::DOUBLE * nb::DOUBLE
+                              * ((na::DOUBLE + nb::DOUBLE + 1)
+                                - ties::DOUBLE / ((na::DOUBLE + nb::DOUBLE) * (na::DOUBLE + nb::DOUBLE - 1)))
+                              / 12)) * 1e6) AS BIGINT)
+                END AS z_micro
+         FROM t ORDER BY source""",
   )
 }

@@ -366,6 +366,25 @@ class StatsSpec extends SparkTestBase {
       .collect()(0).isNullAt(3))
   }
 
+  test("mannWhitneyByGroup: one pass equals per-segment mannWhitney calls; null segments dropped") {
+    val rows = (1 to 120).map { i =>
+      val seg = s"s${i % 3}"
+      val g = if (i % 2 == 0) "a" else "b"
+      (seg, g, ((i * 31) % 17).toLong)
+    }
+    val df = (rows :+ (null.asInstanceOf[String], "a", 5L)).toDF("seg", "g", "v")
+    val grouped = Stats.mannWhitneyByGroup(df, "seg", "g", "v", "a", "b", 4L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(grouped.keySet == Set("s0", "s1", "s2")) // null segment dropped
+    for (s <- Seq("s0", "s1", "s2")) {
+      val single = Stats.mannWhitney(df.filter(col("seg") === s), "g", "v",
+        "a", "b", 4L).collect()(0)
+      assert(grouped(s) == ((single.getLong(0), single.getLong(1),
+        single.getLong(2), single.getLong(3))), s"seg=$s")
+    }
+  }
+
   test("kruskalWallis: hand H with tie correction; single-value null; width/partition-invariant") {
     // x=[1,2,3], y=[3,4], z=[5]: doubled rank sums 13, 17, 12; N=6, T=6
     val df = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 3L), ("y", 4L),
