@@ -57,7 +57,13 @@ object Plans {
         // (keySkew's count-value collapse; q84 above now shows the
         // range-bucketed bins) and the unigram DP — the Viterbi must be
         // ONE projection over the broadcast cost map, not a join chain
-        "q148_key_skew", "q196_unigram_train", "q197_unigram_encode")
+        "q148_key_skew", "q196_unigram_train", "q197_unigram_encode",
+        // r10 continuation: the rank tests must window only the level
+        // frame (bucket-partitioned, never data-sized single-partition);
+        // grouped MW adds the segment to every window key; WordPiece
+        // encode must be ONE broadcast-map projection over distinct
+        // words (no join chain), its train loop vocab-sized
+        "q200_mann_whitney", "q205_mw_by_group", "q203_wordpiece_encode")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -301,4 +301,47 @@ object GraftProperties extends Properties("graft") {
           sums(v) == sorted.takeWhile(_ < v).sum
       }
     }
+
+  private val wordGen = Gen.chooseNum(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  property("WordPiece MaxMatch: pieces reconstruct the word, all in vocab; corpus words never UNK") =
+    forAll(Gen.listOfN(6, wordGen), Gen.listOfN(5, wordGen),
+        Gen.chooseNum(1, 4)) { (corpus0, probes, m) =>
+      import spark.implicits._
+      // guarantee at least one adjacent pair so train(m) has work
+      val corpus = "abc" :: corpus0
+      val docs = Seq((1L, corpus.mkString(" "))).toDF("id", "text")
+      val merges = graft.operators.WordPiece.train(docs, "text", m)
+      val vocabDf = graft.operators.WordPiece.vocabPieces(docs, "text", merges)
+      val vocab = vocabDf.collect().map(_.getString(0)).toSet
+      val words = (corpus ++ probes).distinct
+      val segs = graft.operators.WordPiece.segmentWords(
+          words.toDF("word"), vocabDf, maxPieceLen = 8)
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      words.forall { w =>
+        segs(w) match {
+          case Some(s) =>
+            val ps = s.split(" ")
+            ps.forall(vocab.contains) &&
+              ps.map(_.stripPrefix("##")).mkString == w &&
+              ps.head.take(2) != "##"
+          case None => !corpus.contains(w) // training words always segment
+        }
+      }
+    }
+
+  property("mannWhitney: swapping the sides gives u2' = 2*na*nb - u2 and z' = -z (exact in micro)") =
+    forAll(Gen.listOfN(18, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 8L)))) { rows0 =>
+      import spark.implicits._
+      // both sides non-empty and not all values tied, else z is null
+      val rows = ("a", 0L) :: ("b", 1L) :: rows0
+      val d = rows.toDF("g", "v")
+      val ab = graft.operators.Stats.mannWhitney(d, "g", "v", "a", "b").collect()(0)
+      val ba = graft.operators.Stats.mannWhitney(d, "g", "v", "b", "a").collect()(0)
+      val (na, nb) = (ab.getLong(0), ab.getLong(1))
+      ba.getLong(0) == nb && ba.getLong(1) == na &&
+        ba.getLong(2) == 2L * na * nb - ab.getLong(2) &&
+        ba.getLong(3) == -ab.getLong(3)
+    }
 }
