@@ -350,6 +350,18 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
           "n_chars", "en", "de")
         .orderBy("source")
     }),
+    // Wilcoxon signed-rank ✚ (r10): the PAIRED nonparametric test — per
+    // user, total click spend vs total view spend (users with both),
+    // signed midranks over |diff| levels, zero diffs dropped, classical
+    // tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48
+    "q207_wilcoxon_signed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      val pairs = ev.groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", col("cents"))).as("x"),
+        sum(when(col("event_type") === "view", col("cents"))).as("y"))
+      Stats.wilcoxonSignedRank(pairs, "x", "y")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1049,5 +1061,36 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                               / 12)) * 1e6) AS BIGINT)
                 END AS z_micro
          FROM t ORDER BY source""",
+    // same doubled signed midranks over |diff| levels; HUGEINT sums, the
+    // identical z tree with the classical paired variance
+    "q207_wilcoxon_signed" ->
+      """WITH p AS (SELECT user_id,
+                sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END) AS x,
+                sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) AS y
+              FROM events GROUP BY user_id),
+         d0 AS (SELECT x - y AS d FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS npairs FROM d0),
+         lv AS (SELECT abs(d) AS v, count(CASE WHEN d > 0 THEN 1 END) AS cp,
+                       count(CASE WHEN d < 0 THEN 1 END) AS cn
+                FROM d0 WHERE d <> 0 GROUP BY 1),
+         w AS (SELECT cp, cn, cp + cn AS tot,
+                      COALESCE(sum(cp + cn) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+               FROM lv),
+         t AS (SELECT CAST(sum(tot) AS BIGINT) AS nn,
+                      sum(cp::HUGEINT * (below * 2 + tot + 1)::HUGEINT) AS w2p,
+                      sum(tot::HUGEINT * tot::HUGEINT * tot::HUGEINT - tot::HUGEINT) AS ties
+               FROM w)
+         SELECT np.npairs AS n_pairs,
+                COALESCE(nn, 0) AS n_nonzero,
+                CAST(COALESCE(w2p, 0) AS BIGINT) AS w2_plus,
+                CASE WHEN nn >= 1
+                      AND COALESCE(nn, 0)::DOUBLE * (COALESCE(nn, 0)::DOUBLE + 1) * (COALESCE(nn, 0)::DOUBLE * 2 + 1) / 24
+                        - COALESCE(ties, 0)::DOUBLE / 48 > 0
+                     THEN CAST(round((COALESCE(w2p::DOUBLE, 0) - COALESCE(nn, 0)::DOUBLE * (COALESCE(nn, 0)::DOUBLE + 1) / 2)
+                          / (2 * sqrt(COALESCE(nn, 0)::DOUBLE * (COALESCE(nn, 0)::DOUBLE + 1) * (COALESCE(nn, 0)::DOUBLE * 2 + 1) / 24
+                              - COALESCE(ties, 0)::DOUBLE / 48)) * 1e6) AS BIGINT)
+                END AS z_micro
+         FROM t, np""",
   )
 }

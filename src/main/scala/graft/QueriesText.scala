@@ -395,6 +395,18 @@ private[graft] object QueriesText extends OracleSqlHelpers {
           WordPiece.vocabPieces(docs, "text", merges))
         .orderBy("doc_id")
     }),
+    // frozen-WordPiece-vocab budget admission ✚ - the q199 gate under the
+    // third vocab family: MaxMatch piece cost vs budget, [UNK] words cost
+    // 1 piece (unknown-heavy docs pass CHEAP - pair with a quality gate)
+    "q206_wordpiece_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = WordPiece.vocabPieces(docs, "text",
+        WordPiece.train(docs, "text", numMerges = 8))
+      Streams.wordpieceBudgetBatch(docs, "doc_id", "text", vocab,
+          maxPieces = 120L)
+        .select(col("doc_id"), col("n_pieces"))
+        .orderBy("doc_id")
+    }),
     // all three vocab families side by side ✚ - completes the q178/q198
     // fertility diagnostic: per language, pieces-per-word under same-corpus
     // BPE, unigram-LM and WordPiece vocabularies in one frame
@@ -1073,5 +1085,13 @@ private[graft] object QueriesText extends OracleSqlHelpers {
          FROM wpdoc w JOIN documents doc USING (doc_id)
          WHERE doc.lang IS NOT NULL
          GROUP BY doc.lang ORDER BY doc.lang""",
+    // the q203 encode chain + the admission filter
+    "q206_wordpiece_budget" ->
+      s"""WITH ${sqlWpChain(8)},
+         ${sqlWpEncode(8)},
+         wpenc AS (SELECT d.doc_id, CAST(sum(d.n * wpnp.np) AS BIGINT) AS n_pieces
+                FROM wpdt d JOIN wpnp USING (word) GROUP BY 1)
+         SELECT doc_id, n_pieces FROM wpenc WHERE n_pieces <= 120
+         ORDER BY doc_id""",
   )
 }

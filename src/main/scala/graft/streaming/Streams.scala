@@ -646,6 +646,37 @@ object Streams {
       sink(unigramBudgetBatch(batch.toDF(), idCol, textCol, vocab, maxPieces))
     }
 
+  /** [[unigramBudgetBatch]]'s WordPiece sibling: admit only the batch
+    * documents whose MaxMatch piece cost under a FROZEN
+    * [[graft.operators.WordPiece]] vocab (a (piece) frame, e.g.
+    * [[graft.operators.WordPiece.loadVocab]]) fits `maxPieces`. `[UNK]`
+    * words cost 1 piece (the production convention), so unknown-heavy
+    * documents pass the gate CHEAP rather than failing closed — pair with
+    * a quality/language gate when that matters. Stateless across batches;
+    * appends `n_words`/`n_pieces`. */
+  def wordpieceBudgetBatch(batch: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieces: Long): DataFrame = {
+    val reserved = Seq("__wpid", "n_words", "n_pieces")
+    val clash = batch.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"wordpieceBudgetBatch reserves column names ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    val counts = graft.operators.WordPiece
+      .encodeCounts(batch, idCol, textCol, vocab)
+      .select(col(idCol).as("__wpid"), col("n_pieces"))
+    batch.join(counts, col(idCol) === col("__wpid"))
+      .filter(col("n_pieces") <= maxPieces)
+      .drop("__wpid")
+  }
+
+  /** [[wordpieceBudgetBatch]] as a `foreachBatch` sink. */
+  def wordpieceBudgetStream(stream: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieces: Long)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(wordpieceBudgetBatch(batch.toDF(), idCol, textCol, vocab, maxPieces))
+    }
+
   /** Watermarked stream-stream inner join: pair each left event with right
     * events for the same key within `[0, windowMinutes]` AFTER it. Both
     * sides carry watermarks and the time-range predicate bounds the join

@@ -385,6 +385,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("wilcoxonSignedRank: hand W+ with ties and zero-drop; all-zero null; null pairs ignored") {
+    // diffs 2, -1, 3, 3, 0: zero dropped -> n=4; |d| ranks 1(neg), 2(pos),
+    // 3.5, 3.5(pos) -> W+ = 9, W2+ = 18; T = 6 -> z = 8/(2*sqrt(7.375))
+    val df = Seq((10L, 8L), (4L, 5L), (9L, 6L), (7L, 4L), (5L, 5L))
+      .toDF("x", "y")
+    for (w <- Seq(1L, 1000L)) {
+      val r = Stats.wilcoxonSignedRank(df.repartition(3), "x", "y", w).collect()(0)
+      assert(r.getAs[Long]("n_pairs") == 5L)
+      assert(r.getAs[Long]("n_nonzero") == 4L)
+      assert(r.getAs[Long]("w2_plus") == 18L)
+      assert(r.getAs[Long]("z_micro") == 1472919L, s"w=$w")
+    }
+    // all diffs zero: no test, zero W
+    val z = Stats.wilcoxonSignedRank(Seq((3L, 3L), (4L, 4L)).toDF("x", "y"),
+      "x", "y").collect()(0)
+    assert(z.getAs[Long]("n_pairs") == 2L && z.getAs[Long]("n_nonzero") == 0L)
+    assert(z.getAs[Long]("w2_plus") == 0L && z.isNullAt(z.fieldIndex("z_micro")))
+    // a null side drops the pair entirely
+    val withNull = Seq((Some(4L), Some(1L)), (None, Some(9L)), (Some(2L), None))
+      .toDF("x", "y")
+    val rn = Stats.wilcoxonSignedRank(withNull, "x", "y").collect()(0)
+    assert(rn.getAs[Long]("n_pairs") == 1L && rn.getAs[Long]("n_nonzero") == 1L)
+  }
+
   test("kruskalWallis: hand H with tie correction; single-value null; width/partition-invariant") {
     // x=[1,2,3], y=[3,4], z=[5]: doubled rank sums 13, 17, 12; N=6, T=6
     val df = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 3L), ("y", 4L),

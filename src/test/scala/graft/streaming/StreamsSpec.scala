@@ -584,6 +584,41 @@ class StreamsSpec extends SparkTestBase {
         "id", "text", vocab, budget))
   }
 
+  test("wordpieceBudgetStream: frozen-vocab MaxMatch budget; UNK words cost 1; stream ≡ batch") {
+    import graft.operators.WordPiece
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val vocab = WordPiece.vocabPieces(corpus, "text",
+      WordPiece.train(corpus, "text", numMerges = 3))
+    val batch = Seq(
+      (10L, "low"),                      // l ##o ##w = 3 pieces: kept
+      (11L, "zzz zzz"),                  // both UNK = 2 pieces: kept (cheap)
+      (12L, "lower lower newest lowest") // well over budget
+    ).toDF("id", "text")
+    val counts = WordPiece.encodeCounts(batch, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts(10L) == 3L && counts(11L) == 2L)
+    val kept = Streams.wordpieceBudgetBatch(batch, "id", "text", vocab, 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 11L) && counts(12L) > 3L)
+    // the same gate through a REAL StreamingQuery via foreachBatch
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.wordpieceBudgetStream(
+        mem.toDF().toDF("id", "text"), "id", "text", vocab, 3L) { out =>
+      got ++= out.select("id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData((10L, "low"), (11L, "zzz zzz"),
+        (12L, "lower lower newest lowest"))
+      q.processAllAvailable()
+      assert(got.toSet == Set(10L, 11L))
+    } finally q.stop()
+    intercept[IllegalArgumentException](
+      Streams.wordpieceBudgetBatch(batch.withColumn("n_words", lit(1)),
+        "id", "text", vocab, 3L))
+  }
+
   test("anomalyScores: hand-computed trailing z; insufficient history and zero variance null") {
     // per-minute counts for one type: 3, 5, 4, 6, 12
     val counts = Seq(3, 5, 4, 6, 12)
