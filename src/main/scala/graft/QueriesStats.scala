@@ -362,6 +362,26 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
         sum(when(col("event_type") === "view", col("cents"))).as("y"))
       Stats.wilcoxonSignedRank(pairs, "x", "y")
     }),
+    // CUPED variance reduction ✚ (r10, Deng/Xu/Kohavi/Walker 2013): the
+    // experimentation-platform readout - pre-period spend as the
+    // covariate, post-period spend as the metric, deterministic
+    // user_id-parity assignment; exact Decimal conditional sums, fixed
+    // theta/adjusted-diff/rho^2 trees shared with the oracle
+    "q208_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val mid = ev.agg((min(col("ts_us"))
+        + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
+        .cast(LongType).as("mid"))
+      val units = ev.crossJoin(broadcast(mid))
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(
+          coalesce(sum(when(col("ts_us") < col("mid"), col("cents"))), lit(0L)).as("x"),
+          coalesce(sum(when(col("ts_us") >= col("mid"), col("cents"))), lit(0L)).as("y"))
+        .withColumn("t", pmod(col("user_id"), lit(2L)) === 0)
+      Stats.cuped(units, "t", "x", "y")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1092,5 +1112,50 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                               - COALESCE(ties, 0)::DOUBLE / 48)) * 1e6) AS BIGINT)
                 END AS z_micro
          FROM t, np""",
+    // one conditional-sum scan over per-user pre/post spend, HUGEINT
+    // moments, the identical theta/adjusted-diff/rho^2 trees
+    "q208_cuped" ->
+      """WITH raw AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                epoch_us(ts) AS t
+              FROM events WHERE user_id IS NOT NULL),
+         m AS (SELECT min(t) + CAST(floor((max(t) - min(t)) / 2.0) AS BIGINT) AS mid
+               FROM raw),
+         u AS (SELECT user_id,
+                  COALESCE(sum(CASE WHEN t < mid THEN cents END), 0) AS x,
+                  COALESCE(sum(CASE WHEN t >= mid THEN cents END), 0) AS y,
+                  (user_id % 2 = 0) AS tr
+               FROM raw, m GROUP BY user_id),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+                  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+                  sum(y::HUGEINT * y::HUGEINT) AS syy,
+                  CAST(count(CASE WHEN tr THEN 1 END) AS BIGINT) AS nt,
+                  sum(CASE WHEN tr THEN x::HUGEINT END) AS sxt,
+                  sum(CASE WHEN tr THEN y::HUGEINT END) AS syt,
+                  CAST(count(CASE WHEN NOT tr THEN 1 END) AS BIGINT) AS nc,
+                  sum(CASE WHEN NOT tr THEN x::HUGEINT END) AS sxc,
+                  sum(CASE WHEN NOT tr THEN y::HUGEINT END) AS syc
+               FROM u),
+         f AS (SELECT *, (n::HUGEINT * sxy - sx * sy) AS num,
+                  (n::HUGEINT * sxx - sx * sx) AS den,
+                  (n::HUGEINT * syy - sy * sy) AS vy FROM s)
+         SELECT nt AS n_treat, nc AS n_ctrl,
+                CASE WHEN den > 0
+                     THEN CAST(round(num::DOUBLE / den::DOUBLE * 1e6) AS BIGINT)
+                END AS theta_micro,
+                CASE WHEN nt > 0 AND nc > 0
+                     THEN CAST(round((syt::DOUBLE / nt::DOUBLE - syc::DOUBLE / nc::DOUBLE) * 1e6) AS BIGINT)
+                END AS diff_micro,
+                CASE WHEN den > 0 AND nt > 0 AND nc > 0
+                     THEN CAST(round(((syt::DOUBLE / nt::DOUBLE
+                            - (num::DOUBLE / den::DOUBLE) * (sxt::DOUBLE / nt::DOUBLE - sx::DOUBLE / n::DOUBLE))
+                          - (syc::DOUBLE / nc::DOUBLE
+                            - (num::DOUBLE / den::DOUBLE) * (sxc::DOUBLE / nc::DOUBLE - sx::DOUBLE / n::DOUBLE))) * 1e6) AS BIGINT)
+                END AS diff_cuped_micro,
+                CASE WHEN den > 0 AND vy > 0
+                     THEN CAST(round(num::DOUBLE * num::DOUBLE / (den::DOUBLE * vy::DOUBLE) * 1e6) AS BIGINT)
+                END AS var_reduction_micro
+         FROM f""",
   )
 }

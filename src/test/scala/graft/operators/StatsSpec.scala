@@ -409,6 +409,33 @@ class StatsSpec extends SparkTestBase {
     assert(rn.getAs[Long]("n_pairs") == 1L && rn.getAs[Long]("n_nonzero") == 1L)
   }
 
+  test("cuped: hand theta/adjusted diff/rho2; constant covariate null; unbiased when arms balanced") {
+    // units (t, x, y): theta = 2.3, raw diff 26, cuped diff 3, rho2 0.98327
+    val df = Seq((false, 10L, 20L), (false, 20L, 40L),
+      (true, 20L, 46L), (true, 30L, 66L)).toDF("t", "x", "y")
+    val r = Stats.cuped(df.repartition(3), "t", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_treat") == 2L && r.getAs[Long]("n_ctrl") == 2L)
+    assert(r.getAs[Long]("theta_micro") == 2300000L)
+    assert(r.getAs[Long]("diff_micro") == 26000000L)
+    assert(r.getAs[Long]("diff_cuped_micro") == 3000000L)
+    assert(r.getAs[Long]("var_reduction_micro") == 983271L)
+    // covariate balanced across arms: CUPED diff == raw diff (unbiased)
+    val bal = Seq((false, 10L, 20L), (false, 20L, 40L),
+      (true, 10L, 25L), (true, 20L, 45L)).toDF("t", "x", "y")
+    val rb = Stats.cuped(bal, "t", "x", "y").collect()(0)
+    assert(rb.getAs[Long]("diff_micro") == rb.getAs[Long]("diff_cuped_micro"))
+    // constant covariate: var(x) = 0 -> no theta, no adjustment, raw diff kept
+    val const = Seq((false, 5L, 1L), (true, 5L, 3L)).toDF("t", "x", "y")
+    val rc = Stats.cuped(const, "t", "x", "y").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("theta_micro")))
+    assert(rc.isNullAt(rc.fieldIndex("diff_cuped_micro")))
+    assert(rc.getAs[Long]("diff_micro") == 2000000L)
+    // empty arm: no diffs
+    val one = Seq((true, 1L, 2L), (true, 2L, 5L)).toDF("t", "x", "y")
+    val ro = Stats.cuped(one, "t", "x", "y").collect()(0)
+    assert(ro.isNullAt(ro.fieldIndex("diff_micro")))
+  }
+
   test("kruskalWallis: hand H with tie correction; single-value null; width/partition-invariant") {
     // x=[1,2,3], y=[3,4], z=[5]: doubled rank sums 13, 17, 12; N=6, T=6
     val df = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 3L), ("y", 4L),
