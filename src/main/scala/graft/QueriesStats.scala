@@ -382,6 +382,19 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
         .withColumn("t", pmod(col("user_id"), lit(2L)) === 0)
       Stats.cuped(units, "t", "x", "y")
     }),
+    // Friedman test ✚ (r10): the k-treatment PAIRED rank test completing
+    // the nonparametric 2x2 (MW/KW unpaired, Wilcoxon/Friedman paired) -
+    // per-user spend ranked across the five event types WITHIN each user,
+    // complete blocks only; per-treatment terms quantize-then-summed,
+    // Conover tie correction divided once
+    "q209_friedman" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .filter(col("cents").isNotNull)
+      val cells = ev.groupBy("user_id", "event_type")
+        .agg(sum(col("cents")).as("tot"))
+      Stats.friedman(cells, "user_id", "event_type", "tot")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1157,5 +1170,41 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                      THEN CAST(round(num::DOUBLE * num::DOUBLE / (den::DOUBLE * vy::DOUBLE) * 1e6) AS BIGINT)
                 END AS var_reduction_micro
          FROM f""",
+    // block-partitioned doubled midranks (every window <= k rows), the
+    // identical per-treatment term tree quantize-then-summed
+    "q209_friedman" ->
+      """WITH cells AS (SELECT user_id AS b, event_type AS t,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+                AND event_type IS NOT NULL
+              GROUP BY 1, 2),
+         k1 AS (SELECT count(DISTINCT t) AS k FROM cells),
+         keepb AS (SELECT b FROM cells, k1 GROUP BY b, k
+                   HAVING count(*) = k AND count(DISTINCT t) = k),
+         r AS (SELECT cells.* FROM cells JOIN keepb USING (b)),
+         lv AS (SELECT b, v, count(*) AS c FROM r GROUP BY 1, 2),
+         lvr AS (SELECT b, v, COALESCE(sum(c) OVER (PARTITION BY b ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + c + 1 AS r2
+                FROM lv),
+         pt AS (SELECT t, sum(r2::HUGEINT) AS r2j FROM r JOIN lvr USING (b, v) GROUP BY t),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keepb),
+         tt AS (SELECT COALESCE(sum(c::HUGEINT * c::HUGEINT * c::HUGEINT - c::HUGEINT), 0) AS ties FROM lv),
+         tm AS (SELECT n, k, ties,
+                  CAST(round(3 * (r2j::DOUBLE - n::DOUBLE * (k::DOUBLE + 1))
+                       * (r2j::DOUBLE - n::DOUBLE * (k::DOUBLE + 1))
+                       / (n::DOUBLE * k::DOUBLE * (k::DOUBLE + 1)) * 1e6) AS BIGINT) AS tmv
+                FROM pt, nb, k1, tt),
+         agg AS (SELECT n, k, ties, CAST(sum(tmv) AS BIGINT) AS chi2 FROM tm
+                 GROUP BY n, k, ties)
+         SELECT n AS n_blocks, CAST(k AS BIGINT) AS k, CAST(k - 1 AS BIGINT) AS dof,
+                CASE WHEN k >= 2
+                      AND 1 - ties::DOUBLE / (n::DOUBLE * k::DOUBLE * (k::DOUBLE * k::DOUBLE - 1)) > 0
+                     THEN chi2 END AS chi2_micro,
+                CASE WHEN k >= 2
+                      AND 1 - ties::DOUBLE / (n::DOUBLE * k::DOUBLE * (k::DOUBLE * k::DOUBLE - 1)) > 0
+                     THEN CAST(round(chi2::DOUBLE
+                          / (1 - ties::DOUBLE / (n::DOUBLE * k::DOUBLE * (k::DOUBLE * k::DOUBLE - 1)))) AS BIGINT)
+                END AS chi2_tie_micro
+         FROM agg""",
   )
 }

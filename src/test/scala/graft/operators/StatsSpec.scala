@@ -409,6 +409,31 @@ class StatsSpec extends SparkTestBase {
     assert(rn.getAs[Long]("n_pairs") == 1L && rn.getAs[Long]("n_nonzero") == 1L)
   }
 
+  test("friedman: hand chi2 with in-block ties; incomplete blocks dropped; all-tied null") {
+    // b1: a1 b2 c3; b2: a2 b2 c4 (tie); b3: a1 b3 c2
+    // R2 = (7, 13, 16), terms 2083333+83333+1333333, T=6
+    val df = Seq(
+      ("b1", "a", 1L), ("b1", "b", 2L), ("b1", "c", 3L),
+      ("b2", "a", 2L), ("b2", "b", 2L), ("b2", "c", 4L),
+      ("b3", "a", 1L), ("b3", "b", 3L), ("b3", "c", 2L),
+      ("b4", "a", 9L), ("b4", "b", 9L)  // incomplete: no c -> dropped
+    ).toDF("blk", "trt", "v")
+    val r = Stats.friedman(df.repartition(4), "blk", "trt", "v").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(r.getAs[Long]("chi2_micro") == 3499999L)
+    assert(r.getAs[Long]("chi2_tie_micro") == 3818181L)
+    // every block fully tied: correction hits zero -> degenerate, null
+    val flat = Seq(("b1", "a", 5L), ("b1", "b", 5L),
+      ("b2", "a", 7L), ("b2", "b", 7L)).toDF("blk", "trt", "v")
+    val rf = Stats.friedman(flat, "blk", "trt", "v").collect()(0)
+    assert(rf.getAs[Long]("n_blocks") == 2L)
+    assert(rf.isNullAt(rf.fieldIndex("chi2_micro")))
+    // no complete block at all: empty result
+    val none = Seq(("b1", "a", 1L), ("b2", "b", 2L)).toDF("blk", "trt", "v")
+    assert(Stats.friedman(none, "blk", "trt", "v").count() == 0L)
+  }
+
   test("cuped: hand theta/adjusted diff/rho2; constant covariate null; unbiased when arms balanced") {
     // units (t, x, y): theta = 2.3, raw diff 26, cuped diff 3, rho2 0.98327
     val df = Seq((false, 10L, 20L), (false, 20L, 40L),
