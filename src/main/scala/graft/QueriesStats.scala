@@ -368,14 +368,17 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     // user_id-parity assignment; exact Decimal conditional sums, fixed
     // theta/adjusted-diff/rho^2 trees shared with the oracle
     "q208_cuped" -> ((s, d) => {
+      // null user_ids are dropped BEFORE the midpoint agg - the oracle's
+      // raw CTE filters first, and a null-user row holding min/max ts
+      // must not shift the period split (code-review r10 finding #1)
       val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
         .withColumn("cents", round(col("value") * 100).cast(LongType))
         .withColumn("ts_us", unix_micros(col("ts")))
       val mid = ev.agg((min(col("ts_us"))
         + floor((max(col("ts_us")) - min(col("ts_us"))) / 2))
         .cast(LongType).as("mid"))
       val units = ev.crossJoin(broadcast(mid))
-        .filter(col("user_id").isNotNull)
         .groupBy("user_id").agg(
           coalesce(sum(when(col("ts_us") < col("mid"), col("cents"))), lit(0L)).as("x"),
           coalesce(sum(when(col("ts_us") >= col("mid"), col("cents"))), lit(0L)).as("y"))
@@ -1050,9 +1053,9 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                     / (nn::DOUBLE * (nn::DOUBLE + 1)) * 1e6) AS BIGINT) AS t_micro,
                    nn, ties
                 FROM pg, tt),
-         agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
-                    CAST(sum(t_micro) AS BIGINT) AS h,
-                    max(nn) AS nn, max(ties) AS ties FROM tm)
+         agg AS (SELECT nn, ties, CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(t_micro) AS BIGINT) AS h
+                 FROM tm GROUP BY nn, ties)
          SELECT k AS n_groups, nn AS n_total, k - 1 AS dof,
                 CASE WHEN nn >= 2
                       AND 1 - ties::DOUBLE / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE) > 0

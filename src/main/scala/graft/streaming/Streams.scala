@@ -623,18 +623,25 @@ object Streams {
     * tokens has no encode row and is dropped: a budget gate fails
     * closed). */
   def unigramBudgetBatch(batch: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame, maxPieces: Long): DataFrame = {
-    val reserved = Seq("__ugid", "n_words", "n_pieces")
+      vocab: DataFrame, maxPieces: Long): DataFrame =
+    budgetGate(batch, idCol, maxPieces, "unigramBudgetBatch",
+      graft.operators.Unigram.encodeCounts(batch, idCol, textCol, vocab))
+
+  /** The shared budget-gate shape (one copy for both vocab families —
+    * code-review r10 finding #5): join the encode frame's `n_pieces` back
+    * by id, keep rows within budget. `counts` must carry (idCol,
+    * n_words, n_pieces). */
+  private def budgetGate(batch: DataFrame, idCol: String, maxPieces: Long,
+      caller: String, counts: DataFrame): DataFrame = {
+    val reserved = Seq("__bgid", "n_words", "n_pieces")
     val clash = batch.columns.filter(reserved.contains)
     require(clash.isEmpty,
-      s"unigramBudgetBatch reserves column names ${reserved.mkString("/")}; " +
+      s"$caller reserves column names ${reserved.mkString("/")}; " +
         s"rename input column(s): ${clash.mkString(", ")}")
-    val counts = graft.operators.Unigram
-      .encodeCounts(batch, idCol, textCol, vocab)
-      .select(col(idCol).as("__ugid"), col("n_pieces"))
-    batch.join(counts, col(idCol) === col("__ugid"))
+    val np = counts.select(col(idCol).as("__bgid"), col("n_pieces"))
+    batch.join(np, col(idCol) === col("__bgid"))
       .filter(col("n_pieces") <= maxPieces)
-      .drop("__ugid")
+      .drop("__bgid")
   }
 
   /** [[unigramBudgetBatch]] as a `foreachBatch` sink — same contract as
@@ -653,21 +660,11 @@ object Streams {
     * words cost 1 piece (the production convention), so unknown-heavy
     * documents pass the gate CHEAP rather than failing closed — pair with
     * a quality/language gate when that matters. Stateless across batches;
-    * appends `n_words`/`n_pieces`. */
+    * the surviving rows carry `n_pieces`. */
   def wordpieceBudgetBatch(batch: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame, maxPieces: Long): DataFrame = {
-    val reserved = Seq("__wpid", "n_words", "n_pieces")
-    val clash = batch.columns.filter(reserved.contains)
-    require(clash.isEmpty,
-      s"wordpieceBudgetBatch reserves column names ${reserved.mkString("/")}; " +
-        s"rename input column(s): ${clash.mkString(", ")}")
-    val counts = graft.operators.WordPiece
-      .encodeCounts(batch, idCol, textCol, vocab)
-      .select(col(idCol).as("__wpid"), col("n_pieces"))
-    batch.join(counts, col(idCol) === col("__wpid"))
-      .filter(col("n_pieces") <= maxPieces)
-      .drop("__wpid")
-  }
+      vocab: DataFrame, maxPieces: Long): DataFrame =
+    budgetGate(batch, idCol, maxPieces, "wordpieceBudgetBatch",
+      graft.operators.WordPiece.encodeCounts(batch, idCol, textCol, vocab))
 
   /** [[wordpieceBudgetBatch]] as a `foreachBatch` sink. */
   def wordpieceBudgetStream(stream: DataFrame, idCol: String, textCol: String,
