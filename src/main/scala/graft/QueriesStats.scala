@@ -398,6 +398,15 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
         .agg(sum(col("cents")).as("tot"))
       Stats.friedman(cells, "user_id", "event_type", "tot")
     }),
+    // one-way ANOVA ✚ (r10): the parametric k-group sibling of q201 -
+    // spend by event type as variance-explained eta^2 + F; SST from one
+    // fixed tree over exact global sums, per-group bounded shares
+    // micro-quantized then long-summed (never a cross-group double sum)
+    "q210_anova" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      Stats.oneWayAnova(ev, "event_type", "cents")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1208,6 +1217,36 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                      THEN CAST(round(chi2::DOUBLE
                           / (1 - ties::DOUBLE / (n::DOUBLE * k::DOUBLE * (k::DOUBLE * k::DOUBLE - 1)))) AS BIGINT)
                 END AS chi2_tie_micro
+         FROM agg""",
+    // same bounded per-group share tree, HUGEINT global sums, the
+    // identical eta^2 -> F derivation from the summed micro long
+    "q210_anova" ->
+      """WITH x AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(v::HUGEINT) AS sg
+                FROM x GROUP BY g),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nn, sum(v::HUGEINT) AS s,
+                      sum(v::HUGEINT * v::HUGEINT) AS sxx FROM x),
+         tm AS (SELECT nn, sxx, s,
+                  CASE WHEN sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE > 0
+                       THEN CAST(round(ng::DOUBLE
+                            * (sg::DOUBLE / ng::DOUBLE - s::DOUBLE / nn::DOUBLE)
+                            * (sg::DOUBLE / ng::DOUBLE - s::DOUBLE / nn::DOUBLE)
+                            / (sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE) * 1e6) AS BIGINT)
+                  END AS tmv
+                FROM pg, t),
+         agg AS (SELECT nn, sxx, s, CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(tmv) AS BIGINT) AS e2
+                 FROM tm GROUP BY nn, sxx, s)
+         SELECT nn AS n_total, k, k - 1 AS dof_between, nn - k AS dof_within,
+                CASE WHEN sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE > 0
+                     THEN e2 END AS eta2_micro,
+                CASE WHEN k >= 2 AND nn > k
+                      AND sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE > 0
+                      AND e2 < 1000000
+                     THEN CAST(round((e2::DOUBLE / 1e6 / (k::DOUBLE - 1))
+                          / ((1 - e2::DOUBLE / 1e6) / (nn::DOUBLE - k::DOUBLE)) * 1e6) AS BIGINT)
+                END AS f_micro
          FROM agg""",
   )
 }

@@ -409,6 +409,28 @@ class StatsSpec extends SparkTestBase {
     assert(rn.getAs[Long]("n_pairs") == 1L && rn.getAs[Long]("n_nonzero") == 1L)
   }
 
+  test("oneWayAnova: hand eta2/F; constant data null F; saturated fit null F; partition-invariant") {
+    // a=[1,2,3], b=[5,7]: SST=23.2, terms 331034+496552, F=14.399979
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 7L))
+      .toDF("g", "v")
+    for (parts <- Seq(1, 4)) {
+      val r = Stats.oneWayAnova(df.repartition(parts), "g", "v").collect()(0)
+      assert(r.getAs[Long]("n_total") == 5L && r.getAs[Long]("k") == 2L)
+      assert(r.getAs[Long]("dof_between") == 1L && r.getAs[Long]("dof_within") == 3L)
+      assert(r.getAs[Long]("eta2_micro") == 827586L, s"parts=$parts")
+      assert(r.getAs[Long]("f_micro") == 14399979L, s"parts=$parts")
+    }
+    // constant data: SST = 0 -> no effect size, no test
+    val const = Seq(("a", 4L), ("a", 4L), ("b", 4L)).toDF("g", "v")
+    val rc = Stats.oneWayAnova(const, "g", "v").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("eta2_micro")) && rc.isNullAt(rc.fieldIndex("f_micro")))
+    // one row per group: eta2 = 1 (saturated), F undefined
+    val sat = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    val rs = Stats.oneWayAnova(sat, "g", "v").collect()(0)
+    assert(rs.getAs[Long]("eta2_micro") == 1000000L)
+    assert(rs.isNullAt(rs.fieldIndex("f_micro")))
+  }
+
   test("friedman: hand chi2 with in-block ties; incomplete blocks dropped; all-tied null") {
     // b1: a1 b2 c3; b2: a2 b2 c4 (tie); b3: a1 b3 c2
     // R2 = (7, 13, 16), terms 2083333+83333+1333333, T=6
