@@ -39,6 +39,18 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Schema-evolution read: parquet with per-file schema RECONCILIATION
+    * (`mergeSchema`) — the 100-TB lake reality where a table's files span
+    * schema versions (columns added over months of ingest). Spark unions
+    * the footers' schemas; files missing a column yield nulls for it.
+    * Off by default on plain `parquet()` because footer merging touches
+    * every file's metadata at planning time — reach for this reader only
+    * on genuinely evolved tables, and compact to one schema when the
+    * listing cost starts to show. Column renames/type changes are NOT
+    * reconciled (Spark errors on conflicting types — the safe failure). */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(path)
+
   /** Parquet sink, optionally hive-partitioned by low-cardinality columns so
     * downstream scans prune whole directories. */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,

@@ -78,6 +78,24 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("parquetEvolved: files from two schema versions union; old files null the new column") {
+    val dir = java.nio.file.Files.createTempDirectory("evolved").toString
+    // v1 writer: (id, a); months later v2 adds quality
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 0.9)).toDF("id", "a", "quality")
+      .write.mode("append").parquet(dir)
+    val evolved = Sources.parquetEvolved(spark, dir)
+    assert(evolved.columns.toSet == Set("id", "a", "quality"))
+    val rows = evolved.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.9)))
+    // the plain reader picks ONE footer: whichever schema it lands on,
+    // it must NOT see a merged superset unless asked
+    assert(Sources.parquet(spark, dir).columns.length <= 3)
+  }
+
   test("saltedJoin: identical results to plain inner join") {
     val skewed = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong, i.toLong)).toDF("k", "v")
     val dim = (1 to 20).map(i => (i.toLong, s"d$i")).toDF("k", "name")
