@@ -407,6 +407,15 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
         .withColumn("cents", round(col("value") * 100).cast(LongType))
       Stats.oneWayAnova(ev, "event_type", "cents")
     }),
+    // Brown-Forsythe ✚ (r10): variance homogeneity - the SCALE complement
+    // to q210 on the same spend-by-type frame; ANOVA on DOUBLED deviations
+    // from exact group medians (F/eta^2 scale-invariant, so doubling keeps
+    // every intermediate integral)
+    "q211_brown_forsythe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+      Stats.brownForsythe(ev, "event_type", "cents")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1223,6 +1232,38 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q210_anova" ->
       """WITH x AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
               FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(v::HUGEINT) AS sg
+                FROM x GROUP BY g),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nn, sum(v::HUGEINT) AS s,
+                      sum(v::HUGEINT * v::HUGEINT) AS sxx FROM x),
+         tm AS (SELECT nn, sxx, s,
+                  CASE WHEN sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE > 0
+                       THEN CAST(round(ng::DOUBLE
+                            * (sg::DOUBLE / ng::DOUBLE - s::DOUBLE / nn::DOUBLE)
+                            * (sg::DOUBLE / ng::DOUBLE - s::DOUBLE / nn::DOUBLE)
+                            / (sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE) * 1e6) AS BIGINT)
+                  END AS tmv
+                FROM pg, t),
+         agg AS (SELECT nn, sxx, s, CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(tmv) AS BIGINT) AS e2
+                 FROM tm GROUP BY nn, sxx, s)
+         SELECT nn AS n_total, k, k - 1 AS dof_between, nn - k AS dof_within,
+                CASE WHEN sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE > 0
+                     THEN e2 END AS eta2_micro,
+                CASE WHEN k >= 2 AND nn > k
+                      AND sxx::DOUBLE - s::DOUBLE * s::DOUBLE / nn::DOUBLE > 0
+                      AND e2 < 1000000
+                     THEN CAST(round((e2::DOUBLE / 1e6 / (k::DOUBLE - 1))
+                          / ((1 - e2::DOUBLE / 1e6) / (nn::DOUBLE - k::DOUBLE)) * 1e6) AS BIGINT)
+                END AS f_micro
+         FROM agg""",
+    // the q155 exact-2-median idiom feeds doubled deviations into the
+    // identical q210 ANOVA chain
+    "q211_brown_forsythe" ->
+      """WITH x0 AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v0
+              FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         md AS (SELECT g, CAST(2 * median(v0) AS BIGINT) AS med2 FROM x0 GROUP BY g),
+         x AS (SELECT x0.g, abs(v0 * 2 - med2) AS v FROM x0 JOIN md ON x0.g = md.g),
          pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(v::HUGEINT) AS sg
                 FROM x GROUP BY g),
          t AS (SELECT CAST(count(*) AS BIGINT) AS nn, sum(v::HUGEINT) AS s,

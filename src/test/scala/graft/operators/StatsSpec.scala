@@ -431,6 +431,27 @@ class StatsSpec extends SparkTestBase {
     assert(rs.isNullAt(rs.fieldIndex("f_micro")))
   }
 
+  test("brownForsythe: hand eta2/F on doubled median deviations; equal-spread groups near zero") {
+    // a=[1,2,6] med 2 -> z2 = 2,0,8; b=[4,8] med 6 -> z2 = 4,4
+    // ANOVA on z2: terms 6061 + 9091, F = 0.046155
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 6L), ("b", 4L), ("b", 8L))
+      .toDF("g", "v")
+    val r = Stats.brownForsythe(df.repartition(3), "g", "v").collect()(0)
+    assert(r.getAs[Long]("n_total") == 5L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("eta2_micro") == 15152L)
+    assert(r.getAs[Long]("f_micro") == 46155L)
+    // shifting one group far away changes LOCATION, not the BF statistic
+    val shifted = df.withColumn("v",
+      when(col("g") === "b", col("v") + 1000L).otherwise(col("v")))
+    val rs = Stats.brownForsythe(shifted, "g", "v").collect()(0)
+    assert(rs.getAs[Long]("eta2_micro") == 15152L)
+    assert(rs.getAs[Long]("f_micro") == 46155L)
+    // identical in-group deviations everywhere: SST of z2 = 0 -> null
+    val flat = Seq(("a", 0L), ("a", 2L), ("b", 5L), ("b", 7L)).toDF("g", "v")
+    val rf = Stats.brownForsythe(flat, "g", "v").collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("f_micro")))
+  }
+
   test("friedman: hand chi2 with in-block ties; incomplete blocks dropped; all-tied null") {
     // b1: a1 b2 c3; b2: a2 b2 c4 (tie); b3: a1 b3 c2
     // R2 = (7, 13, 16), terms 2083333+83333+1333333, T=6
