@@ -319,6 +319,19 @@ object ScaleProbe {
         docs, "doc_id", "text", ugVocab).count()
       val ugt2 = System.nanoTime()
 
+      // rank-test axis (r10): Mann–Whitney over doc lengths, sides by id
+      // parity. The midrank machinery shuffles |distinct length levels|
+      // rows (FIXED under clone replication), so the curve must track the
+      // one level hash-agg — linear in docs, never a data-sized sort.
+      // Representative of the whole r10 battery (KW/Wilcoxon/Friedman/
+      // ANOVA ride the same level-table + two-level-prefix shapes).
+      val rkt0 = System.nanoTime()
+      val nMwRows = graft.operators.Stats.mannWhitney(
+        docs.select(pmod(col("doc_id"), lit(2L)).as("g"),
+          length(col("text")).cast("long").as("len")),
+        "g", "len", 0L, 1L, bucketWidth = 64L).count()
+      val rkt1 = System.nanoTime()
+
       // WordPiece axis (r10): same unique-word-table invariance as the
       // unigram axis, but rounds are inherently sequential (likelihood
       // denominators change per merge), so train cost = rounds × a
@@ -393,7 +406,8 @@ object ScaleProbe {
         s""""ug_vocab":$nUgVocab,"ug_train_sec":${sec(ugt0, ugt1)},""" +
         s""""ug_docs":$nUgDocs,"ug_encode_sec":${sec(ugt1, ugt2)},""" +
         s""""wp_merges":$nWpMerges,"wp_train_sec":${sec(wpt0, wpt1)},""" +
-        s""""wp_docs":$nWpDocs,"wp_encode_sec":${sec(wpt1, wpt2)}""" +
+        s""""wp_docs":$nWpDocs,"wp_encode_sec":${sec(wpt1, wpt2)},""" +
+        s""""mw_rows":$nMwRows,"mw_sec":${sec(rkt0, rkt1)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
