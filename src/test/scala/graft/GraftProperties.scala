@@ -331,6 +331,21 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("kruskalWallis at k=2 equals mannWhitney z^2 (both tie-corrected) within quantization") =
+    forAll(Gen.listOfN(16, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 6L)))) { rows0 =>
+      import spark.implicits._
+      val rows = ("a", 0L) :: ("b", 1L) :: rows0
+      val d = rows.toDF("g", "v")
+      val z = graft.operators.Stats.mannWhitney(d, "g", "v", "a", "b")
+        .collect()(0).getLong(3) / 1e6
+      val h = graft.operators.Stats.kruskalWallis(d, "g", "v")
+        .collect()(0).getAs[Long]("h_tie_micro") / 1e6
+      // the classical identity H' = z'^2 for two groups; both sides carry
+      // independent micro quantization (KW additionally quantizes its two
+      // group terms before summing), so allow a small absolute slack
+      math.abs(h - z * z) < 5e-4
+    }
+
   property("mannWhitney: swapping the sides gives u2' = 2*na*nb - u2 and z' = -z (exact in micro)") =
     forAll(Gen.listOfN(18, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 8L)))) { rows0 =>
       import spark.implicits._
