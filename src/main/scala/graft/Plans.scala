@@ -63,7 +63,10 @@ object Plans {
         // grouped MW adds the segment to every window key; WordPiece
         // encode must be ONE broadcast-map projection over distinct
         // words (no join chain), its train loop vocab-sized
-        "q200_mann_whitney", "q205_mw_by_group", "q203_wordpiece_encode")
+        "q200_mann_whitney", "q205_mw_by_group", "q203_wordpiece_encode",
+        // ANOVA must be pure hash-aggs (no window at all); Brown-Forsythe
+        // adds only the block/group-partitioned median windows
+        "q210_anova", "q211_brown_forsythe")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
