@@ -134,7 +134,9 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")), line)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal, not Throwable (ADVICE r10): an OOM or other fatal JVM
+      // error must propagate, not be reported as a benign write failure
       System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
     }
     spark.stop()

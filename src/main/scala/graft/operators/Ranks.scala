@@ -96,7 +96,11 @@ object Ranks {
     *
     * `bucket` must be order-consistent with the head of `order`; ties
     * beyond `order` are deterministic only if `order` is a total order —
-    * pass enough columns to make it one (the call sites all do). */
+    * pass enough columns to make it one (the call sites all do). A NULL
+    * bucket is allowed and its rows SURVIVE (null-safe join): they form
+    * their own cell, placed where Spark's null ordering puts it — first
+    * under ascending buckets, last under `descBuckets` — consistent with
+    * the null placement of the in-bucket `order` columns. */
   def twoLevel(df: DataFrame, bucket: Column, order: Seq[Column],
       sums: Seq[(String, String)] = Nil, posCol: Option[String] = None,
       inclusive: Boolean = false, descBuckets: Boolean = false,
@@ -131,7 +135,18 @@ object Ranks {
     val hi = if (inclusive) 0L else -1L
     val wInBase = Window.partitionBy(joinKeys.map(col): _*).orderBy(order: _*)
     val wIn = wInBase.rowsBetween(Window.unboundedPreceding, hi)
-    val joined = tagged.join(withOffs, joinKeys)
+    // NULL-SAFE join back to the offsets (ADVICE r10): a plain equi-join
+    // silently dropped any row whose bucket (or partition key) evaluates
+    // to null. groupBy and Window already treat null as an ordinary group,
+    // so <=> makes null-bucket rows first-class: they sort where Spark's
+    // null ordering puts them (FIRST under asc, LAST under desc — which
+    // matches the null placement of the in-bucket `order` columns, so the
+    // order-consistency contract extends to nulls for free).
+    val offsR = withOffs.select(
+      (joinKeys.map(k => col(k).as(s"__rkj_$k")) ++ offs.map(o => col(o._2))): _*)
+    val cond = joinKeys.map(k => col(k) <=> col(s"__rkj_$k")).reduce(_ && _)
+    val joined = tagged.join(offsR, cond)
+      .drop(joinKeys.map(k => s"__rkj_$k"): _*)
     val withSums = sums.zipWithIndex.foldLeft(joined) {
       case (d, ((src, out), i)) =>
         val inSum = sum(col(src)).over(wIn)

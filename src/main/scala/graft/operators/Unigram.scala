@@ -92,7 +92,8 @@ object Unigram {
     * best segmentation of `word` under `costMap` (map<piece, cost_micro>;
     * pieces longer than `maxPieceLen` are never probed). Returns
     * struct(c: total cost, s: space-joined pieces), or null when the word
-    * cannot be segmented (some character missing from the vocabulary).
+    * cannot be segmented (some character missing from the vocabulary, or
+    * the word is empty — the [[WordPiece.maxMatchPieces]] convention).
     *
     * State: the array best[0..j] of struct(c, s) per prefix length
     * (null = unreachable), folded left over positions; each step takes
@@ -105,8 +106,12 @@ object Unigram {
     // the DDL cast makes the accumulator's element type NULLABLE — built
     // from the literal init alone it would be containsNull=false, and the
     // first unsegmentable prefix (null best) would NPE the unsafe writer
+    // greatest(…, 1) guards the length-0 word: sequence(1, 0) would run
+    // DESCENDING (Spark auto-negates the step) and its j=0 step would
+    // evaluate element_at(acc, 0) — a runtime error (SQL arrays are
+    // 1-based). Mirrors maxMatchPieces; the final when() nulls the result.
     val dp = aggregate(
-      sequence(lit(1), length(word)),
+      sequence(lit(1), greatest(length(word), lit(1))),
       array(struct(lit(0L).as("c"), lit("").as("s"))).cast(s"array<$stT>"),
       (acc, j) => {
         val best = aggregate(
@@ -126,21 +131,28 @@ object Unigram {
           })
         concat(acc, array(best))
       })
-    element_at(dp, length(word) + 1)
+    when(length(word) === 0, lit(null).cast(stT))
+      .otherwise(element_at(dp, length(word) + 1))
   }
 
   /** One broadcastable single-row frame holding the whole cost table as a
     * map column `__pcost` (≤ [[MaxVocab]] pieces, asserted at plan build
     * from the caller-supplied bound — the vocab frame itself is never
     * collected). */
-  private def costMapRow(vocab: DataFrame): DataFrame =
+  private def costMapRow(vocab: DataFrame, maxPieceLen: Int): DataFrame =
     vocab.agg(map_from_entries(collect_list(struct(col("piece"),
       col("cost_micro")))).as("__pcost"),
-      count(lit(1)).as("__nv"))
-    .select(when(col("__nv") <= MaxVocab, col("__pcost"))
-      .otherwise(raise_error(lit(
+      count(lit(1)).as("__nv"),
+      max(length(col("piece"))).as("__ml"))
+    .select(when(col("__nv") > MaxVocab, raise_error(lit(
         s"Unigram: vocabulary exceeds MaxVocab=$MaxVocab pieces")))
-      .as("__pcost"))
+      // a piece longer than the Viterbi probe window would never be
+      // matched — the train/encode maxPieceLen desync ADVICE r10 flags
+      .when(col("__ml") > maxPieceLen, raise_error(concat(lit(
+        "Unigram: vocabulary holds a piece of length "), col("__ml"),
+        lit(s" > maxPieceLen=$maxPieceLen - unreachable at Viterbi time;" +
+          " raise maxPieceLen or retrain"))))
+      .otherwise(col("__pcost")).as("__pcost"))
 
   /** Viterbi-segment every word of a (word, cnt, …) frame under `vocab`
     * ((piece, cnt, cost_micro)): appends `c` (total micro cost) and `s`
@@ -148,7 +160,7 @@ object Unigram {
   def segmentWords(words: DataFrame, vocab: DataFrame,
       maxPieceLen: Int): DataFrame = {
     val best = viterbiBest(col("word"), col("__pcost"), maxPieceLen)
-    words.crossJoin(broadcast(costMapRow(vocab)))
+    words.crossJoin(broadcast(costMapRow(vocab, maxPieceLen)))
       .withColumn("__b", best)
       .withColumn("c", col("__b").getField("c"))
       .withColumn("s", col("__b").getField("s"))

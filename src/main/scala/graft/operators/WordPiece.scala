@@ -171,20 +171,32 @@ object WordPiece {
   }
 
   /** One broadcastable single-row frame holding the vocab as a membership
-    * map `__wpv` (≤ [[MaxVocab]], asserted at plan build). */
-  private def vocabMapRow(vocab: DataFrame): DataFrame =
+    * map `__wpv` (≤ [[MaxVocab]], asserted at plan build). Also asserts
+    * every piece is REACHABLE under `maxPieceLen` (ADVICE r10): merges can
+    * mint pieces longer than the encoder's probe window (piece length
+    * roughly doubles per merge chain), and an over-long piece would make
+    * MaxMatch segmentation silently diverge from what the trained vocab
+    * implies. Raw length excludes the `##` continuation prefix — that is
+    * what the substr probe compares against. The check is one extra agg
+    * column on a frame this function already aggregates: free. */
+  private def vocabMapRow(vocab: DataFrame, maxPieceLen: Int): DataFrame =
     vocab.agg(map_from_entries(collect_list(struct(col("piece"), lit(1))))
-        .as("__wpv"), count(lit(1)).as("__nv"))
-      .select(when(col("__nv") <= MaxVocab, col("__wpv"))
-        .otherwise(raise_error(lit(
+        .as("__wpv"), count(lit(1)).as("__nv"),
+        max(length(col("piece")) -
+          when(col("piece").startsWith("##"), 2).otherwise(0)).as("__ml"))
+      .select(when(col("__nv") > MaxVocab, raise_error(lit(
           s"WordPiece: vocabulary exceeds MaxVocab=$MaxVocab pieces")))
-        .as("__wpv"))
+        .when(col("__ml") > maxPieceLen, raise_error(concat(lit(
+          "WordPiece: vocabulary holds a piece of raw length "),
+          col("__ml"), lit(s" > maxPieceLen=$maxPieceLen - unreachable at" +
+            " MaxMatch time; raise maxPieceLen or retrain"))))
+        .otherwise(col("__wpv")).as("__wpv"))
 
   /** MaxMatch-segment every word of a (word, …) frame under a (piece)
     * vocab: appends `s` (space-joined pieces; null = `[UNK]` word). */
   def segmentWords(words: DataFrame, vocab: DataFrame,
       maxPieceLen: Int): DataFrame =
-    words.crossJoin(broadcast(vocabMapRow(vocab)))
+    words.crossJoin(broadcast(vocabMapRow(vocab, maxPieceLen)))
       .withColumn("s", maxMatchPieces(col("word"), col("__wpv"), maxPieceLen))
       .drop("__wpv")
 

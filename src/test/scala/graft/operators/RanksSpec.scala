@@ -143,4 +143,28 @@ class RanksSpec extends SparkTestBase {
     assert(Ranks.withRangeBucket(const, "x", "bkt").select("bkt")
       .as[Long].collect().forall(_ == 0L))
   }
+
+  test("twoLevel: null-bucket rows survive the null-safe join and rank where asc null ordering puts them (ADVICE r10)") {
+    val df = Seq[(Option[Long], Long)]((None, 1L), (Some(5L), 2L),
+      (Some(1L), 3L), (None, 4L), (Some(9L), 5L)).toDF("v", "id")
+    // floorDiv(null, w) is null -> these rows used to vanish at the
+    // offset equi-join; now they form their own cell, FIRST under asc
+    // (Spark's asc null ordering), matching the in-bucket null placement
+    val got = Ranks.positions(df.repartition(3),
+        Ranks.floorDiv(col("v"), 4L), Seq(col("v"), col("id")), "p")
+      .select("id", "p").as[(Long, Long)].collect().toMap
+    val expected = df.withColumn("p", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))))
+      .select("id", "p").as[(Long, Int)].collect()
+      .map { case (k, v) => (k, v.toLong) }.toMap
+    assert(got.size == 5, "a null-bucket row was dropped")
+    assert(got == expected)
+    // running sums too: the null cell contributes to later offsets
+    val sums = Ranks.runningSums(df.repartition(2),
+        Ranks.floorDiv(col("v"), 4L), Seq(col("v"), col("id")),
+        Seq("id" -> "c"), inclusive = true)
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    // global order: (null,1) (null,4) (1,3) (5,2) (9,5); inclusive sums of id
+    assert(sums == Map(1L -> 1L, 4L -> 5L, 3L -> 8L, 2L -> 10L, 5L -> 15L))
+  }
 }

@@ -93,4 +93,25 @@ class UnigramSpec extends SparkTestBase {
     // doc 2: zq unsegmentable -> 2 char-fallback pieces; ab -> 1
     assert(got(2L) == (2L, 3L))
   }
+
+  test("segmentWords: empty word -> null, no runtime error (ADVICE r10)") {
+    val v = vocabDf("a" -> 100L, "b" -> 100L)
+    val got = Unigram.segmentWords(Seq("", "ab").toDF("word"), v,
+        maxPieceLen = 2)
+      .select(col("word"), col("s")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("") == null)   // the WordPiece convention, not an error
+    assert(got("ab") == "a b")
+  }
+
+  test("segmentWords: vocab piece longer than maxPieceLen rejected loudly (ADVICE r10)") {
+    val over = vocabDf("a" -> 100L, "abc" -> 50L)
+    val e = intercept[Throwable] {
+      Unigram.segmentWords(Seq("a").toDF("word"), over, maxPieceLen = 2)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("maxPieceLen"), msgs)
+  }
 }

@@ -74,4 +74,22 @@ class WordPieceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WordPiece.loadVocab(spark, s"$dir/junk"))
     intercept[IllegalArgumentException](WordPiece.loadVocab(spark, s"$dir/missing"))
   }
+
+  test("segmentWords: unreachable over-long vocab piece rejected; ## prefix excluded from raw length (ADVICE r10)") {
+    import spark.implicits._
+    val words = Seq("lower").toDF("word")
+    // ##wer has raw length 3 = maxPieceLen -> fine
+    val ok = Seq("l", "o", "w", "e", "r", "##o", "##w", "##e", "##r",
+      "##wer").toDF("piece")
+    assert(WordPiece.segmentWords(words, ok, 3).collect()
+      .head.getString(1) == "l ##o ##wer")
+    // ##ower raw length 4 > 3 -> MaxMatch could never probe it; loud error
+    val over = ok.unionByName(Seq("##ower").toDF("piece"))
+    val e = intercept[Throwable] {
+      WordPiece.segmentWords(words, over, 3).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("maxPieceLen"), msgs)
+  }
 }
