@@ -536,6 +536,32 @@ private[graft] trait OracleSqlHelpers {
       s"\n         SELECT node, r AS rank_micro FROM r$iters ORDER BY rank_micro DESC, node LIMIT 20"
   }
 
+  /** q212 oracle: [[graft.operators.Graph.bfsHops]] unrolled — the q93
+    * customer–supplier graph, nation-0 supplier seeds (the q138 seed set),
+    * one frontier CTE per hop. Every d_i is referenced three times
+    * (carry + frontier join + NOT IN), so each is MATERIALIZED — plain
+    * CTEs would inline ~3^maxHops scans (the r10 unigram-chain lesson). */
+  protected def bfsOracleSql(maxHops: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         d0 AS MATERIALIZED (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+                CAST(0 AS BIGINT) AS hops
+                FROM supplier WHERE s_nationkey = 0)"""
+    val rounds = (1 to maxHops).map { i =>
+      s""",
+         d$i AS MATERIALIZED (SELECT node, hops FROM d${i - 1}
+              UNION ALL
+              SELECT node, CAST($i AS BIGINT) AS hops FROM (
+                SELECT DISTINCT e.dst AS node
+                FROM e JOIN d${i - 1} p ON p.node = e.src AND p.hops = ${i - 1}) f
+              WHERE node NOT IN (SELECT node FROM d${i - 1}))"""
+    }.mkString
+    head + rounds +
+      s"\n         SELECT node, hops FROM d$maxHops ORDER BY node"
+  }
+
   // ---- unigram-LM tokenizer (q196-q198) ---------------------------------
   // Mirrors graft.operators.Unigram term for term: seed substrings, integer
   // micro costs round(-1e6*ln(cnt/total)), and the Viterbi DP unrolled as

@@ -66,7 +66,19 @@ object Plans {
         "q200_mann_whitney", "q205_mw_by_group", "q203_wordpiece_encode",
         // ANOVA must be pure hash-aggs (no window at all); Brown-Forsythe
         // adds only the block/group-partitioned median windows
-        "q210_anova", "q211_brown_forsythe")
+        "q210_anova", "q211_brown_forsythe",
+        // r11: BFS joins must stream the cached src-sorted edge side (no
+        // per-round exchange on it); EWMA and paths are ONE key-partitioned
+        // window + hash-aggs (no global sort before the final top-k);
+        // prototypicality reuses the broadcast-centroid assignment and
+        // windows only per cell
+        "q212_bfs_hops", "q213_ewma", "q214_top_paths",
+        "q215_prototypicality",
+        // r11 batch 2: basket lift must Apriori-prune BEFORE the basket
+        // self-join (item-count semi-join below the pair exchange);
+        // rolling median is one bounded-frame key window; tfidf is
+        // posting joins + a doc-partitioned top-k window
+        "q217_basket_lift", "q218_rolling_median", "q219_tfidf_terms")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -348,6 +348,19 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
           "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id")
     }),
+    // tf-idf keyword extraction ✚ (r11): per-doc top-3 terms — the
+    // doc-tagging primitive next to BM25's query-side ranking
+    "q219_tfidf_terms" -> ((s, d) => {
+      Search.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    // prototypicality ✚ (r11): the SSL-prototypes / D4 pruning score —
+    // cosine of every vector to its own IVF centroid, ranked per cell;
+    // rides the exact q50 quantizer (hash seeds, 4 integer Lloyd rounds)
+    "q215_prototypicality" -> ((s, d) => {
+      Similarity.prototypicality(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("cell"), col("cell_rank"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -773,5 +786,36 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY n_votes DESC, label) AS rk
            FROM votes) t WHERE rk = 1 ORDER BY query_id""",
+    "q219_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id,
+              unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS term
+             FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+                WHERE len(term) > 0 GROUP BY 1, 2),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         nn AS (SELECT count(DISTINCT doc_id) AS N FROM tf),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                  CAST(round(tf.tf::DOUBLE * ln(N::DOUBLE / dfr.df::DOUBLE) * 1e6) AS BIGINT) AS tfidf_micro
+                FROM tf JOIN dfr USING (term), nn)
+         SELECT doc_id, term, tf, df, tfidf_micro,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf_micro DESC, term) AS BIGINT) AS rank
+         FROM sc QUALIFY rank <= 3 ORDER BY doc_id, rank""",
+    // the q50 IVF chain verbatim (same centroids, same final assignment),
+    // then cosine to the OWN cell's centroid, micro-quantized, ranked per
+    // cell (desc, ties by vec_id — both engines put nulls last under DESC)
+    "q215_prototypicality" ->
+      s"""WITH $sqlVecs, $sqlIvfChain,
+         sc AS (SELECT a.vec_id, a.cell,
+                  CAST(round(
+                    list_sum([p[1] * p[2] for p in list_zip(a.q, c.cv)])::DOUBLE
+                      / NULLIF(sqrt(a.nn::DOUBLE) * sqrt(c.cc::DOUBLE), 0)
+                      * 1e6) AS BIGINT) AS proto_micro
+                FROM ivf_asg a JOIN c4 c ON a.cell = c.cent_id)
+         SELECT vec_id, cell, proto_micro,
+                CAST(row_number() OVER (PARTITION BY cell
+                  ORDER BY proto_micro DESC, vec_id) AS BIGINT) AS cell_rank,
+                CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+         FROM sc ORDER BY cell, cell_rank""",
   )
 }

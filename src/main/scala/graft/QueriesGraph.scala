@@ -140,6 +140,21 @@ private[graft] object QueriesGraph extends OracleSqlHelpers {
       Graph.pageRank(edges, "src", "dst", iterations = 5)
         .orderBy(col("rank_micro").desc, col("node")).limit(20)
     }),
+    // multi-source BFS ✚ (r11): hop distance from nation-0 suppliers over
+    // the q93 trade graph — the crawl-depth/blast-radius primitive; exact
+    // integral frontier rounds, band-pinned, frontier-only shuffles
+    "q212_bfs_hops" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Graph.bfsHops(edges, "src", "dst", seeds, "node", maxHops = 4)
+        .orderBy(col("node"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -204,5 +219,6 @@ private[graft] object QueriesGraph extends OracleSqlHelpers {
                 TRUE AS approx_distinct_ok, TRUE AS approx_median_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q93_pagerank" -> pagerankOracleSql(5),
+    "q212_bfs_hops" -> bfsOracleSql(4),
   )
 }

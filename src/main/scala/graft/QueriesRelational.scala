@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Audit, Bpe, Classify, Dedup, Dsir, Graph, Grouping, Intervals, Joins, Layout, Lm, Ops, Pack, Profile, Search, Sequences, Similarity, Sketches, Stats}
+import graft.operators.{Audit, Baskets, Bpe, Classify, Dedup, Dsir, Graph, Grouping, Intervals, Joins, Layout, Lm, Ops, Pack, Profile, Search, Sequences, Similarity, Sketches, Stats}
 import graft.functions.{Jsons, Multimodal, Pii, Quality, Repetition, Text}
 import graft.streaming.Streams
 
@@ -355,6 +355,59 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .withColumn("cents", round(col("value") * 100).cast(LongType))
         .withColumn("ts_us", unix_micros(col("ts")))
       Sequences.timeWeightedMean(ev, "user_id", "ts_us", "cents", "event_id")
+        .orderBy(col("user_id"))
+    }),
+    // half-life EWMA ✚ (r11): per-user recent-activity level over the 16
+    // newest events — exact dyadic α=½ weights renormalized to 1, one
+    // key-partitioned window + one agg, single shared final division
+    "q213_ewma" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Sequences.ewmaHalfLife(ev, "user_id", "ts_us", "value", "event_id",
+          lookback = 16)
+        .orderBy(col("user_id"))
+    }),
+    // session path mining ✚ (r11): each user's first-5 event-type path,
+    // ranked by walkers — per-key prefix window, bounded collect, one
+    // path-domain count
+    "q214_top_paths" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Sequences.topPaths(ev, "user_id", "event_type", "ts_us", "event_id",
+        maxLen = 5, topK = 25)
+    }),
+    // market-basket lift ✚ (r11): co-purchased part pairs within orders —
+    // Apriori-pruned per-basket self-join, exact counts, micro ratios
+    "q217_basket_lift" -> ((s, d) => {
+      Baskets.pairLift(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+          minPairCount = 3)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+    // trailing exact median ✚ (r11): per-event robust baseline over the
+    // last 10 values — bounded sliding frame, doubled-median longs
+    "q218_rolling_median" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Sequences.rollingMedian2(ev, "user_id", "ts_us", "value", "event_id",
+          window = 10)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // incremental EWMA ✚ (r11): the q213 readout rebuilt as a standing
+    // bounded last-L store + strictly-later fold (the q162 shape) — the
+    // query IS the equivalence gate: ewma over fold(state(hist), batch)
+    // must hash-match the full-history oracle
+    "q216_ewma_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("value"), col("ts_us"), col("event_id"))
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2)
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      val hist = tagged.filter(col("ts_us") < col("mid")).drop("mid")
+      val batch = tagged.filter(col("ts_us") >= col("mid")).drop("mid")
+      val st0 = Sequences.recentState(hist, "user_id", "ts_us", "value",
+        "event_id", lookback = 16)
+      val st1 = Sequences.ingestRecent(st0, batch, "user_id", "ts_us",
+        "value", "event_id", lookback = 16)
+      Sequences.ewmaHalfLife(st1, "user_id", "ts_us", "value", "event_id",
+          lookback = 16)
         .orderBy(col("user_id"))
     }),
     // incremental transition fold ✚ (r9): the q158 matrix rebuilt as
@@ -1332,6 +1385,75 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
                      THEN CAST(round(vd::DOUBLE / held_us::DOUBLE * 1e6) AS BIGINT)
                 END AS twm_micro
          FROM g ORDER BY user_id""",
+    // mirrors Sequences.ewmaHalfLife term for term: micro values, shifted
+    // dyadic weights summed exactly in HUGEINT, the one final double
+    // division; L = 16
+    "q213_ewma" ->
+      """WITH e AS (SELECT user_id,
+                CAST(round(value * 1e6) AS BIGINT) AS v,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+                sum(v::HUGEINT * ((1::BIGINT << (16 - rn))::HUGEINT)) AS num
+               FROM e WHERE rn <= 16 GROUP BY 1)
+         SELECT user_id, n_used,
+                CAST(round(num::DOUBLE /
+                  ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
+                  AS BIGINT) AS ewma_micro
+         FROM a ORDER BY user_id""",
+    "q217_basket_lift" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         nb AS (SELECT count(DISTINCT bk) AS N FROM bi),
+         ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY it),
+         fi AS (SELECT bi.bk, bi.it FROM bi JOIN ic ON bi.it = ic.it AND ic.c >= 3),
+         p AS (SELECT l.it AS item_a, r.it AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM fi l JOIN fi r ON l.bk = r.bk AND l.it < r.it
+               GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT p.item_a, p.item_b, n_ab, a.c AS n_a, b.c AS n_b,
+                CAST(round(n_ab::DOUBLE / N::DOUBLE * 1e6) AS BIGINT) AS support_micro,
+                CAST(round(n_ab::DOUBLE / a.c::DOUBLE * 1e6) AS BIGINT) AS conf_ab_micro,
+                CAST(round(n_ab::DOUBLE / b.c::DOUBLE * 1e6) AS BIGINT) AS conf_ba_micro,
+                CAST(round(n_ab::DOUBLE * N::DOUBLE / (a.c::DOUBLE * b.c::DOUBLE) * 1e6) AS BIGINT) AS lift_micro
+         FROM p JOIN ic a ON p.item_a = a.it JOIN ic b ON p.item_b = b.it, nb
+         ORDER BY item_a, item_b""",
+    // DuckDB's windowed median interpolates the even-count middle pair, so
+    // 2·median is exactly the integral med_x2 the Spark side reports
+    "q218_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+         SELECT user_id, event_id,
+                CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+                CAST(2 * median(v) OVER w AS BIGINT) AS med_x2
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    // the oracle recomputes the EWMA from ALL events — the bounded-store
+    // fold must reproduce it exactly (same SQL as q213 by construction)
+    "q216_ewma_incremental" ->
+      """WITH e AS (SELECT user_id,
+                CAST(round(value * 1e6) AS BIGINT) AS v,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+                sum(v::HUGEINT * ((1::BIGINT << (16 - rn))::HUGEINT)) AS num
+               FROM e WHERE rn <= 16 GROUP BY 1)
+         SELECT user_id, n_used,
+                CAST(round(num::DOUBLE /
+                  ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
+                  AS BIGINT) AS ewma_micro
+         FROM a ORDER BY user_id""",
+    "q214_top_paths" ->
+      """WITH x AS (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM x WHERE rn <= 5 GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p
+         GROUP BY path ORDER BY n_keys DESC, path LIMIT 25""",
     // the oracle recomputes the matrix from ALL events in one pass — the
     // incremental fold must reproduce it exactly
     "q162_transitions_incremental" ->

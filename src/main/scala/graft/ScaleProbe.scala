@@ -346,6 +346,32 @@ object ScaleProbe {
         docs, "doc_id", "text", wpVocab).count()
       val wpt2 = System.nanoTime()
 
+      // BFS axis (r11): multi-source hop bands over the LSH pair graph
+      // (seeds = a ~1% md5 sample of nodes). Frontier joins touch each
+      // edge at most once per hop BAND, not once per round — bfs_sec must
+      // track the pair graph (like kcore_sec), never rounds × edges.
+      val bft0 = System.nanoTime()
+      val bfsSeeds = docs.select(col("doc_id").as("node"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) === "00")
+      val nBfsReached = graft.operators.Graph.bfsHops(
+        pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+        "id_a", "id_b", bfsSeeds, "node", maxHops = 3).count()
+      val bft1 = System.nanoTime()
+
+      // EWMA axis (r11): per-key half-life smoothing over a synthetic
+      // keyed sequence (key = doc_id mod 1009, ts = doc_id). Keys are
+      // FIXED while rows grow with the factor, so per-key history grows
+      // linearly — the axis that proves the WindowGroupLimit map-side
+      // prune keeps the windowed volume at keys·L, i.e. ewma_sec tracks
+      // the scan, not the per-key sort of ever-longer histories.
+      val ewt0 = System.nanoTime()
+      val nEwmaKeys = graft.operators.Sequences.ewmaHalfLife(
+        docs.select(pmod(col("doc_id"), lit(1009L)).as("k"),
+          col("doc_id").as("t"), length(col("text")).cast("long").as("v"),
+          col("doc_id").as("id")),
+        "k", "t", "v", "id", lookback = 16).count()
+      val ewt1 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -407,7 +433,9 @@ object ScaleProbe {
         s""""ug_docs":$nUgDocs,"ug_encode_sec":${sec(ugt1, ugt2)},""" +
         s""""wp_merges":$nWpMerges,"wp_train_sec":${sec(wpt0, wpt1)},""" +
         s""""wp_docs":$nWpDocs,"wp_encode_sec":${sec(wpt1, wpt2)},""" +
-        s""""mw_rows":$nMwRows,"mw_sec":${sec(rkt0, rkt1)}""" +
+        s""""mw_rows":$nMwRows,"mw_sec":${sec(rkt0, rkt1)},""" +
+        s""""bfs_reached":$nBfsReached,"bfs_sec":${sec(bft0, bft1)},""" +
+        s""""ewma_keys":$nEwmaKeys,"ewma_sec":${sec(ewt0, ewt1)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()

@@ -295,6 +295,43 @@ object Search {
     * already ≤ k·|queries| rows — negligible next to either producer.
     * Output: queryIdCol, docIdCol, n_lists (long — lists containing the
     * doc), rrf_nano (long), rank (long, ≤ k; ties by ascending doc id). */
+  /** Per-document top-k keyword extraction by tf·idf (Spärck Jones 1972)
+    * — the doc-tagging / topic-labeling primitive next to [[bm25TopK]]'s
+    * query-side ranking: tf(t, D) · ln(N / df(t)) with N = documents
+    * holding ≥ 1 token and df the document frequency. Counts are exact
+    * longs; the score is ONE fixed double tree (the shared-`ln` contract
+    * of [[Lm.surprisal]]), micro-quantized BEFORE ranking, ties by term.
+    * Corpus-wide terms score ln(1) = 0 — ranked, never special-cased.
+    *
+    * Scale shape: one hash-agg to (doc, term, tf), one term-keyed agg for
+    * df (|vocab|-sized), a broadcast of the 1-row N, and a doc-partitioned
+    * window for the top-k — posting-list-shaped joins only, no global
+    * sort, no driver state. Output: (id, `term`, `tf`, `df`,
+    * `tfidf_micro`, `rank` ≤ k). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(col(idCol),
+        explode(Text.tokens(Text.normalize(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col(idCol)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf_micro").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_micro",
+        round(col("tf").cast("double")
+          * log(col("__n").cast("double") / col("df").cast("double"))
+          * 1e6).cast(LongType))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf_micro"), col("rank"))
+  }
+
   def fuseRrf(rankings: Seq[DataFrame], queryIdCol: String, docIdCol: String,
       k: Int, rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking to fuse")

@@ -110,6 +110,173 @@ object Sequences {
     (mergedCounts, newLasts)
   }
 
+  /** Per-key exponentially-weighted moving average with HALF-LIFE decay
+    * (α = ½) over the key's `lookback` most-recent events — the "recent
+    * activity level" feature a behavioral pipeline attaches to every
+    * user/session. Events are ordered newest-first by (ts DESC, id DESC);
+    * with m = min(n, lookback) retained events, the j-th newest (j=1..m)
+    * carries normalized weight 2^(m−j)/(2^m − 1) — the geometric α=½
+    * series, truncated at `lookback` and renormalized to sum to 1
+    * EXACTLY, because every weight is dyadic:
+    *   ewma_micro = round(10⁶-scaled Σⱼ vⱼ·2^(m−j) / (2^m − 1)).
+    * The numerator is computed as Σ vⱼ·2^(L−j) (L = `lookback`, a
+    * plan-time constant — per-row weights need no group size), which
+    * equals 2^(L−m)·Σ vⱼ·2^(m−j); the denominator follows as
+    * 2^L − 2^(L−m). Values are micro-quantized longs, shifted products
+    * accumulate in Decimal(38,0) (v_micro·2^L overflows a long past
+    * v ≈ 2·10³ at L = 62), and the ONLY division is the final shared
+    * double tree — bit-identical on any engine, like every micro op in
+    * this file. α=½ is the one decay whose truncated weights renormalize
+    * exactly; other decays belong to [[timeWeightedMean]]'s continuous
+    * reading.
+    *
+    * Scale shape: ONE shuffle (partition by key), a key-partitioned
+    * `row_number` that keeps ≤ `lookback` rows per key, one
+    * map-side-combined agg. Keys with all-null values emit no row.
+    * Output per key: `n_used` (= m), `ewma_micro`. */
+  def ewmaHalfLife(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, lookback: Int = 16): DataFrame = {
+    require(lookback >= 1 && lookback <= 62,
+      "lookback must be in [1, 62] (2^lookback must fit a long)")
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t").desc, col(idCol).desc)
+    events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        round(col(valueCol).cast("double") * 1e6).cast(LongType).as("__v"),
+        col(tsCol).cast(LongType).as("__t"), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lookback)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_used"),
+        // the built-in shiftleft() overload takes a constant bit count;
+        // the SQL function accepts a per-row one
+        sum(col("__v").cast(dec) *
+          call_function("shiftleft", lit(1L), lit(lookback) - col("__rn"))
+            .cast(dec))
+          .as("__num"))
+      .select(col(keyCol), col("n_used"),
+        round(col("__num").cast("double") /
+          (shiftleft(lit(1L), lookback) -
+            call_function("shiftleft", lit(1L),
+              lit(lookback) - col("n_used").cast("int")))
+            .cast("double")).cast(LongType).as("ewma_micro"))
+  }
+
+  /** Per-event trailing EXACT median — the robust sibling of
+    * [[graft.streaming.Streams.anomalyScores]]'s trailing mean/σ: for
+    * each event, 2·median of the key's last `window` micro-quantized
+    * values (current row inclusive), reported doubled so it stays an
+    * exact long (a median of longs is a multiple of ½ — the
+    * [[Stats.robustOutliers]] med2 convention). A level shift or spike
+    * moves a trailing mean immediately but the trailing median only
+    * after window/2 points — the property robust baselining wants.
+    *
+    * Scale shape: one shuffle (partition by key), a BOUNDED sliding
+    * frame (`rowsBetween(-(window−1), 0)`) whose per-row sorted array is
+    * ≤ `window` values — O(rows·window·log window) work inside the key
+    * partition, no second pass, no global sort. Output per event:
+    * (key, id, `n_in_window`, `med_x2`). */
+  def rollingMedian2(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, window: Int = 10): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col(idCol))
+      .rowsBetween(-(window - 1), 0)
+    events
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        round(col(valueCol).cast("double") * 1e6).cast(LongType).as("__v"),
+        col(tsCol).cast(LongType).as("__t"), col(idCol))
+      .withColumn("__arr", sort_array(collect_list(col("__v")).over(w)))
+      .withColumn("n_in_window", size(col("__arr")).cast(LongType))
+      .withColumn("med_x2",
+        when(col("n_in_window") % 2 === 1,
+          element_at(col("__arr"),
+            ((col("n_in_window") + 1) / 2).cast("int")) * 2)
+          .otherwise(
+            element_at(col("__arr"), (col("n_in_window") / 2).cast("int")) +
+            element_at(col("__arr"),
+              (col("n_in_window") / 2 + 1).cast("int"))))
+      .select(col(keyCol), col(idCol), col("n_in_window"), col("med_x2"))
+  }
+
+  /** Standing most-recent-events store: each key's `lookback` newest
+    * (ts, id, value) rows, ordered by (ts DESC, id DESC) — the bounded
+    * state [[ewmaHalfLife]] reads from (EWMA over the last L events is a
+    * pure function of exactly these rows). ≤ `lookback` rows per key, so
+    * the store is O(keys·L), never history-sized. Same null filter as
+    * ewmaHalfLife (null key/value rows can never enter a readout). */
+  def recentState(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, lookback: Int = 16): DataFrame = {
+    require(lookback >= 1 && lookback <= 62,
+      "lookback must be in [1, 62] (the ewmaHalfLife bound)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    events.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lookback).drop("__rn")
+  }
+
+  /** Fold a batch into a [[recentState]] store WITHOUT re-scanning
+    * history: union the bounded state with the delta, re-prune per key.
+    * Same delta contract as [[ingestTransitions]]: batch rows of a key
+    * must (ts, id)-order after that key's stored rows — then
+    * fold(state(hist), batch) ≡ state(hist ∪ batch) exactly (the newest
+    * L of the union can only draw history rows from history's newest L,
+    * which the store holds). Per batch the work is (|state| + |delta|)
+    * rows through one key-partitioned window — the q162 standing-store
+    * shape; [[ewmaHalfLife]] over the folded store is then the exact
+    * full-history readout (the q216 equivalence gate). */
+  def ingestRecent(state: DataFrame, batch: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, idCol: String,
+      lookback: Int = 16): DataFrame =
+    recentState(
+      state.unionByName(
+        batch.select(col(keyCol), col(tsCol), col(valueCol), col(idCol))),
+      keyCol, tsCol, valueCol, idCol, lookback)
+
+  /** Top session paths: each key's FIRST `maxLen` states (ordered by
+    * (ts, id) — the q45 funnel tie contract) joined with `>` into one
+    * path string, then ranked by how many keys walk each path — the
+    * "what do users actually do" navigational summary. Deterministic:
+    * the per-key prefix is an exact (ts, id, state) sort, ties in the
+    * ranking break by path string.
+    *
+    * Scale shape: ONE shuffle (partition by key) for the prefix
+    * `row_number`, one hash-agg per key building the ≤ maxLen-state
+    * string (sort_array over a bounded collect_list — per-group arrays
+    * are capped at `maxLen`, never event-history-sized), one
+    * map-side-combined count over the path domain, and a top-k sort of
+    * the path-count table (path-cardinality-sized; take `topK` via
+    * limit — a TakeOrdered, not a global sort). Output:
+    * (`path`, `n_keys`), the `topK` heaviest. */
+  def topPaths(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, idCol: String, maxLen: Int = 5,
+      topK: Int = 25): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "need maxLen, topK >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col(idCol))
+    events
+      .filter(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .select(col(keyCol), col(stateCol).cast("string").as("__s"),
+        col(tsCol).cast(LongType).as("__t"), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(keyCol))
+      // sort_array on (rn, state) structs replays the window order inside
+      // the agg — collect_list alone is partition-order nondeterministic
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col("__s")))),
+        e => e.getField("__s")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Time-weighted mean of an integer-valued measure per key — each
     * event's value HOLDS until the key's next event (the metrics/pricing
     * reading of an event stream; a plain mean over-weights bursts). With

@@ -346,6 +346,67 @@ object Similarity {
     out
   }
 
+  /** Prototypicality scores — the cluster-centroid data-pruning metric
+    * (Sorscher, Geirhos, Shekhar et al. 2022, "Beyond neural scaling
+    * laws": self-supervised prototypes; the same score D4-style curation
+    * ranks on): train the SAME deterministic IVF coarse quantizer as
+    * [[ivfTopK]] (hash-ordered seeds, `lloydIters` integer-exact Lloyd
+    * rounds), assign every vector to its nearest cell, and score it by
+    * cosine to its OWN centroid. High scores = prototypical (near the
+    * cluster core — redundant, prune first under dedup-flavored pruning);
+    * low scores = outliers (hard/rare — prune first under noise-flavored
+    * pruning). The per-cell rank and size let a caller cut either tail at
+    * any rate without re-scoring.
+    *
+    * Determinism: centroids and assignment are the integer-exact
+    * [[ivfTopK]] machinery; the score is ONE double division of exact
+    * integer dots, micro-quantized; ranks tie-break by id. Zero vectors
+    * have no direction: null score, ranked last in their cell.
+    *
+    * Scale shape: Lloyd on the pinned corpus (√N-row centroid collects,
+    * documented at [[localized]]), then ONE broadcast-join assignment
+    * pass and ONE cell-partitioned window (cells ≈ √N ⟹ ~√N rows per
+    * cell — parallel across cells, spillable within; never a global
+    * sort). At 100 TB: train on a hash-prefix sample, keep the full pass
+    * for assignment only — identical to the [[ivfTopK]] note. Output:
+    * (id, `cell`, `proto_micro`, `cell_rank`, `cell_n`). */
+  def prototypicality(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 0, lloydIters: Int = 4, scale: Int = 1000): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    val c = pin(corpus
+      .select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+      .withColumn("vv", nqdot(col("nv"), col("nv"))))
+    val n = c.count() // reads the pinned cache
+    if (n == 0L) {
+      val out = c.select(col("nbr_id").as(idCol), lit(0L).as("cell"),
+        lit(0L).as("proto_micro"), lit(0L).as("cell_rank"),
+        lit(0L).as("cell_n")).limit(0).localCheckpoint(true)
+      c.unpersist(false)
+      return out
+    }
+    val cells = if (nCells > 0) nCells
+      else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = trainIvfCents(c, cells, lloydIters)
+    val scored = assignCells(c, "nbr_id", "nv", "vv", cents)
+      .join(c, Seq("nbr_id"))
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .withColumn("proto_micro",
+        round(cosineOf(nqdot(col("nv"), col("cv")), col("vv"), col("cc"))
+          * 1e6).cast("long"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("proto_micro").desc, col("nbr_id"))
+    val out = scored
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .withColumn("cell_n",
+        count(lit(1)).over(Window.partitionBy(col("cell"))).cast("long"))
+      .select(col("nbr_id").as(idCol), col("cell"), col("proto_micro"),
+        col("cell_rank"), col("cell_n"))
+      .localCheckpoint(true)
+    c.unpersist(false)
+    out
+  }
+
   /** Sub-vectors: one row per (row, subspace) via static slices — a pure
     * codegen'd projection + explode, NO shuffle (a posexplode→groupBy
     * reassembly would cost a dim·N-row exchange for nothing). Shared by

@@ -467,6 +467,26 @@ object Streams {
           depth, width))))
     }
 
+  /** Recent-activity ingest (r11): fold each micro-batch into the
+    * standing per-key last-`lookback` event store
+    * ([[graft.operators.Sequences.ingestRecent]]) — the bounded state
+    * behind the [[graft.operators.Sequences.ewmaHalfLife]] readout, so
+    * any moment's store answers the exact full-history EWMA (the q216
+    * equivalence gate) while holding ≤ lookback rows per key. The
+    * mergeable-relational-state pattern of [[upsertStreamBulk]]: Spark
+    * keeps no state between batches; the store lives with the caller.
+    * Delta contract as [[ingestRecent]] documents: a key's batch rows
+    * must (ts, id)-order after its stored rows — an event-time-ordered
+    * source upstream guarantees it. */
+  def recentIngestStreamBulk(stream: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, idCol: String, lookback: Int = 16)(
+      load: () => DataFrame, store: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      store(graft.operators.Sequences.ingestRecent(load(), batch.toDF(),
+        keyCol, tsCol, valueCol, idCol, lookback))
+    }
+
   /** Confidence-gated streaming classification — label each micro-batch
     * with a STORED Naive Bayes model ([[graft.operators.Classify
     * .loadNbModel]]; train once, classify every ingest batch) and keep

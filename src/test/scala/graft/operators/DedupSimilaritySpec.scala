@@ -663,6 +663,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ok == 11L)
   }
 
+  test("prototypicality: one row per vector, dense per-cell ranks ordered by score, single-cell degenerate") {
+    import spark.implicits._
+    // strictly positive, per-dim varying: no zero vector or zero centroid
+    // can arise, so every cosine (and proto_micro) is non-null here
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j =>
+        ((i * 31 + j * 7) % 13 + 1).toDouble / 14.0))).toDF("vec_id", "embedding")
+    val p = Similarity.prototypicality(vecs, "vec_id", "embedding",
+      nCells = 4, lloydIters = 2)
+    val rows = p.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == (0L until 40L).toSet) // exactly once each
+    rows.groupBy(_._2).foreach { case (_, cell) =>
+      val n = cell.head._5
+      assert(cell.forall(_._5 == n) && n == cell.length)
+      assert(cell.map(_._4).sorted.toSeq == (1L to n).toSeq) // dense ranks
+      // rank order agrees with score order (desc, ties by id)
+      val byRank = cell.sortBy(_._4).map(r => (r._3, r._1))
+      assert(byRank.toSeq == cell.map(r => (r._3, r._1))
+        .sortBy { case (s, id) => (-s, id) }.toSeq)
+    }
+    // nCells=1: every vector in one cell, rank spans 1..N
+    val one = Similarity.prototypicality(vecs, "vec_id", "embedding",
+      nCells = 1, lloydIters = 1)
+    assert(one.select("cell").distinct().count() == 1L)
+    assert(one.agg(max(col("cell_rank"))).head.getLong(0) == 40L)
+    // determinism under repartition: exact integer machinery end-to-end
+    val rep = Similarity.prototypicality(vecs.repartition(7), "vec_id",
+        "embedding", nCells = 4, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rep == rows.toSet)
+  }
+
   private def exceptionChain(e: Throwable): Seq[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 

@@ -534,4 +534,47 @@ class LmSearchGraphSpec extends SparkTestBase {
         Option(x.getAs[Any]("r_star_micro")).map(_.asInstanceOf[Long])).toMap
     assert(g.keySet == Set(1L, 3L) && g(1L).isEmpty && g(3L).isEmpty)
   }
+
+  test("tfidfTopTerms: hand tf*ln(N/df) scores, zero for corpus-wide terms, k cap, term tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ln2 = math.round(math.log(2.0) * 1e6)
+    // N=2; df(a)=2 -> ln(1)=0; df(b)=df(c)=1 -> ln 2
+    assert(got((1L, 1L)) == ("b", 1L, 1L, ln2))
+    assert(got((1L, 2L)) == ("a", 2L, 2L, 0L))
+    assert(got((2L, 1L)) == ("c", 1L, 1L, ln2))
+    assert(got((2L, 2L)) == ("a", 1L, 2L, 0L))
+    // k caps the per-doc rows
+    assert(Search.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .groupBy("doc_id").count().collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("bfsHops: multi-source shortest hops, maxHops cap, unreached omitted") {
+    import spark.implicits._
+    // 1->2->3->4 chain, 5->6 island, 7 reachable from both seeds (via 2)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (2L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 7 is 2 hops via 1->2->7 but 1 hop via 5->7: min wins
+    assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 7L -> 1L,
+      3L -> 2L, 4L -> 3L))
+    // cap: maxHops=2 drops node 4
+    val capped = Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == got - 4L)
+    // edgeless seed still emits hops=0; nothing else reached from it
+    val lone = Graph.bfsHops(e, "src", "dst", Seq(99L).toDF("node"), "node", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone == Map(99L -> 0L))
+    // partition invariance
+    val rep = Graph.bfsHops(e.repartition(5), "src", "dst",
+        seeds.repartition(2), "node", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+  }
 }

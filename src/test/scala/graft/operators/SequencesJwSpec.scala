@@ -85,4 +85,61 @@ class SequencesJwSpec extends SparkTestBase {
       "u", "st", "t", "id")
     assert(c2.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet == a)
   }
+
+  test("ewmaHalfLife: exact dyadic weights, lookback truncation, null/short keys") {
+    // key 1: values 1, 2, 4 (oldest->newest). m=3 weights newest-first are
+    // 4/7, 2/7, 1/7 -> ewma = (4*4 + 2*2 + 1*1)/7 = 3 exactly
+    val ev = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (1L, 30L, 3L, 4.0),
+      (2L, 10L, 4L, 5.0), // single event: ewma = the value itself
+      (3L, 10L, 5L, Double.NaN)).toDF("u", "t", "id", "v")
+      .filter(!isnan(col("v")))
+    val got = Sequences.ewmaHalfLife(ev, "u", "t", "v", "id", lookback = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 3000000L))
+    assert(got(2L) == (1L, 5000000L))
+    assert(!got.contains(3L))
+    // lookback=2 drops the oldest: weights 2/3, 1/3 -> (4*2+2)/3 = 10/3
+    val trunc = Sequences.ewmaHalfLife(ev, "u", "t", "v", "id", lookback = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(trunc(1L) == 3333333L)
+    // partition invariance: exact integers shuffle-order independent
+    val rep = Sequences.ewmaHalfLife(ev.repartition(7), "u", "t", "v", "id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep == got.map { case (k, v) => k -> v._2 })
+  }
+
+  test("rollingMedian2: hand-traced trailing medians, window cap, spike robustness") {
+    val ev = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 3.0), (1L, 30L, 3L, 2.0),
+      (1L, 40L, 4L, 5.0)).toDF("u", "t", "id", "v")
+    val got = Sequences.rollingMedian2(ev, "u", "t", "v", "id", window = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // windows: [1] [1,3] [1,2,3] [2,3,5] -> med2 (in micro): 2, 4, 4, 6
+    assert(got == Map(1L -> (1L, 2000000L), 2L -> (2L, 4000000L),
+      3L -> (3L, 4000000L), 4L -> (3L, 6000000L)))
+    // a huge spike moves the trailing median only one rank, not the level
+    val sp = Seq((1L, 10L, 1L, 2.0), (1L, 20L, 2L, 2.0), (1L, 30L, 3L, 999.0))
+      .toDF("u", "t", "id", "v")
+    val m = Sequences.rollingMedian2(sp, "u", "t", "v", "id", 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(m(3L) == 4000000L) // median of (2, 2, 999) stays 2
+  }
+
+  test("topPaths: ordered prefixes, maxLen cap, count + tie-break") {
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (2L, 10L, 4L, "a"), (2L, 20L, 5L, "b"), (2L, 30L, 6L, "c"),
+      (3L, 10L, 7L, "a"), (3L, 20L, 8L, "z"),
+      // same ts ties break by id: 9 before 10 -> "b>a"
+      (4L, 10L, 9L, "b"), (4L, 10L, 10L, "a")).toDF("u", "t", "id", "s")
+    val got = Sequences.topPaths(ev, "u", "s", "t", "id", maxLen = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head == ("a>b>c", 2L))
+    assert(got.toSet == Set(("a>b>c", 2L), ("a>z", 1L), ("b>a", 1L)))
+    // ordering after the head: count desc then path asc
+    assert(got.toSeq == Seq(("a>b>c", 2L), ("a>z", 1L), ("b>a", 1L)))
+    // maxLen=2 truncates user 1/2 to "a>b"
+    val cap = Sequences.topPaths(ev, "u", "s", "t", "id", maxLen = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cap == Set(("a>b", 2L), ("a>z", 1L), ("b>a", 1L)))
+  }
 }

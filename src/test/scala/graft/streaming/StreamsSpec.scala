@@ -757,4 +757,37 @@ class StreamsSpec extends SparkTestBase {
       assert(got == exp)
     } finally q.stop()
   }
+
+  test("recentIngestStreamBulk: bounded last-L folds answer the exact full-history EWMA") {
+    import graft.operators.Sequences
+    implicit val sqlCtx = spark.sqlContext
+    // key 1 gets 6 events across two time-ordered micro-batches; L = 4
+    val b1 = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (2L, 10L, 3L, 7.0))
+    val b2 = Seq((1L, 30L, 4L, 4.0), (1L, 40L, 5L, 8.0), (1L, 50L, 6L, 16.0))
+    var state = Seq.empty[(Long, Long, Long, Double)].toDF("u", "t", "id", "v")
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = Streams.recentIngestStreamBulk(
+        mem.toDF().toDF("u", "t", "id", "v"), "u", "t", "v", "id",
+        lookback = 4)(() => state, out => state = out.localCheckpoint(true))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // store is bounded: key 1 holds exactly L = 4 rows (events 3..6)
+      val perKey = state.groupBy("u").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perKey == Map(1L -> 4L, 2L -> 1L))
+      // readout over the store ≡ EWMA over the full history
+      val all = (b1 ++ b2).toDF("u", "t", "id", "v")
+      val exp = Sequences.ewmaHalfLife(all, "u", "t", "v", "id", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = Sequences.ewmaHalfLife(state, "u", "t", "v", "id", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == exp)
+      // hand value: key 1 last 4 = (16,8,4,2) newest-first, weights
+      // 8/15,4/15,2/15,1/15 -> (16*8+8*4+4*2+2)/15 = 170/15
+      assert(got.exists { case (k, m, e) =>
+        k == 1L && m == 4L && e == math.round(170.0 / 15 * 1e6) })
+    } finally q.stop()
+  }
 }
