@@ -78,7 +78,11 @@ object Plans {
         // self-join (item-count semi-join below the pair exchange);
         // rolling median is one bounded-frame key window; tfidf is
         // posting joins + a doc-partitioned top-k window
-        "q217_basket_lift", "q218_rolling_median", "q219_tfidf_terms")
+        "q217_basket_lift", "q218_rolling_median", "q219_tfidf_terms",
+        // r11 batch 3: diversity must be explode + hash-aggs ONLY (the
+        // whole point is no pair join — any BroadcastNestedLoop/cartesian
+        // here is a regression)
+        "q220_embedding_diversity")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

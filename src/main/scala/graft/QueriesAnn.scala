@@ -348,6 +348,12 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
           "vec_id", "embedding", "label", k = 5)
         .orderBy("query_id")
     }),
+    // embedding diversity ✚ (r11): mean pairwise cosine per label in O(N)
+    // via the sum-of-vectors identity — no pair join anywhere
+    "q220_embedding_diversity" -> ((s, d) => {
+      Similarity.groupDiversity(Tables.embeddings(s, d), "label", "embedding")
+        .orderBy(col("label"))
+    }),
     // tf-idf keyword extraction ✚ (r11): per-doc top-3 terms — the
     // doc-tagging primitive next to BM25's query-side ranking
     "q219_tfidf_terms" -> ((s, d) => {
@@ -786,6 +792,30 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY n_votes DESC, label) AS rk
            FROM votes) t WHERE rk = 1 ORDER BY query_id""",
+    // mirrors Similarity.groupDiversity term for term: quantized vectors
+    // (the sqlVecs convention), unit re-quantization off the exact
+    // integer norm, component sums squared in HUGEINT, the shared
+    // three-step double division tree
+    "q220_embedding_diversity" ->
+      s"""WITH $sqlVecs,
+         u AS (SELECT label, vec_id,
+                 [CAST(round(p::DOUBLE / sqrt(nn::DOUBLE) * 1000) AS BIGINT)
+                  for p in q] AS u
+               FROM v JOIN embeddings USING (vec_id) WHERE nn > 0),
+         rows_ AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                 sum(list_sum([x * x for x in u])::HUGEINT) AS selfsum
+               FROM u GROUP BY label),
+         comps AS (SELECT label, sum(s::HUGEINT * s::HUGEINT) AS ss FROM (
+                 SELECT label, i, sum(u[i]) AS s
+                 FROM u, range(1, 65) r(i) GROUP BY label, i) t GROUP BY label),
+         z AS (SELECT label, CAST(count(*) AS BIGINT) AS n_zero
+               FROM v JOIN embeddings USING (vec_id) WHERE nn = 0 GROUP BY label)
+         SELECT rows_.label, n, coalesce(n_zero, CAST(0 AS BIGINT)) AS n_zero,
+                CASE WHEN n >= 2 THEN CAST(round(
+                  (ss - selfsum)::DOUBLE / (n * (n - 1))::DOUBLE
+                    / 1000000.0 * 1e6) AS BIGINT) END AS mean_pair_cos_micro
+         FROM rows_ JOIN comps USING (label) LEFT JOIN z USING (label)
+         ORDER BY label""",
     "q219_tfidf_terms" ->
       """WITH toks AS (SELECT doc_id,
               unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS term

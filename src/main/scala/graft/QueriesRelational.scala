@@ -374,6 +374,25 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Sequences.topPaths(ev, "user_id", "event_type", "ts_us", "event_id",
         maxLen = 5, topK = 25)
     }),
+    // incremental path prefixes ✚ (r11): the q214 readout over a standing
+    // first-k store + strictly-later fold — must hash-match the
+    // full-history q214 oracle
+    "q221_paths_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2)
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      val hist = tagged.filter(col("ts_us") < col("mid")).drop("mid")
+      val batch = tagged.filter(col("ts_us") >= col("mid")).drop("mid")
+      val st0 = Sequences.prefixState(hist, "user_id", "event_type",
+        "ts_us", "event_id", maxLen = 5)
+      val st1 = Sequences.ingestPrefix(st0, batch, "user_id", "event_type",
+        "ts_us", "event_id", maxLen = 5)
+      Sequences.topPaths(st1, "user_id", "event_type", "ts_us", "event_id",
+        maxLen = 5, topK = 25)
+    }),
     // market-basket lift ✚ (r11): co-purchased part pairs within orders —
     // Apriori-pruned per-basket self-join, exact counts, micro ratios
     "q217_basket_lift" -> ((s, d) => {
@@ -1402,6 +1421,17 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
                   ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
                   AS BIGINT) AS ewma_micro
          FROM a ORDER BY user_id""",
+    // identical to the q214 oracle — the standing first-k fold must
+    // reproduce the full-history paths exactly
+    "q221_paths_incremental" ->
+      """WITH x AS (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM x WHERE rn <= 5 GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p
+         GROUP BY path ORDER BY n_keys DESC, path LIMIT 25""",
     "q217_basket_lift" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
          nb AS (SELECT count(DISTINCT bk) AS N FROM bi),

@@ -117,7 +117,8 @@ object ScaleProbe {
         System.err.println("[scaleprobe] embeddings table is empty - skipping embedding axis")
         val now = System.nanoTime()
         (0L, now, now, 0L, now,
-          s""","pq_build_sec":0,"pq_raw_bytes":0,"pq_code_bytes":0,"pq_search_sec":0""")
+          s""","pq_build_sec":0,"pq_raw_bytes":0,"pq_code_bytes":0,""" +
+            s""""pq_search_sec":0,"div_groups":0,"div_sec":0""")
       } else {
         val eoff = eoffRow.getLong(0) + 1L
         val evecs = (0 until factor)
@@ -166,12 +167,22 @@ object ScaleProbe {
           k = 5, rerank = 50).count()
         val pqt3 = System.nanoTime()
         pqIx.release()
+        // diversity axis (r11): per-label mean pairwise cosine over the
+        // replicated vectors. The sum-of-vectors identity means work is
+        // ONE explode + hash-aggs — div_sec must stay linear in vectors
+        // even though the quantity measured is over ~factor² pairs.
+        val dvt0 = System.nanoTime()
+        val nDivGroups = graft.operators.Similarity.groupDiversity(
+          evecs.select(pmod(col("vec_id"), lit(16L)).as("label"),
+            col("embedding")), "label", "embedding").count()
+        val dvt1 = System.nanoTime()
         evecs.unpersist(blocking = false)
         def s2(a: Long, b: Long): String =
           String.format(java.util.Locale.ROOT, "%.2f", Double.box((b - a) / 1e9))
         (nV, ta, tb, nB, tc,
           s""","pq_build_sec":${s2(pqt0, pqt1)},"pq_raw_bytes":$rawBytes,""" +
-            s""""pq_code_bytes":$codeBytes,"pq_search_sec":${s2(pqt2, pqt3)}""")
+            s""""pq_code_bytes":$codeBytes,"pq_search_sec":${s2(pqt2, pqt3)},""" +
+            s""""div_groups":$nDivGroups,"div_sec":${s2(dvt0, dvt1)}""")
       }
       // bloom axis (r8): a ~1%-selective key set bloom-prunes the growing
       // corpus. The curve to watch: survivors/docs must stay ≈ selectivity

@@ -238,6 +238,35 @@ object Sequences {
         batch.select(col(keyCol), col(tsCol), col(valueCol), col(idCol))),
       keyCol, tsCol, valueCol, idCol, lookback)
 
+  /** FIRST-k twin of [[recentState]], the standing store behind
+    * [[topPaths]]: each key's `maxLen` EARLIEST (ts, id, state) rows.
+    * ≤ `maxLen` rows per key — O(keys·maxLen), never history-sized. */
+  def prefixState(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, idCol: String, maxLen: Int = 5): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    events.filter(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .select(col(keyCol), col(stateCol), col(tsCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen).drop("__rn")
+  }
+
+  /** Fold a STRICTLY-LATER batch into a [[prefixState]] store (the
+    * [[ingestRecent]] contract, mirrored): a key's first `maxLen` events
+    * can only gain rows while the key holds fewer than `maxLen` — batch
+    * rows ordering after the stored ones can never displace them, so
+    * fold(state(hist), batch) ≡ state(hist ∪ batch) exactly and
+    * [[topPaths]]-shaped readouts over the folded store match the
+    * full-history computation (the q221 equivalence gate). */
+  def ingestPrefix(state: DataFrame, batch: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String, idCol: String,
+      maxLen: Int = 5): DataFrame =
+    prefixState(
+      state.unionByName(
+        batch.select(col(keyCol), col(stateCol), col(tsCol), col(idCol))),
+      keyCol, stateCol, tsCol, idCol, maxLen)
+
   /** Top session paths: each key's FIRST `maxLen` states (ordered by
     * (ts, id) — the q45 funnel tie contract) joined with `>` into one
     * path string, then ranked by how many keys walk each path — the

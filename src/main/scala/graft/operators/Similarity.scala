@@ -1256,6 +1256,55 @@ object Similarity {
       .withColumnRenamed("co_grp", grpCol)
   }
 
+  /** Per-group embedding diversity — the mean pairwise cosine of a
+    * group's vectors, computed in O(N) per group via the sum-of-vectors
+    * identity instead of the O(N²) pair join:
+    *   Σ_{i≠j} u_i·u_j  =  (Σu)·(Σu) − Σ u_i·u_i,
+    * over UNIT-quantized vectors u = round(q/‖q‖ · scale) (each
+    * component one engine-identical double op on exact integers, so
+    * u_i·u_j / scale² is the quantized cosine and every sum is an exact
+    * integer). High mean cosine = redundant/near-duplicate group (prune
+    * or downsample its mixture weight); low = diverse — the data-mix
+    * curation readout next to [[Dedup]]'s pair-level view, cheap enough
+    * to run over every domain of a 100 TB corpus because NOTHING here is
+    * pairwise: one explode to (group, dim) component sums (|groups|·dim
+    * rows), one map-side-combined agg per group, exact Decimal(38,0)
+    * squares. Zero vectors have no direction and are excluded (counted
+    * in `n_zero`); single-vector groups have no pairs → null mean; a
+    * group whose EVERY vector is zero emits no row (no direction exists).
+    * Output per group: `n`, `n_zero`, `mean_pair_cos_micro`. */
+  def groupDiversity(df: DataFrame, grpCol: String, vecCol: String,
+      scale: Int = 1000): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = df.select(col(grpCol).as("gd_grp"), quantize(col(vecCol), scale).as("q"))
+      .withColumn("nn", nqdot(col("q"), col("q")))
+    val zeros = q.filter(col("nn") === 0L).groupBy(col("gd_grp"))
+      .agg(count(lit(1)).as("n_zero"))
+    val u = q.filter(col("nn") > 0L)
+      .withColumn("u", transform(col("q"), x =>
+        round(x.cast("double") / sqrt(col("nn").cast("double")) * scale)
+          .cast("long")))
+      .withColumn("self", nqdot(col("u"), col("u")))
+    val rows = u.groupBy(col("gd_grp"))
+      .agg(count(lit(1)).as("n"), sum(col("self").cast(dec)).as("__selfsum"))
+    val comps = u.select(col("gd_grp"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy(col("gd_grp"), col("pos"))
+      .agg(sum(col("x")).as("s"))
+      .groupBy(col("gd_grp"))
+      .agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("__ss"))
+    rows.join(comps, Seq("gd_grp"))
+      .join(zeros, Seq("gd_grp"), "left")
+      .select(col("gd_grp").as(grpCol), col("n"),
+        coalesce(col("n_zero"), lit(0L)).as("n_zero"),
+        when(col("n") >= 2,
+          round((col("__ss") - col("__selfsum")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")
+            / lit(scale.toDouble * scale) * 1e6).cast("long"))
+          .as("mean_pair_cos_micro"))
+  }
+
   /** The nano-quantized cosine of a quantized vector against a stored
     * integer-SUM centroid row — the single rounding shared by
     * [[centroidOutliers]] and the streaming gate; zero-norm pinned to

@@ -697,6 +697,43 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(rep == rows.toSet)
   }
 
+  test("groupDiversity: hand mean pairwise cosines via the sum identity; zero and singleton edges") {
+    import spark.implicits._
+    val df = Seq(
+      ("dup", Array(1.0, 0.0)), ("dup", Array(1.0, 0.0)),   // identical
+      ("orth", Array(1.0, 0.0)), ("orth", Array(0.0, 1.0)), // orthogonal
+      ("anti", Array(2.0, 0.0)), ("anti", Array(-3.0, 0.0)), // opposed
+      ("one", Array(1.0, 1.0)),                              // no pairs
+      ("mix", Array(1.0, 0.0)), ("mix", Array(1.0, 0.0)),
+      ("mix", Array(0.0, 0.0))                               // zero vec
+    ).toDF("g", "v")
+    val got = Similarity.groupDiversity(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("dup") == (2L, 0L, Some(1000000L)))
+    assert(got("orth") == (2L, 0L, Some(0L)))
+    assert(got("anti") == (2L, 0L, Some(-1000000L)))
+    assert(got("one") == (1L, 0L, None))
+    // the zero vector is excluded from pairs but counted
+    assert(got("mix") == (2L, 1L, Some(1000000L)))
+    // O(N) identity agrees with the explicit pair mean on a real-ish set
+    val vecs = (0L until 12L).map(i =>
+      ("g", Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 + 1).toDouble)))
+      .toDF("g", "v")
+    val byId = Similarity.groupDiversity(vecs, "g", "v")
+      .head.getLong(3)
+    val u = vecs.collect().map { r =>
+      val a = r.getSeq[Double](1).map(x => math.round(x * 1000).toDouble).toArray
+      val nn = math.sqrt(a.map(x => x * x).sum)
+      a.map(x => math.round(x / nn * 1000))
+    }
+    val pairs = for (i <- u.indices; j <- u.indices if i != j)
+      yield u(i).zip(u(j)).map { case (x, y) => x * y }.sum
+    val want = math.round(pairs.sum.toDouble / pairs.length / 1e6 * 1e6)
+    assert(byId == want)
+  }
+
   private def exceptionChain(e: Throwable): Seq[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 

@@ -108,6 +108,30 @@ class SequencesJwSpec extends SparkTestBase {
     assert(rep == got.map { case (k, v) => k -> v._2 })
   }
 
+  test("prefixState/ingestPrefix: first-k store fold ≡ full recompute; topPaths readout matches") {
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 40L, 4L, "d"), (2L, 15L, 5L, "a"), (2L, 35L, 6L, "z"),
+      (3L, 50L, 7L, "q")).toDF("u", "t", "id", "s")
+    val hist = ev.filter(col("t") < 30)
+    val batch = ev.filter(col("t") >= 30)
+    val folded = Sequences.ingestPrefix(
+      Sequences.prefixState(hist, "u", "s", "t", "id", maxLen = 3),
+      batch, "u", "s", "t", "id", maxLen = 3)
+    val full = Sequences.prefixState(ev, "u", "s", "t", "id", maxLen = 3)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(set(folded) == set(full))
+    // key 1 capped at its FIRST 3 states: d never enters
+    assert(!set(folded).exists { case (u, s, _, _) => u == 1L && s == "d" })
+    val gotPaths = Sequences.topPaths(folded, "u", "s", "t", "id", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fullPaths = Sequences.topPaths(ev, "u", "s", "t", "id", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotPaths == fullPaths)
+    assert(gotPaths == Set(("a>b>c", 1L), ("a>z", 1L), ("q", 1L)))
+  }
+
   test("rollingMedian2: hand-traced trailing medians, window cap, spike robustness") {
     val ev = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 3.0), (1L, 30L, 3L, 2.0),
       (1L, 40L, 4L, 5.0)).toDF("u", "t", "id", "v")
