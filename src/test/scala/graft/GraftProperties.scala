@@ -359,4 +359,78 @@ object GraftProperties extends Properties("graft") {
         ba.getLong(2) == 2L * na * nb - ab.getLong(2) &&
         ba.getLong(3) == -ab.getLong(3)
     }
+
+  property("bfsHops: equals a local multi-source BFS on random digraphs") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 7L))),
+        Gen.nonEmptyListOf(Gen.chooseNum(0L, 7L))) { (edges0, seeds0) =>
+      import spark.implicits._
+      val es = edges0.filter(e => e._1 != e._2).distinct
+      val seeds = seeds0.distinct
+      es.isEmpty || {
+        val got = graft.operators.Graph.bfsHops(es.toDF("src", "dst"),
+            "src", "dst", seeds.toDF("node"), "node", maxHops = 8)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // local frontier BFS over the same edge set
+        val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var dist = seeds.map(_ -> 0L).toMap
+        var frontier = seeds
+        var h = 0L
+        while (frontier.nonEmpty && h < 8) {
+          h += 1
+          val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+            .distinct.filterNot(dist.contains)
+          next.foreach(n => dist += n -> h)
+          frontier = next
+        }
+        got == dist
+      }
+    }
+
+  property("ingestRecent/ewmaHalfLife: any time-split fold equals the full-history readout") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 3L), Gen.zip(
+        Gen.chooseNum(0L, 30L), Gen.chooseNum(-9L, 9L)))), Gen.chooseNum(0L, 30L)) {
+      (rows0, cut) =>
+      import spark.implicits._
+      // unique (key, ts) ids so the (ts, id) order is total
+      val rows = rows0.zipWithIndex.map { case ((k, (t, v)), i) =>
+        (k, t, i.toLong, v.toDouble) }
+      rows.isEmpty || {
+        val all = rows.toDF("k", "t", "id", "v")
+        val hist = all.filter(col("t") < cut)
+        val batch = all.filter(col("t") >= cut) // ids order after: t splits
+        val st = graft.operators.Sequences.ingestRecent(
+          graft.operators.Sequences.recentState(hist, "k", "t", "v", "id", 4),
+          batch, "k", "t", "v", "id", 4)
+        def read(d: org.apache.spark.sql.DataFrame) =
+          graft.operators.Sequences.ewmaHalfLife(d, "k", "t", "v", "id", 4)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        read(st) == read(all)
+      }
+    }
+
+  property("groupDiversity: sum identity equals the explicit ordered-pair mean") =
+    forAll(Gen.listOfN(8, Gen.listOfN(3, Gen.chooseNum(-4, 4)))) { vecs0 =>
+      import spark.implicits._
+      val vecs = vecs0.map(_.map(_.toDouble).toArray)
+        .filter(_.exists(_ != 0.0)) // operator excludes zero vectors
+      vecs.size < 2 || {
+        val got = graft.operators.Similarity.groupDiversity(
+            vecs.map(("g", _)).toDF("g", "v"), "g", "v")
+          .collect()(0).getLong(3)
+        // HALF_UP away from zero, matching Spark/DuckDB round (math.round
+        // rounds -x.5 toward +inf)
+        def rnd(x: Double): Long =
+          if (x < 0) -math.round(-x) else math.round(x)
+        val u = vecs.map { a0 =>
+          val a = a0.map(x => rnd(x * 1000).toDouble)
+          val nn = math.sqrt(a.map(x => x * x).sum)
+          a.map(x => rnd(x / nn * 1000))
+        }
+        val pairs = for (i <- u.indices; j <- u.indices if i != j)
+          yield u(i).zip(u(j)).map { case (x, y) => x * y }.sum
+        val want = rnd(
+          pairs.sum.toDouble / pairs.length / 1000000.0 * 1e6)
+        got == want
+      }
+    }
 }
