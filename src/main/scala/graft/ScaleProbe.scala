@@ -364,8 +364,9 @@ object ScaleProbe {
       val bft0 = System.nanoTime()
       val bfsSeeds = docs.select(col("doc_id").as("node"))
         .filter(substring(md5(col("doc_id").cast("string")), 1, 2) === "00")
+      val bfsE = pairs.select(col("id_a"), col("id_b"))
       val nBfsReached = graft.operators.Graph.bfsHops(
-        pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+        bfsE.union(bfsE.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
         "id_a", "id_b", bfsSeeds, "node", maxHops = 3).count()
       val bft1 = System.nanoTime()
 

@@ -1278,13 +1278,23 @@ object Similarity {
     require(scale >= 1, "scale must be >= 1")
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // materialize (grp, q, nn) BEFORE deriving u: CollapseProject would
+    // otherwise inline quantize() and nqdot() into EVERY element of the
+    // unit-quantization transform (the lambda references nn 64×/row), an
+    // O(dim²) re-evaluation measured at ~10× the whole operator's cost
     val q = df.select(col(grpCol).as("gd_grp"), quantize(col(vecCol), scale).as("q"))
       .withColumn("nn", nqdot(col("q"), col("q")))
+      .localCheckpoint(true)
     val zeros = q.filter(col("nn") === 0L).groupBy(col("gd_grp"))
       .agg(count(lit(1)).as("n_zero"))
+    // greatest(nn, 1): rows with nn = 0 are filtered out, but ANSI mode
+    // aborts on a zero divisor WHEREVER the optimizer evaluates the
+    // projection — total expressions over the filtered domain only
+    // (the WordPiece greatest-guard discipline); nn > 0 ⟹ value unchanged
     val u = q.filter(col("nn") > 0L)
       .withColumn("u", transform(col("q"), x =>
-        round(x.cast("double") / sqrt(col("nn").cast("double")) * scale)
+        round(x.cast("double")
+          / sqrt(greatest(col("nn"), lit(1L)).cast("double")) * scale)
           .cast("long")))
       .withColumn("self", nqdot(col("u"), col("u")))
     val rows = u.groupBy(col("gd_grp"))
