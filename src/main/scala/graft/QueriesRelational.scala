@@ -374,6 +374,16 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Sequences.topPaths(ev, "user_id", "event_type", "ts_us", "event_id",
         maxLen = 5, topK = 25)
     }),
+    // MoM/YoY growth ✚ (r11): monthly revenue with 1- and 12-period
+    // growth — exact cent sums, one period-grain hash-agg, the
+    // calendar-bounded window
+    "q222_period_growth" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      Sequences.periodGrowth(o, "month", "cents", lagShort = 1, lagLong = 12)
+        .orderBy(col("month"))
+    }),
     // incremental path prefixes ✚ (r11): the q214 readout over a standing
     // first-k store + strictly-later fold — must hash-match the
     // full-history q214 oracle
@@ -1421,6 +1431,21 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
                   ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
                   AS BIGINT) AS ewma_micro
          FROM a ORDER BY user_id""",
+    "q222_period_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+              FROM orders GROUP BY 1),
+         g AS (SELECT month, value,
+                lag(value, 1) OVER (ORDER BY month) AS p1,
+                lag(value, 12) OVER (ORDER BY month) AS p12 FROM m)
+         SELECT month, value,
+                CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN
+                  CAST(round((value - p1)::DOUBLE / p1::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_short_micro,
+                CASE WHEN p12 IS NOT NULL AND p12 <> 0 THEN
+                  CAST(round((value - p12)::DOUBLE / p12::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_long_micro
+         FROM g ORDER BY month""",
     // identical to the q214 oracle — the standing first-k fold must
     // reproduce the full-history paths exactly
     "q221_paths_incremental" ->

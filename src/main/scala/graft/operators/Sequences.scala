@@ -164,6 +164,40 @@ object Sequences {
             .cast("double")).cast(LongType).as("ewma_micro"))
   }
 
+  /** Period-over-period growth of an aggregated measure — the MoM/YoY
+    * revenue readout every BI layer ends at: aggregate `valueCol` (exact
+    * long sum) per (`partCols`*, `periodCol`), then report growth vs the
+    * `lagShort`-th and `lagLong`-th PRECEDING OBSERVED period (positional
+    * lag — densify the calendar upstream if gap-exact lags matter; the
+    * synthetic tables have none). growth = round((cur−prev)/prev·10⁶),
+    * null when no lagged period exists or it sums to 0 (no base).
+    *
+    * Scale shape: one map-side-combined hash-agg to the period grain,
+    * then a window over the PERIOD-COUNT-sized frame — calendar-bounded
+    * (≤ a few thousand rows per partition group even at decades of daily
+    * grain), the bucket-frame exemption to the no-single-partition-window
+    * rule ([[Ranks]] scaladoc); `partCols` parallelize it further.
+    * Output per period: (partCols*, periodCol, `value`,
+    * `growth_short_micro`, `growth_long_micro`). */
+  def periodGrowth(df: DataFrame, periodCol: String, valueCol: String,
+      partCols: Seq[String] = Nil, lagShort: Int = 1,
+      lagLong: Int = 12): DataFrame = {
+    require(lagShort >= 1 && lagLong >= 1, "lags must be >= 1")
+    val agg = df.filter(col(periodCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy((partCols :+ periodCol).map(col): _*)
+      .agg(sum(col(valueCol).cast(LongType)).as("value"))
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(periodCol))
+    def growth(l: Int, out: String) = {
+      val prev = lag(col("value"), l).over(w)
+      when(prev.isNotNull && prev =!= 0,
+        round((col("value") - prev).cast("double") / prev.cast("double") * 1e6)
+          .cast(LongType)).as(out)
+    }
+    agg.select((partCols.map(col) :+ col(periodCol) :+ col("value") :+
+      growth(lagShort, "growth_short_micro") :+
+      growth(lagLong, "growth_long_micro")): _*)
+  }
+
   /** Per-event trailing EXACT median — the robust sibling of
     * [[graft.streaming.Streams.anomalyScores]]'s trailing mean/σ: for
     * each event, 2·median of the key's last `window` micro-quantized

@@ -487,6 +487,22 @@ object Streams {
         keyCol, tsCol, valueCol, idCol, lookback))
     }
 
+  /** First-k twin of [[recentIngestStreamBulk]] (r11): fold each
+    * micro-batch into the standing per-key FIRST-`maxLen` store
+    * ([[graft.operators.Sequences.ingestPrefix]]) — the bounded state
+    * behind [[graft.operators.Sequences.topPaths]]-shaped readouts (the
+    * q221 equivalence gate). Same caller-held-store and strictly-later
+    * delta contract; a key's prefix only gains rows while it holds fewer
+    * than `maxLen`, so steady-state batches touch mostly-new keys. */
+  def prefixIngestStreamBulk(stream: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String, idCol: String, maxLen: Int = 5)(
+      load: () => DataFrame, store: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      store(graft.operators.Sequences.ingestPrefix(load(), batch.toDF(),
+        keyCol, stateCol, tsCol, idCol, maxLen))
+    }
+
   /** Confidence-gated streaming classification — label each micro-batch
     * with a STORED Naive Bayes model ([[graft.operators.Classify
     * .loadNbModel]]; train once, classify every ingest batch) and keep

@@ -108,6 +108,31 @@ class SequencesJwSpec extends SparkTestBase {
     assert(rep == got.map { case (k, v) => k -> v._2 })
   }
 
+  test("periodGrowth: hand MoM/YoY values, zero-base and missing-lag nulls, grouped") {
+    // periods 1..3 sum to 100, 110, 99
+    val df = Seq((1L, 60L), (1L, 40L), (2L, 110L), (3L, 99L)).toDF("p", "v")
+    val got = Sequences.periodGrowth(df, "p", "v", lagShort = 1, lagLong = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == (100L, None, None))
+    assert(got(2L) == (110L, Some(100000L), None))        // +10%
+    assert(got(3L) == (99L, Some(-100000L), Some(-10000L))) // -10%, -1%
+    // a zero-sum base period yields null growth, not a division error
+    val z = Seq((1L, 0L), (2L, 5L)).toDF("p", "v")
+    val gz = Sequences.periodGrowth(z, "p", "v", lagShort = 1, lagLong = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(gz(2L)) // base 0 -> null
+    // grouped: series are independent per group
+    val g = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 8L), ("b", 2L, 4L))
+      .toDF("g", "p", "v")
+    val gg = Sequences.periodGrowth(g, "p", "v", Seq("g"), 1, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(gg(("a", 2L)) == Some(1000000L) && gg(("b", 2L)) == Some(-500000L))
+  }
+
   test("prefixState/ingestPrefix: first-k store fold ≡ full recompute; topPaths readout matches") {
     val ev = Seq(
       (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),

@@ -790,4 +790,28 @@ class StreamsSpec extends SparkTestBase {
         k == 1L && m == 4L && e == math.round(170.0 / 15 * 1e6) })
     } finally q.stop()
   }
+
+  test("prefixIngestStreamBulk: first-k folds equal the full-history prefix and path readout") {
+    import graft.operators.Sequences
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 15L, 3L, "a"))
+    val b2 = Seq((1L, 30L, 4L, "c"), (1L, 40L, 5L, "d"), (3L, 50L, 6L, "q"))
+    var state = Seq.empty[(Long, String, Long, Long)].toDF("u", "s", "t", "id")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.prefixIngestStreamBulk(
+        mem.toDF().toDF("u", "t", "id", "s"), "u", "s", "t", "id",
+        maxLen = 3)(() => state, out => state = out.localCheckpoint(true))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = (b1 ++ b2).toDF("u", "t", "id", "s")
+      def set(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(set(state) == set(Sequences.prefixState(all, "u", "s", "t", "id", 3)))
+      val paths = Sequences.topPaths(state, "u", "s", "t", "id", 3, 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(paths == Set(("a>b>c", 1L), ("a", 1L), ("q", 1L)))
+    } finally q.stop()
+  }
 }
