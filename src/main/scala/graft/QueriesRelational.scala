@@ -1010,6 +1010,33 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
     }),
   )
 
+  // shared by q213 (direct) and q216 (incremental fold) — ONE definition
+  // so the equivalence gate can never drift against a stale copy
+  private val ewmaOracleSql =
+    """WITH e AS (SELECT user_id,
+                CAST(round(value * 1e6) AS BIGINT) AS v,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+                sum(v::HUGEINT * ((1::BIGINT << (16 - rn))::HUGEINT)) AS num
+               FROM e WHERE rn <= 16 GROUP BY 1)
+         SELECT user_id, n_used,
+                CAST(round(num::DOUBLE /
+                  ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
+                  AS BIGINT) AS ewma_micro
+         FROM a ORDER BY user_id"""
+  // shared by q214 (direct) and q221 (standing first-k fold)
+  private val topPathsOracleSql =
+    """WITH x AS (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM x WHERE rn <= 5 GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p
+         GROUP BY path ORDER BY n_keys DESC, path LIMIT 25"""
+
   val oracleSql: Map[String, String] = Map(
     "q00_compare_pipeline" ->
       """WITH joined AS (
@@ -1417,20 +1444,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
     // mirrors Sequences.ewmaHalfLife term for term: micro values, shifted
     // dyadic weights summed exactly in HUGEINT, the one final double
     // division; L = 16
-    "q213_ewma" ->
-      """WITH e AS (SELECT user_id,
-                CAST(round(value * 1e6) AS BIGINT) AS v,
-                row_number() OVER (PARTITION BY user_id
-                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
-         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
-                sum(v::HUGEINT * ((1::BIGINT << (16 - rn))::HUGEINT)) AS num
-               FROM e WHERE rn <= 16 GROUP BY 1)
-         SELECT user_id, n_used,
-                CAST(round(num::DOUBLE /
-                  ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
-                  AS BIGINT) AS ewma_micro
-         FROM a ORDER BY user_id""",
+    "q213_ewma" -> ewmaOracleSql,
     "q222_period_growth" ->
       """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
@@ -1448,15 +1462,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
          FROM g ORDER BY month""",
     // identical to the q214 oracle — the standing first-k fold must
     // reproduce the full-history paths exactly
-    "q221_paths_incremental" ->
-      """WITH x AS (SELECT user_id, event_type,
-                row_number() OVER (PARTITION BY user_id
-                  ORDER BY epoch_us(ts), event_id) AS rn
-              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
-               FROM x WHERE rn <= 5 GROUP BY 1)
-         SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p
-         GROUP BY path ORDER BY n_keys DESC, path LIMIT 25""",
+    "q221_paths_incremental" -> topPathsOracleSql,
     "q217_basket_lift" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
          nb AS (SELECT count(DISTINCT bk) AS N FROM bi),
@@ -1486,29 +1492,8 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
          ORDER BY user_id, event_id""",
     // the oracle recomputes the EWMA from ALL events — the bounded-store
     // fold must reproduce it exactly (same SQL as q213 by construction)
-    "q216_ewma_incremental" ->
-      """WITH e AS (SELECT user_id,
-                CAST(round(value * 1e6) AS BIGINT) AS v,
-                row_number() OVER (PARTITION BY user_id
-                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
-         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
-                sum(v::HUGEINT * ((1::BIGINT << (16 - rn))::HUGEINT)) AS num
-               FROM e WHERE rn <= 16 GROUP BY 1)
-         SELECT user_id, n_used,
-                CAST(round(num::DOUBLE /
-                  ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
-                  AS BIGINT) AS ewma_micro
-         FROM a ORDER BY user_id""",
-    "q214_top_paths" ->
-      """WITH x AS (SELECT user_id, event_type,
-                row_number() OVER (PARTITION BY user_id
-                  ORDER BY epoch_us(ts), event_id) AS rn
-              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
-               FROM x WHERE rn <= 5 GROUP BY 1)
-         SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p
-         GROUP BY path ORDER BY n_keys DESC, path LIMIT 25""",
+    "q216_ewma_incremental" -> ewmaOracleSql,
+    "q214_top_paths" -> topPathsOracleSql,
     // the oracle recomputes the matrix from ALL events in one pass — the
     // incremental fold must reproduce it exactly
     "q162_transitions_incremental" ->

@@ -358,7 +358,7 @@ object ScaleProbe {
       val wpt2 = System.nanoTime()
 
       // BFS axis (r11): multi-source hop bands over the LSH pair graph
-      // (seeds = a ~1% md5 sample of nodes). Frontier joins touch each
+      // (seeds = a 1/256 ≈ 0.4% md5-prefix sample of nodes). Frontier joins touch each
       // edge at most once per hop BAND, not once per round — bfs_sec must
       // track the pair graph (like kcore_sec), never rounds × edges.
       val bft0 = System.nanoTime()

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Market-basket association mining (Agrawal & Srikant 1994's support /
   * confidence framing; lift per Brin et al. 1997) over a (basket, item)
@@ -33,16 +34,28 @@ import org.apache.spark.sql.types.LongType
   * driver state. */
 object Baskets {
 
+  /** Persist + force-materialize (the [[Dedup]]/[[Similarity]] pin
+    * discipline). */
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
+
   def pairLift(rel: DataFrame, basketCol: String, itemCol: String,
       minPairCount: Long = 2L): DataFrame = {
     require(minPairCount >= 1L, "minPairCount must be >= 1")
-    val bi = rel
+    // bi feeds ~6 plan branches (N, item counts, both self-join sides,
+    // both count joins): pin it rather than lean on ReuseExchange
+    // canonicalization surviving AQE replans; released before return
+    // (the result is eager — the Similarity-family contract)
+    val bi = pin(rel
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .distinct() // presence, not multiplicity — the basket-count model
+      .distinct()) // presence, not multiplicity — the basket-count model
     val n = bi.agg(countDistinct(col("__bk")).as("__n"))
-    val itemCounts = bi.groupBy(col("__it"))
-      .agg(count(lit(1)).as("__ic"))
+    val itemCounts = pin(bi.groupBy(col("__it"))
+      .agg(count(lit(1)).as("__ic")))
     // downward closure: an item in < minPairCount baskets cannot reach it
     // as a pair — prune BEFORE the per-basket self-join
     val frequent = bi.join(
@@ -56,7 +69,7 @@ object Baskets {
       .filter(col("n_ab") >= minPairCount)
     val mic = (x: org.apache.spark.sql.Column) =>
       round(x * 1e6).cast(LongType)
-    pairs
+    val out = pairs
       .join(itemCounts.select(col("__it").as("item_a"), col("__ic").as("n_a")),
         Seq("item_a"))
       .join(itemCounts.select(col("__it").as("item_b"), col("__ic").as("n_b")),
@@ -72,5 +85,9 @@ object Baskets {
         mic(col("n_ab").cast("double") * col("__n").cast("double")
           / (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("lift_micro"))
+      .localCheckpoint(true)
+    itemCounts.unpersist(false)
+    bi.unpersist(false)
+    out
   }
 }

@@ -274,27 +274,6 @@ object Search {
       p.getAs[Long]("n_docs"), p.getAs[Long]("total_tokens"))
   }
 
-  /** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack, Clarke &
-    * Büttcher, SIGIR 2009) of any number of per-query rankings, the
-    * standard way to combine [[bm25PerQuery]]'s lexical top-k with
-    * [[Similarity.bucketedTopK]]'s vector top-k (or any other ranked
-    * lists over the same query/doc id space). RRF is RANK-based, so the
-    * lists' scores never need normalizing against each other — exactly why
-    * it is the default fusion in hybrid search engines.
-    *
-    * Each list contributes floor(1e9 / (rrfK + rank)) "nano-units" per
-    * (query, doc) — an exact integer division, so the fused score is an
-    * exact long sum: partition-order independent and bit-identical on any
-    * engine (the same quantize-then-sum contract as [[contribMicro]]).
-    * rrfK = 60 is the constant from the original paper.
-    *
-    * Every input must carry `queryIdCol`, `docIdCol`, and a `rank` column
-    * (1-based, as both producers here emit); a doc absent from a list
-    * simply contributes nothing for it. Scale shape: one union (no
-    * shuffle) + one hash-agg + one keyed window over lists that are
-    * already ≤ k·|queries| rows — negligible next to either producer.
-    * Output: queryIdCol, docIdCol, n_lists (long — lists containing the
-    * doc), rrf_nano (long), rank (long, ≤ k; ties by ascending doc id). */
   /** Per-document top-k keyword extraction by tf·idf (Spärck Jones 1972)
     * — the doc-tagging / topic-labeling primitive next to [[bm25TopK]]'s
     * query-side ranking: tf(t, D) · ln(N / df(t)) with N = documents
@@ -332,6 +311,27 @@ object Search {
         col("tfidf_micro"), col("rank"))
   }
 
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009) of any number of per-query rankings, the
+    * standard way to combine [[bm25PerQuery]]'s lexical top-k with
+    * [[Similarity.bucketedTopK]]'s vector top-k (or any other ranked
+    * lists over the same query/doc id space). RRF is RANK-based, so the
+    * lists' scores never need normalizing against each other — exactly why
+    * it is the default fusion in hybrid search engines.
+    *
+    * Each list contributes floor(1e9 / (rrfK + rank)) "nano-units" per
+    * (query, doc) — an exact integer division, so the fused score is an
+    * exact long sum: partition-order independent and bit-identical on any
+    * engine (the same quantize-then-sum contract as [[contribMicro]]).
+    * rrfK = 60 is the constant from the original paper.
+    *
+    * Every input must carry `queryIdCol`, `docIdCol`, and a `rank` column
+    * (1-based, as both producers here emit); a doc absent from a list
+    * simply contributes nothing for it. Scale shape: one union (no
+    * shuffle) + one hash-agg + one keyed window over lists that are
+    * already ≤ k·|queries| rows — negligible next to either producer.
+    * Output: queryIdCol, docIdCol, n_lists (long — lists containing the
+    * doc), rrf_nano (long), rank (long, ≤ k; ties by ascending doc id). */
   def fuseRrf(rankings: Seq[DataFrame], queryIdCol: String, docIdCol: String,
       k: Int, rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking to fuse")

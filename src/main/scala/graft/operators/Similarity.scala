@@ -1278,13 +1278,15 @@ object Similarity {
     require(scale >= 1, "scale must be >= 1")
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // materialize (grp, q, nn) BEFORE deriving u: CollapseProject would
-    // otherwise inline quantize() and nqdot() into EVERY element of the
+    // pin (grp, q, nn) BEFORE deriving u: CollapseProject would otherwise
+    // inline quantize() and nqdot() into EVERY element of the
     // unit-quantization transform (the lambda references nn 64×/row), an
-    // O(dim²) re-evaluation measured at ~10× the whole operator's cost
-    val q = df.select(col(grpCol).as("gd_grp"), quantize(col(vecCol), scale).as("q"))
-      .withColumn("nn", nqdot(col("q"), col("q")))
-      .localCheckpoint(true)
+    // O(dim²) re-evaluation measured at ~10× the whole operator's cost.
+    // pin (not localCheckpoint) so the blocks are RELEASED on return —
+    // the [[prototypicality]] discipline; the result is eager.
+    val q = pin(df
+      .select(col(grpCol).as("gd_grp"), quantize(col(vecCol), scale).as("q"))
+      .withColumn("nn", nqdot(col("q"), col("q"))))
     val zeros = q.filter(col("nn") === 0L).groupBy(col("gd_grp"))
       .agg(count(lit(1)).as("n_zero"))
     // greatest(nn, 1): rows with nn = 0 are filtered out, but ANSI mode
@@ -1304,7 +1306,7 @@ object Similarity {
       .agg(sum(col("x")).as("s"))
       .groupBy(col("gd_grp"))
       .agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("__ss"))
-    rows.join(comps, Seq("gd_grp"))
+    val out = rows.join(comps, Seq("gd_grp"))
       .join(zeros, Seq("gd_grp"), "left")
       .select(col("gd_grp").as(grpCol), col("n"),
         coalesce(col("n_zero"), lit(0L)).as("n_zero"),
@@ -1313,6 +1315,9 @@ object Similarity {
             / (col("n") * (col("n") - 1)).cast("double")
             / lit(scale.toDouble * scale) * 1e6).cast("long"))
           .as("mean_pair_cos_micro"))
+      .localCheckpoint(true)
+    q.unpersist(false)
+    out
   }
 
   /** The nano-quantized cosine of a quantized vector against a stored
