@@ -404,10 +404,12 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         maxLen = 5, topK = 25)
     }),
     // market-basket lift ✚ (r11): co-purchased part pairs within orders —
-    // Apriori-pruned per-basket self-join, exact counts, micro ratios
+    // Apriori-pruned per-basket self-join, exact counts, micro ratios.
+    // maxBasketItems = 5 < the 7-item lineitem max, so the oracle
+    // genuinely exercises the r12 deterministic fan-out cap path
     "q217_basket_lift" -> ((s, d) => {
       Baskets.pairLift(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
-          minPairCount = 3)
+          minPairCount = 3, maxBasketItems = 5)
         .orderBy(col("item_a"), col("item_b"))
     }),
     // trailing exact median ✚ (r11): per-event robust baseline over the
@@ -1468,8 +1470,14 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
          nb AS (SELECT count(DISTINCT bk) AS N FROM bi),
          ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY it),
          fi AS (SELECT bi.bk, bi.it FROM bi JOIN ic ON bi.it = ic.it AND ic.c >= 3),
+         -- r12 fan-out cap: first 5 frequent items per basket in
+         -- (idHash60(item), item) order — same md5-60-bit hash as Spark
+         fc AS (SELECT bk, it FROM fi
+                QUALIFY row_number() OVER (PARTITION BY bk ORDER BY
+                  list_sum([ (instr('0123456789abcdef', substr(md5(it::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)]), it) <= 5),
          p AS (SELECT l.it AS item_a, r.it AS item_b, CAST(count(*) AS BIGINT) AS n_ab
-               FROM fi l JOIN fi r ON l.bk = r.bk AND l.it < r.it
+               FROM fc l JOIN fc r ON l.bk = r.bk AND l.it < r.it
                GROUP BY 1, 2 HAVING count(*) >= 3)
          SELECT p.item_a, p.item_b, n_ab, a.c AS n_a, b.c AS n_b,
                 CAST(round(n_ab::DOUBLE / N::DOUBLE * 1e6) AS BIGINT) AS support_micro,

@@ -384,6 +384,45 @@ object ScaleProbe {
         "k", "t", "v", "id", lookback = 16).count()
       val ewt1 = System.nanoTime()
 
+      // basket axis (r12, VERDICT r11 finding #1): pairLift over synthetic
+      // baskets whose size GROWS with the factor (257 baskets × a fixed
+      // 4096-item domain — every item passes the Apriori prune, so the cap
+      // is the only defense). Uncapped, per-basket pair volume would grow
+      // ~factor²; with maxBasketItems = 32 the emitted pairs are bounded by
+      // 257·C(32,2) at every factor — bk_pairs must plateau and bk_sec must
+      // track the scan (linear), the measured Σ min(k,cap)² claim.
+      val bkt0 = System.nanoTime()
+      val bkRel = docs.select(pmod(col("doc_id"), lit(257L)).as("bk"),
+        pmod(col("doc_id"), lit(4096L)).as("it"))
+      val nBkPairs = graft.operators.Baskets.pairLift(bkRel, "bk", "it",
+        minPairCount = 2, maxBasketItems = 32).count()
+      val bkt1 = System.nanoTime()
+
+      // rolling-median axis (r12): trailing exact median over the EWMA
+      // axis's keyed series. Per-key history grows linearly with the
+      // factor but the sliding frame is BOUNDED (10 rows), so the per-row
+      // sorted-array work is a constant — med_sec must track rows
+      // linearly, never rows·history.
+      val rmt0 = System.nanoTime()
+      val nMedRows = graft.operators.Sequences.rollingMedian2(
+        docs.select(pmod(col("doc_id"), lit(1009L)).as("k"),
+          col("doc_id").as("t"), length(col("text")).cast("long").as("v"),
+          col("doc_id").as("id")),
+        "k", "t", "v", "id", window = 10).count()
+      val rmt1 = System.nanoTime()
+
+      // topPaths axis (r12): first-5 prefix paths over the same keyed
+      // series (state = len mod 7). The rank filter group-limits map-side,
+      // so the windowed volume is keys·maxLen at every factor and the path
+      // domain is fixed — paths_sec must track the scan, not history.
+      val tpt0 = System.nanoTime()
+      val nPathRows = graft.operators.Sequences.topPaths(
+        docs.select(pmod(col("doc_id"), lit(1009L)).as("k"),
+          pmod(length(col("text")).cast("long"), lit(7L)).as("s"),
+          col("doc_id").as("t"), col("doc_id").as("id")),
+        "k", "s", "t", "id", maxLen = 5, topK = 25).count()
+      val tpt1 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -447,7 +486,10 @@ object ScaleProbe {
         s""""wp_docs":$nWpDocs,"wp_encode_sec":${sec(wpt1, wpt2)},""" +
         s""""mw_rows":$nMwRows,"mw_sec":${sec(rkt0, rkt1)},""" +
         s""""bfs_reached":$nBfsReached,"bfs_sec":${sec(bft0, bft1)},""" +
-        s""""ewma_keys":$nEwmaKeys,"ewma_sec":${sec(ewt0, ewt1)}""" +
+        s""""ewma_keys":$nEwmaKeys,"ewma_sec":${sec(ewt0, ewt1)},""" +
+        s""""bk_pairs":$nBkPairs,"bk_sec":${sec(bkt0, bkt1)},""" +
+        s""""med_rows":$nMedRows,"med_sec":${sec(rmt0, rmt1)},""" +
+        s""""path_rows":$nPathRows,"paths_sec":${sec(tpt0, tpt1)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
@@ -26,12 +27,24 @@ import org.apache.spark.storage.StorageLevel
   * items below `minPairCount` baskets can never form a qualifying pair,
   * so the (basket, item) relation is FIRST semi-joined against the
   * frequent-item list (one hash-agg + one broadcastable-or-shuffled
-  * join), and only then self-joined per basket (a < b). The per-basket
-  * fan-out is C(k, 2) over FREQUENT items only — the cap that keeps a
-  * power-law catalog from exploding; the final pair count is again
-  * ≥ `minPairCount`-filtered. Everything is basket- or item-keyed
-  * equi-joins and map-side-combined counts: no cartesian, no window, no
-  * driver state. */
+  * join), and only then self-joined per basket (a < b). The item prune
+  * bounds the CATALOG side; the BASKET side is bounded by
+  * `maxBasketItems` (VERDICT r11 finding #1): each basket keeps at most
+  * that many frequent items, chosen in ([[Ops.idHash60]], item) order —
+  * a deterministic, engine-replayable uniform sample of the basket, so
+  * one power-law mega-basket (a crawl page linking 10⁵ frequent tokens)
+  * emits C(cap, 2) pairs instead of 5·10⁹ rows into a single partition.
+  * Pair counts are therefore counts over the ≤cap-item basket samples;
+  * the item marginals n_a/n_b and the basket total N stay EXACT
+  * (uncapped) — the cap is documented sampling on co-occurrence only,
+  * and the default (256) leaves every realistic retail basket exact.
+  * The truncation itself is a rank filter Spark executes as a map-side
+  * WindowGroupLimit — each partition keeps ≤cap rows per basket before
+  * the shuffle, so the window never materializes a mega-basket either.
+  * After the cap the per-basket fan-out is C(min(k, cap), 2); the final
+  * pair count is again ≥ `minPairCount`-filtered. Everything else is
+  * basket- or item-keyed equi-joins and map-side-combined counts: no
+  * cartesian, no driver state. */
 object Baskets {
 
   /** Persist + force-materialize (the [[Dedup]]/[[Similarity]] pin
@@ -43,8 +56,9 @@ object Baskets {
   }
 
   def pairLift(rel: DataFrame, basketCol: String, itemCol: String,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L, maxBasketItems: Int = 256): DataFrame = {
     require(minPairCount >= 1L, "minPairCount must be >= 1")
+    require(maxBasketItems >= 2, "maxBasketItems must be >= 2 (pairs need two items)")
     // bi feeds ~6 plan branches (N, item counts, both self-join sides,
     // both count joins): pin it rather than lean on ReuseExchange
     // canonicalization surviving AQE replans; released before return
@@ -61,8 +75,18 @@ object Baskets {
     val frequent = bi.join(
       itemCounts.filter(col("__ic") >= minPairCount).select(col("__it")),
       Seq("__it"))
-    val pairs = frequent.as("l")
-      .join(frequent.as("r"), col("l.__bk") === col("r.__bk")
+    // per-basket fan-out cap: keep each basket's first `maxBasketItems`
+    // frequent items in (idHash60, item) order — deterministic sampling of
+    // co-occurrence, exact marginals (scaladoc); rank-filter shape so the
+    // window group-limits map-side instead of materializing mega-baskets
+    val wBk = Window.partitionBy(col("__bk"))
+      .orderBy(Ops.idHash60(col("__it")), col("__it"))
+    val capped = frequent
+      .withColumn("__rn", row_number().over(wBk))
+      .filter(col("__rn") <= maxBasketItems)
+      .drop("__rn")
+    val pairs = capped.as("l")
+      .join(capped.as("r"), col("l.__bk") === col("r.__bk")
         && col("l.__it") < col("r.__it"))
       .groupBy(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))

@@ -405,8 +405,10 @@ object Graph {
     * band is `localCheckpoint(true)`-pinned (the [[pageRank]] lineage
     * discipline — the settled set is a union of ≤ maxHops materialized
     * bands, never a deep iterative plan). A round that settles nothing
-    * leaves every later round a cheap no-op on an empty cached frontier —
-    * no driver-side convergence poll breaks the declarative loop. */
+    * short-circuits the loop (the band is already materialized, so the
+    * emptiness probe is a cached-partition `head(1)`, not a recompute) —
+    * later rounds can only ever settle ∅, so skipping them is exact and
+    * saves O(maxHops − diameter) empty scheduled jobs (ADVICE r11). */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
@@ -420,15 +422,21 @@ object Graph {
       .withColumn("hops", lit(0L))
       .localCheckpoint(true)
     var frontier = dist.select("node")
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var settled = false
+    while (h <= maxHops && !settled) {
       val reached = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
       val newly = reached
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
         .localCheckpoint(true) // pin the band: dist stays a shallow union
-      dist = dist.unionByName(newly)
-      frontier = newly.select("node")
+      if (newly.isEmpty) settled = true
+      else {
+        dist = dist.unionByName(newly)
+        frontier = newly.select("node")
+      }
+      h += 1
     }
     val out = dist.localCheckpoint(true)
     e.unpersist(blocking = false)

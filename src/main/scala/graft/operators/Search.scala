@@ -293,13 +293,17 @@ object Search {
     val toks = docs.select(col(idCol),
         explode(Text.tokens(Text.normalize(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // tf feeds three plan branches (df, N, the scored join): pin it so the
+    // explode+hash-agg runs once per action, not three times (the
+    // Baskets/Similarity pin-and-release discipline); released after the
+    // eager localCheckpoint below
+    val tf = pin(toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col(idCol)).as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf_micro").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
+    val out = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf_micro",
         round(col("tf").cast("double")
@@ -309,6 +313,9 @@ object Search {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("tfidf_micro"), col("rank"))
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
   }
 
   /** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack, Clarke &

@@ -329,8 +329,9 @@ object Sequences {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxLen)
       .groupBy(col(keyCol))
-      // sort_array on (rn, state) structs replays the window order inside
+      // array_sort on (rn, state) structs replays the window order inside
       // the agg — collect_list alone is partition-order nondeterministic
+      // (null placement never matters: __rn/__s are non-null by the filter)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__rn"), col("__s")))),
         e => e.getField("__s")), ">").as("path"))

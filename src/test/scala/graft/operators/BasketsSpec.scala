@@ -36,4 +36,32 @@ class BasketsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(8))).toSet
     assert(rep == got.map { case ((a, b), v) => (a, b, v._7) }.toSet)
   }
+
+  test("pairLift: maxBasketItems caps the per-basket fan-out deterministically") {
+    // one mega-basket of 40 items, each item frequent (also in its own
+    // 2nd basket so the item prune keeps everything)
+    val mega = (1 to 40).flatMap(i => Seq((0L, s"i$i"), (i.toLong, s"i$i")))
+      .toDF("bk", "it")
+    // uncapped (cap above basket size): all C(40,2) pairs co-occur once —
+    // none reach minPairCount 2, so the pair filter empties the output,
+    // but the intermediate fan-out existed; with minPairCount 1 we see it
+    val full = Baskets.pairLift(mega, "bk", "it", minPairCount = 1,
+      maxBasketItems = 64)
+    assert(full.count() == 40L * 39L / 2L)
+    // capped at 8: exactly C(8,2) pairs survive, from the 8 items with
+    // the smallest (idHash60, item) — rerunning yields the identical set
+    val c1 = Baskets.pairLift(mega, "bk", "it", minPairCount = 1,
+      maxBasketItems = 8).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(c1.size == 8 * 7 / 2)
+    val c2 = Baskets.pairLift(mega.repartition(7), "bk", "it",
+        minPairCount = 1, maxBasketItems = 8).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(c1 == c2) // deterministic under any partitioning
+    // marginals stay EXACT under the cap: every reported n_a is the item's
+    // true basket count (2), untouched by the co-occurrence sampling
+    val marg = Baskets.pairLift(mega, "bk", "it", minPairCount = 1,
+      maxBasketItems = 8).select("n_a", "n_b").collect()
+    assert(marg.forall(r => r.getLong(0) == 2L && r.getLong(1) == 2L))
+  }
 }
