@@ -376,9 +376,11 @@ private[graft] trait OracleSqlHelpers {
           QUALIFY rank <= 5)"""
 
   // full MinHash-LSH pair replay + recursive-CTE reachability closure over
-  // the WHOLE corpus — the ground truth for BOTH q43 (full recompute) and
-  // q109 (incremental fold): non-root (id, component=min reachable id) rows
-  protected val sqlCcClosure =
+  // the WHOLE corpus — the ground truth for q43 (full recompute), q109
+  // (incremental fold), and q223 (component-keyed split). The CTE body is
+  // shared (sqlCcClosureCtes) so the three can never drift apart; the
+  // q43/q109 tail keeps only non-root (id, component=min reachable) rows.
+  protected val sqlCcClosureCtes =
     """WITH RECURSIVE
        w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
        s AS (SELECT doc_id,
@@ -412,7 +414,10 @@ private[graft] trait OracleSqlHelpers {
        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
        reach(a, b) AS (SELECT a, b FROM edges
-                       UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+                       UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
+
+  protected val sqlCcClosure = sqlCcClosureCtes +
+    """
        SELECT a AS id, min(b) AS component FROM reach
        GROUP BY a HAVING min(b) < a ORDER BY id"""
 

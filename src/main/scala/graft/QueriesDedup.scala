@@ -181,6 +181,20 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
         .filter(col("id") =!= col("component")) // only docs folded into a group
         .orderBy("id")
     }),
+    // leakage-safe split ✚ (r12, VERDICT r11 missing #1): train/holdout by
+    // DEDUP COMPONENT, not by doc — hash the q43 component label, so
+    // near-duplicates can never straddle the boundary (the GroupKFold
+    // analog of O28's naive row split). Same LSH pairs + star contraction
+    // as q43; the split is a stateless projection on top.
+    "q223_leak_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+      Ops.splitByGroupHash(labels, "component",
+          Seq("train" -> 0.8, "holdout" -> 1.0))
+        .orderBy("id")
+    }),
     // span-based decontamination: longest verbatim run each TRAIN doc
     // shares with an EVAL doc (hash-shard 0 again plays the benchmark) —
     // the run-length criterion, next to q57's set-containment one
@@ -517,6 +531,22 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
          HAVING count(*)::DOUBLE / eval_nsh::DOUBLE >= 0.5
          ORDER BY train_id, eval_id""",
     "q43_dedup_groups" -> sqlCcClosure,
+    // same closure CTEs as q43; roots/singletons keep themselves, then the
+    // split is the md5-60-bit hash of the COMPONENT label against the
+    // shared band edge — the oracle asserts the whole (id, component,
+    // split) assignment, so a component straddling splits is impossible
+    // without a hash mismatch
+    "q223_leak_safe_split" -> (sqlCcClosureCtes + s""",
+       roots AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a),
+       lbl AS (SELECT d.doc_id AS id, coalesce(r.component, d.doc_id) AS component
+               FROM documents d LEFT JOIN roots r ON r.id = d.doc_id)
+       SELECT id, component,
+              CASE WHEN list_sum([ (instr('0123456789abcdef', substr(md5(component::VARCHAR), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        < ${Ops.hashBandEdge(0.8)} THEN 'train'
+                   ELSE 'holdout' END AS split
+       FROM lbl ORDER BY id"""),
     "q74_decontamination_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          e AS (SELECT doc_id, u.p AS p,

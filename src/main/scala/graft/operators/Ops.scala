@@ -183,6 +183,53 @@ object Ops {
     df.filter(h >= lit(edge(lo)) && h < lit(edge(hi)))
   }
 
+  /** Band edge in the 2^60 hash space — [[sampleByHash]]'s rounding
+    * contract (floor(x+0.5), ties away from zero, matching DuckDB's
+    * round-on-CAST), shared so [[splitByGroupHash]] and its SQL oracles
+    * can never disagree on where a cut falls. */
+  def hashBandEdge(f: Double): Long = {
+    require(0.0 <= f && f <= 1.0, s"fraction must be in [0, 1], got $f")
+    math.floor(f * math.pow(2.0, 60) + 0.5).toLong
+  }
+
+  /** Leakage-safe split assignment — GroupKFold for training data: append
+    * a `split` label chosen by hashing `keyCol`, so every row sharing a
+    * key lands in the SAME split. Pass a dedup-component label (e.g.
+    * [[Dedup.connectedComponents]] output) as the key and near-duplicate
+    * documents can never straddle the train/holdout boundary — the
+    * composition a naive row-hash split (O28 `split`, [[sampleByHash]])
+    * gets wrong: hashing doc ids sends two near-identical docs to
+    * different sides and leaks eval content into training.
+    *
+    * `cuts` are (name, cumulative upper fraction) pairs, strictly
+    * increasing and ending at 1.0 — `("train", 0.8), ("holdout", 1.0)`
+    * gives an 80/20 split of the KEY space (group sizes skew row
+    * fractions; that is inherent to group-level splitting). Assignment is
+    * a pure function of the key via [[idHash60]] — stable across runs,
+    * engines, partitionings, and corpus growth (a group keeps its split
+    * when other groups appear, the standing-store contract). A null key
+    * hashes to null and falls into the LAST cut (when/CASE else-branch
+    * semantics — identical in DuckDB, so oracles replay it verbatim).
+    *
+    * Scale shape: a stateless projection — no shuffle, no lookup table,
+    * no driver state; whole-stage-codegen'd md5 + conv per row. */
+  def splitByGroupHash(df: DataFrame, keyCol: String,
+      cuts: Seq[(String, Double)]): DataFrame = {
+    require(cuts.nonEmpty, "need at least one cut")
+    require(cuts.last._2 == 1.0, "last cut must end at 1.0")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted.distinct,
+      "cut fractions must be strictly increasing")
+    require(cuts.map(_._1).distinct.length == cuts.length,
+      "cut names must be distinct")
+    val h = idHash60(col(keyCol))
+    val split = cuts.init.foldLeft(Option.empty[Column]) {
+      case (acc, (name, hi)) =>
+        val c = h < lit(hashBandEdge(hi))
+        Some(acc.fold(when(c, lit(name)))(_.when(c, lit(name))))
+    }.fold(lit(cuts.last._1))(_.otherwise(lit(cuts.last._1)))
+    df.withColumn("split", split)
+  }
+
   /** Deterministic per-group sampling to a weight budget: within each group
     * (e.g. language, source domain), rows are admitted in [[idHash60]] order
     * — an unbiased, engine-independent shuffle of the group — until the

@@ -69,4 +69,24 @@ class ComponentsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("leakage-safe split: a planted near-dup pair never straddles the boundary") {
+    // docs 100/101 are near-identical (one token differs); 200 is unrelated
+    val docs = Seq(
+      (100L, "spark shuffles data across the cluster during wide transformations always"),
+      (101L, "spark shuffles data across the cluster during wide transformations often"),
+      (200L, "completely unrelated text about cooking pasta with fresh tomatoes basil")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+    assert(pairs.count() >= 1) // the plant actually pairs
+    val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+    val split = Ops.splitByGroupHash(labels, "component",
+        Seq("train" -> 0.5, "holdout" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the near-dups share a component label, hence a split — whatever the
+    // individual doc-id hashes would have said
+    assert(split(100L) == split(101L))
+    assert(split.size == 3)
+  }
 }

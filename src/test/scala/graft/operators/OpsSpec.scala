@@ -130,4 +130,44 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(wide == got)
   }
+
+  test("splitByGroupHash: group-atomic, deterministic, cut-validated") {
+    val rows = (1L to 400L).map(i => (i, i % 40L)).toDF("id", "grp")
+    val s1 = Ops.splitByGroupHash(rows, "grp",
+      Seq("train" -> 0.8, "holdout" -> 1.0))
+    // every group lands wholly in ONE split — the leakage-safety invariant
+    val perGroup = s1.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // deterministic under repartitioning and re-evaluation
+    val a = s1.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val b = Ops.splitByGroupHash(rows.repartition(7), "grp",
+        Seq("train" -> 0.8, "holdout" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a == b)
+    // both sides populated at 40 groups / 80-20 cuts
+    val sizes = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "holdout") && sizes.values.forall(_ > 0))
+    // three-way cuts cover every row exactly once
+    val s3 = Ops.splitByGroupHash(rows, "grp",
+      Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+    assert(s3.count() == 400L && s3.filter(col("split").isNull).count() == 0L)
+    // a null key falls in the LAST cut (CASE else semantics, documented)
+    val withNull = Seq((1L, Some(3L)), (2L, None)).toDF("id", "grp")
+    val ns = Ops.splitByGroupHash(withNull, "grp",
+        Seq("train" -> 0.8, "holdout" -> 1.0))
+      .filter(col("grp").isNull).head()
+    assert(ns.getString(2) == "holdout")
+    // validation: cuts must end at 1.0, increase, and be uniquely named
+    intercept[IllegalArgumentException] {
+      Ops.splitByGroupHash(rows, "grp", Seq("train" -> 0.8))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.splitByGroupHash(rows, "grp", Seq("a" -> 0.9, "b" -> 0.2, "c" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.splitByGroupHash(rows, "grp", Seq("a" -> 0.5, "a" -> 1.0))
+    }
+  }
 }
