@@ -374,6 +374,15 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Sequences.topPaths(ev, "user_id", "event_type", "ts_us", "event_id",
         maxLen = 5, topK = 25)
     }),
+    // session-scoped paths ✚ (r12, VERDICT r11 missing #2): q214's path
+    // mining per SESSION (30-min gap rule) instead of per lifetime —
+    // one exchange, session boundaries + prefix rank ride the same
+    // user_id partitioning
+    "q224_session_paths" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Sequences.sessionTopPaths(ev, "user_id", "event_type", "ts_us",
+        "event_id", gapUs = 30L * 60L * 1000000L, maxLen = 5, topK = 25)
+    }),
     // MoM/YoY growth ✚ (r11): monthly revenue with 1- and 12-period
     // growth — exact cent sums, one period-grain hash-agg, the
     // calendar-bounded window
@@ -382,6 +391,18 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
         .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
       Sequences.periodGrowth(o, "month", "cents", lagShort = 1, lagLong = 12)
+        .orderBy(col("month"))
+    }),
+    // calendar-exact growth ✚ (r12, VERDICT r11 missing #3): the price
+    // filter leaves empty months at sf0.01 (a genuinely gapped series),
+    // where q222's positional lag and this dense-spine calendar lag
+    // disagree — the month spine makes lag-12 mean 12 calendar months
+    "q225_period_growth_gapped" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 490000)
+        .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+      Sequences.periodGrowthDense(o, "month", "cents", lagShort = 1, lagLong = 12)
         .orderBy(col("month"))
     }),
     // incremental path prefixes ✚ (r11): the q214 readout over a standing
@@ -1462,6 +1483,28 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
                   CAST(round((value - p12)::DOUBLE / p12::DOUBLE * 1e6) AS BIGINT)
                 END AS growth_long_micro
          FROM g ORDER BY month""",
+    // dense month spine (generate_series) + measured-zero fill, then the
+    // q222 growth tree — lags are calendar months, not observed rows
+    "q225_period_growth_gapped" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+              FROM orders WHERE o_totalprice > 490000 GROUP BY 1),
+         sp AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                  INTERVAL 1 MONTH)) AS DATE) AS month
+                FROM (SELECT min(month) AS lo, max(month) AS hi FROM m)),
+         d AS (SELECT sp.month, coalesce(m.value, 0) AS value
+               FROM sp LEFT JOIN m ON sp.month = m.month),
+         g AS (SELECT month, value,
+                lag(value, 1) OVER (ORDER BY month) AS p1,
+                lag(value, 12) OVER (ORDER BY month) AS p12 FROM d)
+         SELECT month, value,
+                CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN
+                  CAST(round((value - p1)::DOUBLE / p1::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_short_micro,
+                CASE WHEN p12 IS NOT NULL AND p12 <> 0 THEN
+                  CAST(round((value - p12)::DOUBLE / p12::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_long_micro
+         FROM g ORDER BY month""",
     // identical to the q214 oracle — the standing first-k fold must
     // reproduce the full-history paths exactly
     "q221_paths_incremental" -> topPathsOracleSql,
@@ -1502,6 +1545,28 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
     // fold must reproduce it exactly (same SQL as q213 by construction)
     "q216_ewma_incremental" -> ewmaOracleSql,
     "q214_top_paths" -> topPathsOracleSql,
+    // sessionizeBatch's closed-boundary rule (diff > gap starts a new
+    // session) + the q214 prefix-path shape, per (user, session)
+    "q224_session_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         f AS (SELECT user_id, event_type, t, event_id,
+                CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS is_new
+               FROM e),
+         s AS (SELECT user_id, event_type, t, event_id,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess
+               FROM f),
+         r AS (SELECT user_id, sess, event_type,
+                row_number() OVER (PARTITION BY user_id, sess
+                  ORDER BY t, event_id) AS rn
+               FROM s),
+         p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
+         GROUP BY path ORDER BY n_sessions DESC, path LIMIT 25""",
     // the oracle recomputes the matrix from ALL events in one pass — the
     // incremental fold must reproduce it exactly
     "q162_transitions_incremental" ->

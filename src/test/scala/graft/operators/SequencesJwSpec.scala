@@ -133,6 +133,41 @@ class SequencesJwSpec extends SparkTestBase {
     assert(gg(("a", 2L)) == Some(1000000L) && gg(("b", 2L)) == Some(-500000L))
   }
 
+  test("periodGrowthDense: calendar gap filled as measured zero; disagrees with positional lag") {
+    import java.sql.Date
+    // Jan 100, Feb 200, APR 300 — March is a calendar gap
+    val df = Seq(
+      (Date.valueOf("1995-01-01"), 100L),
+      (Date.valueOf("1995-02-01"), 200L),
+      (Date.valueOf("1995-04-01"), 300L)).toDF("month", "v")
+    def snap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getDate(0).toString -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val dense = snap(Sequences.periodGrowthDense(df, "month", "v",
+      lagShort = 1, lagLong = 2).collect())
+    // the gap month exists as an explicit zero with -100% growth…
+    assert(dense("1995-03-01") == (0L, Some(-1000000L)))
+    // …and April's lag-1 base is that zero — null growth, NOT +50% vs Feb
+    assert(dense("1995-04-01") == (300L, None))
+    assert(dense.size == 4)
+    val positional = snap(Sequences.periodGrowth(df, "month", "v",
+      lagShort = 1, lagLong = 2).collect())
+    assert(positional("1995-04-01") == (300L, Some(500000L))) // the quiet lie
+    // lag-2 over the dense spine is calendar-exact: Apr vs Feb = +50%
+    val d2 = Sequences.periodGrowthDense(df, "month", "v", Nil, 1, 2)
+      .collect().map(r => r.getDate(0).toString ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(d2("1995-04-01") == Some(500000L))
+    // grouped: spines are computed per group, not globally
+    val g = Seq(("a", Date.valueOf("1995-01-01"), 10L),
+      ("a", Date.valueOf("1995-03-01"), 20L),
+      ("b", Date.valueOf("1995-06-01"), 8L)).toDF("g", "month", "v")
+    val gd = Sequences.periodGrowthDense(g, "month", "v", Seq("g"), 1, 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(gd == Set(("a", "1995-01-01"), ("a", "1995-02-01"),
+      ("a", "1995-03-01"), ("b", "1995-06-01"))) // b has no Jan–May spine
+  }
+
   test("prefixState/ingestPrefix: first-k store fold ≡ full recompute; topPaths readout matches") {
     val ev = Seq(
       (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
@@ -190,5 +225,36 @@ class SequencesJwSpec extends SparkTestBase {
     val cap = Sequences.topPaths(ev, "u", "s", "t", "id", maxLen = 2, topK = 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(cap == Set(("a>b", 2L), ("a>z", 1L), ("b>a", 1L)))
+  }
+
+  test("sessionTopPaths: closed gap boundary, per-session prefixes, tie order") {
+    // user 1: events at t=0,100 (gap 100 = EXACTLY the gap -> same
+    // session), then t=201 (gap 101 > gap -> NEW session) — the closed
+    // boundary: sessions are "a>b" and "c"
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 201L, 3L, "c"),
+      // user 2: one session "a>b" (gaps 50, 50)
+      (2L, 0L, 4L, "a"), (2L, 50L, 5L, "b"),
+      // user 3: same-ts tie breaks by id within the session: "b>a"
+      (3L, 0L, 6L, "b"), (3L, 0L, 7L, "a")).toDF("u", "t", "id", "s")
+    val got = Sequences.sessionTopPaths(ev, "u", "s", "t", "id",
+        gapUs = 100L, maxLen = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a>b", 2L), ("b>a", 1L), ("c", 1L)))
+    // lifetime topPaths would see user 1 as ONE path "a>b>c" — the two
+    // operators answer different questions
+    val life = Sequences.topPaths(ev, "u", "s", "t", "id", 5, 10)
+      .collect().map(r => r.getString(0)).toSet
+    assert(life.contains("a>b>c") && !life.contains("c"))
+    // maxLen truncates within the session, not the lifetime
+    val capd = Sequences.sessionTopPaths(ev, "u", "s", "t", "id",
+        gapUs = 100L, maxLen = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(capd == Set(("a", 2L), ("b", 1L), ("c", 1L)))
+    // partition invariance
+    val rep = Sequences.sessionTopPaths(ev.repartition(5), "u", "s", "t",
+        "id", gapUs = 100L, maxLen = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep.toSeq == got.toSeq)
   }
 }
