@@ -1,0 +1,1080 @@
+package graft
+
+/** DuckDB oracle SQL for the [[QueriesRelational]] registry slice — split
+  * from the query map in r12 (VERDICT r11 §next-8: the combined file
+  * crossed the two-thousand-line navigation guideline). Every key here
+  * matches a [[QueriesRelational.queries]] key; the driver enforces the
+  * pairing, and RegistrySpec asserts the key sets line up. */
+private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
+  // shared by q213 (direct) and q216 (incremental fold) — ONE definition
+  // so the equivalence gate can never drift against a stale copy
+  private val ewmaOracleSql =
+    """WITH e AS (SELECT user_id,
+                CAST(round(value * 1e6) AS BIGINT) AS v,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+                sum(v::HUGEINT * ((1::BIGINT << (16 - rn))::HUGEINT)) AS num
+               FROM e WHERE rn <= 16 GROUP BY 1)
+         SELECT user_id, n_used,
+                CAST(round(num::DOUBLE /
+                  ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
+                  AS BIGINT) AS ewma_micro
+         FROM a ORDER BY user_id"""
+  // shared by q214 (direct) and q221 (standing first-k fold)
+  private val topPathsOracleSql =
+    """WITH x AS (SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM x WHERE rn <= 5 GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p
+         GROUP BY path ORDER BY n_keys DESC, path LIMIT 25"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q00_compare_pipeline" ->
+      """WITH joined AS (
+           SELECT l.*, o.o_custkey FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         deduped AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+             FROM joined) t WHERE rn = 1)
+         SELECT o_custkey, avg(l_quantity) AS l_quantity_mean
+         FROM deduped GROUP BY o_custkey ORDER BY o_custkey""",
+    "q01_filters" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity < 10 AND l_linestatus IN ('F')
+         ORDER BY l_orderkey, l_linenumber""",
+    "q02_filters_notin" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus NOT IN ('F', 'P') AND o_totalprice > 100000
+           AND o_orderpriority <> '1-URGENT'
+         ORDER BY o_orderkey""",
+    "q07_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS l_quantity_sum,
+                avg(l_quantity) AS l_quantity_mean,
+                median(l_quantity) AS l_quantity_median,
+                min(l_extendedprice) AS l_extendedprice_min,
+                max(l_extendedprice) AS l_extendedprice_max
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q08_groupby_count" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                count(DISTINCT o_custkey) AS n_cust
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q09_group_iter" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q10_join_inner" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q11_join_multi" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, a.n_uses
+         FROM lineitem l
+         JOIN (SELECT l_partkey, l_suppkey, count(*) AS n_uses
+               FROM lineitem GROUP BY l_partkey, l_suppkey) a
+           ON l.l_partkey = a.l_partkey AND l.l_suppkey = a.l_suppkey
+         WHERE a.n_uses >= 3
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "q12_join_left" ->
+      """SELECT c_custkey AS custkey, c_name, n_orders
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+           ON c_custkey = o.o_custkey
+         ORDER BY custkey""",
+    "q13_join_semi" ->
+      """SELECT c_custkey AS custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY custkey""",
+    "q14_join_anti" ->
+      """SELECT c_custkey AS custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY custkey""",
+    "q15_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q16_setops" ->
+      """SELECT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION ALL
+           (SELECT c_custkey FROM customer WHERE c_acctbal < 0
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')) t
+         ORDER BY c_custkey""",
+    "q17_window" ->
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER w AS rn,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q19_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q20_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+         ORDER BY event_id""",
+    "q21_json_expand" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+         ORDER BY event_id""",
+    "q22_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                avg(l_quantity) AS avg_qty,
+                count(*) AS n
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q80_unicode_nfc" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  'Cafe' || chr(769) || ' doc ' || doc_id::VARCHAR || ' '
+                    || substr(text, 1, 40) AS raw
+           FROM documents)
+         SELECT doc_id,
+                length(raw)::BIGINT AS len_raw,
+                length(nfc_normalize(raw))::BIGINT AS len_nfc,
+                md5(nfc_normalize(raw)) AS nfc_md5
+         FROM r ORDER BY doc_id""",
+    "q81_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  string_split(text, chr(10)) AS lines,
+                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           FROM documents),
+         c AS (
+           SELECT doc_id, text, toks, lines, ltoks,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(toks) END)::BIGINT AS n
+           FROM t),
+         r AS (
+           SELECT doc_id, text, n,
+             CASE WHEN n > 0 THEN
+               list_sum(list_transform(toks, x -> length(x)))::DOUBLE / n::DOUBLE END AS mean_len,
+             CASE WHEN n > 0 THEN
+               ((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+               / n::DOUBLE END AS sym_ratio,
+             len(list_filter(lines, l -> starts_with(trim(l), '-')
+                   OR starts_with(trim(l), '*')
+                   OR starts_with(trim(l), chr(8226))))::DOUBLE
+               / len(lines)::DOUBLE AS bullet_frac,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::DOUBLE
+               / len(lines)::DOUBLE AS ell_frac,
+             CASE WHEN n > 0 THEN
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / n::DOUBLE END AS alpha_frac,
+             (list_contains(ltoks, 'the')::INT + list_contains(ltoks, 'be')::INT
+              + list_contains(ltoks, 'to')::INT + list_contains(ltoks, 'of')::INT
+              + list_contains(ltoks, 'and')::INT + list_contains(ltoks, 'that')::INT
+              + list_contains(ltoks, 'have')::INT + list_contains(ltoks, 'with')::INT)
+               AS stop_hits
+           FROM c)
+         SELECT doc_id,
+                CASE WHEN text IS NULL THEN NULL ELSE n END AS n_words,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE n >= 50 AND n <= 100000 END AS ok_word_count,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE coalesce(mean_len >= 3.0 AND mean_len <= 10.0, false) END
+                  AS ok_mean_word_len,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE coalesce(sym_ratio <= 0.1, false) END AS ok_symbol_ratio,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE bullet_frac < 0.9 END AS ok_bullet_lines,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE ell_frac < 0.3 END AS ok_ellipsis_lines,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE coalesce(alpha_frac > 0.8, false) END AS ok_alpha_words,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE stop_hits >= 2 END AS ok_stopwords,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE (n >= 50 AND n <= 100000)
+                      AND coalesce(mean_len >= 3.0 AND mean_len <= 10.0, false)
+                      AND coalesce(sym_ratio <= 0.1, false)
+                      AND bullet_frac < 0.9 AND ell_frac < 0.3
+                      AND coalesce(alpha_frac > 0.8, false)
+                      AND stop_hits >= 2 END AS pass
+         FROM r ORDER BY doc_id""",
+    // exact top-20 replayed (q26); the frequency-sketch brackets are the
+    // sketch's deterministic guarantee, asserted Spark-side, TRUE here
+    "q112_heavy_hitters" ->
+      """SELECT t AS token, count(*) AS n, TRUE AS ok_bounds FROM (
+           SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents)
+         GROUP BY t ORDER BY n DESC, t LIMIT 20""",
+    // the three pair sets of the incremental semantic fold — corpus
+    // self-join (corpus-sized bits), delta↔corpus (delta probed in the
+    // CORPUS's bucket space), delta self-join (delta-sized bits) — closed
+    // transitively; the gate asserts incremental ≡ full over these edges
+    "q117_semantic_incremental" ->
+      s"""WITH RECURSIVE $sqlEmbVv,
+         ${sqlEmbBits("nbc", "shard <> 0")},
+         ${sqlEmbBits("nbd", "shard = 0")},
+         ${sqlEmbShardBuckets("bkc", "shard <> 0", "nbc")},
+         ${sqlEmbProbes("pbc", "bkc", "nbc")},
+         ${sqlEmbShardBuckets("dkc", "shard = 0", "nbc")},
+         ${sqlEmbProbes("pdc", "dkc", "nbc")},
+         ${sqlEmbShardBuckets("bkd", "shard = 0", "nbd")},
+         ${sqlEmbProbes("pbd", "bkd", "nbd")},
+         ${sqlEmbPairs("cp", "pbc", "bkc", "a.vec_id < b.vec_id")},
+         ${sqlEmbPairs("xp", "pdc", "bkc", "a.vec_id <> b.vec_id")},
+         ${sqlEmbPairs("dp", "pbd", "bkd", "a.vec_id < b.vec_id")},
+         edges AS (SELECT id_a AS a, id_b AS b FROM cp
+                   UNION SELECT id_b, id_a FROM cp
+                   UNION SELECT id_a, id_b FROM xp
+                   UNION SELECT id_b, id_a FROM xp
+                   UNION SELECT id_a, id_b FROM dp
+                   UNION SELECT id_b, id_a FROM dp),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+         SELECT id, component FROM comp WHERE component <> id ORDER BY id""",
+    // bloom pruning is invisible in the result (no false negatives;
+    // false positives die in the join) — the oracle is the plain join
+    "q129_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
+    // adjacent bigrams via the q127 list_zip(t, t[2:]) pattern (NULL-padded
+    // tail dropped); one rounded ln per count, exact integer PMI
+    "q135_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT unnest([[p[1], p[2]] for p in list_zip(t, t[2:])]) AS pr
+                FROM toks WHERE len(t) >= 2),
+         c2 AS (SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS c2
+                FROM bg WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+         ucnt AS (SELECT t, CAST(count(*) AS BIGINT) AS cu
+                  FROM (SELECT unnest(t) AS t FROM toks) u GROUP BY 1),
+         nbg AS (SELECT CAST(sum(c2) AS BIGINT) AS nbg FROM c2)
+         SELECT c2.w1, c2.w2, c2.c2 AS n_pair,
+                CAST(round(ln(c2.c2) * 1000000) AS BIGINT)
+                  + CAST(round(ln(nbg.nbg) * 1000000) AS BIGINT)
+                  - CAST(round(ln(a.cu) * 1000000) AS BIGINT)
+                  - CAST(round(ln(b.cu) * 1000000) AS BIGINT) AS pmi_micro
+         FROM c2 JOIN ucnt a ON a.t = c2.w1 JOIN ucnt b ON b.t = c2.w2 CROSS JOIN nbg
+         WHERE c2.c2 >= 5
+         ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""",
+    // characters enumerated by position on both engines (substr over
+    // 1..len), one rounded ln per scalar, exact BIGINT term sums
+    "q140_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, d, 1) AS ch
+              FROM documents, unnest(range(1, len(text) + 1)) AS t(d)
+              WHERE text IS NOT NULL AND len(text) > 0),
+         pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars FROM pc GROUP BY 1),
+         st AS (SELECT pc.doc_id, tot.n_chars,
+                CAST(sum(c * (CAST(round(ln(n_chars) * 1000000) AS BIGINT)
+                              - CAST(round(ln(c) * 1000000) AS BIGINT))) AS BIGINT) AS entropy_micro
+              FROM pc JOIN tot USING (doc_id) GROUP BY 1, 2)
+         SELECT d.doc_id AS doc_id, COALESCE(st.n_chars, 0) AS n_chars,
+                COALESCE(st.entropy_micro, 0) AS entropy_micro
+         FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // the identical sum tree and division order as linregExact: slope first,
+    // then intercept FROM the slope — exact integral sums make both engines'
+    // doubles bit-equal (q76 contract)
+    "q143_linreg_exact" ->
+      """WITH x AS (SELECT l_returnflag, l_quantity AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT)::DOUBLE AS y
+              FROM lineitem),
+         a AS (SELECT l_returnflag,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS sx,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS sy,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * y END) AS sxy,
+                sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * x END) AS sx2,
+                count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)::DOUBLE AS n
+              FROM x GROUP BY l_returnflag),
+         sl AS (SELECT l_returnflag, sx, sy, n,
+                CASE WHEN n >= 2 AND n * sx2 - sx * sx > 0
+                     THEN (n * sxy - sx * sy) / (n * sx2 - sx * sx) END AS slope_cents
+              FROM a)
+         SELECT l_returnflag, slope_cents,
+                CASE WHEN slope_cents IS NOT NULL
+                     THEN (sy - slope_cents * sx) / n END AS intercept_cents
+         FROM sl ORDER BY l_returnflag""",
+    // the full-scan rebuild the shard fold must reproduce: every state
+    // component is an exact long aggregate, mean derived sum/n at read time
+    "q144_agg_state_fold" ->
+      """SELECT source,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(n_chars) AS BIGINT) AS n_chars_n,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+                min(n_chars) AS n_chars_min,
+                max(n_chars) AS n_chars_max,
+                CASE WHEN count(n_chars) > 0
+                     THEN CAST(sum(n_chars) AS BIGINT)::DOUBLE
+                          / CAST(count(n_chars) AS BIGINT)::DOUBLE END AS n_chars_mean
+         FROM documents GROUP BY source ORDER BY source""",
+    // marginals re-aggregated FROM the joint, the identical rounded-ln term
+    // tree per cell (q94's quantize-then-sum contract)
+    "q147_mutual_info" ->
+      """WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cab
+              FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS ca FROM j GROUP BY 1),
+         b AS (SELECT source, CAST(sum(cab) AS BIGINT) AS cb FROM j GROUP BY 1),
+         t AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM j)
+         SELECT n AS n_pairs,
+                CAST(sum(CAST(round((ln(cab) - ln(ca) - ln(cb) + ln(n))
+                                    * cab * 1000000) AS BIGINT)) AS BIGINT) AS mi_micro
+         FROM j JOIN a USING (lang) JOIN b USING (source) CROSS JOIN t
+         GROUP BY n""",
+    // the same marginal-cross-product grid with observed-0 cells, the same
+    // rounded per-cell term tree, exact long total
+    "q151_chi_squared" ->
+      """WITH dd AS (SELECT lang, source FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL),
+         j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cab
+               FROM dd GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS ca FROM j GROUP BY 1),
+         b AS (SELECT source, CAST(sum(cab) AS BIGINT) AS cb FROM j GROUP BY 1),
+         t AS (SELECT CAST(sum(cab) AS BIGINT) AS n,
+                      CAST(count(DISTINCT lang) AS BIGINT) AS ka,
+                      CAST(count(DISTINCT source) AS BIGINT) AS kb FROM j),
+         g AS (SELECT a.lang, b.source, a.ca, b.cb, COALESCE(j.cab, 0) AS o
+               FROM a CROSS JOIN b
+               LEFT JOIN j ON j.lang = a.lang AND j.source = b.source),
+         term AS (SELECT n, ka, kb,
+                CAST(round((o - ca::DOUBLE * cb::DOUBLE / n::DOUBLE)
+                         * (o - ca::DOUBLE * cb::DOUBLE / n::DOUBLE)
+                         / (ca::DOUBLE * cb::DOUBLE / n::DOUBLE)
+                         * 1000000) AS BIGINT) AS tm
+              FROM g CROSS JOIN t)
+         SELECT n AS n_pairs, (ka - 1) * (kb - 1) AS dof,
+                CAST(sum(tm) AS BIGINT) AS chi2_micro
+         FROM term GROUP BY 1, 2""",
+    // the same integer bucket, trailing ROWS frame, and z tree
+    "q152_anomaly_z" ->
+      """WITH c AS (SELECT event_type,
+                epoch_us(ts) - epoch_us(ts) % 21600000000 AS bucket_us,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, bucket_us, n_events,
+                CAST(count(n_events) OVER fr AS DOUBLE) AS k,
+                CAST(sum(n_events) OVER fr AS DOUBLE) AS s1,
+                CAST(sum(n_events * n_events) OVER fr AS DOUBLE) AS s2
+              FROM c
+              WINDOW fr AS (PARTITION BY event_type ORDER BY bucket_us
+                            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, bucket_us, n_events, CAST(k AS BIGINT) AS base_n,
+                CASE WHEN k >= 2 AND (k * s2 - s1 * s1) / (k * (k - 1)) > 0
+                     THEN CAST(round((n_events - s1 / k)
+                          / sqrt((k * s2 - s1 * s1) / (k * (k - 1))) * 1e6) AS BIGINT)
+                END AS z_micro
+         FROM w ORDER BY event_type, bucket_us""",
+    // same half-open sweep: running max over preceding rows, prefix count
+    // of run starts, one collapse per run
+    "q156_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+                epoch_us(ts) + 1800000000 AS hi FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT user_id, lo, hi,
+                CASE WHEN max(hi) OVER pre IS NULL OR lo > max(hi) OVER pre
+                     THEN 1 ELSE 0 END AS new_run
+               FROM iv
+               WINDOW pre AS (PARTITION BY user_id ORDER BY lo, hi
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         r AS (SELECT user_id, lo, hi, sum(new_run) OVER (
+                 PARTITION BY user_id ORDER BY lo, hi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM f),
+         g AS (SELECT user_id, run, min(lo) AS mlo, max(hi) AS mhi
+               FROM r GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+                CAST(sum(mhi - mlo) AS BIGINT) AS covered,
+                CAST(max(mhi) - min(mlo) AS BIGINT) AS span,
+                CAST(max(mhi) - min(mlo) - sum(mhi - mlo) AS BIGINT) AS gap
+         FROM g GROUP BY 1 ORDER BY 1""",
+    // same key-partitioned lead pairing and row-normalization tree
+    "q158_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT event_type AS from_state, lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS to_state FROM e),
+         c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_trans
+               FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_state, CAST(sum(n_trans) AS BIGINT) AS rt
+               FROM c GROUP BY 1)
+         SELECT c.from_state, to_state, n_trans,
+                CAST(round(n_trans::DOUBLE / rt::DOUBLE * 1e6) AS BIGINT) AS p_micro
+         FROM c JOIN t ON c.from_state = t.from_state ORDER BY 1, 2""",
+    // same hold-until-next pairing and Decimal/HUGEINT product sums
+    "q161_twap" ->
+      """WITH e AS (SELECT user_id,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                epoch_us(ts) AS t, event_id FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         h AS (SELECT user_id, cents,
+                lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+               FROM e),
+         g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+                CAST(sum(dur) AS BIGINT) AS held_us,
+                sum(cents::HUGEINT * dur::HUGEINT) AS vd
+               FROM h WHERE dur IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_holds, held_us,
+                CASE WHEN held_us > 0
+                     THEN CAST(round(vd::DOUBLE / held_us::DOUBLE * 1e6) AS BIGINT)
+                END AS twm_micro
+         FROM g ORDER BY user_id""",
+    // mirrors Sequences.ewmaHalfLife term for term: micro values, shifted
+    // dyadic weights summed exactly in HUGEINT, the one final double
+    // division; L = 16
+    "q213_ewma" -> ewmaOracleSql,
+    "q222_period_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+              FROM orders GROUP BY 1),
+         g AS (SELECT month, value,
+                lag(value, 1) OVER (ORDER BY month) AS p1,
+                lag(value, 12) OVER (ORDER BY month) AS p12 FROM m)
+         SELECT month, value,
+                CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN
+                  CAST(round((value - p1)::DOUBLE / p1::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_short_micro,
+                CASE WHEN p12 IS NOT NULL AND p12 <> 0 THEN
+                  CAST(round((value - p12)::DOUBLE / p12::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_long_micro
+         FROM g ORDER BY month""",
+    // dense month spine (generate_series) + measured-zero fill, then the
+    // q222 growth tree — lags are calendar months, not observed rows
+    "q225_period_growth_gapped" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value
+              FROM orders WHERE o_totalprice > 490000 GROUP BY 1),
+         sp AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                  INTERVAL 1 MONTH)) AS DATE) AS month
+                FROM (SELECT min(month) AS lo, max(month) AS hi FROM m)),
+         d AS (SELECT sp.month, coalesce(m.value, 0) AS value
+               FROM sp LEFT JOIN m ON sp.month = m.month),
+         g AS (SELECT month, value,
+                lag(value, 1) OVER (ORDER BY month) AS p1,
+                lag(value, 12) OVER (ORDER BY month) AS p12 FROM d)
+         SELECT month, value,
+                CASE WHEN p1 IS NOT NULL AND p1 <> 0 THEN
+                  CAST(round((value - p1)::DOUBLE / p1::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_short_micro,
+                CASE WHEN p12 IS NOT NULL AND p12 <> 0 THEN
+                  CAST(round((value - p12)::DOUBLE / p12::DOUBLE * 1e6) AS BIGINT)
+                END AS growth_long_micro
+         FROM g ORDER BY month""",
+    // identical to the q214 oracle — the standing first-k fold must
+    // reproduce the full-history paths exactly
+    "q221_paths_incremental" -> topPathsOracleSql,
+    "q217_basket_lift" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         nb AS (SELECT count(DISTINCT bk) AS N FROM bi),
+         ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY it),
+         fi AS (SELECT bi.bk, bi.it FROM bi JOIN ic ON bi.it = ic.it AND ic.c >= 3),
+         -- r12 fan-out cap: first 5 frequent items per basket in
+         -- (idHash60(item), item) order — same md5-60-bit hash as Spark
+         fc AS (SELECT bk, it FROM fi
+                QUALIFY row_number() OVER (PARTITION BY bk ORDER BY
+                  list_sum([ (instr('0123456789abcdef', substr(md5(it::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)]), it) <= 5),
+         p AS (SELECT l.it AS item_a, r.it AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM fc l JOIN fc r ON l.bk = r.bk AND l.it < r.it
+               GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT p.item_a, p.item_b, n_ab, a.c AS n_a, b.c AS n_b,
+                CAST(round(n_ab::DOUBLE / N::DOUBLE * 1e6) AS BIGINT) AS support_micro,
+                CAST(round(n_ab::DOUBLE / a.c::DOUBLE * 1e6) AS BIGINT) AS conf_ab_micro,
+                CAST(round(n_ab::DOUBLE / b.c::DOUBLE * 1e6) AS BIGINT) AS conf_ba_micro,
+                CAST(round(n_ab::DOUBLE * N::DOUBLE / (a.c::DOUBLE * b.c::DOUBLE) * 1e6) AS BIGINT) AS lift_micro
+         FROM p JOIN ic a ON p.item_a = a.it JOIN ic b ON p.item_b = b.it, nb
+         ORDER BY item_a, item_b""",
+    // DuckDB's windowed median interpolates the even-count middle pair, so
+    // 2·median is exactly the integral med_x2 the Spark side reports
+    "q218_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+         SELECT user_id, event_id,
+                CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+                CAST(2 * median(v) OVER w AS BIGINT) AS med_x2
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    // the oracle recomputes the EWMA from ALL events — the bounded-store
+    // fold must reproduce it exactly (same SQL as q213 by construction)
+    "q216_ewma_incremental" -> ewmaOracleSql,
+    "q214_top_paths" -> topPathsOracleSql,
+    // sessionizeBatch's closed-boundary rule (diff > gap starts a new
+    // session) + the q214 prefix-path shape, per (user, session)
+    "q224_session_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         f AS (SELECT user_id, event_type, t, event_id,
+                CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS is_new
+               FROM e),
+         s AS (SELECT user_id, event_type, t, event_id,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess
+               FROM f),
+         r AS (SELECT user_id, sess, event_type,
+                row_number() OVER (PARTITION BY user_id, sess
+                  ORDER BY t, event_id) AS rn
+               FROM s),
+         p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
+         GROUP BY path ORDER BY n_sessions DESC, path LIMIT 25""",
+    // the oracle recomputes the matrix from ALL events in one pass — the
+    // incremental fold must reproduce it exactly
+    "q162_transitions_incremental" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT event_type AS from_state, lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id) AS to_state FROM e)
+         SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n_trans
+         FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
+         ORDER BY 1, 2""",
+    // the melt of the zero-filled pivot = the user × type count grid
+    "q164_melt" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+         c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+         SELECT u.user_id, t.event_type, COALESCE(c.n_events, 0) AS n_events
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+         ORDER BY u.user_id, t.event_type""",
+    // the same md5(key:shard) weights, argmax replayed as a ranked window
+    "q165_rendezvous" ->
+      """WITH g AS (SELECT doc_id, j,
+                md5(doc_id::VARCHAR || ':' || j::VARCHAR) AS w
+              FROM documents CROSS JOIN generate_series(0, 7) AS t(j)),
+         r AS (SELECT doc_id, j, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY w DESC, j) AS rn FROM g)
+         SELECT doc_id, CAST(j AS BIGINT) AS shard
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // one suffix-max window stands in for the engine's two-level form
+    "q188_skyline" ->
+      """WITH lx AS (SELECT p_brand AS g, p_size AS x,
+                max(CAST(round(p_retailprice * 100) AS BIGINT)) AS ymax
+              FROM part
+              WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+                AND p_retailprice IS NOT NULL GROUP BY 1, 2),
+         m AS (SELECT g, x, ymax, max(ymax) OVER (PARTITION BY g ORDER BY x DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mgt FROM lx)
+         SELECT g AS p_brand, CAST(x AS BIGINT) AS p_size, ymax AS max_cents
+         FROM m WHERE mgt IS NULL OR mgt < ymax ORDER BY p_brand, p_size""",
+    // one global (score DESC, id) window stands in for the two-level rank;
+    // precision terms pre-rounded to micro ints, summed exactly
+    "q189_avg_precision" ->
+      """WITH raw AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+                o_orderkey AS id, o_orderstatus = 'F' AS y
+              FROM orders WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL AND o_orderkey IS NOT NULL),
+         c AS (SELECT s, id, y, row_number() OVER w AS k,
+                      sum(CASE WHEN y THEN 1 ELSE 0 END) OVER
+                        (ORDER BY s DESC, id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+               FROM raw WINDOW w AS (ORDER BY s DESC, id)),
+         t AS (SELECT count(*) AS n_rows,
+                      CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+               FROM raw),
+         st AS (SELECT COALESCE(sum(CAST(round(cp::DOUBLE / k::DOUBLE * 1e6)
+                                         AS BIGINT)), 0) AS st
+                FROM c WHERE y)
+         SELECT n_rows, n_pos,
+                CASE WHEN n_pos > 0
+                     THEN CAST(round(st::DOUBLE / n_pos::DOUBLE) AS BIGINT)
+                END AS ap_micro
+         FROM t, st""",
+    // position join replayed with a global row_number; DuckDB's own
+    // jaro_winkler_similarity micro-rounds to the q163-verified digits
+    "q193_sorted_neighborhood" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
+                        WHERE p_name IS NOT NULL),
+         pos AS (SELECT name, row_number() OVER (ORDER BY name) AS p FROM names),
+         pr AS (SELECT a.name AS name_a, b.name AS name_b, j AS gap
+                FROM pos a, range(1, 5) t(j)
+                JOIN pos b ON b.p = a.p + j)
+         SELECT name_a, name_b, gap,
+                CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6)
+                     AS BIGINT) AS jw_micro
+         FROM pr
+         WHERE CAST(round(jaro_winkler_similarity(name_a, name_b) * 1e6)
+                    AS BIGINT) >= 900000
+         ORDER BY name_a, name_b""",
+    // the q95 md5→60-bit integer trick, mod the feature dim; nulls ride
+    // md5(NULL) = NULL on both engines
+    "q173_feature_hash" ->
+      """WITH h AS (SELECT doc_id,
+                list_sum([ (instr('0123456789abcdef', substr(md5(lang), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 16 AS hx_lang,
+                list_sum([ (instr('0123456789abcdef', substr(md5(source), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 16 AS hx_source,
+                list_sum([ (instr('0123456789abcdef', substr(md5(lang || '|' || source), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT % 64 AS hx_lang_source
+              FROM documents)
+         SELECT doc_id, hx_lang, hx_source, hx_lang_source
+         FROM h ORDER BY doc_id""",
+    // same rank window, same floor cut, exact kept sums
+    "q170_trimmed_mean" ->
+      """WITH x AS (SELECT o_orderpriority AS g,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+              WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                      count(*) OVER (PARTITION BY g) AS n FROM x),
+         kk AS (SELECT g, v, rn, n,
+                      CAST(floor(n * 1 / 10) AS BIGINT) AS k FROM r)
+         SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(round(sum(v)::DOUBLE / count(*)::DOUBLE * 1e6) AS BIGINT) AS tmean_micro
+         FROM kk WHERE rn > k AND rn <= n - k GROUP BY 1 ORDER BY 1""",
+    "q54_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, value
+                    FROM events WHERE event_type = 'purchase'),
+           v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS view_value
+                 FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, epoch_us(p.t) AS ts_us, p.value,
+                epoch_us(v.t) AS view_ts_us, v.view_value
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t
+         ORDER BY event_id""",
+    "q55_range_join" ->
+      """WITH bands AS (SELECT o_orderpriority AS band, min(o_totalprice) AS lo,
+                               (min(o_totalprice) + max(o_totalprice)) / 2 AS hi
+                        FROM orders GROUP BY 1)
+         SELECT band, count(*) AS n
+         FROM orders o JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
+         GROUP BY band ORDER BY band""",
+    "q82_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS c_lo,
+                           epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS c_hi
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS p_lo,
+                      epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS p_hi
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, click_id, purchase_id
+         FROM c JOIN p ON c.user_id = p.user_id
+                      AND c_lo <= p_hi AND p_lo <= c_hi
+         ORDER BY 1, 2, 3""",
+    "q86_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_orderkey""",
+    "q59_topk_per_key" ->
+      """SELECT lang, source, doc_id, n_chars FROM (
+           SELECT lang, source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents)
+         WHERE rn <= 3 ORDER BY lang, source, doc_id""",
+    "q68_profile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                    FROM orders)
+         SELECT * FROM (
+           SELECT 'o_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+                  (count(*) - count(o_orderkey))::BIGINT AS n_nulls,
+                  min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+           FROM o
+           UNION ALL
+           SELECT 'o_custkey', count(*)::BIGINT, (count(*) - count(o_custkey))::BIGINT,
+                  min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR FROM o
+           UNION ALL
+           SELECT 'o_orderstatus', count(*)::BIGINT, (count(*) - count(o_orderstatus))::BIGINT,
+                  min(o_orderstatus)::VARCHAR, max(o_orderstatus)::VARCHAR FROM o
+           UNION ALL
+           SELECT 'price_cents', count(*)::BIGINT, (count(*) - count(price_cents))::BIGINT,
+                  min(price_cents)::VARCHAR, max(price_cents)::VARCHAR FROM o)
+         ORDER BY col_name""",
+    "q77_histogram" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                    FROM orders),
+         t AS (SELECT CASE WHEN price_cents IS NULL THEN -3
+                           WHEN price_cents < 0 THEN -1
+                           WHEN price_cents > 60000000 THEN -2
+                           WHEN price_cents = 60000000 THEN 19
+                           ELSE CAST(floor((price_cents::DOUBLE - 0.0) / 3000000.0) AS BIGINT)
+                      END AS bin
+               FROM o)
+         SELECT bin,
+                CASE WHEN bin >= 0
+                     THEN 0.0::DOUBLE + bin::DOUBLE * 3000000.0::DOUBLE END AS bin_lo,
+                CASE WHEN bin >= 0
+                     THEN 0.0::DOUBLE + (bin + 1)::DOUBLE * 3000000.0::DOUBLE END AS bin_hi,
+                count(*) AS n
+         FROM t GROUP BY bin ORDER BY bin""",
+    "q67_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         b AS (SELECT p.event_id, p.user_id, p.t, cb.t AS bt, cb.click_value AS bv
+               FROM p ASOF LEFT JOIN c cb ON p.user_id = cb.user_id AND p.t >= cb.t),
+         f AS (SELECT p.event_id, cf.t AS ft, cf.click_value AS fv
+               FROM p ASOF LEFT JOIN c cf ON p.user_id = cf.user_id AND p.t <= cf.t)
+         SELECT b.event_id, b.user_id, epoch_us(b.t) AS ts_us,
+                CASE WHEN bt IS NULL THEN epoch_us(ft)
+                     WHEN ft IS NULL THEN epoch_us(bt)
+                     WHEN epoch_us(ft) - epoch_us(b.t) < epoch_us(b.t) - epoch_us(bt)
+                       THEN epoch_us(ft) ELSE epoch_us(bt) END AS click_ts_us,
+                CASE WHEN bt IS NULL THEN fv
+                     WHEN ft IS NULL THEN bv
+                     WHEN epoch_us(ft) - epoch_us(b.t) < epoch_us(b.t) - epoch_us(bt)
+                       THEN fv ELSE bv END AS click_value
+         FROM b JOIN f USING (event_id)
+         ORDER BY event_id""",
+    "q66_assembly" ->
+      """WITH t AS (
+           SELECT doc_id, source, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS lt,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+         sc AS (
+           SELECT doc_id, source, text, n_tokens,
+             len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+             len(list_filter(lt, x -> list_contains(['der','die','das','und','ist','ein','zu','den'], x))) AS s_de,
+             len(list_filter(lt, x -> list_contains(['el','la','que','y','en','un','es','los'], x))) AS s_es,
+             len(list_filter(lt, x -> list_contains(['le','la','et','un','une','est','dans','les'], x))) AS s_fr,
+             len(list_filter(lt, x -> list_contains(['的','是','在','了','我','有','和','不'], x))) AS s_zh,
+             len(lt) AS ntok
+           FROM t),
+         g AS (
+           SELECT doc_id, source, n_tokens
+           FROM sc
+           WHERE s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0
+             AND (CASE WHEN text IS NULL THEN NULL
+                       WHEN length(trim(text)) > 0 THEN
+                         0.3 * least(ntok::DOUBLE / 100.0, 1.0)
+                         + 0.4 * least(5.0 * (s_en::DOUBLE / ntok::DOUBLE), 1.0)
+                         + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                                  / length(text)::DOUBLE)
+                       ELSE 0.0 END) >= 0.5),
+         h AS (
+           SELECT doc_id, source, n_tokens,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM g),
+         adm AS (
+           SELECT doc_id, source, n_tokens, h60,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h60, doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM h),
+         mixed AS (
+           SELECT doc_id, source, n_tokens, (h60 % 4)::BIGINT AS shard
+           FROM adm WHERE cum - n_tokens < 5000),
+         p AS (
+           SELECT doc_id, source, shard, n_tokens,
+                  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bfr
+           FROM mixed)
+         SELECT doc_id, source, shard, (bfr // 2048)::BIGINT AS bin, n_tokens
+         FROM p ORDER BY doc_id""",
+    "q34_tumbling_window" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+                event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""",
+    "q79_rolling_range" ->
+      """SELECT event_id, user_id, ts_us,
+                count(*) OVER w AS n_2h,
+                CAST(sum(cents) OVER w AS BIGINT) AS cents_2h
+         FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q36_event_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q37_multimodal_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                md5(text) AS content_md5, 'text/plain' AS format
+         FROM documents ORDER BY media_id""",
+    "q60_multimodal_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           octet_length(encode(text))::BIGINT AS n_bytes,
+                           md5(text) AS h
+                    FROM documents)
+         SELECT media_id, n_bytes, h AS content_md5,
+                (instr('0123456789abcdef', substr(h, 2, 1)) * 64)::BIGINT AS width,
+                ((((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(h, 4, 1)) - 1) % 9 + 1) * 64)::BIGINT
+                  AS height,
+                ((n_bytes + 4095) // 4096)::BIGINT AS n_frames
+         FROM m ORDER BY media_id""",
+    "q38_scalar_funcs" ->
+      """SELECT o_orderkey,
+                upper(substr(o_orderpriority, 3, 10)) AS prio_word,
+                length(o_orderpriority)::BIGINT AS prio_len,
+                concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+                year(o_orderdate)::BIGINT AS o_year,
+                month(o_orderdate)::BIGINT AS o_month,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+                datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::BIGINT AS days_to_eoy,
+                round(o_totalprice / 1000.0)::BIGINT AS price_k
+         FROM orders ORDER BY o_orderkey""",
+    "q39_cleaner_transform" ->
+      """WITH stats AS (
+           SELECT min(l_quantity) AS mn, max(l_quantity) AS mx, avg(l_quantity) AS mean
+           FROM lineitem WHERE l_quantity BETWEEN 5 AND 45)
+         SELECT least(greatest(coalesce(l_quantity, mean), mn), mx) AS l_quantity,
+                CASE WHEN l_returnflag = 'R' THEN 1
+                     WHEN l_returnflag = 'A' THEN 2 ELSE 0 END AS l_returnflag,
+                coalesce(l_linestatus = 'F', false) AS l_linestatus_F,
+                coalesce(l_linestatus = 'O', false) AS l_linestatus_O
+         FROM lineitem, stats
+         ORDER BY 1, 2, 3, 4 LIMIT 1000""",
+    "q75_cleaner_scaled" ->
+      """WITH st AS (
+           SELECT avg(l_quantity) AS m,
+                  sqrt(greatest(0.0,
+                    (sum(l_quantity * l_quantity)
+                      - sum(l_quantity) * sum(l_quantity) / count(l_quantity))
+                    / count(l_quantity))) AS s,
+                  min(l_quantity) AS qlo, max(l_quantity) AS qhi,
+                  min(l_linenumber) AS nlo, max(l_linenumber) AS nhi
+           FROM lineitem)
+         SELECT (least(greatest(l_quantity, qlo), qhi) - m) / s AS l_quantity,
+                (least(greatest(l_linenumber::DOUBLE, nlo::DOUBLE), nhi::DOUBLE)
+                  - nlo::DOUBLE) / (nhi::DOUBLE - nlo::DOUBLE) AS l_linenumber
+         FROM lineitem, st
+         ORDER BY 1, 2 LIMIT 1000""",
+    "q89_cleaner_binned" ->
+      """WITH x AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+                    WHERE l_quantity IS NOT NULL),
+         vc AS (SELECT v, count(*) AS n FROM x GROUP BY 1),
+         c AS (SELECT v, n, sum(n) OVER (ORDER BY v) AS cum,
+                      sum(n) OVER () AS total
+               FROM vc),
+         b AS (SELECT j.j, c.v FROM c, range(1, 8) j(j)
+               WHERE cum >= (j.j * total + 7) // 8
+                 AND cum - n < (j.j * total + 7) // 8),
+         binned AS (SELECT CASE WHEN l_quantity IS NULL THEN -1
+                                ELSE (SELECT count(*) FROM b
+                                      WHERE CAST(l_quantity AS DOUBLE) > b.v)
+                           END AS bin
+                    FROM lineitem)
+         SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n
+         FROM binned GROUP BY 1 ORDER BY 1""",
+    // the HLL estimate is engine-specific: the oracle checks the EXACT
+    // column and emits TRUE for the bound column (Spark asserts the bound)
+    "q106_window_distinct" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+                count(DISTINCT user_id) AS n_distinct_exact,
+                TRUE AS approx_ok
+         FROM events GROUP BY 1 ORDER BY window_start_us""",
+    "q40_sliding_window" ->
+      """SELECT epoch_us(w) AS window_start_us, count(*) AS n_events FROM (
+           SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+                          date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS w
+           FROM events) t GROUP BY w ORDER BY window_start_us""",
+    "q46_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
+    "q47_local_supplier_volume" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q48_sql_interface" ->
+      """SELECT n_name, c_name, revenue_cents FROM (
+           SELECT n.n_name, c.c_name,
+                  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                  row_number() OVER (PARTITION BY n.n_name
+                    ORDER BY sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC, c.c_name) AS rk
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_name, c.c_name) t
+         WHERE rk = 1 ORDER BY n_name""",
+    // same ground truth ON PURPOSE: q109 computes the labeling
+    // incrementally (prior corpus labels + delta pairs), so checking it
+    // against the full-pair recursive closure IS the equivalence claim
+    "q109_incremental_cc" -> sqlCcClosure,
+    "q71_boilerplate_lines" ->
+      """WITH f AS (SELECT doc_id,
+             text || chr(10) || 'Subscribe to our newsletter today'
+                  || chr(10) || 'unique note ' || doc_id::VARCHAR
+                  || (CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'Copyright 2024 Example Corp'
+                           ELSE '' END) AS t
+           FROM documents),
+         bl AS (SELECT DISTINCT doc_id, trim(l) AS tl
+                FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM f)
+                WHERE trim(l) <> ''),
+         bf AS (SELECT tl FROM bl GROUP BY tl HAVING count(*) >= 2),
+         bls AS (SELECT coalesce(list(tl), []) AS ls FROM bf),
+         clean AS (SELECT doc_id,
+             array_to_string(list_filter([trim(x) for x in string_split(t, chr(10))],
+               x -> x <> '' AND NOT list_contains(ls, x)), chr(10)) AS ct,
+             len(list_filter([trim(x) for x in string_split(t, chr(10))],
+               x -> x <> '' AND NOT list_contains(ls, x)))::BIGINT AS n_lines_kept
+           FROM f, bls)
+         SELECT doc_id, n_lines_kept, md5(ct) AS clean_md5,
+                length(ct)::BIGINT AS n_chars_clean
+         FROM clean ORDER BY doc_id""",
+    "q45_funnel" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'signup') AS s,
+                  min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'click') AS c,
+                  min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'purchase') AS p
+           FROM events GROUP BY user_id)
+         SELECT count(*) AS n_users, count(s) AS n_signed,
+                count(CASE WHEN c > s THEN 1 END) AS n_click_after_signup,
+                count(CASE WHEN p > s THEN 1 END) AS n_purchase_after_signup
+         FROM pu""",
+    "q87_percentile_disc" ->
+      """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS cnt
+               FROM x)
+         SELECT l_returnflag, cents AS p95_cents FROM r
+         WHERE rn = greatest(1, CAST(ceil(0.95 * cnt) AS BIGINT))
+         ORDER BY l_returnflag""",
+    // the same explicit type-7 tree: h = p·(n−1), bracketing values by
+    // integer rank, vlo + frac·(vhi − vlo), micro-rounded once. The 0.95
+    // literal is cast to DOUBLE so DuckDB evaluates the identical IEEE
+    // double tree as Spark rather than exact DECIMAL arithmetic (ADVICE r5:
+    // the decimal path could round p95_microcents differently by 1 once
+    // n_rows × bracket-gap grows past ~1e10)
+    "q107_percentile_cont" ->
+      """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                      CAST(0.95 AS DOUBLE) * (count(*) OVER (PARTITION BY l_returnflag) - 1) AS h
+               FROM x),
+         a AS (SELECT l_returnflag,
+                      max(CASE WHEN rn = CAST(floor(h) AS BIGINT) + 1 THEN cents END) AS vlo,
+                      max(CASE WHEN rn = CAST(floor(h) AS BIGINT) + 2 THEN cents END) AS vhi,
+                      max(h - floor(h)) AS frac
+               FROM r GROUP BY l_returnflag)
+         SELECT l_returnflag,
+                CAST(round((vlo + frac * (coalesce(vhi, vlo) - vlo)) * 1000000) AS BIGINT) AS p95_microcents
+         FROM a ORDER BY l_returnflag""",
+    "q105_percentiles_multi" ->
+      """WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS cnt
+               FROM x)
+         SELECT l_returnflag,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * cnt) AS BIGINT)) THEN cents END) AS p50_cents,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.9 AS DOUBLE) * cnt) AS BIGINT)) THEN cents END) AS p90_cents,
+                max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.99 AS DOUBLE) * cnt) AS BIGINT)) THEN cents END) AS p99_cents
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q88_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS v, count(*) AS n
+                    FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, v,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY n DESC, v) AS rk
+               FROM c)
+         SELECT l_returnflag, v AS mode_qty FROM r WHERE rk = 1
+         ORDER BY l_returnflag""",
+    // sequence(1, max(1, n-63), 32) in Spark = generate_series(1, greatest(1,
+    // len-63), 32) in DuckDB (both inclusive-stop stepped ranges); the
+    // end-aligned tail start (stop itself) is UNIONed in on both engines;
+    // chunk_idx = rank of the start within the doc; slice and list_slice
+    // both clamp at the array end
+    "q90_chunk_sliding" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                           greatest(1, len(string_split_regex(trim(text), '\s+')) - 63) AS stop
+                    FROM documents WHERE length(trim(text)) > 0),
+         st AS (SELECT DISTINCT doc_id, cs FROM (
+                  SELECT doc_id, unnest(generate_series(1, stop, 32)) AS cs FROM w
+                  UNION ALL SELECT doc_id, stop AS cs FROM w)),
+         c AS (SELECT st.doc_id,
+                      CAST(row_number() OVER (PARTITION BY st.doc_id ORDER BY cs) - 1 AS BIGINT) AS chunk_idx,
+                      CAST(cs AS BIGINT) AS chunk_start,
+                      list_slice(w.w, cs, cs + 63) AS chunk
+               FROM st JOIN w USING (doc_id))
+         SELECT doc_id, chunk_idx, chunk_start, CAST(len(chunk) AS BIGINT) AS n_tok,
+                md5(array_to_string(chunk, ' ')) AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q98_weighted_per_group" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                             * pow(16, 15 - k)::BIGINT for k in range(1, 16)])::BIGINT AS h60
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY ln((h60 + 1) / pow(2, 60)) / n_chars DESC, doc_id) AS rk
+               FROM h)
+         SELECT doc_id, lang, n_chars FROM r WHERE rk <= 5 ORDER BY doc_id""",
+    "q99_returned_revenue" ->
+      """SELECT o_custkey AS c_custkey, c_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+    "q104_promo_share" ->
+      """SELECT p_brand,
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                count(DISTINCT p_partkey) AS n_parts
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q103_window_breadth" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q101_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id)
+         SELECT CAST(date_trunc('week', ft) AS DATE) AS cohort_week,
+                CAST(floor(date_diff('day', CAST(ft AS DATE), CAST(ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+                count(DISTINCT e.user_id) AS n_active
+         FROM events e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+  )
+}
