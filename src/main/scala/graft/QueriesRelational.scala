@@ -405,6 +405,15 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Sequences.periodGrowthDense(o, "month", "cents", lagShort = 1, lagLong = 12)
         .orderBy(col("month"))
     }),
+    // deterministic k-per-group sample ✚ (r12): 5 orders per priority in
+    // (idHash60, id) admission order — the reproducible spot-check draw,
+    // WindowGroupLimit rank-filter shape
+    "q226_group_sample" -> ((s, d) => {
+      Ops.sampleKPerGroup(Tables.orders(s, d), Seq("o_orderpriority"),
+          "o_orderkey", k = 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
     // incremental path prefixes ✚ (r11): the q214 readout over a standing
     // first-k store + strictly-later fold — must hash-match the
     // full-history q214 oracle

@@ -456,6 +456,13 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
                   CAST(round((value - p12)::DOUBLE / p12::DOUBLE * 1e6) AS BIGINT)
                 END AS growth_long_micro
          FROM g ORDER BY month""",
+    // same md5-60-bit admission order as Ops.sampleKPerGroup
+    "q226_group_sample" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY
+           list_sum([ (instr('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), k, 1)) - 1)
+                      * pow(16, 15 - k)::BIGINT for k in range(1, 16)]), o_orderkey) <= 5
+         ORDER BY o_orderpriority, o_orderkey""",
     // dense month spine (generate_series) + measured-zero fill, then the
     // q222 growth tree — lags are calendar months, not observed rows
     "q225_period_growth_gapped" ->

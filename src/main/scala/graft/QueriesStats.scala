@@ -416,6 +416,14 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
         .withColumn("cents", round(col("value") * 100).cast(LongType))
       Stats.brownForsythe(ev, "event_type", "cents")
     }),
+    // winsorized mean ✚ (r12): 10%-per-tail clipped spend by type — exact
+    // order-statistic bounds via the two-level rank machinery, micro
+    // longs, one final division
+    "q227_winsorized_mean" -> ((s, d) => {
+      Stats.winsorizedMean(Tables.events(s, d), "event_type", "value",
+          "event_id", trimPct = 10)
+        .orderBy(col("event_type"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1289,5 +1297,30 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
                           / ((1 - e2::DOUBLE / 1e6) / (nn::DOUBLE - k::DOUBLE)) * 1e6) AS BIGINT)
                 END AS f_micro
          FROM agg""",
+    // exact order-statistic bounds in a (value, id) total order, clip,
+    // one final division — mirrors Stats.winsorizedMean term for term
+    "q227_winsorized_mean" ->
+      """WITH e AS (SELECT event_type AS g, event_id AS id,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         p AS (SELECT g, v,
+                row_number() OVER (PARTITION BY g ORDER BY v, id) AS p,
+                count(*) OVER (PARTITION BY g) AS n
+               FROM e),
+         nk AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                 CAST(max(n) * 10 // 100 AS BIGINT) AS k
+                FROM p GROUP BY g),
+         b AS (SELECT p.g,
+                min(CASE WHEN p.p = nk.k + 1 THEN v END) AS lo_micro,
+                min(CASE WHEN p.p = nk.n - nk.k THEN v END) AS hi_micro
+               FROM p JOIN nk ON p.g = nk.g GROUP BY p.g)
+         SELECT e.g AS event_type, nk.n, nk.k, b.lo_micro, b.hi_micro,
+                CAST(sum(greatest(least(v, hi_micro), lo_micro)) AS BIGINT)
+                  AS wsum_micro,
+                CAST(round(sum(greatest(least(v, hi_micro), lo_micro))::DOUBLE
+                  / nk.n::DOUBLE) AS BIGINT) AS wmean_micro
+         FROM e JOIN b ON e.g = b.g JOIN nk ON e.g = nk.g
+         GROUP BY e.g, nk.n, nk.k, b.lo_micro, b.hi_micro
+         ORDER BY event_type""",
   )
 }

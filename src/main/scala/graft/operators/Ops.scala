@@ -258,6 +258,34 @@ object Ops {
       .drop("__graft_cum")
   }
 
+  /** Deterministic k-per-group sample: each group's first `k` rows in
+    * ([[idHash60]], id) order — an unbiased, engine-replayable uniform
+    * draw (the [[sampleToBudget]] admission order with a row budget
+    * instead of a weight budget). The spot-check primitive of corpus
+    * QA: "show me 5 documents per domain" reproducibly, on any engine,
+    * any partitioning. Groups with fewer than k rows keep all of them.
+    * Under corpus growth the admission ORDER is stable (a pure function
+    * of ids), but a new row can displace a group's last pick — use
+    * [[sampleByHash]] when per-row fate stability matters more than an
+    * exact-k quota.
+    *
+    * Scale shape: one shuffle on the group key; the rank filter is the
+    * WindowGroupLimit shape — each map task keeps ≤ k rows per group
+    * BEFORE the exchange, so a mega-group never materializes in the
+    * sort. */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!df.columns.contains("__graft_rn"),
+      "sampleKPerGroup reserves the internal column name __graft_rn; rename the input column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idHash60(col(idCol)), col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
   /** [[sampleToBudget]] with a PER-GROUP budget table — `budgets` carries
     * `groupCols` + a long `budget` column (e.g. [[temperatureBudgets]]'
     * output). Same hash-order admission rule per group; a group with

@@ -131,6 +131,23 @@ class OpsSpec extends SparkTestBase {
     assert(wide == got)
   }
 
+  test("sampleKPerGroup: exact quota, hash-order determinism, small groups whole") {
+    val rows = (1L to 100L).map(i => (i, (i % 4L).toString)).toDF("id", "grp")
+    val got = Ops.sampleKPerGroup(rows, Seq("grp"), "id", k = 5)
+    val byG = got.collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG.keySet == Set("0", "1", "2", "3"))
+    assert(byG.values.forall(_.size == 5))
+    // identical picks under a different partitioning
+    val rep = Ops.sampleKPerGroup(rows.repartition(9), Seq("grp"), "id", 5)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rep == byG)
+    // a group smaller than k survives whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(Ops.sampleKPerGroup(tiny, Seq("grp"), "id", 5).count() == 3)
+  }
+
   test("splitByGroupHash: group-atomic, deterministic, cut-validated") {
     val rows = (1L to 400L).map(i => (i, i % 40L)).toDF("id", "grp")
     val s1 = Ops.splitByGroupHash(rows, "grp",

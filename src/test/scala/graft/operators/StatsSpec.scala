@@ -527,4 +527,33 @@ class StatsSpec extends SparkTestBase {
     val ra = Stats.kruskalWallis(allt, "g", "v").collect()(0)
     assert(ra.isNullAt(ra.fieldIndex("h_micro")) && ra.isNullAt(ra.fieldIndex("h_tie_micro")))
   }
+
+  test("winsorizedMean: hand bounds and clipped mean; trim 0 is the plain mean; tie boundary") {
+    import spark.implicits._
+    // group a: 1..10 plus a 1000 outlier; n=11, 10% trim -> k=1,
+    // lo = 2nd smallest = 2, hi = 10th = 10; clipped sum 66, mean 6
+    val a = ((1 to 10).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("a", v, i.toLong) }
+    val df = a.toDF("g", "v", "id")
+    val got = Stats.winsorizedMean(df, "g", "v", "id", trimPct = 10).head()
+    assert(got.getLong(1) == 11L && got.getLong(2) == 1L)       // n, k
+    assert(got.getLong(3) == 2000000L && got.getLong(4) == 10000000L) // lo, hi
+    assert(got.getLong(5) == 66000000L && got.getLong(6) == 6000000L) // sum, mean
+    // the raw mean would have been ~95.9 — the clip is what tames the tail
+    // trimPct = 0: bounds are min/max, nothing clips — the plain mean
+    val plain = Stats.winsorizedMean(df, "g", "v", "id", trimPct = 0).head()
+    assert(plain.getLong(2) == 0L && plain.getLong(5) == 1055000000L)
+    // tied boundary values clip deterministically (total order by id)
+    val t = Seq(("b", 1.0, 1L), ("b", 5.0, 2L), ("b", 5.0, 3L),
+      ("b", 5.0, 4L), ("b", 9.0, 5L)).toDF("g", "v", "id")
+    val tb = Stats.winsorizedMean(t, "g", "v", "id", trimPct = 20).head()
+    assert(tb.getLong(3) == 5000000L && tb.getLong(4) == 5000000L)
+    assert(tb.getLong(6) == 5000000L)
+    // partition invariance (exact integers end to end)
+    val rep = Stats.winsorizedMean(df.repartition(7), "g", "v", "id", 10).head()
+    assert(rep.getLong(5) == 66000000L)
+    intercept[IllegalArgumentException] {
+      Stats.winsorizedMean(df, "g", "v", "id", trimPct = 50)
+    }
+  }
 }
