@@ -82,7 +82,17 @@ object Plans {
         // r11 batch 3: diversity must be explode + hash-aggs ONLY (the
         // whole point is no pair join — any BroadcastNestedLoop/cartesian
         // here is a regression)
-        "q220_embedding_diversity")
+        "q220_embedding_diversity",
+        // r12: the component split must be a stateless projection on the
+        // CC labels (no extra shuffle past the contraction); session paths
+        // must reuse ONE user exchange across the three windows (the
+        // (key, session) rank rides the key hash partitioning); the dense
+        // growth spine is an agg-derived explode, never a row-sized sort;
+        // the group sample and winsorized bounds are WindowGroupLimit /
+        // bucket-cell windows, never data-sized single partitions
+        "q223_leak_safe_split", "q224_session_paths",
+        "q225_period_growth_gapped", "q226_group_sample",
+        "q227_winsorized_mean")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
