@@ -240,6 +240,78 @@ object Streams {
     }
   }
 
+  /** Per-user open-session state carrying the session's first-`maxLen`
+    * states — [[SessionState]] plus the bounded prefix
+    * [[graft.operators.Sequences.sessionTopPaths]] aggregates. */
+  case class SessionPathState(sessionStartUs: Long, lastUs: Long,
+    nEvents: Long, prefix: Seq[String])
+  case class SessionPathOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, path: String)
+
+  /** Streaming twin of [[graft.operators.Sequences.sessionTopPaths]]'s
+    * per-session half: emits each CLOSED session's first-`maxLen` path
+    * (joined with `>`) when the watermark passes lastSeen + gap — the
+    * caller counts paths downstream exactly as the batch operator's final
+    * hash-agg does (StreamsSpec asserts the closed-session paths equal the
+    * batch computation row for row). Same contracts as the batch side:
+    * closed gap boundary (diff > gap starts a session), (ts, event_id)
+    * tie order inside each micro-batch, null user/type rows dropped.
+    * Cross-batch ordering follows the standing-store delta contract
+    * ([[graft.operators.Sequences.ingestPrefix]]): a user's later batch
+    * must (ts, id)-order after their earlier rows — watermarked sources
+    * provide exactly that.
+    *
+    * State is ONE record per ACTIVE user holding ≤ `maxLen` strings —
+    * bounded regardless of volume, the [[sessionizeStream]] scale shape. */
+  def sessionPathsStream(events: DataFrame, gapMinutes: Int,
+      watermark: String, maxLen: Int = 5): Dataset[SessionPathOut] = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    implicit val stateEnc = Encoders.product[SessionPathState]
+    implicit val outEnc = Encoders.product[SessionPathOut]
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val keyed = events.withWatermark("ts", watermark)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").cast("string").as("etype"),
+        col("event_id").cast("long").as("eid"))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    keyed.flatMapGroupsWithState[SessionPathState, SessionPathOut](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, rows: Iterator[Row], state: GroupState[SessionPathState]) =>
+        def emit(s: SessionPathState) = SessionPathOut(user,
+          s.sessionStartUs, s.lastUs, s.nEvents, s.prefix.mkString(">"))
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(emit(s))
+        } else {
+          // the batch twin's (ts, id) total order, inside the micro-batch
+          val sorted = rows.map(r => (r.getLong(2), r.getLong(4), r.getString(3)))
+            .toSeq.sortBy(e => (e._1, e._2))
+          var closed = List.empty[SessionPathOut]
+          var cur = state.getOption
+          sorted.foreach { case (ts, _, et) =>
+            cur match {
+              case Some(s) if ts - s.lastUs <= gapUs =>
+                val p = if (s.prefix.length < maxLen) s.prefix :+ et else s.prefix
+                cur = Some(s.copy(lastUs = ts, nEvents = s.nEvents + 1, prefix = p))
+              case Some(s) =>
+                closed ::= emit(s)
+                cur = Some(SessionPathState(ts, ts, 1, Seq(et)))
+              case None =>
+                cur = Some(SessionPathState(ts, ts, 1, Seq(et)))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+          }
+          closed.reverseIterator
+        }
+    }
+  }
+
   /** Streaming exact dedup bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keeps state only inside the watermark
     * horizon (the streaming twin of Ops.dropDuplicates "any"). */

@@ -111,6 +111,53 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionPathsStream: closed sessions carry the first-k path; ties by id; equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionPathsStream(mem.toDF(), gapMinutes = 30,
+        watermark = "1 minute", maxLen = 5)
+      .writeStream.format("memory").queryName("spath_test").outputMode("append").start()
+    try {
+      // user 1: a tie at t0 (ids 1, 2 -> "a" before "b") then c at t10
+      mem.addData(Ev(2, t(0), 1, "b", 1.0), Ev(1, t(0), 1, "a", 1.0),
+        Ev(3, t(10), 1, "c", 1.0))
+      q.processAllAvailable()
+      // watermark jumps past t10 + 30min -> user 1's session times out
+      mem.addData(Ev(4, t(59), 2, "x", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("spath_test").collect()
+        .map(r => (r.getLong(0), r.getString(4), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, "a>b>c", 3L)))
+      // the batch twin over the same closed-session rows agrees
+      val batch = Seq(Ev(2, t(0), 1, "b", 1.0), Ev(1, t(0), 1, "a", 1.0),
+          Ev(3, t(10), 1, "c", 1.0)).toDF()
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val bp = graft.operators.Sequences.sessionTopPaths(batch, "user_id",
+          "event_type", "ts_us", "event_id", gapUs = 30L * 60 * 1000000,
+          maxLen = 5, topK = 10).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(bp.toSeq == Seq(("a>b>c", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionPathsStream: maxLen caps the prefix; a gap inside one batch closes mid-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionPathsStream(mem.toDF(), gapMinutes = 10,
+        watermark = "1 minute", maxLen = 2)
+      .writeStream.format("memory").queryName("spath_cap_test").outputMode("append").start()
+    try {
+      // one batch: u1 has a 3-event session (capped to "a>b") CLOSED by a
+      // 25-min gap to the 4th event -> the first session emits mid-batch
+      mem.addData(Ev(1, t(0), 1, "a", 1.0), Ev(2, t(5), 1, "b", 1.0),
+        Ev(3, t(10), 1, "c", 1.0), Ev(4, t(35), 1, "d", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("spath_cap_test").collect()
+        .map(r => (r.getString(4), r.getLong(3)))
+      assert(rows.toSeq == Seq(("a>b", 3L))) // capped path, true n_events
+    } finally q.stop()
+  }
+
   test("streaming parquet sink: windowed aggregates land in files with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
