@@ -340,6 +340,27 @@ final class TableCleaner {
     (project(tr), project(te), tr.select(label), te.select(label))
   }
 
+  /** GROUP-ATOMIC [[splitXy]] — the leakage-safe upgrade of the
+    * reference's random split (`ml.py:123-128`): rows sharing `groupCol`
+    * (a user id, a [[graft.operators.Dedup.connectedComponents]] dedup
+    * label) land wholly in train or test, so correlated rows can never
+    * straddle the boundary and inflate eval scores — GroupKFold's k=1
+    * analog, via [[graft.operators.Ops.splitByGroupHash]]'s engine-stable
+    * hash cuts (deterministic without a seed: the assignment is a pure
+    * function of the group key). X/y stay row-paired exactly as in
+    * [[splitXy]]: one split of the source frame, two projections. */
+  def splitXyByGroup(df: DataFrame, label: String, groupCol: String,
+      testSize: Double = 0.2)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(testSize > 0.0 && testSize < 1.0, "testSize must be in (0, 1)")
+    fit(df)
+    val cut = graft.operators.Ops.splitByGroupHash(df, groupCol,
+      Seq("train" -> (1.0 - testSize), "test" -> 1.0))
+    val tr = cut.filter(col("split") === "train").drop("split")
+    val te = cut.filter(col("split") === "test").drop("split")
+    (project(tr), project(te), tr.select(label), te.select(label))
+  }
+
   /** JSON in the reference `to_dict` schema (`ml.py:83-93`). */
   def toJson: String = {
     val m = new ObjectMapper()

@@ -249,6 +249,35 @@ class TableCleanerSpec extends SparkTestBase {
     assert(tePairs.forall { case (x, y) => y == 2 * x })
   }
 
+  test("splitXyByGroup: group-atomic X/y split, row-paired, seedless-deterministic") {
+    val c = new TableCleaner
+    c.registerNumeric("max_speed", impute = "mean")
+    // 40 groups x 5 rows; label = 2x so pairing is checkable per row
+    val df = (1 to 200).map(i => (i.toDouble, i * 2.0, (i % 40).toLong))
+      .toDF("max_speed", "label", "grp")
+    val (xTr, xTe, yTr, yTe) = c.splitXyByGroup(df, "label", "grp", testSize = 0.3)
+    assert(xTr.count() == yTr.count() && xTe.count() == yTe.count())
+    assert(xTr.count() + xTe.count() == 200)
+    // no group straddles: re-derive the assignment and check disjointness
+    import org.apache.spark.sql.functions.col
+    val cut = graft.operators.Ops.splitByGroupHash(df, "grp",
+      Seq("train" -> 0.7, "test" -> 1.0))
+    val trG = cut.filter(col("split") === "train")
+      .select("grp").distinct().collect().map(_.getLong(0)).toSet
+    val teG = cut.filter(col("split") === "test")
+      .select("grp").distinct().collect().map(_.getLong(0)).toSet
+    assert(trG.intersect(teG).isEmpty && trG.nonEmpty && teG.nonEmpty)
+    // pairing holds inside each side
+    val tePairs = xTe.collect().map(_.getDouble(0)).sorted
+      .zip(yTe.collect().map(_.getDouble(0)).sorted)
+    assert(tePairs.forall { case (x, y) => y == 2 * x })
+    // deterministic without a seed: a fresh cleaner yields the same counts
+    val c2 = new TableCleaner
+    c2.registerNumeric("max_speed", impute = "mean")
+    val (xTr2, _, _, _) = c2.splitXyByGroup(df, "label", "grp", testSize = 0.3)
+    assert(xTr2.count() == xTr.count())
+  }
+
   test("hashFeatures: deterministic in-range buckets; crosses differ from parts; null propagates") {
     import org.apache.spark.sql.functions._
     val df = Seq(("en", "web"), ("en", "book"), ("de", "web"),
