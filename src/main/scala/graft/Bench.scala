@@ -44,23 +44,23 @@ object Bench {
     val sentinelName = "q00_compare_pipeline"
     val sentinelFn = SparkEntry.queries.get(sentinelName)
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runSentinel(): Unit = sentinelFn.foreach { fn =>
+    // a FAILED shot is never recorded (the query loop's ADVICE-r2 rule:
+    // a short failure time would read as a fast min and fake a 10× drift)
+    def runSentinel(record: Boolean): Unit = sentinelFn.foreach { fn =>
       release()
+      var failed = false
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case scala.util.control.NonFatal(e) =>
+        failed = true
         System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
       }
-      sentinelTimes += (System.nanoTime() - t0) / 1e9
+      if (record && !failed) sentinelTimes += (System.nanoTime() - t0) / 1e9
     }
     // one UNRECORDED sentinel shot first: the very first parquet read pays
     // footer/codegen warmup (~4s) that would otherwise masquerade as a 5×
     // drift minimum in a perfectly quiet run
-    sentinelFn.foreach { fn =>
-      release()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    runSentinel(record = false)
     // A query with ANY failed run is reported in "failed", not "queries" —
     // a consistently-throwing query would otherwise post its (short) failure
     // time as a fast median and read as a success (ADVICE r2).
@@ -68,7 +68,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
       .map { case ((name, fn), qi) =>
-        if (qi % 25 == 0) runSentinel()
+        if (qi % 25 == 0) runSentinel(record = true)
         var failed = false
         val times = (1 to runs).map { _ =>
           release()
@@ -87,7 +87,7 @@ object Bench {
         // gaps; emitting both makes the gap measurable in the artifact).
         (name, times(times.length / 2), times.head, failed)
       }
-    runSentinel() // close the sentinel series after the last query
+    runSentinel(record = true) // close the sentinel series after the last query
     val results = outcomes.collect { case (n, med, mn, false) => (n, med, mn) }.toSeq
     val failedNames = outcomes.collect { case (n, _, _, true) => n }.toSeq
     // explicit ROOT locale: f"" uses the default JVM locale, which on

@@ -169,24 +169,23 @@ object Ops {
     * down to the scan, no shuffle. */
   def sampleByHash(df: DataFrame, idCol: String, lo: Double, hi: Double): DataFrame = {
     require(0.0 <= lo && lo <= hi && hi <= 1.0, s"need 0 <= lo <= hi <= 1, got [$lo, $hi)")
-    val space = math.pow(2.0, 60)
     val h = idHash60(col(idCol))
-    // band edges round-to-nearest with ties AWAY from zero (floor(x+0.5) on
-    // non-negatives), matching SQL `CAST(f * pow(2,60) AS BIGINT)` semantics
-    // (DuckDB rounds casts, ties away — CAST(2.5 AS BIGINT) = 3, so
-    // math.rint's half-to-EVEN would disagree exactly at .5 ties, e.g.
-    // f = 5/2^61). For any fraction >= 2^-7 the product f*2^60 is an exact
-    // integer double (power-of-two scaling) and all roundings agree;
-    // explicit tie handling makes the cross-engine contract hold for ALL
-    // fractions.
-    def edge(f: Double): Long = math.floor(f * space + 0.5).toLong
-    df.filter(h >= lit(edge(lo)) && h < lit(edge(hi)))
+    // band edges via the shared hashBandEdge rounding contract — ONE
+    // definition of where a cut falls, for this filter, splitByGroupHash,
+    // and every SQL oracle alike
+    df.filter(h >= lit(hashBandEdge(lo)) && h < lit(hashBandEdge(hi)))
   }
 
-  /** Band edge in the 2^60 hash space — [[sampleByHash]]'s rounding
-    * contract (floor(x+0.5), ties away from zero, matching DuckDB's
-    * round-on-CAST), shared so [[splitByGroupHash]] and its SQL oracles
-    * can never disagree on where a cut falls. */
+  /** Band edge in the 2^60 hash space — the ONE rounding contract for
+    * [[sampleByHash]], [[splitByGroupHash]], and every SQL oracle, so no
+    * two call sites can disagree on where a cut falls. Rounds to nearest
+    * with ties AWAY from zero (floor(x+0.5) on non-negatives), matching
+    * SQL `CAST(f * pow(2,60) AS BIGINT)` semantics (DuckDB rounds casts,
+    * ties away — CAST(2.5 AS BIGINT) = 3, so math.rint's half-to-EVEN
+    * would disagree exactly at .5 ties, e.g. f = 5/2^61). For any
+    * fraction ≥ 2^-7 the product f·2^60 is an exact integer double
+    * (power-of-two scaling) and all roundings agree; the explicit tie
+    * rule makes the cross-engine contract hold for ALL fractions. */
   def hashBandEdge(f: Double): Long = {
     require(0.0 <= f && f <= 1.0, s"fraction must be in [0, 1], got $f")
     math.floor(f * math.pow(2.0, 60) + 0.5).toLong
@@ -215,6 +214,8 @@ object Ops {
     * no driver state; whole-stage-codegen'd md5 + conv per row. */
   def splitByGroupHash(df: DataFrame, keyCol: String,
       cuts: Seq[(String, Double)]): DataFrame = {
+    require(!df.columns.contains("split"),
+      "splitByGroupHash appends a 'split' column; rename the existing one")
     require(cuts.nonEmpty, "need at least one cut")
     require(cuts.last._2 == 1.0, "last cut must end at 1.0")
     require(cuts.map(_._2) == cuts.map(_._2).sorted.distinct,

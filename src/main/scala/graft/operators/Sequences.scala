@@ -208,7 +208,10 @@ object Sequences {
     * correctly: its own row reports −100% growth against the prior base,
     * and the month after a zero base reports null (no base — the shared
     * zero-divisor guard). `periodCol` must be a month-truncated DateType
-    * (`date_trunc("month", …).cast("date")`).
+    * (`date_trunc("month", …).cast("date")`). Rows with a null partCols
+    * key are DROPPED (the repo-wide null-key readout convention — a
+    * non-null-safe spine join would otherwise silently zero the whole
+    * null group's months).
     *
     * Scale shape: [[periodGrowth]]'s hash-agg plus one grouped min/max
     * agg and a months-between-bounds explode — the spine is time-range /
@@ -218,7 +221,9 @@ object Sequences {
       partCols: Seq[String] = Nil, lagShort: Int = 1,
       lagLong: Int = 12): DataFrame = {
     require(lagShort >= 1 && lagLong >= 1, "lags must be >= 1")
-    val agg = df.filter(col(periodCol).isNotNull && col(valueCol).isNotNull)
+    val nonNullKeys = partCols.map(col(_).isNotNull)
+      .foldLeft(col(periodCol).isNotNull && col(valueCol).isNotNull)(_ && _)
+    val agg = df.filter(nonNullKeys)
       .groupBy((partCols :+ periodCol).map(col): _*)
       .agg(sum(col(valueCol).cast(LongType)).as("value"))
     val bounds = agg.groupBy(partCols.map(col): _*)

@@ -233,7 +233,9 @@ object Streams {
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+            // ceiling ms (the sessionPathsStream note): never time out
+            // before lastUs + gap, so the closed boundary holds sub-ms too
+            state.setTimeoutTimestamp((s.lastUs + gapUs + 999) / 1000)
           }
           closed.reverseIterator
         }
@@ -305,7 +307,10 @@ object Streams {
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+            // CEILING ms: truncating lastUs would let the timeout fire up
+            // to 1 ms before lastUs + gap, closing a session an event at
+            // exactly ts − lastUs = gap (closed boundary) must still join
+            state.setTimeoutTimestamp((s.lastUs + gapUs + 999) / 1000)
           }
           closed.reverseIterator
         }

@@ -186,5 +186,10 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Ops.splitByGroupHash(rows, "grp", Seq("a" -> 0.5, "a" -> 1.0))
     }
+    // a pre-existing 'split' column is refused, never silently overwritten
+    intercept[IllegalArgumentException] {
+      Ops.splitByGroupHash(rows.withColumn("split", col("id")), "grp",
+        Seq("train" -> 0.8, "holdout" -> 1.0))
+    }
   }
 }

@@ -166,6 +166,14 @@ class SequencesJwSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSet
     assert(gd == Set(("a", "1995-01-01"), ("a", "1995-02-01"),
       ("a", "1995-03-01"), ("b", "1995-06-01"))) // b has no Jan–May spine
+    // a null partCols key is DROPPED, not silently zeroed (the non-null-
+    // safe spine join would otherwise report the group's months as 0)
+    val gn = Seq((Some("a"), Date.valueOf("1995-01-01"), 10L),
+      (None, Date.valueOf("1995-01-01"), 99L)).toDF("g", "month", "v")
+    val gnd = Sequences.periodGrowthDense(gn, "month", "v", Seq("g"), 1, 2)
+      .collect()
+    assert(gnd.length == 1 && gnd.head.getString(0) == "a"
+      && gnd.head.getLong(2) == 10L)
   }
 
   test("prefixState/ingestPrefix: first-k store fold ≡ full recompute; topPaths readout matches") {
