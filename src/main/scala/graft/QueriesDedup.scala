@@ -195,6 +195,31 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
           Seq("train" -> 0.8, "holdout" -> 1.0))
         .orderBy("id")
     }),
+    // split-leakage audit ✚ (r12): the q223 claim as a measured number —
+    // count near-dup pairs straddling the train/holdout boundary under
+    // the naive per-doc hash split vs the component split (structurally
+    // zero: both ends share a component, hence a split). Two 1-row aggs
+    // over the eagerly-pinned pair table; nothing data-sized re-derives.
+    "q228_split_leakage_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+      val cuts = Seq("train" -> 0.8, "holdout" -> 1.0)
+      val grouped = Ops.splitByGroupHash(labels, "component", cuts)
+        .select(col("id"), col("split"))
+      val naive = Ops.splitByGroupHash(
+          docs.select(col("doc_id").as("id")), "id", cuts)
+        .select(col("id"), col("split"))
+      def audit(sp: DataFrame, method: String) = pairs
+        .join(sp.select(col("id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+        .join(sp.select(col("id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("sa") =!= col("sb"), lit(1))).as("n_cross"))
+        .select(lit(method).as("method"), col("n_pairs"), col("n_cross"))
+      audit(grouped, "component").unionByName(audit(naive, "naive"))
+        .orderBy("method")
+    }),
     // span-based decontamination: longest verbatim run each TRAIN doc
     // shares with an EVAL doc (hash-shard 0 again plays the benchmark) —
     // the run-length criterion, next to q57's set-containment one
@@ -547,6 +572,35 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
                         < ${Ops.hashBandEdge(0.8)} THEN 'train'
                    ELSE 'holdout' END AS split
        FROM lbl ORDER BY id"""),
+    // same pairs + splits, aggregated to the boundary-crossing counts —
+    // component split is structurally 0, naive is whatever the doc-id
+    // hashes happen to cut
+    "q228_split_leakage_audit" -> (sqlCcClosureCtes + s""",
+       roots AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a),
+       lbl AS (SELECT d.doc_id AS id, coalesce(r.component, d.doc_id) AS component
+               FROM documents d LEFT JOIN roots r ON r.id = d.doc_id),
+       gs AS (SELECT id,
+                CASE WHEN list_sum([ (instr('0123456789abcdef', substr(md5(component::VARCHAR), k, 1)) - 1)
+                                     * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                          < ${Ops.hashBandEdge(0.8)} THEN 'train'
+                     ELSE 'holdout' END AS sp
+              FROM lbl),
+       ns AS (SELECT doc_id AS id,
+                CASE WHEN list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                                     * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                          < ${Ops.hashBandEdge(0.8)} THEN 'train'
+                     ELSE 'holdout' END AS sp
+              FROM documents),
+       gc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(*) FILTER (WHERE a.sp <> b.sp) AS BIGINT) AS n_cross
+              FROM pairs p JOIN gs a ON p.id_a = a.id JOIN gs b ON p.id_b = b.id),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(*) FILTER (WHERE a.sp <> b.sp) AS BIGINT) AS n_cross
+              FROM pairs p JOIN ns a ON p.id_a = a.id JOIN ns b ON p.id_b = b.id)
+       SELECT 'component' AS method, n_pairs, n_cross FROM gc
+       UNION ALL SELECT 'naive', n_pairs, n_cross FROM nc
+       ORDER BY method"""),
     "q74_decontamination_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          e AS (SELECT doc_id, u.p AS p,
