@@ -195,6 +195,17 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
           Seq("train" -> 0.8, "holdout" -> 1.0))
         .orderBy("id")
     }),
+    // weighted k-per-group sample ✚ (r12): A-ES weighted reservoir with
+    // hash-derived randomness — longer docs proportionally likelier, 5
+    // per shard, nano-quantized ln keys ranked under WindowGroupLimit
+    "q229_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("grp", pmod(col("doc_id"), lit(8L)))
+        .withColumn("w", length(col("text")).cast(LongType))
+      Ops.weightedSampleKPerGroup(docs, Seq("grp"), "doc_id", "w", k = 5)
+        .select(col("grp"), col("doc_id"), col("w"), col("key_nano"))
+        .orderBy(col("grp"), col("key_nano").desc, col("doc_id"))
+    }),
     // split-leakage audit ✚ (r12): the q223 claim as a measured number —
     // count near-dup pairs straddling the train/holdout boundary under
     // the naive per-doc hash split vs the component split (structurally
@@ -572,6 +583,22 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
                         < ${Ops.hashBandEdge(0.8)} THEN 'train'
                    ELSE 'holdout' END AS split
        FROM lbl ORDER BY id"""),
+    // same md5-60-bit u, same one-division nano-quantized ln key, same
+    // (key desc, id) rank — A-ES replayed term for term
+    "q229_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS grp,
+                CAST(length(text) AS BIGINT) AS w,
+                list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) AS h
+              FROM documents WHERE length(text) > 0),
+         sc AS (SELECT grp, doc_id, w,
+                 CAST(round(ln((h + 1)::DOUBLE / pow(2, 60)::DOUBLE)
+                   / w::DOUBLE * 1e9) AS BIGINT) AS key_nano
+                FROM d)
+         SELECT grp, doc_id, w, key_nano FROM sc
+         QUALIFY row_number() OVER (PARTITION BY grp
+           ORDER BY key_nano DESC, doc_id) <= 5
+         ORDER BY grp, key_nano DESC, doc_id""",
     // same pairs + splits, aggregated to the boundary-crossing counts —
     // component split is structurally 0, naive is whatever the doc-id
     // hashes happen to cut

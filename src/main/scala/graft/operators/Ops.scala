@@ -287,6 +287,40 @@ object Ops {
       .drop("__graft_rn")
   }
 
+  /** Deterministic WEIGHTED k-per-group sample — Efraimidis & Spirakis'
+    * A-ES weighted reservoir (IPL 2006: take the k largest u^(1/w), u
+    * uniform) with the randomness derived from [[idHash60]] instead of a
+    * seed: u = (hash+1)/2^60 ∈ (0, 1], ranked by
+    * `key_nano` = round(ln(u)/w · 10⁹) descending (the log is monotone in
+    * u^(1/w), and nano-quantizing BEFORE ranking is the repo's shared-ln
+    * cross-engine contract; ties break by id). Each row's inclusion odds
+    * scale with `weightCol` — the quality-weighted data-mixing draw
+    * ("sample 10k docs per domain, proportional to quality score") that
+    * [[sampleKPerGroup]] is the uniform special case of, reproducible on
+    * any engine, partitioning, or rerun. Rows with null or ≤ 0 weight are
+    * dropped (no valid key exists — documented, oracle replays it).
+    *
+    * Scale shape: identical to [[sampleKPerGroup]] — one shuffle on the
+    * group key, rank filter as a map-side WindowGroupLimit. */
+  def weightedSampleKPerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!df.columns.contains("key_nano"),
+      "weightedSampleKPerGroup appends 'key_nano'; rename the existing column")
+    require(!df.columns.contains("__graft_rn"),
+      "weightedSampleKPerGroup reserves __graft_rn; rename the input column")
+    val u = (idHash60(col(idCol)) + 1).cast("double") / lit(math.pow(2.0, 60))
+    val key = round(log(u) / col(weightCol).cast("double") * 1e9).cast("long")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("key_nano").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_nano", key)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
   /** [[sampleToBudget]] with a PER-GROUP budget table — `budgets` carries
     * `groupCols` + a long `budget` column (e.g. [[temperatureBudgets]]'
     * output). Same hash-order admission rule per group; a group with

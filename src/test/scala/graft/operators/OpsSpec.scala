@@ -148,6 +148,37 @@ class OpsSpec extends SparkTestBase {
     assert(Ops.sampleKPerGroup(tiny, Seq("grp"), "id", 5).count() == 3)
   }
 
+  test("weightedSampleKPerGroup: quota, determinism, weight bias, guard rails") {
+    // w alternates WITHIN each id%4 group (keyed on i/4), half 9s half 1s
+    val rows = (1L to 1000L).map(i =>
+      (i, i % 4L, if ((i / 4) % 2 == 0) 9L else 1L)).toDF("id", "grp", "w")
+    val got = Ops.weightedSampleKPerGroup(rows, Seq("grp"), "id", "w", k = 25)
+    val byG = got.collect().map(r => r.getLong(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG.keySet == Set(0L, 1L, 2L, 3L) && byG.values.forall(_.size == 25))
+    // partition invariance (nano-quantized key, id tie-break)
+    val rep = Ops.weightedSampleKPerGroup(rows.repartition(9), Seq("grp"),
+        "id", "w", 25)
+      .collect().map(r => r.getLong(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rep == byG)
+    // weight bias: weight-9 rows (half the population) should dominate
+    // the sample — E[share] = 90%, assert a loose 60% floor
+    val heavy = got.filter(col("w") === 9L).count()
+    assert(heavy > 60, s"expected weight bias, got $heavy/100 heavy rows")
+    // null / non-positive weights can never be drawn
+    val withBad = rows.union(Seq((2000L, 0L, 0L), (2001L, 0L, -5L))
+      .toDF("id", "grp", "w"))
+    val ids = Ops.weightedSampleKPerGroup(withBad, Seq("grp"), "id", "w", 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2000L) && !ids.contains(2001L) && ids.size == 1000)
+    // reserved output name is refused, not overwritten
+    intercept[IllegalArgumentException] {
+      Ops.weightedSampleKPerGroup(rows.withColumn("key_nano", col("id")),
+        Seq("grp"), "id", "w", 5)
+    }
+  }
+
   test("splitByGroupHash: group-atomic, deterministic, cut-validated") {
     val rows = (1L to 400L).map(i => (i, i % 40L)).toDF("id", "grp")
     val s1 = Ops.splitByGroupHash(rows, "grp",
