@@ -405,6 +405,15 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Sequences.periodGrowthDense(o, "month", "cents", lagShort = 1, lagLong = 12)
         .orderBy(col("month"))
     }),
+    // timeout-bounded funnel ✚ (r12): q45's conversion chain with a 3-day
+    // deadline per step — greedy earliest-occurrence chaining, one
+    // shrinking-set join + hash-agg per step
+    "q230_funnel_within" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Sequences.funnelWithin(ev, "user_id", "event_type", "ts_us",
+        Seq("signup", "click", "purchase"),
+        withinUs = 3L * 86400L * 1000000L)
+    }),
     // deterministic k-per-group sample ✚ (r12): 5 orders per priority in
     // (idHash60, id) admission order — the reproducible spot-check draw,
     // WindowGroupLimit rank-filter shape

@@ -388,6 +388,46 @@ object Sequences {
       .limit(topK)
   }
 
+  /** Timeout-bounded conversion funnel — the q45 funnel with a deadline:
+    * a key converts step i+1 only if that state occurs STRICTLY AFTER its
+    * step-i time and within `withinUs` of it. Chains greedily from each
+    * key's EARLIEST step-1 occurrence (t₁ = min step-1 ts; tᵢ₊₁ = min
+    * step-(i+1) ts in (tᵢ, tᵢ + within]) — the standard analytics
+    * convention; a non-earliest step occurrence that would have enabled a
+    * later conversion is deliberately not searched (documented greedy
+    * semantics, replayed identically by the oracle). Output per step:
+    * (`step` 1-based, `step_name`, `n_keys` still converting).
+    *
+    * Scale shape: one hash-agg per step over the (shrinking) reached-key
+    * set — step i is an equi-join of the state-filtered events against
+    * the ≤ keys-sized reached table (broadcastable as the funnel narrows)
+    * plus a map-side-combined min; no window, no driver iteration state
+    * beyond the fixed step list. */
+  def funnelWithin(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, steps: Seq[String], withinUs: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one step")
+    require(steps.distinct.length == steps.length, "steps must be distinct")
+    require(withinUs > 0, "withinUs must be positive")
+    val e = events
+      .filter(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(stateCol).cast("string").as("__s"),
+        col(tsCol).cast(LongType).as("__t"))
+    val first = e.filter(col("__s") === steps.head)
+      .groupBy(col("__k")).agg(min(col("__t")).as("__pt"))
+    val reached = steps.indices.tail.scanLeft(first) { (prev, i) =>
+      e.filter(col("__s") === steps(i))
+        .join(prev, Seq("__k"))
+        .filter(col("__t") > col("__pt")
+          && col("__t") <= col("__pt") + withinUs)
+        .groupBy(col("__k")).agg(min(col("__t")).as("__pt"))
+    }
+    reached.zipWithIndex.map { case (r, i) =>
+      r.agg(count(lit(1)).as("n_keys"))
+        .select(lit((i + 1).toLong).as("step"),
+          lit(steps(i)).as("step_name"), col("n_keys"))
+    }.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   /** SESSION-scoped [[topPaths]] (VERDICT r11 missing #2): paths are each
     * session's first `maxLen` states, not each key's lifetime prefix — the
     * navigational question analytics actually asks ("what do visits do"),

@@ -433,4 +433,42 @@ object GraftProperties extends Properties("graft") {
         got == want
       }
     }
+
+  property("splitByGroupHash: total cover, group-atomic, cuts agree with sampleByHash bands") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(-5, 5))),
+           Gen.chooseNum(1, 9)) { (rows, tenths) =>
+      import spark.implicits._
+      val frac = tenths / 10.0
+      val d = rows.zipWithIndex.map { case ((k, _), i) => (i.toLong, k.toLong) }
+        .toDF("id", "grp")
+      rows.isEmpty || {
+        val out = Ops.splitByGroupHash(d, "grp",
+          Seq("a" -> frac, "b" -> 1.0)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        // every row labeled, each group wholly one label
+        out.length == rows.length &&
+          out.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1) &&
+          // the 'a' side is exactly the groups sampleByHash keeps in [0, frac)
+          out.filter(_._3 == "a").map(_._2).toSet ==
+            Ops.sampleByHash(d.select("grp").distinct(), "grp", 0.0, frac)
+              .collect().map(_.getLong(0)).toSet
+      }
+    }
+
+  property("winsorizedMean: trim-0 is the exact mean; result bounded by group min/max") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(-50, 50)), Gen.chooseNum(0, 4)) { (vs, tp10) =>
+      import spark.implicits._
+      val trim = tp10 * 10 // 0, 10, 20, 30, 40
+      vs.isEmpty || {
+        val d = vs.zipWithIndex.map { case (v, i) => ("g", v.toDouble, i.toLong) }
+          .toDF("g", "v", "id")
+        val r = graft.operators.Stats.winsorizedMean(d, "g", "v", "id", trim).head()
+        val micro = vs.map(_.toLong * 1000000L)
+        val plainOk = trim != 0 ||
+          (r.getLong(5) == micro.sum &&
+            r.getLong(6) == math.round(micro.sum.toDouble / vs.length))
+        plainOk && r.getLong(6) >= micro.min && r.getLong(6) <= micro.max &&
+          r.getLong(3) <= r.getLong(4) // lo <= hi whenever trim < 50
+      }
+    }
 }

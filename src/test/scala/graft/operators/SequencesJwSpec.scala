@@ -235,6 +235,37 @@ class SequencesJwSpec extends SparkTestBase {
     assert(cap == Set(("a>b", 2L), ("a>z", 1L), ("b>a", 1L)))
   }
 
+  test("funnelWithin: deadlines, strict-after, closed boundary, greedy-earliest") {
+    // within = 100µs. A converts fully (p exactly at the boundary from c);
+    // B's click misses the deadline; C never signs up; D's same-ts click
+    // fails strict-after but its boundary click converts, purchase then
+    // misses by 1; E shows the GREEDY contract: the earliest signup (t=0)
+    // misses c@120, even though the second signup (t=50) would have made it
+    val ev = Seq(
+      ("A", "s", 0L), ("A", "c", 50L), ("A", "p", 150L),
+      ("B", "s", 0L), ("B", "c", 101L),
+      ("C", "c", 10L),
+      ("D", "s", 0L), ("D", "c", 0L), ("D", "c", 100L), ("D", "p", 201L),
+      ("E", "s", 0L), ("E", "s", 50L), ("E", "c", 120L)
+    ).toDF("k", "st", "t")
+    val got = Sequences.funnelWithin(ev, "k", "st", "t",
+        Seq("s", "c", "p"), withinUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "s", 4L), (2L, "c", 2L), (3L, "p", 1L)))
+    // partition invariance
+    val rep = Sequences.funnelWithin(ev.repartition(7), "k", "st", "t",
+        Seq("s", "c", "p"), 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rep.toSeq == Seq((1L, 4L), (2L, 2L), (3L, 1L)))
+    // a step nobody reaches still emits its zero row (fixed step list)
+    val none = Sequences.funnelWithin(ev, "k", "st", "t",
+        Seq("s", "c", "zz"), 100L).collect()
+    assert(none.map(_.getLong(2)).toSeq == Seq(4L, 2L, 0L))
+    intercept[IllegalArgumentException] {
+      Sequences.funnelWithin(ev, "k", "st", "t", Seq("s", "s"), 100L)
+    }
+  }
+
   test("sessionTopPaths: closed gap boundary, per-session prefixes, tie order") {
     // user 1: events at t=0,100 (gap 100 = EXACTLY the gap -> same
     // session), then t=201 (gap 101 > gap -> NEW session) — the closed
