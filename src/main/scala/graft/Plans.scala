@@ -92,7 +92,12 @@ object Plans {
         // bucket-cell windows, never data-sized single partitions
         "q223_leak_safe_split", "q224_session_paths",
         "q225_period_growth_gapped", "q226_group_sample",
-        "q227_winsorized_mean")
+        "q227_winsorized_mean",
+        // r12 batch 2: the weighted sample must be the same
+        // WindowGroupLimit rank-filter as q226 (the key is a projection,
+        // never a join); the funnel must be per-step shrinking equi-joins
+        // + hash-aggs with no window at all
+        "q229_weighted_sample", "q230_funnel_within")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
