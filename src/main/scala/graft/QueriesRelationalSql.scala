@@ -462,14 +462,19 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
       """WITH e AS (SELECT user_id AS k, event_type AS s, epoch_us(ts) AS t
               FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
          r0 AS (SELECT k, min(t) AS t0 FROM e WHERE s = 'signup' GROUP BY k),
-         r1 AS (SELECT e.k, min(t) AS t1 FROM e JOIN r0 USING (k)
+         r1 AS (SELECT e.k, min(t) AS t1, min(t0) AS p1 FROM e JOIN r0 USING (k)
                 WHERE s = 'click' AND t > t0 AND t <= t0 + 259200000000 GROUP BY e.k),
-         r2 AS (SELECT e.k, min(t) AS t2 FROM e JOIN r1 USING (k)
+         r2 AS (SELECT e.k, min(t) AS t2, min(t1) AS p2 FROM e JOIN r1 USING (k)
                 WHERE s = 'purchase' AND t > t1 AND t <= t1 + 259200000000 GROUP BY e.k)
          SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
-                CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_keys
-         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r1)
-         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r2)
+                CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_keys,
+                CAST(NULL AS BIGINT) AS mean_delay_us
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r1),
+                (SELECT CASE WHEN count(*) > 0 THEN
+                   CAST(round(sum(t1 - p1)::DOUBLE / count(*)) AS BIGINT) END FROM r1)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r2),
+                (SELECT CASE WHEN count(*) > 0 THEN
+                   CAST(round(sum(t2 - p2)::DOUBLE / count(*)) AS BIGINT) END FROM r2)
          ORDER BY step""",
     // same md5-60-bit admission order as Ops.sampleKPerGroup
     "q226_group_sample" ->

@@ -396,7 +396,10 @@ object Sequences {
     * convention; a non-earliest step occurrence that would have enabled a
     * later conversion is deliberately not searched (documented greedy
     * semantics, replayed identically by the oracle). Output per step:
-    * (`step` 1-based, `step_name`, `n_keys` still converting).
+    * (`step` 1-based, `step_name`, `n_keys` still converting,
+    * `mean_delay_us` = round(Σ(tᵢ − tᵢ₋₁)/n) over the converting keys —
+    * exact long sums, ONE final division; null for step 1 and for
+    * unreached steps).
     *
     * Scale shape: one hash-agg per step over the (shrinking) reached-key
     * set — step i is an equi-join of the state-filtered events against
@@ -414,17 +417,25 @@ object Sequences {
         col(tsCol).cast(LongType).as("__t"))
     val first = e.filter(col("__s") === steps.head)
       .groupBy(col("__k")).agg(min(col("__t")).as("__pt"))
+      .withColumn("__d", lit(null).cast(LongType))
     val reached = steps.indices.tail.scanLeft(first) { (prev, i) =>
       e.filter(col("__s") === steps(i))
-        .join(prev, Seq("__k"))
+        .join(prev.select(col("__k"), col("__pt")), Seq("__k"))
         .filter(col("__t") > col("__pt")
           && col("__t") <= col("__pt") + withinUs)
-        .groupBy(col("__k")).agg(min(col("__t")).as("__pt"))
+        .groupBy(col("__k"))
+        // __pt is constant per key inside the join — min() just reads it
+        .agg(min(col("__t")).as("__nt"), min(col("__pt")).as("__ot"))
+        .select(col("__k"), col("__nt").as("__pt"),
+          (col("__nt") - col("__ot")).as("__d"))
     }
     reached.zipWithIndex.map { case (r, i) =>
-      r.agg(count(lit(1)).as("n_keys"))
+      r.agg(count(lit(1)).as("n_keys"), sum(col("__d")).as("__sd"))
         .select(lit((i + 1).toLong).as("step"),
-          lit(steps(i)).as("step_name"), col("n_keys"))
+          lit(steps(i)).as("step_name"), col("n_keys"),
+          when(col("n_keys") > 0 && col("__sd").isNotNull,
+            round(col("__sd").cast("double") / col("n_keys").cast("double"))
+              .cast(LongType)).as("mean_delay_us"))
     }.reduce(_ unionByName _).orderBy(col("step"))
   }
 

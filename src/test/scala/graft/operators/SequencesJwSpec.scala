@@ -250,8 +250,11 @@ class SequencesJwSpec extends SparkTestBase {
     ).toDF("k", "st", "t")
     val got = Sequences.funnelWithin(ev, "k", "st", "t",
         Seq("s", "c", "p"), withinUs = 100L)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    assert(got.toSeq == Seq((1L, "s", 4L), (2L, "c", 2L), (3L, "p", 1L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // delays: step 2 = mean(50 for A, 100 for D) = 75; step 3 = A's 100
+    assert(got.toSeq == Seq((1L, "s", 4L, None), (2L, "c", 2L, Some(75L)),
+      (3L, "p", 1L, Some(100L))))
     // partition invariance
     val rep = Sequences.funnelWithin(ev.repartition(7), "k", "st", "t",
         Seq("s", "c", "p"), 100L)
