@@ -195,4 +195,42 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(Ranks.runningSums(Ranks.withRangeBucket(emptyV, "v", "b"),
       col("b"), Seq(col("v")), Seq("id" -> "cum")).count() == 0)
   }
+
+  test("r12 operators on empty / all-null / degenerate inputs") {
+    import graft.operators.{Baskets, Sequences, Stats}
+    val emptyEv = Seq.empty[(Long, String, Long, Long)].toDF("k", "s", "t", "id")
+    // session paths, lifetime paths, funnel: empty in, empty/zeros out
+    assert(Sequences.sessionTopPaths(emptyEv, "k", "s", "t", "id",
+      gapUs = 100L).count() == 0)
+    assert(Sequences.topPaths(emptyEv, "k", "s", "t", "id").count() == 0)
+    val fz = Sequences.funnelWithin(emptyEv, "k", "s", "t",
+      Seq("a", "b"), 100L).collect()
+    assert(fz.map(_.getLong(2)).toSeq == Seq(0L, 0L)
+      && fz.forall(_.isNullAt(3)))
+    // all-null keys are dropped everywhere, never NPE
+    val nullEv = Seq((Option.empty[Long], "x", 1L, 1L)).toDF("k", "s", "t", "id")
+    assert(Sequences.sessionTopPaths(nullEv, "k", "s", "t", "id", 100L).count() == 0)
+    // dense growth: empty frame -> empty spine, no sequence() crash
+    val emptyM = Seq.empty[(java.sql.Date, Long)].toDF("month", "v")
+    assert(Sequences.periodGrowthDense(emptyM, "month", "v").count() == 0)
+    // single-month series: value row, both growths null
+    val one = Seq((java.sql.Date.valueOf("1995-01-01"), 5L)).toDF("month", "v")
+    val o = Sequences.periodGrowthDense(one, "month", "v").head()
+    assert(o.getLong(1) == 5L && o.isNullAt(2) && o.isNullAt(3))
+    // winsorize: empty in, empty out (pin of an empty frame is fine);
+    // single value is its own bounds and mean
+    val emptyW = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
+    assert(Stats.winsorizedMean(emptyW, "g", "v", "id").count() == 0)
+    val w1 = Stats.winsorizedMean(
+      Seq(("g", 7.0, 1L)).toDF("g", "v", "id"), "g", "v", "id").head()
+    assert(w1.getLong(1) == 1L && w1.getLong(6) == 7000000L)
+    // samplers and baskets: empty in, empty out
+    val emptyI = Seq.empty[(Long, Long, Long)].toDF("id", "grp", "w")
+    assert(Ops.sampleKPerGroup(emptyI, Seq("grp"), "id", 3).count() == 0)
+    assert(Ops.weightedSampleKPerGroup(emptyI, Seq("grp"), "id", "w", 3).count() == 0)
+    assert(Ops.splitByGroupHash(emptyI, "grp",
+      Seq("a" -> 0.5, "b" -> 1.0)).count() == 0)
+    val emptyB = Seq.empty[(Long, String)].toDF("bk", "it")
+    assert(Baskets.pairLift(emptyB, "bk", "it").count() == 0)
+  }
 }
