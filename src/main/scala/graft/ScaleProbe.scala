@@ -423,6 +423,53 @@ object ScaleProbe {
         "k", "s", "t", "id", maxLen = 5, topK = 25).count()
       val tpt1 = System.nanoTime()
 
+      // winsorize axis (r13, VERDICT r12 #6): winsorizedMean over per-key
+      // doc lengths — 8 fixed groups while rows grow with the factor, so
+      // the "bucket-cell windows, never data-sized sorts" claim becomes a
+      // curve: wz_sec must track the scan linearly (the two-level Ranks
+      // positions shuffle bucket cells, not a per-group sorted history).
+      val wzt0 = System.nanoTime()
+      val nWz = graft.operators.Stats.winsorizedMean(
+        docs.select(pmod(col("doc_id"), lit(8L)).as("g"),
+          length(col("text")).cast("long").as("v"), col("doc_id").as("id")),
+        "g", "v", "id", trimPct = 10).count()
+      val wzt1 = System.nanoTime()
+
+      // tfidf axis (r13, VERDICT r12 #1): the shipped lazy tfidfTopTerms
+      // (explode+hash-agg runs twice, N from a no-explode scan) vs the r12
+      // pin-once counterfactual (persist tf + eager localCheckpoint, three
+      // consumers read the cache) — the measurement that DEcided the q219
+      // pin trade: the pin lost at every factor (materialization + cache
+      // read-back > the recompute), so r13 shipped the lazy plan; this
+      // axis keeps the counterfactual honest every round.
+      val tft0 = System.nanoTime()
+      val nTfPin = graft.operators.Search.tfidfTopTerms(
+        docs, "doc_id", "text", k = 5).count()
+      val tft1 = System.nanoTime()
+      val toksL = docs.select(col("doc_id"),
+          explode(Text.tokens(Text.normalize(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+      val tfL = toksL.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      tfL.count()
+      val dfreqL = tfL.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocsL = tfL.agg(countDistinct(col("doc_id")).as("__n"))
+      val wTf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_micro").desc, col("term"))
+      val nTfLazy = tfL.join(dfreqL, Seq("term"))
+        .crossJoin(broadcast(nDocsL))
+        .withColumn("tfidf_micro",
+          round(col("tf").cast("double")
+            * log(col("__n").cast("double") / col("df").cast("double"))
+            * 1e6).cast("long"))
+        .withColumn("rank", row_number().over(wTf))
+        .filter(col("rank") <= 5)
+        .localCheckpoint(true).count()
+      tfL.unpersist(blocking = false)
+      val tft2 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -489,7 +536,10 @@ object ScaleProbe {
         s""""ewma_keys":$nEwmaKeys,"ewma_sec":${sec(ewt0, ewt1)},""" +
         s""""bk_pairs":$nBkPairs,"bk_sec":${sec(bkt0, bkt1)},""" +
         s""""med_rows":$nMedRows,"med_sec":${sec(rmt0, rmt1)},""" +
-        s""""path_rows":$nPathRows,"paths_sec":${sec(tpt0, tpt1)}""" +
+        s""""path_rows":$nPathRows,"paths_sec":${sec(tpt0, tpt1)},""" +
+        s""""wz_groups":$nWz,"wz_sec":${sec(wzt0, wzt1)},""" +
+        s""""tfidf_rows":$nTfPin,"tfidf_sec":${sec(tft0, tft1)},""" +
+        s""""tfidf_pin_rows":$nTfLazy,"tfidf_pin_sec":${sec(tft1, tft2)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()

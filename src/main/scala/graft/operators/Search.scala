@@ -282,10 +282,19 @@ object Search {
     * of [[Lm.surprisal]]), micro-quantized BEFORE ranking, ties by term.
     * Corpus-wide terms score ln(1) = 0 — ranked, never special-cased.
     *
-    * Scale shape: one hash-agg to (doc, term, tf), one term-keyed agg for
-    * df (|vocab|-sized), a broadcast of the 1-row N, and a doc-partitioned
-    * window for the top-k — posting-list-shaped joins only, no global
-    * sort, no driver state. Output: (id, `term`, `tf`, `df`,
+    * Scale shape: TWO explode+hash-agg passes to (doc, term, tf) — one
+    * feeding the |vocab|-sized df agg, one the scored join — plus a
+    * no-explode scan of `docs` for the 1-row N (a doc counts iff any
+    * token survives normalization — the exact countDistinct-over-tf
+    * value, derived without a third tokenization pass), broadcast into
+    * the score, and a doc-partitioned window for the top-k. Lazy: r12
+    * pinned tf (persist + eager localCheckpoint) to run the explode
+    * once, but the r13 ScaleProbe tfidf axis measured the pin LOSING at
+    * every factor (1/5/10× sf0.1: 1.72/2.50/2.95 s pinned vs
+    * 1.29/2.04/2.70 s lazy) — materialization + cache read-back costs
+    * more than the recompute, so the recompute-twice plan is the shipped
+    * one (VERDICT r12 #2, measured). Posting-list-shaped joins only, no
+    * global sort, no driver state. Output: (id, `term`, `tf`, `df`,
     * `tfidf_micro`, `rank` ≤ k). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
@@ -293,17 +302,20 @@ object Search {
     val toks = docs.select(col(idCol),
         explode(Text.tokens(Text.normalize(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
-    // tf feeds three plan branches (df, N, the scored join): pin it so the
-    // explode+hash-agg runs once per action, not three times (the
-    // Baskets/Similarity pin-and-release discipline); released after the
-    // eager localCheckpoint below
-    val tf = pin(toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf")))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = tf.agg(countDistinct(col(idCol)).as("__n"))
+    // N without touching tf: distinct docs holding >= 1 post-normalize
+    // token — `exists` over the token array, no explode, no shuffle of
+    // token rows (countDistinct guards duplicate-id inputs exactly like
+    // the old countDistinct over tf)
+    val n = docs
+      .filter(exists(Text.tokens(Text.normalize(col(textCol))),
+        t => length(t) > 0))
+      .agg(countDistinct(col(idCol)).as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf_micro").desc, col("term"))
-    val out = tf.join(dfreq, Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf_micro",
         round(col("tf").cast("double")
@@ -313,9 +325,6 @@ object Search {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("tfidf_micro"), col("rank"))
-      .localCheckpoint(true)
-    tf.unpersist(false)
-    out
   }
 
   /** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack, Clarke &
