@@ -158,6 +158,60 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelStream: step completions across two batches aggregate to the batch funnelWithin") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    val withinUs = 15L * 60 * 1000000 // 15-minute deadline per step
+    // u1 converts fully (purchase lands EXACTLY on the click+15min closed
+    // boundary); u2's click misses the deadline by 5min; u3 never signs
+    // up; u4 shows GREEDY-earliest (click is 16min from the first signup —
+    // the 2min-later signup would have made it); u5's first purchase ties
+    // its click's ts (strict-after fails), the second converts
+    val evs = Seq(
+      Ev(1, t(0), 1, "signup", 0), Ev(2, t(5), 1, "click", 0),
+      Ev(3, t(20), 1, "purchase", 0),
+      Ev(4, t(0), 2, "signup", 0), Ev(5, t(20), 2, "click", 0),
+      Ev(6, t(0), 3, "click", 0),
+      Ev(7, t(0), 4, "signup", 0), Ev(8, t(2), 4, "signup", 0),
+      Ev(9, t(16), 4, "click", 0),
+      Ev(10, t(0), 5, "signup", 0), Ev(11, t(1), 5, "click", 0),
+      Ev(12, t(1), 5, "purchase", 0), Ev(13, t(10), 5, "purchase", 0))
+    val (b1, b2) = evs.partition(_.ts.getTime <= t(5).getTime)
+    val mem = MemoryStream[Ev]
+    val q = Streams.funnelStream(mem.toDF(), steps, withinUs,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // aggregate the completion events exactly as the batch operator does
+      val agg = spark.table("funnel_test")
+        .groupBy(col("step"))
+        .agg(count(lit(1)).as("n_keys"),
+          when(sum(col("delay_us")).isNotNull,
+            round(sum(col("delay_us")).cast("double")
+              / count(col("delay_us")).cast("double"))
+              .cast("long")).as("mean_delay_us"))
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val batch = graft.operators.Sequences.funnelWithin(
+          evs.toDF().withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "event_type", "ts_us", steps, withinUs)
+        .filter(col("n_keys") > 0).collect()
+        .map(r => (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      assert(agg.toSeq == batch.toSeq)
+      // and the fixture exercises what it claims: 4 sign-ups, 2 clicks
+      // (u1, u5), 2 purchases (u1 boundary hit, u5 second-event hit)
+      assert(agg.map(x => x._1 -> x._2).toSeq ==
+        Seq(1L -> 4L, 2L -> 2L, 3L -> 2L))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink: windowed aggregates land in files with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
