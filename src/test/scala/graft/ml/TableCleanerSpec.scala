@@ -251,7 +251,10 @@ class TableCleanerSpec extends SparkTestBase {
 
   test("splitXyByGroup: group-atomic X/y split, row-paired, seedless-deterministic") {
     val c = new TableCleaner
-    c.registerNumeric("max_speed", impute = "mean")
+    // clip = false: stats are now fitted on the TRAIN slice (ADVICE r12),
+    // so clipping would rescale test rows beyond the train range — this
+    // test checks row pairing, which needs values passed through
+    c.registerNumeric("max_speed", impute = "mean", clip = false)
     // 40 groups x 5 rows; label = 2x so pairing is checkable per row
     val df = (1 to 200).map(i => (i.toDouble, i * 2.0, (i % 40).toLong))
       .toDF("max_speed", "label", "grp")
@@ -273,9 +276,68 @@ class TableCleanerSpec extends SparkTestBase {
     assert(tePairs.forall { case (x, y) => y == 2 * x })
     // deterministic without a seed: a fresh cleaner yields the same counts
     val c2 = new TableCleaner
-    c2.registerNumeric("max_speed", impute = "mean")
+    c2.registerNumeric("max_speed", impute = "mean", clip = false)
     val (xTr2, _, _, _) = c2.splitXyByGroup(df, "label", "grp", testSize = 0.3)
     assert(xTr2.count() == xTr.count())
+  }
+
+  test("splitXyByGroup: cleaner statistics fitted on the TRAIN slice only (ADVICE r12)") {
+    import org.apache.spark.sql.functions.col
+    val c = new TableCleaner
+    c.registerNumeric("x", impute = "mean", clip = false)
+    val df = (1 to 200).map(i => (i.toDouble, i * 2.0, (i % 40).toLong))
+      .toDF("x", "label", "grp")
+    c.splitXyByGroup(df, "label", "grp", testSize = 0.3)
+    // the fitted mean is the TRAIN slice's mean, not the whole table's
+    val trainMean = graft.operators.Ops.splitByGroupHash(df, "grp",
+        Seq("train" -> 0.7, "test" -> 1.0))
+      .filter(col("split") === "train")
+      .agg(org.apache.spark.sql.functions.avg("x")).head().getDouble(0)
+    val fitted = c.columns.collectFirst {
+      case n: NumericalColumn => n.vMean.get
+    }.get
+    assert(fitted == trainMean)
+    assert(fitted != df.agg(org.apache.spark.sql.functions.avg("x"))
+      .head().getDouble(0))
+  }
+
+  test("foldXyByGroup: fold-atomic groups, per-fold train-only fit, full coverage") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val c = new TableCleaner
+    c.registerNumeric("x", impute = "mean", clip = false)
+    // 10 groups x 4 rows, x = i except ONE planted null (id 39, group 9 —
+    // a near-dup pair shares group 9 via rows 9/19/29/39: fold-atomic)
+    val data = (1 to 40).map(i =>
+      (if (i == 39) None else Some(i.toDouble), i * 2.0, (i % 10).toLong, i.toLong))
+    val df = data.toDF("x", "label", "grp", "id")
+    val k = 4
+    val foldOf = graft.operators.Ops.foldByGroupHash(
+        df.select("id", "grp"), "grp", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val folds = c.foldXyByGroup(df, "label", "grp", k)
+    assert(folds.length == k)
+    val total = folds.map(_._2.count()).sum
+    assert(total == 40L, s"test slices must partition the table, got $total")
+    folds.zipWithIndex.foreach { case ((xTr, xTe, yTr, yTe), f) =>
+      // X/y stay row-paired and the sides partition the table
+      assert(xTr.count() == yTr.count() && xTe.count() == yTe.count())
+      assert(xTr.count() + xTe.count() == 40L)
+      // group 9's rows (the planted near-dup family) all land one side
+      val expectedTest = foldOf.count(_._2 == f.toLong)
+      assert(xTe.count() == expectedTest.toLong)
+      // the null x was imputed with THIS fold's train mean — fresh per
+      // fold, never fold 0's stats and never the whole-table mean
+      val trainIds = foldOf.filter(_._2 != f.toLong).keySet
+      val expMean = data.filter(r => trainIds.contains(r._4))
+        .flatMap(_._1) match { case xs => xs.sum / xs.length }
+      val side = if (foldOf(39L) == f.toLong) xTe else xTr
+      val imputed = side.agg(avg(col("x"))).head().getDouble(0)
+      // the imputed row pulls the side's average TOWARD expMean; directly:
+      // min/max of x on that side includes expMean iff imputation used it
+      val vals = side.collect().map(_.getDouble(0)).toSet
+      assert(vals.contains(expMean),
+        s"fold $f: expected train-mean $expMean imputed, values $vals")
+    }
   }
 
   test("hashFeatures: deterministic in-range buckets; crosses differ from parts; null propagates") {

@@ -166,12 +166,17 @@ class OpsSpec extends SparkTestBase {
     // the sample — E[share] = 90%, assert a loose 60% floor
     val heavy = got.filter(col("w") === 9L).count()
     assert(heavy > 60, s"expected weight bias, got $heavy/100 heavy rows")
-    // null / non-positive weights can never be drawn
+    // null / non-positive weights can never be drawn, and neither can a
+    // null-id row (ADVICE r12: it used to sort last under a null key and
+    // sneak into under-full groups) — group 9 has ONE valid row, k = 1000
     val withBad = rows.union(Seq((2000L, 0L, 0L), (2001L, 0L, -5L))
-      .toDF("id", "grp", "w"))
+        .toDF("id", "grp", "w"))
+      .union(Seq[(Option[Long], Long, Long)]((None, 9L, 7L), (Some(3000L), 9L, 7L))
+        .toDF("id", "grp", "w"))
     val ids = Ops.weightedSampleKPerGroup(withBad, Seq("grp"), "id", "w", 1000)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(!ids.contains(2000L) && !ids.contains(2001L) && ids.size == 1000)
+    assert(!ids.contains(2000L) && !ids.contains(2001L) && ids.size == 1001)
+    assert(ids.contains(3000L)) // the null-id neighbor is unaffected
     // reserved output name is refused, not overwritten
     intercept[IllegalArgumentException] {
       Ops.weightedSampleKPerGroup(rows.withColumn("key_nano", col("id")),
@@ -221,6 +226,38 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Ops.splitByGroupHash(rows.withColumn("split", col("id")), "grp",
         Seq("train" -> 0.8, "holdout" -> 1.0))
+    }
+  }
+
+  test("foldByGroupHash: fold-atomic groups, full coverage, deterministic, guarded") {
+    val rows = (1L to 400L).map(i => (i, i % 40L)).toDF("id", "grp")
+    val f5 = Ops.foldByGroupHash(rows, "grp", k = 5)
+    // every group lands wholly in ONE fold — a planted near-dup pair
+    // (same component key) can never straddle any leave-one-out boundary
+    val perGroup = f5.groupBy("grp")
+      .agg(countDistinct(col("fold")).as("n")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    // folds cover [0, k) and each is populated at 40 groups / 5 folds
+    val sizes = f5.groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(sizes.map(_._1).toSet.subsetOf((0L until 5L).toSet))
+    assert(sizes.map(_._1).toSet.size >= 4 && sizes.map(_._2).forall(_ > 0))
+    assert(f5.count() == 400L && f5.filter(col("fold").isNull).count() == 0L)
+    // deterministic under repartitioning; fold 0..k-2 agree with the
+    // splitByGroupHash cuts at the same band edges (the shared contract)
+    val a = f5.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = Ops.foldByGroupHash(rows.repartition(7), "grp", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b)
+    // a null key falls in the LAST fold (CASE else semantics, documented)
+    val withNull = Seq((1L, Some(3L)), (2L, None)).toDF("id", "grp")
+    val nf = Ops.foldByGroupHash(withNull, "grp", 3)
+      .filter(col("grp").isNull).head()
+    assert(nf.getLong(2) == 2L)
+    // guards: k bounds and reserved output name
+    intercept[IllegalArgumentException] { Ops.foldByGroupHash(rows, "grp", 1) }
+    intercept[IllegalArgumentException] {
+      Ops.foldByGroupHash(rows.withColumn("fold", col("id")), "grp", 5)
     }
   }
 }
