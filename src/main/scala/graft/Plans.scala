@@ -97,7 +97,15 @@ object Plans {
         // WindowGroupLimit rank-filter as q226 (the key is a projection,
         // never a join); the funnel must be per-step shrinking equi-joins
         // + hash-aggs with no window at all
-        "q229_weighted_sample", "q230_funnel_within")
+        "q229_weighted_sample", "q230_funnel_within",
+        // r13: the k-fold label must be a stateless projection on the CC
+        // labels (q223's shape with a k-arm CASE — no extra shuffle);
+        // retention must collapse events map-side to distinct (key,
+        // period) then window THAT table (no window over raw events);
+        // fraction sampling must be a broadcast join + codegen'd filter
+        // (no exchange of the fact side, no window at all)
+        "q231_group_kfold", "q232_retention_cohorts",
+        "q233_sample_fractions")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

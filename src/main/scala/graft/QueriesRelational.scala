@@ -405,6 +405,28 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Sequences.periodGrowthDense(o, "month", "cents", lagShort = 1, lagLong = 12)
         .orderBy(col("month"))
     }),
+    // cohort retention ✚ (r13): weekly acquisition cohorts × activity
+    // offsets — one map-side collapse of events to distinct (user, week),
+    // a key-window cohort label, and a cohorts×offsets-domain hash-agg
+    "q232_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      Sequences.retentionCohorts(ev, "user_id", "ts_us",
+          periodUs = 7L * 86400L * 1000000L, maxOffset = 52)
+        .orderBy("cohort", "offset")
+    }),
+    // per-group fraction sampling ✚ (r13): a priority→rate rebalancing
+    // plan applied as a stateless hash-band filter behind one broadcast
+    // join — per-row fate stable under corpus growth, fraction 0 and 1
+    // exercised at the edges
+    "q233_sample_fractions" -> ((s, d) => {
+      import s.implicits._
+      val fr = Seq(("1-URGENT", 0.5), ("2-HIGH", 0.25), ("3-MEDIUM", 0.1),
+        ("4-NOT SPECIFIED", 0.0), ("5-LOW", 1.0)).toDF("o_orderpriority", "fraction")
+      Ops.sampleByFractions(Tables.orders(s, d), Seq("o_orderpriority"),
+          "o_orderkey", fr)
+        .select("o_orderpriority", "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
     // timeout-bounded funnel ✚ (r12): q45's conversion chain with a 3-day
     // deadline per step — greedy earliest-occurrence chaining, one
     // shrinking-set join + hash-agg per step

@@ -456,6 +456,39 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
                   CAST(round((value - p12)::DOUBLE / p12::DOUBLE * 1e6) AS BIGINT)
                 END AS growth_long_micro
          FROM g ORDER BY month""",
+    // same distinct (user, week) collapse, min-over-key cohort label,
+    // offset cap, and one-division retained ratio as retentionCohorts;
+    // epoch µs are non-negative here so // floor-division matches floorDiv
+    "q232_retention_cohorts" ->
+      """WITH up AS (SELECT DISTINCT user_id AS k, epoch_us(ts) // 604800000000 AS p
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT k, p, min(p) OVER (PARTITION BY k) AS cohort FROM up),
+         m AS (SELECT cohort, p - cohort AS "offset",
+                CAST(count(*) AS BIGINT) AS n_keys
+               FROM c WHERE p - cohort <= 52 GROUP BY cohort, p - cohort),
+         z AS (SELECT cohort, "offset", n_keys,
+                max(CASE WHEN "offset" = 0 THEN n_keys END)
+                  OVER (PARTITION BY cohort) AS cohort_size
+               FROM m)
+         SELECT cohort, "offset", n_keys, cohort_size,
+                CAST(round(n_keys::DOUBLE / cohort_size::DOUBLE * 1e6) AS BIGINT)
+                  AS retained_micro
+         FROM z ORDER BY cohort, "offset"""",
+    // same md5-60-bit hash, same floor(f*2^60 + 0.5) per-row band edge —
+    // the hashBandEdge rounding contract as an expression on both engines
+    "q233_sample_fractions" ->
+      """WITH fr(o_orderpriority, fraction) AS (VALUES
+           ('1-URGENT', 0.5::DOUBLE), ('2-HIGH', 0.25::DOUBLE),
+           ('3-MEDIUM', 0.1::DOUBLE), ('4-NOT SPECIFIED', 0.0::DOUBLE),
+           ('5-LOW', 1.0::DOUBLE)),
+         h AS (SELECT o_orderkey, o_orderpriority,
+                list_sum([ (instr('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), k, 1)) - 1)
+                           * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) AS h
+               FROM orders)
+         SELECT o_orderpriority, o_orderkey
+         FROM h JOIN fr USING (o_orderpriority)
+         WHERE h < CAST(floor(fraction * pow(2, 60) + 0.5) AS BIGINT)
+         ORDER BY o_orderpriority, o_orderkey""",
     // greedy earliest chain, strict-after + within-deadline bounds,
     // per-step shrinking joins — Sequences.funnelWithin term for term
     "q230_funnel_within" ->

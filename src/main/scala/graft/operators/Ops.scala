@@ -369,6 +369,36 @@ object Ops {
       .drop("__graft_cum", "budget")
   }
 
+  /** Per-group FRACTION sampling from a fraction table (r13 ✚) — the
+    * rate-based sibling of [[sampleToBudgets]]' weight budgets: `fractions`
+    * carries `groupCols` + a double `fraction` ∈ [0, 1] (e.g. a language
+    * rebalancing plan), and each group keeps the rows whose [[idHash60]]
+    * falls below its fraction's band edge — the [[sampleByHash]] rule with
+    * a PER-GROUP cut. Per-row fate is stable under corpus growth (a pure
+    * function of the id — unlike [[sampleKPerGroup]]'s exact-k quota,
+    * which can displace picks), disjoint from the complement band, and
+    * replayable by any engine that re-derives the md5 hash. The edge is
+    * floor(f·2⁶⁰ + 0.5) computed per row — the [[hashBandEdge]] rounding
+    * contract as a column expression (identical IEEE product + floor in
+    * DuckDB). A group absent from `fractions` (or with a null fraction)
+    * is dropped; fraction ≤ 0 admits nothing; ≥ 1 admits everything.
+    *
+    * Scale shape: a stateless filter behind ONE broadcast join against
+    * the |groups|-sized fraction table — no shuffle of `df`, no window;
+    * the filter itself stays inside WholeStageCodegen. */
+  def sampleByFractions(df: DataFrame, groupCols: Seq[String], idCol: String,
+      fractions: DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(fractions.columns.contains("fraction"),
+      "fractions must carry a 'fraction' column")
+    val edge = floor(col("fraction") * lit(math.pow(2.0, 60)) + lit(0.5))
+      .cast("long")
+    df.join(broadcast(fractions.select(
+        (groupCols.map(col) :+ col("fraction")): _*)), groupCols)
+      .filter(idHash60(col(idCol)) < edge)
+      .drop("fraction")
+  }
+
   /** Top-mass (nucleus) selection per group (r9 ✚) — keep each group's
     * BEST rows, by `scoreCol` descending, until they cover fraction
     * `pNum/pDen` of the group's total `weightCol` mass: "the highest-

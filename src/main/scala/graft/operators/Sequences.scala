@@ -451,6 +451,52 @@ object Sequences {
     }.reduce(_ unionByName _).orderBy(col("step"))
   }
 
+  /** Cohort retention matrix (r13 ✚) — the acquisition-analytics staple
+    * next to [[funnelWithin]]: bucket each key's FIRST-activity period as
+    * its cohort, then count how many of that cohort are active again
+    * `offset` periods later. Periods are fixed-width `periodUs` buckets of
+    * the integer timestamp (floor division via the engine-shared
+    * [[Ranks.floorDiv]], exact for negative epochs too); a key is
+    * "active" in a period iff it has ≥ 1 event there. Output per
+    * (`cohort`, `offset` ≤ maxOffset): `n_keys` (exact), `cohort_size`
+    * (the cohort's offset-0 count — every cohort member is active in its
+    * first period by construction), `retained_micro` =
+    * round(n_keys/cohort_size × 10⁶) — one division, the shared contract.
+    *
+    * Scale shape: ONE data-sized exchange — events collapse to a per-key
+    * period SET via `collect_set` (partial aggregation dedups map-side,
+    * so the shuffle carries ≈ the distinct (key, period) volume, and the
+    * per-key state is bounded by the observation window over the period
+    * width, never by event count); cohort = `array_min` of the set, the
+    * matrix is one hash-agg over the (cohorts × offsets)-sized domain,
+    * and the cohort-size lookup a window over that already-tiny result.
+    * No joins against raw events, no window over any data-sized frame,
+    * no driver state. (A distinct-then-window formulation costs a second
+    * full (key, period) shuffle — plan-audited away, Plans.scala r13.) */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      periodUs: Long, maxOffset: Int = 52): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    require(maxOffset >= 0, "maxOffset must be >= 0")
+    val counts = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        Ranks.floorDiv(col(tsCol).cast(LongType), periodUs).as("__p"))
+      .groupBy(col("__k")).agg(collect_set(col("__p")).as("__ps"))
+      .select(array_min(col("__ps")).as("cohort"),
+        explode(col("__ps")).as("__p"))
+      .withColumn("offset", col("__p") - col("cohort"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_keys"))
+    val wc = Window.partitionBy(col("cohort"))
+    counts
+      .withColumn("cohort_size",
+        max(when(col("offset") === 0, col("n_keys"))).over(wc))
+      .withColumn("retained_micro",
+        round(col("n_keys").cast("double") / col("cohort_size").cast("double")
+          * 1e6).cast(LongType))
+  }
+
   /** SESSION-scoped [[topPaths]] (VERDICT r11 missing #2): paths are each
     * session's first `maxLen` states, not each key's lifetime prefix — the
     * navigational question analytics actually asks ("what do visits do"),

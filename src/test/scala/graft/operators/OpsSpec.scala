@@ -229,6 +229,35 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("sampleByFractions: per-group rates, subset stability, edge fractions, absent groups") {
+    val rows = (1L to 900L).map(i => (i, (i % 3).toString)).toDF("id", "grp")
+    val fr = Seq(("0", 0.5), ("1", 0.1), ("2", 1.0)).toDF("grp", "fraction")
+    // NB: the equi-join puts the group key first -> columns (grp, id)
+    val got = Ops.sampleByFractions(rows, Seq("grp"), "id", fr)
+    val byG = got.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // fraction 1.0 keeps everything; rates land near the target
+    assert(byG("2") == (1L to 900L).filter(_ % 3 == 2).toSet)
+    assert(math.abs(byG("0").size - 150) < 60 && math.abs(byG("1").size - 30) < 25)
+    // per-row fate: the 0.1 sample is a SUBSET of the 0.5 sample (nested
+    // bands), and deterministic under repartitioning
+    val fr01 = Seq(("0", 0.1), ("1", 0.1), ("2", 0.1)).toDF("grp", "fraction")
+    val s01 = Ops.sampleByFractions(rows, Seq("grp"), "id", fr01)
+      .collect().map(_.getLong(1)).toSet
+    val fr05 = Seq(("0", 0.5), ("1", 0.5), ("2", 0.5)).toDF("grp", "fraction")
+    val s05 = Ops.sampleByFractions(rows.repartition(9), Seq("grp"), "id", fr05)
+      .collect().map(_.getLong(1)).toSet
+    assert(s01.subsetOf(s05))
+    // fraction 0 admits nothing; a group absent from the table is dropped
+    val frPart = Seq(("0", 0.0), ("1", 0.3)).toDF("grp", "fraction")
+    val part = Ops.sampleByFractions(rows, Seq("grp"), "id", frPart)
+      .select("grp").distinct().collect().map(_.getString(0)).toSet
+    assert(part == Set("1"))
+    intercept[IllegalArgumentException] {
+      Ops.sampleByFractions(rows, Seq("grp"), "id", fr.withColumnRenamed("fraction", "f"))
+    }
+  }
+
   test("foldByGroupHash: fold-atomic groups, full coverage, deterministic, guarded") {
     val rows = (1L to 400L).map(i => (i, i % 40L)).toDF("id", "grp")
     val f5 = Ops.foldByGroupHash(rows, "grp", k = 5)

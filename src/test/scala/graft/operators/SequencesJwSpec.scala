@@ -269,6 +269,38 @@ class SequencesJwSpec extends SparkTestBase {
     }
   }
 
+  test("retentionCohorts: hand-traced matrix, offset cap, multi-event weeks collapse") {
+    // period = 10µs "weeks". u1 first in period 0, active 0/1/3 (two
+    // events in period 1 collapse); u2 first in period 0, active 0 only;
+    // u3 first in period 1, active 1/2; null user dropped
+    val ev = Seq[(Option[Long], Long)](
+      (Some(1L), 0L), (Some(1L), 12L), (Some(1L), 15L), (Some(1L), 31L),
+      (Some(2L), 5L),
+      (Some(3L), 10L), (Some(3L), 29L),
+      (None, 3L)).toDF("u", "t")
+    val got = Sequences.retentionCohorts(ev, "u", "t", periodUs = 10L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1000000L),  // cohort 0 = u1, u2
+      (0L, 1L, 1L, 2L, 500000L),   // u1 back in period 1
+      (0L, 3L, 1L, 2L, 500000L),   // u1 back in period 3
+      (1L, 0L, 1L, 1L, 1000000L),  // cohort 1 = u3
+      (1L, 1L, 1L, 1L, 1000000L))) // u3 back in period 2
+    // the offset cap drops far returns but keeps the cohort row
+    val capped = Sequences.retentionCohorts(ev, "u", "t", 10L, maxOffset = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    // partition invariance
+    val rep = Sequences.retentionCohorts(ev.repartition(7), "u", "t", 10L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rep == got.map(x => (x._1, x._2, x._3)).toSeq)
+    intercept[IllegalArgumentException] {
+      Sequences.retentionCohorts(ev, "u", "t", 0L)
+    }
+  }
+
   test("sessionTopPaths: closed gap boundary, per-session prefixes, tie order") {
     // user 1: events at t=0,100 (gap 100 = EXACTLY the gap -> same
     // session), then t=201 (gap 101 > gap -> NEW session) — the closed
