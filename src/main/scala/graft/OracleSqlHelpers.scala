@@ -541,6 +541,60 @@ private[graft] trait OracleSqlHelpers {
       s"\n         SELECT node, r AS rank_micro FROM r$iters ORDER BY rank_micro DESC, node LIMIT 20"
   }
 
+  /** q235 oracle: [[graft.operators.Stats.bradleyTerry]] unrolled — the
+    * events-derived preference games, then `rounds` MM updates as
+    * MATERIALIZED CTE pairs (d_r, s_r), each s_r referenced twice next
+    * round (the pagerank-unroll lesson). All arithmetic is HUGEINT floor
+    * division on non-negative operands — bit-identical to the Spark
+    * side's Decimal(38,0) `div` path, no doubles anywhere. */
+  protected def btOracleSql(rounds: Int): String = {
+    val head =
+      """WITH ev AS (SELECT user_id, event_type, value, event_id,
+                lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+              FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         g AS MATERIALIZED (SELECT
+                CASE WHEN nv > value THEN nt ELSE event_type END AS w,
+                CASE WHEN nv > value THEN event_type ELSE nt END AS l
+              FROM ev WHERE nt IS NOT NULL AND nt <> event_type),
+         wins AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins
+                  FROM g GROUP BY 1),
+         pr AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+                 CAST(count(*) AS BIGINT) AS n
+                FROM g GROUP BY 1, 2),
+         ed AS MATERIALIZED (SELECT i AS item, j AS other, n FROM pr
+                UNION ALL SELECT j, i, n FROM pr),
+         base AS MATERIALIZED (
+           SELECT e.item, CAST(sum(e.n) AS BIGINT) AS n_games,
+                  CAST(coalesce(max(w.n_wins), 0) AS BIGINT) AS n_wins
+           FROM ed e LEFT JOIN wins w ON w.item = e.item GROUP BY e.item),
+         s0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS s FROM base)"""
+    val rds = (1 to rounds).map { r =>
+      s""",
+         d$r AS MATERIALIZED (SELECT e.item,
+              CAST(sum((e.n::HUGEINT * 1000000000000) // (si.s + sj.s))
+                AS BIGINT) AS d
+            FROM ed e JOIN s${r - 1} si ON si.item = e.item
+                      JOIN s${r - 1} sj ON sj.item = e.other
+            GROUP BY e.item),
+         s$r AS MATERIALIZED (SELECT b.item,
+              CASE WHEN b.n_wins > 0 AND coalesce(d.d, 0) > 0
+                   THEN greatest(CAST(1 AS BIGINT),
+                     CAST((b.n_wins::HUGEINT * 1000000000000) // d.d AS BIGINT))
+                   ELSE CAST(0 AS BIGINT) END AS s
+            FROM base b LEFT JOIN d$r d ON d.item = b.item)"""
+    }.mkString
+    head + rds +
+      s"""
+         SELECT b.item, b.n_games, b.n_wins, s.s AS strength_micro,
+                CASE WHEN t.t > 0 THEN
+                  CAST((s.s::HUGEINT * 1000000) // t.t AS BIGINT)
+                END AS share_micro
+         FROM base b JOIN s$rounds s ON s.item = b.item
+         CROSS JOIN (SELECT sum(s) AS t FROM s$rounds) t
+         ORDER BY b.item"""
+  }
+
   /** q212 oracle: [[graft.operators.Graph.bfsHops]] unrolled — the q93
     * customer–supplier graph, nation-0 supplier seeds (the q138 seed set),
     * one frontier CTE per hop. Every d_i is referenced three times

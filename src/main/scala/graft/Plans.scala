@@ -105,7 +105,13 @@ object Plans {
         // fraction sampling must be a broadcast join + codegen'd filter
         // (no exchange of the fact side, no window at all)
         "q231_group_kfold", "q232_retention_cohorts",
-        "q233_sample_fractions")
+        "q233_sample_fractions",
+        // r13 batch 2: Fleiss must be hash-aggs over the (item, category)
+        // cell table only (broadcast 1-row frames, no window, no join
+        // against raw ratings); Bradley-Terry's game window partitions by
+        // user and each MM round joins the PINNED edge table against the
+        // |items|-sized strength frame (never a rounds-deep lazy plan)
+        "q234_fleiss_kappa", "q235_bradley_terry")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

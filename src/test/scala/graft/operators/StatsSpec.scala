@@ -556,4 +556,69 @@ class StatsSpec extends SparkTestBase {
       Stats.winsorizedMean(df, "g", "v", "id", trimPct = 50)
     }
   }
+
+  test("fleissKappa: textbook value, perfect 1, degenerate null, nᵢ<2 dropped") {
+    // 4 items x 3 raters, 2 categories: P̄ = 2/3, Pe = 1/2, κ = 1/3
+    val ratings = Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "B"),
+      (4L, "B"), (4L, "B"), (4L, "B")).toDF("item", "cat")
+    val r = Stats.fleissKappa(ratings, "item", "cat").collect()(0)
+    assert(r.getAs[Long]("n_items") == 4L && r.getAs[Long]("n_ratings") == 12L)
+    assert(r.getAs[Long]("pbar_nano") == 666666666L)
+    assert(r.getAs[Long]("pe_nano") == 500000000L)
+    assert(r.getAs[Long]("kappa_micro") == 333333L)
+    // perfect agreement across a 2-category split -> exactly 1
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B")).toDF("item", "cat")
+    assert(Stats.fleissKappa(perfect, "item", "cat").collect()(0)
+      .getAs[Long]("kappa_micro") == 1000000L)
+    // single category everywhere: Pe = 1 -> null
+    val const = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")).toDF("item", "cat")
+    assert(Stats.fleissKappa(const, "item", "cat").collect()(0).isNullAt(4))
+    // a single-rating item contributes to NEITHER P̄ nor the marginals
+    val withSingle = ratings.union(Seq((9L, "Z")).toDF("item", "cat"))
+    val rs = Stats.fleissKappa(withSingle, "item", "cat").collect()(0)
+    assert(rs.getAs[Long]("n_items") == 4L && rs.getAs[Long]("n_ratings") == 12L)
+    assert(rs.getAs[Long]("kappa_micro") == 333333L)
+    // partition invariance (exact integer path)
+    val rp = Stats.fleissKappa(ratings.repartition(7), "item", "cat").collect()(0)
+    assert(rp.getAs[Long]("kappa_micro") == 333333L)
+  }
+
+  test("bradleyTerry: two-item MLE ratio, zero-win rest at 0, determinism, round clamp") {
+    // A beats B 3x, B beats A 1x: two-item BT MLE has sA/sB = 3 ->
+    // shares 750000/250000; the MM update hits the fixed point in round 1
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq.fill(1)(("B", "A"))).toDF("w", "l")
+    val r = Stats.bradleyTerry(ab, "w", "l", rounds = 4)
+      .orderBy("item").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("n_games"),
+        x.getAs[Long]("n_wins"), x.getAs[Long]("share_micro")))
+    assert(r.toSeq == Seq(("A", 4L, 3L, 750000L), ("B", 4L, 1L, 250000L)))
+    // an all-loser rests at exactly 0 strength and share
+    val chain = (Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "C"))).toDF("w", "l")
+    val c = Stats.bradleyTerry(chain, "w", "l", rounds = 6)
+      .orderBy("item").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("strength_micro")))
+    assert(c.last == ("C", 0L))
+    assert(c(0)._2 > c(1)._2 && c(1)._2 > 0L) // A > B > C
+    // strength beats raw win rate: B and D both go 2-2, but B's wins came
+    // against the strong A while D's came against the all-loser C (and D
+    // lost its real games to A) - BT must rank B far above D. (A graph
+    // where D beat ONLY an island all-loser is deliberately avoided:
+    // that's the classic non-identifiable BT case.)
+    val mixed = (Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "A"))
+      ++ Seq.fill(2)(("A", "C")) ++ Seq.fill(2)(("D", "C"))
+      ++ Seq.fill(2)(("A", "D"))).toDF("w", "l")
+    val m = Stats.bradleyTerry(mixed, "w", "l", rounds = 8).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("strength_micro")).toMap
+    assert(m("B") > m("D"), s"strength must out-rank win-rate: $m")
+    // deterministic under repartitioning (pure integer arithmetic)
+    val rep = Stats.bradleyTerry(ab.repartition(5), "w", "l", rounds = 4)
+      .orderBy("item").collect().map(_.getAs[Long]("strength_micro")).toSeq
+    val one = Stats.bradleyTerry(ab, "w", "l", rounds = 4)
+      .orderBy("item").collect().map(_.getAs[Long]("strength_micro")).toSeq
+    assert(rep == one)
+    intercept[IllegalArgumentException] { Stats.bradleyTerry(ab, "w", "l", 0) }
+  }
 }
