@@ -111,7 +111,14 @@ object Plans {
         // against raw ratings); Bradley-Terry's game window partitions by
         // user and each MM round joins the PINNED edge table against the
         // |items|-sized strength frame (never a rounds-deep lazy plan)
-        "q234_fleiss_kappa", "q235_bradley_terry")
+        "q234_fleiss_kappa", "q235_bradley_terry",
+        // r13 batch 3: conformal rides the winsorize bucket-cell shape
+        // (no data-sized single-partition window); centroid drift is two
+        // explode+hash-agg centroid passes + a |groups|-sized join (no
+        // pairwise anything); incremental retention folds the standing
+        // (key, period) store — the matrix tail never re-reads events
+        "q236_conformal_threshold", "q237_centroid_drift",
+        "q238_retention_incremental")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -367,6 +367,19 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       Similarity.prototypicality(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("cell"), col("cell_rank"))
     }),
+    // centroid drift ✚ (r13): per-pseudo-domain cosine between the
+    // hash-shard-0 "new snapshot" centroid and the rest — integer-sum
+    // centroids, exact dots, one division; the embedding-space monitor
+    "q237_centroid_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("grp", pmod(col("vec_id"), lit(8L)))
+      val sh = Ops.shardByHash(e, "vec_id", 5)
+      Similarity.centroidDrift(
+          sh.filter(col("shard") =!= 0).drop("shard"),
+          sh.filter(col("shard") === 0).drop("shard"),
+          "embedding", "grp")
+        .orderBy(col("grp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -847,5 +860,44 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
                   ORDER BY proto_micro DESC, vec_id) AS BIGINT) AS cell_rank,
                 CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
          FROM sc ORDER BY cell, cell_rank""",
+    // same quantized per-dimension centroid SUMS per (grp, shard side),
+    // exact integer dots, the one guarded double division — the q137
+    // centroid idiom joined across the two snapshots
+    "q237_centroid_drift" ->
+      s"""WITH $sqlEmbVv,
+         g AS (SELECT vec_id, vec_id % 8 AS grp, q, shard FROM vv),
+         ea AS (SELECT grp, d, q[d] AS x
+                FROM g, unnest(range(1, len(q) + 1)) AS t(d) WHERE shard <> 0),
+         eb AS (SELECT grp, d, q[d] AS x
+                FROM g, unnest(range(1, len(q) + 1)) AS t(d) WHERE shard = 0),
+         ca AS (SELECT grp, list(x ORDER BY d) AS cs
+                FROM (SELECT grp, d, CAST(sum(x) AS BIGINT) AS x
+                      FROM ea GROUP BY 1, 2)
+                GROUP BY grp),
+         cb AS (SELECT grp, list(x ORDER BY d) AS cs
+                FROM (SELECT grp, d, CAST(sum(x) AS BIGINT) AS x
+                      FROM eb GROUP BY 1, 2)
+                GROUP BY grp),
+         na AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_a
+                FROM g WHERE shard <> 0 GROUP BY grp),
+         nb AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_b
+                FROM g WHERE shard = 0 GROUP BY grp),
+         sc AS (SELECT ca.grp, na.n_a, nb.n_b,
+                 list_sum([p[1] * p[2] for p in list_zip(ca.cs, cb.cs)]) AS dt,
+                 list_sum([y * y for y in ca.cs]) AS nna,
+                 list_sum([y * y for y in cb.cs]) AS nnb
+                FROM ca JOIN cb ON ca.grp = cb.grp
+                        JOIN na ON na.grp = ca.grp
+                        JOIN nb ON nb.grp = ca.grp)
+         SELECT grp, n_a, n_b,
+                CASE WHEN nna > 0 AND nnb > 0 THEN
+                  CAST(round(dt::DOUBLE / (sqrt(nna::DOUBLE) * sqrt(nnb::DOUBLE))
+                    * 1000000000) AS BIGINT)
+                END AS cos_nano,
+                1000000000 - CASE WHEN nna > 0 AND nnb > 0 THEN
+                  CAST(round(dt::DOUBLE / (sqrt(nna::DOUBLE) * sqrt(nnb::DOUBLE))
+                    * 1000000000) AS BIGINT)
+                END AS drift_nano
+         FROM sc ORDER BY grp""",
   )
 }

@@ -414,6 +414,26 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
           periodUs = 7L * 86400L * 1000000L, maxOffset = 52)
         .orderBy("cohort", "offset")
     }),
+    // incremental retention ✚ (r13): the q232 readout rebuilt as a
+    // standing (key, period) activity store + order-free idempotent fold
+    // (the q216/q221 shape) — the query IS the equivalence gate:
+    // retentionFromState(fold(state(hist), batch)) must hash-match the
+    // full-history q232 oracle
+    "q238_retention_incremental" -> ((s, d) => {
+      val wk = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("ts_us"))
+      val mid = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2)
+        .cast(LongType).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+      val hist = tagged.filter(col("ts_us") < col("mid")).drop("mid")
+      val batch = tagged.filter(col("ts_us") >= col("mid")).drop("mid")
+      val st0 = Sequences.periodState(hist, "user_id", "ts_us", wk)
+      val st1 = Sequences.ingestPeriods(st0, batch, "user_id", "ts_us", wk)
+      Sequences.retentionFromState(st1, maxOffset = 52)
+        .orderBy("cohort", "offset")
+    }),
     // per-group fraction sampling ✚ (r13): a priority→rate rebalancing
     // plan applied as a stateless hash-band filter behind one broadcast
     // join — per-row fate stable under corpus growth, fraction 0 and 1

@@ -22,6 +22,23 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
                   ((1::BIGINT << 16) - (1::BIGINT << (16 - n_used::INT)))::DOUBLE)
                   AS BIGINT) AS ewma_micro
          FROM a ORDER BY user_id"""
+  // shared by q232 (direct) and q238 (standing (key, period) fold) — ONE
+  // definition so the equivalence gate can never drift against a stale copy
+  private val retentionOracleSql =
+    """WITH up AS (SELECT DISTINCT user_id AS k, epoch_us(ts) // 604800000000 AS p
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT k, p, min(p) OVER (PARTITION BY k) AS cohort FROM up),
+         m AS (SELECT cohort, p - cohort AS "offset",
+                CAST(count(*) AS BIGINT) AS n_keys
+               FROM c WHERE p - cohort <= 52 GROUP BY cohort, p - cohort),
+         z AS (SELECT cohort, "offset", n_keys,
+                max(CASE WHEN "offset" = 0 THEN n_keys END)
+                  OVER (PARTITION BY cohort) AS cohort_size
+               FROM m)
+         SELECT cohort, "offset", n_keys, cohort_size,
+                CAST(round(n_keys::DOUBLE / cohort_size::DOUBLE * 1e6) AS BIGINT)
+                  AS retained_micro
+         FROM z ORDER BY cohort, "offset""""
   // shared by q214 (direct) and q221 (standing first-k fold)
   private val topPathsOracleSql =
     """WITH x AS (SELECT user_id, event_type,
@@ -459,21 +476,11 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
     // same distinct (user, week) collapse, min-over-key cohort label,
     // offset cap, and one-division retained ratio as retentionCohorts;
     // epoch µs are non-negative here so // floor-division matches floorDiv
-    "q232_retention_cohorts" ->
-      """WITH up AS (SELECT DISTINCT user_id AS k, epoch_us(ts) // 604800000000 AS p
-              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-         c AS (SELECT k, p, min(p) OVER (PARTITION BY k) AS cohort FROM up),
-         m AS (SELECT cohort, p - cohort AS "offset",
-                CAST(count(*) AS BIGINT) AS n_keys
-               FROM c WHERE p - cohort <= 52 GROUP BY cohort, p - cohort),
-         z AS (SELECT cohort, "offset", n_keys,
-                max(CASE WHEN "offset" = 0 THEN n_keys END)
-                  OVER (PARTITION BY cohort) AS cohort_size
-               FROM m)
-         SELECT cohort, "offset", n_keys, cohort_size,
-                CAST(round(n_keys::DOUBLE / cohort_size::DOUBLE * 1e6) AS BIGINT)
-                  AS retained_micro
-         FROM z ORDER BY cohort, "offset"""",
+    "q232_retention_cohorts" -> retentionOracleSql,
+    // identical to the q232 oracle — the standing (key, period) fold must
+    // reproduce the full-history matrix exactly (order-free idempotent set
+    // union, so no delta-ordering caveat applies)
+    "q238_retention_incremental" -> retentionOracleSql,
     // same md5-60-bit hash, same floor(f*2^60 + 0.5) per-row band edge —
     // the hashBandEdge rounding contract as an expression on both engines
     "q233_sample_fractions" ->

@@ -431,6 +431,14 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q234_fleiss_kappa" -> ((s, d) => {
       Stats.fleissKappa(Tables.lineitem(s, d), "l_orderkey", "l_returnflag")
     }),
+    // split-conformal threshold ✚ (r13): the ⌈(n+1)·0.9⌉-th smallest
+    // spend per event type — exact order statistic via the two-level
+    // rank machinery, integer ceil, the finite-sample coverage gate
+    "q236_conformal_threshold" -> ((s, d) => {
+      Stats.conformalThreshold(Tables.events(s, d), "event_type", "value",
+          "event_id", alphaPct = 10)
+        .orderBy(col("event_type"))
+    }),
     // Bradley–Terry ✚ (r13): preference strengths over event types —
     // games are a user's consecutive event pairs (winner = the higher
     // value, ties/nulls to the earlier event), 6 MM rounds of pure

@@ -933,6 +933,26 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
                     / (1000000000 - pe_nano)::DOUBLE * 1e6) AS BIGINT)
                 END AS kappa_micro
          FROM pb CROSS JOIN pe""",
+    // same (value, id) total order, same integer ceil for k, the exact
+    // k-th smallest — row_number replays the two-level rank positions
+    "q236_conformal_threshold" ->
+      """WITH e AS (SELECT event_type AS g, event_id AS id,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         p AS (SELECT g, v,
+                row_number() OVER (PARTITION BY g ORDER BY v, id) AS p,
+                count(*) OVER (PARTITION BY g) AS n
+               FROM e),
+         nk AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                 CAST(((max(n) + 1) * 90 + 99) // 100 AS BIGINT) AS k
+                FROM p GROUP BY g)
+         SELECT nk.g AS event_type, nk.n, nk.k,
+                CASE WHEN nk.k <= nk.n THEN
+                  min(CASE WHEN p.p = nk.k THEN v END)
+                END AS qhat_micro
+         FROM p JOIN nk ON p.g = nk.g
+         GROUP BY nk.g, nk.n, nk.k
+         ORDER BY event_type""",
     // game construction replayed by the same lead window, then the MM
     // rounds unrolled as MATERIALIZED CTEs — pure HUGEINT floor division,
     // bit-identical to the Decimal(38,0) div path

@@ -477,11 +477,19 @@ object Sequences {
       periodUs: Long, maxOffset: Int = 52): DataFrame = {
     require(periodUs > 0, "periodUs must be positive")
     require(maxOffset >= 0, "maxOffset must be >= 0")
-    val counts = events
+    events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("__k"),
         Ranks.floorDiv(col(tsCol).cast(LongType), periodUs).as("__p"))
       .groupBy(col("__k")).agg(collect_set(col("__p")).as("__ps"))
+      .transform(retentionMatrix(_, maxOffset))
+  }
+
+  /** The matrix tail shared by [[retentionCohorts]] and
+    * [[retentionFromState]]: per-key period sets → (cohort, offset,
+    * n_keys, cohort_size, retained_micro). */
+  private def retentionMatrix(sets: DataFrame, maxOffset: Int): DataFrame = {
+    val counts = sets
       .select(array_min(col("__ps")).as("cohort"),
         explode(col("__ps")).as("__p"))
       .withColumn("offset", col("__p") - col("cohort"))
@@ -495,6 +503,38 @@ object Sequences {
       .withColumn("retained_micro",
         round(col("n_keys").cast("double") / col("cohort_size").cast("double")
           * 1e6).cast(LongType))
+  }
+
+  /** Standing retention state from a batch of history: the DISTINCT
+    * (key, period) activity table — the ONLY thing the retention matrix
+    * needs, and the natural parquet store (rows bounded by keys × active
+    * periods, never by event count). Output columns: `key`, `period`. */
+  def periodState(events: DataFrame, keyCol: String, tsCol: String,
+      periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        Ranks.floorDiv(col(tsCol).cast(LongType), periodUs).as("period"))
+      .distinct()
+  }
+
+  /** Incremental retention ingest: fold a new event batch into a standing
+    * [[periodState]] WITHOUT re-reading history — union + distinct, the
+    * idempotent upsert (re-folding the same batch is a no-op; unlike the
+    * order-sensitive prefix/EWMA stores there is no delta-ordering
+    * precondition, because set membership is order-free). Readout via
+    * [[retentionFromState]] must hash-match the full-history
+    * [[retentionCohorts]] — q238 IS that equivalence gate. */
+  def ingestPeriods(state: DataFrame, batch: DataFrame, keyCol: String,
+      tsCol: String, periodUs: Long): DataFrame =
+    state.unionByName(periodState(batch, keyCol, tsCol, periodUs)).distinct()
+
+  /** Retention matrix over a standing [[periodState]] — one exchange over
+    * the (already collapsed) state rows, then the tiny-domain tail. */
+  def retentionFromState(state: DataFrame, maxOffset: Int = 52): DataFrame = {
+    require(maxOffset >= 0, "maxOffset must be >= 0")
+    state.groupBy(col("key")).agg(collect_set(col("period")).as("__ps"))
+      .transform(retentionMatrix(_, maxOffset))
   }
 
   /** SESSION-scoped [[topPaths]] (VERDICT r11 missing #2): paths are each

@@ -1256,6 +1256,40 @@ object Similarity {
       .withColumnRenamed("co_grp", grpCol)
   }
 
+  /** Embedding-space drift between two corpus snapshots (r13 ✚) — the
+    * vector-side sibling of [[graft.operators.Stats.psi]]/ksTest feature
+    * drift: per group, the cosine between snapshot A's and snapshot B's
+    * centroids. Centroids enter as per-dimension integer SUMS of the
+    * quantized vectors ([[groupCentroids]] — cosine is scale-invariant,
+    * so the sum IS the centroid), making both dots exact longs and the
+    * cosine ONE double division — engine-exact, the [[centroidOutliers]]
+    * arithmetic. The embedding-pipeline monitoring readout: a group whose
+    * `cos_nano` sags below ~0.95·10⁹ has semantically moved (new topic
+    * mix, encoder change, ingest bug) even when every scalar feature
+    * looks stable. Groups present in only one snapshot are dropped
+    * (inner join — no drift is defined for them); zero-norm centroids
+    * yield null cosine (no direction, the [[qcosine]] guard).
+    *
+    * Scale shape: two [[groupCentroids]] passes (explode + two hash-aggs
+    * each, linear in vectors) and a |groups|-sized join — no pairwise
+    * anything, no window. Output per group: `n_a`, `n_b` (vector
+    * counts), `cos_nano`, `drift_nano` = 10⁹ − cos_nano. */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      grpCol: String, scale: Int = 1000): DataFrame = {
+    def side(df: DataFrame, suf: String) = {
+      val n = df.filter(col(grpCol).isNotNull)
+        .groupBy(col(grpCol)).agg(count(lit(1)).as(s"n_$suf"))
+      groupCentroids(df.filter(col(grpCol).isNotNull), vecCol, grpCol, scale)
+        .select(col(grpCol), col("cs").as(s"cs_$suf"), col("cnn").as(s"nn_$suf"))
+        .join(n, Seq(grpCol))
+    }
+    side(a, "a").join(side(b, "b"), Seq(grpCol))
+      .select(col(grpCol), col("n_a"), col("n_b"),
+        round(cosineOf(nqdot(col("cs_a"), col("cs_b")),
+          col("nn_a"), col("nn_b")) * 1e9).cast("long").as("cos_nano"))
+      .withColumn("drift_nano", lit(1000000000L) - col("cos_nano"))
+  }
+
   /** Per-group embedding diversity — the mean pairwise cosine of a
     * group's vectors, computed in O(N) per group via the sum-of-vectors
     * identity instead of the O(N²) pair join:

@@ -734,6 +734,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(byId == want)
   }
 
+  test("centroidDrift: identical/opposed/moved snapshots; one-sided groups dropped; zero-norm null") {
+    import spark.implicits._
+    val a = Seq(
+      ("same", Array(1.0, 0.0)), ("same", Array(1.0, 0.0)),
+      ("flip", Array(2.0, 0.0)),
+      ("move", Array(1.0, 0.0)), ("move", Array(0.0, 1.0)),
+      ("only_a", Array(1.0, 1.0)),
+      ("zero", Array(0.0, 0.0))).toDF("g", "v")
+    val b = Seq(
+      ("same", Array(3.0, 0.0)),          // same direction, other scale
+      ("flip", Array(-1.0, 0.0)),         // opposed
+      ("move", Array(1.0, 0.0)),          // centroid (1,1) vs (1,0)
+      ("only_b", Array(1.0, 1.0)),
+      ("zero", Array(1.0, 0.0))).toDF("g", "v")
+    val got = Similarity.centroidDrift(a, b, "v", "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // only the shared groups survive the inner join
+    assert(got.keySet == Set("same", "flip", "move", "zero"))
+    assert(got("same") == (2L, 1L, Some(1000000000L), Some(0L)))
+    assert(got("flip") == (1L, 1L, Some(-1000000000L), Some(2000000000L)))
+    // cos((1,1), (1,0)) = 1/sqrt(2) -> 707106781 nano
+    assert(got("move") == (2L, 1L, Some(707106781L), Some(292893219L)))
+    // a zero-norm centroid has no direction: null cosine AND null drift
+    assert(got("zero") == (1L, 1L, None, None))
+    // deterministic under repartitioning (integer sums, one division)
+    val rep = Similarity.centroidDrift(a.repartition(5), b.repartition(3), "v", "g")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(rep == got.view.mapValues(_._3).toMap)
+  }
+
   private def exceptionChain(e: Throwable): Seq[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 

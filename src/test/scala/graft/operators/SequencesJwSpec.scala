@@ -301,6 +301,32 @@ class SequencesJwSpec extends SparkTestBase {
     }
   }
 
+  test("periodState/ingestPeriods: fold ≡ full recompute; re-fold idempotent") {
+    // period = 10µs; the split at t=20 leaves u1 active in period 1 on
+    // BOTH sides (t=12 hist, t=25… no — t=15 hist, t=19 hist, period 2
+    // via t=25 batch) and u2's period 2 is touched by hist (t=29) and
+    // batch (t=21) — the union+distinct must collapse them
+    val ev = Seq[(Option[Long], Long)](
+      (Some(1L), 0L), (Some(1L), 12L), (Some(1L), 15L), (Some(1L), 31L),
+      (Some(2L), 5L), (Some(2L), 19L), (Some(2L), 21L), (Some(2L), 29L),
+      (Some(3L), 25L), (None, 3L)).toDF("u", "t")
+    val full = Sequences.retentionCohorts(ev, "u", "t", periodUs = 10L)
+      .orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+    val hist = ev.filter(col("t") < 20L)
+    val batch = ev.filter(col("t") >= 20L)
+    val st0 = Sequences.periodState(hist, "u", "t", 10L)
+    val st1 = Sequences.ingestPeriods(st0, batch, "u", "t", 10L)
+    val folded = Sequences.retentionFromState(st1, maxOffset = 52)
+      .orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+    assert(folded == full)
+    // re-folding the same batch is a no-op (order-free set union)
+    val st2 = Sequences.ingestPeriods(st1, batch, "u", "t", 10L)
+    assert(st2.count() == st1.count())
+    val refolded = Sequences.retentionFromState(st2, maxOffset = 52)
+      .orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+    assert(refolded == full)
+  }
+
   test("sessionTopPaths: closed gap boundary, per-session prefixes, tie order") {
     // user 1: events at t=0,100 (gap 100 = EXACTLY the gap -> same
     // session), then t=201 (gap 101 > gap -> NEW session) — the closed

@@ -586,6 +586,40 @@ class StatsSpec extends SparkTestBase {
     assert(rp.getAs[Long]("kappa_micro") == 333333L)
   }
 
+  test("conformalThreshold: exact k-th smallest, integer ceil, small-n refusal, tie order") {
+    // group a: scores 1..9, alpha 10% -> k = ceil(10*0.9) = 9 -> qhat = 9
+    // group b: 3 scores -> k = ceil(4*0.9) = 4 > 3 -> null threshold
+    val df = ((1 to 9).map(i => ("a", i.toDouble, i.toLong))
+      ++ Seq(("b", 1.0, 101L), ("b", 2.0, 102L), ("b", 3.0, 103L)))
+      .toDF("g", "score", "id")
+    val got = Stats.conformalThreshold(df, "g", "score", "id", alphaPct = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("a") == (9L, 9L, Some(9000000L)))
+    assert(got("b") == (3L, 4L, None))
+    // alpha 50%: k = ceil(10*0.5) = 5 -> the median-ish 5th smallest
+    val a50 = Stats.conformalThreshold(df.filter(col("g") === "a"),
+      "g", "score", "id", alphaPct = 50).collect()(0)
+    assert(a50.getLong(2) == 5L && a50.getLong(3) == 5000000L)
+    // ties: duplicated scores still give the exact positional statistic
+    val ties = Seq(("t", 1.0, 1L), ("t", 1.0, 2L), ("t", 2.0, 3L),
+      ("t", 2.0, 4L)).toDF("g", "score", "id")
+    // k = ceil(5*0.9) = 5 > 4 -> null; at alpha=40 k = ceil(5*0.6) = 3 -> 2.0
+    assert(Stats.conformalThreshold(ties, "g", "score", "id", 10)
+      .collect()(0).isNullAt(3))
+    assert(Stats.conformalThreshold(ties, "g", "score", "id", 40)
+      .collect()(0).getLong(3) == 2000000L)
+    // partition invariance
+    val rep = Stats.conformalThreshold(df.repartition(7), "g", "score", "id", 10)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(rep == got.view.mapValues(_._3).toMap)
+    intercept[IllegalArgumentException] {
+      Stats.conformalThreshold(df, "g", "score", "id", 0)
+    }
+  }
+
   test("bradleyTerry: two-item MLE ratio, zero-win rest at 0, determinism, round clamp") {
     // A beats B 3x, B beats A 1x: two-item BT MLE has sA/sB = 3 ->
     // shares 750000/250000; the MM update hits the fixed point in round 1
