@@ -738,6 +738,47 @@ object Streams {
         minCosNano, scale))
     }
 
+  /** Conformal-abstention gate for ONE micro-batch: keep rows whose
+    * nonconformity score stays AT OR UNDER their group's stored
+    * split-conformal threshold ([[graft.operators.Stats
+    * .conformalThreshold]] over a held-out calibration snapshot — a
+    * |groups|-row (group, n, k, qhat_micro) table, reloadable from
+    * parquet). The finite-sample acceptance gate for model-in-the-loop
+    * ingest: an autolabel/LLM-judge output scoring above q̂ is abstained
+    * with the ≥ 1−α guarantee the calibration run certified. Rows whose
+    * group has no stored threshold, or whose threshold is null (the
+    * small-n refusal), or whose score is null are DROPPED — a quality
+    * gate fails closed (the [[centroidGateBatch]] contract). Scores are
+    * micro-quantized with the SAME rounding as calibration, so the
+    * boundary row (score == q̂) is kept on every engine. Stateless
+    * across batches; recalibrate when the model or corpus rolls, not per
+    * micro-batch. */
+  def conformalGateBatch(batch: DataFrame, scoreCol: String, grpCol: String,
+      thresholds: DataFrame): DataFrame = {
+    val reserved = Seq("__cf_q")
+    val clash = batch.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"conformalGateBatch reserves ${reserved.mkString("/")}; " +
+        s"rename input column(s): ${clash.mkString(", ")}")
+    val t = thresholds.filter(col("qhat_micro").isNotNull)
+      .select(col(grpCol), col("qhat_micro").as("__cf_q"))
+    batch.join(broadcast(t), Seq(grpCol))
+      .filter(round(col(scoreCol).cast("double") * 1e6).cast("long")
+        <= col("__cf_q"))
+      .drop("__cf_q")
+  }
+
+  /** [[conformalGateBatch]] as a streaming stage: a `foreachBatch` writer
+    * gating every micro-batch against the frozen threshold store. Same
+    * contract as [[centroidGateStreamBulk]] — caller sets trigger/options
+    * and `.start()`s the returned writer. */
+  def conformalGateStreamBulk(stream: DataFrame, scoreCol: String,
+      grpCol: String, thresholds: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      sink(conformalGateBatch(batch.toDF(), scoreCol, grpCol, thresholds))
+    }
+
   /** Fuzzy-match-at-ingest: probe each micro-batch's strings against a
     * standing [[graft.operators.Joins.FuzzyIndex]] (the record-linkage
     * deployment shape — dictionary signatures computed once via

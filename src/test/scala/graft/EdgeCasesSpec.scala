@@ -233,4 +233,48 @@ class EdgeCasesSpec extends SparkTestBase {
     val emptyB = Seq.empty[(Long, String)].toDF("bk", "it")
     assert(Baskets.pairLift(emptyB, "bk", "it").count() == 0)
   }
+
+  test("r13 operators on empty / all-null / degenerate inputs") {
+    import graft.operators.{Sequences, Similarity, Stats}
+    // fold labels / fraction samples: empty in, empty out; null keys to
+    // the last fold (CASE else), null fractions drop their group
+    val emptyI = Seq.empty[(Long, Long)].toDF("id", "grp")
+    assert(Ops.foldByGroupHash(emptyI, "grp", 3).count() == 0)
+    val frNull = Seq((Option.empty[Double], 1L)).toDF("fraction", "grp")
+    val rows = Seq((1L, 1L), (2L, 1L)).toDF("id", "grp")
+    assert(Ops.sampleByFractions(rows, Seq("grp"), "id", frNull).count() == 0)
+    // retention: empty and all-null-key events -> empty matrix; a
+    // single-event corpus is its own cohort at offset 0, retained 100%
+    val emptyEv = Seq.empty[(Long, Long)].toDF("u", "t")
+    assert(Sequences.retentionCohorts(emptyEv, "u", "t", 10L).count() == 0)
+    assert(Sequences.retentionFromState(
+      Sequences.periodState(emptyEv, "u", "t", 10L)).count() == 0)
+    val oneEv = Seq((1L, 5L)).toDF("u", "t")
+    val r1 = Sequences.retentionCohorts(oneEv, "u", "t", 10L).head()
+    assert(r1.getLong(2) == 1L && r1.getLong(4) == 1000000L)
+    // conformal: empty in, empty out; a 1-row group refuses (k = 2 > 1)
+    val emptyS = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
+    assert(Stats.conformalThreshold(emptyS, "g", "v", "id").count() == 0)
+    val c1 = Stats.conformalThreshold(
+      Seq(("g", 3.0, 1L)).toDF("g", "v", "id"), "g", "v", "id", 10).head()
+    assert(c1.getLong(1) == 1L && c1.getLong(2) == 2L && c1.isNullAt(3))
+    // fleiss: empty input still emits its one summary row, all-null stats
+    val emptyR = Seq.empty[(Long, String)].toDF("item", "cat")
+    val fk = Stats.fleissKappa(emptyR, "item", "cat").collect()(0)
+    assert(fk.getLong(0) == 0L && fk.isNullAt(4))
+    // bradley-terry: empty games and self-games yield no items
+    val emptyG = Seq.empty[(String, String)].toDF("w", "l")
+    assert(Stats.bradleyTerry(emptyG, "w", "l").count() == 0)
+    assert(Stats.bradleyTerry(Seq(("a", "a")).toDF("w", "l"), "w", "l")
+      .count() == 0)
+    // centroid drift: one empty side -> inner join drops everything
+    val emptyVec = Seq.empty[(Long, Array[Double])].toDF("g", "v")
+    val someVec = Seq((1L, Array(1.0, 0.0))).toDF("g", "v")
+    assert(Similarity.centroidDrift(someVec, emptyVec, "v", "g").count() == 0)
+    // funnel stream state types: the batch funnel with a single step list
+    // still emits its one row on empty input (fixed step list contract)
+    val emptyFe = Seq.empty[(Long, String, Long)].toDF("k", "s", "t")
+    val f1 = Sequences.funnelWithin(emptyFe, "k", "s", "t", Seq("x"), 5L).head()
+    assert(f1.getLong(2) == 0L && f1.isNullAt(3))
+  }
 }

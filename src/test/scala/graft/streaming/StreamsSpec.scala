@@ -490,6 +490,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("conformalGateStreamBulk: boundary kept, over-qhat/small-n/unknown-group drop; stream ≡ batch") {
+    import graft.operators.Stats
+    implicit val sqlCtx = spark.sqlContext
+    // calibration: group a has 9 scores 1..9 (alpha 10% -> qhat = 9.0);
+    // group b has 2 scores (k = ceil(3*0.9) = 3 > 2 -> null -> refuses)
+    val calib = ((1 to 9).map(i => ("a", i.toDouble, i.toLong))
+      ++ Seq(("b", 1.0, 101L), ("b", 2.0, 102L))).toDF("grp", "score", "id")
+    val th = Stats.conformalThreshold(calib, "grp", "score", "id", alphaPct = 10)
+    val batch = Seq(
+      (20L, "a", 9.0),   // score == qhat: the boundary row is KEPT
+      (21L, "a", 9.01),  // above qhat -> abstain
+      (22L, "a", 0.5),   // well under -> keep
+      (23L, "b", 0.1),   // group refused at calibration -> fail closed
+      (24L, "z", 0.1))   // unknown group -> fail closed
+    val kept = Streams.conformalGateBatch(batch.toDF("id", "grp", "score"),
+        "score", "grp", th)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(20L, 22L))
+    val got = scala.collection.mutable.Set[Long]()
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Streams.conformalGateStreamBulk(
+        mem.toDF().toDF("id", "grp", "score"), "score", "grp", th) { out =>
+      got ++= out.collect().map(_.getAs[Long]("id"))
+    }.start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      assert(got.toSet == kept)
+    } finally q.stop()
+  }
+
   test("fuzzyProbeStreamBulk: streamed batches match the standing dictionary ≡ batch twin") {
     import graft.operators.Joins
     implicit val sqlCtx = spark.sqlContext
