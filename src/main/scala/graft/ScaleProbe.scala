@@ -428,6 +428,11 @@ object ScaleProbe {
       // the "bucket-cell windows, never data-sized sorts" claim becomes a
       // curve: wz_sec must track the scan linearly (the two-level Ranks
       // positions shuffle bucket cells, not a per-group sorted history).
+      // GC fence (r13): the r13 axes run ~30 axes deep in one JVM; an
+      // untimed collection here keeps earlier axes' garbage off these
+      // clocks (the Bench release() rationale — run-3 measured a 3.6×
+      // factor-10 swing on THIS axis from accumulated heap state alone).
+      System.gc()
       val wzt0 = System.nanoTime()
       val nWz = graft.operators.Stats.winsorizedMean(
         docs.select(pmod(col("doc_id"), lit(8L)).as("g"),
@@ -442,6 +447,7 @@ object ScaleProbe {
       // pin trade: the pin lost at every factor (materialization + cache
       // read-back > the recompute), so r13 shipped the lazy plan; this
       // axis keeps the counterfactual honest every round.
+      System.gc() // untimed fence between the two variants' clocks
       val tft0 = System.nanoTime()
       val nTfPin = graft.operators.Search.tfidfTopTerms(
         docs, "doc_id", "text", k = 5).count()
@@ -469,6 +475,34 @@ object ScaleProbe {
         .localCheckpoint(true).count()
       tfL.unpersist(blocking = false)
       val tft2 = System.nanoTime()
+
+      // retention axis (r13): cohort matrix over a keyed synthetic series
+      // (1009 fixed keys, period = id div 256 so both active periods AND
+      // rows grow with the factor). The ONE data-sized exchange carries
+      // the map-side-deduped (key, period) volume — ret_sec must track
+      // rows linearly, never re-shuffle the collapsed table a second time.
+      System.gc()
+      val rtt0 = System.nanoTime()
+      val nRet = graft.operators.Sequences.retentionCohorts(
+        docs.select(pmod(col("doc_id"), lit(1009L)).as("k"),
+          col("doc_id").as("t")),
+        "k", "t", periodUs = 256L, maxOffset = 1000000).count()
+      val rtt1 = System.nanoTime()
+
+      // bradley-terry axis (r13): preference strengths over a fixed
+      // 13-item domain with games growing linearly (winner/loser derived
+      // from doc length/id). The wins/pairs collapse is the only
+      // data-sized pass; the 6 MM rounds run on the ≤ 13²-row pinned edge
+      // table — bt_sec must track the scan, not rounds × rows.
+      System.gc()
+      val btt0 = System.nanoTime()
+      val btGames = docs.select(
+          pmod(length(col("text")).cast("long"), lit(13L)).as("w"),
+          pmod(length(col("text")).cast("long") + col("doc_id"), lit(13L)).as("l"))
+        .filter(col("w") =!= col("l"))
+      val nBt = graft.operators.Stats.bradleyTerry(btGames, "w", "l",
+        rounds = 6).count()
+      val btt1 = System.nanoTime()
 
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
@@ -537,6 +571,8 @@ object ScaleProbe {
         s""""bk_pairs":$nBkPairs,"bk_sec":${sec(bkt0, bkt1)},""" +
         s""""med_rows":$nMedRows,"med_sec":${sec(rmt0, rmt1)},""" +
         s""""path_rows":$nPathRows,"paths_sec":${sec(tpt0, tpt1)},""" +
+        s""""ret_cells":$nRet,"ret_sec":${sec(rtt0, rtt1)},""" +
+        s""""bt_items":$nBt,"bt_sec":${sec(btt0, btt1)},""" +
         s""""wz_groups":$nWz,"wz_sec":${sec(wzt0, wzt1)},""" +
         s""""tfidf_rows":$nTfPin,"tfidf_sec":${sec(tft0, tft1)},""" +
         s""""tfidf_pin_rows":$nTfLazy,"tfidf_pin_sec":${sec(tft1, tft2)}""" +

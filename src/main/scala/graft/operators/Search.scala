@@ -289,12 +289,15 @@ object Search {
     * value, derived without a third tokenization pass), broadcast into
     * the score, and a doc-partitioned window for the top-k. Lazy: r12
     * pinned tf (persist + eager localCheckpoint) to run the explode
-    * once, but the r13 ScaleProbe tfidf axis measured the pin LOSING at
-    * every factor (1/5/10× sf0.1: 1.72/2.50/2.95 s pinned vs
-    * 1.29/2.04/2.70 s lazy) — materialization + cache read-back costs
-    * more than the recompute, so the recompute-twice plan is the shipped
-    * one (VERDICT r12 #2, measured). Posting-list-shaped joins only, no
-    * global sort, no driver state. Output: (id, `term`, `tf`, `df`,
+    * once; the r13 measurements (VERDICT r12 #2) found the two plans
+    * within ~25% of each other on the ScaleProbe tfidf axis at every
+    * factor (position-in-run biased), while the DE-NOISED instrument —
+    * the bench harness, median of 3 with GC between runs — reads this
+    * query at 1.09 s lazy vs 1.80 s pinned at sf0.1: materialization +
+    * cache read-back costs more than the recompute, so the
+    * recompute-twice plan shipped and the pinned counterfactual stays
+    * measured in the probe every round. Posting-list-shaped joins only,
+    * no global sort, no driver state. Output: (id, `term`, `tf`, `df`,
     * `tfidf_micro`, `rank` ≤ k). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
