@@ -471,4 +471,74 @@ object GraftProperties extends Properties("graft") {
           r.getLong(3) <= r.getLong(4) // lo <= hi whenever trim < 50
       }
     }
+
+  property("foldByGroupHash: k=2 equals the 0.5 splitByGroupHash cut; folds partition every k") =
+    forAll(Gen.listOfN(20, Gen.chooseNum(0L, 40L)), Gen.chooseNum(2, 7)) { (grps, k) =>
+      import spark.implicits._
+      grps.isEmpty || {
+        val d = grps.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+          .toDF("id", "grp")
+        val folded = Ops.foldByGroupHash(d, "grp", k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val atomic = folded.groupBy(_._2).values
+          .forall(_.map(_._3).distinct.length == 1)
+        val covered = folded.forall(f => f._3 >= 0 && f._3 < k)
+        // the shared hashBandEdge contract: at k=2, fold 0 IS split "a"
+        // under cuts (a -> 0.5, b -> 1.0)
+        val two = Ops.foldByGroupHash(d, "grp", 2).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val split = Ops.splitByGroupHash(d, "grp",
+            Seq("a" -> 0.5, "b" -> 1.0)).collect()
+          .map(r => r.getLong(0) -> r.getString(2)).toMap
+        val agrees = two.forall { case (id, f) =>
+          (f == 0L) == (split(id) == "a")
+        }
+        atomic && covered && folded.length == grps.length && agrees
+      }
+    }
+
+  property("conformalThreshold: qhat is the brute-force ceil((n+1)(1-a))-th smallest") =
+    forAll(Gen.listOfN(15, Gen.chooseNum(-30, 30)), Gen.chooseNum(1, 9)) { (vs, a10) =>
+      import spark.implicits._
+      val alphaPct = a10 * 10 // 10..90
+      vs.isEmpty || {
+        val d = vs.zipWithIndex.map { case (v, i) => ("g", v.toDouble, i.toLong) }
+          .toDF("g", "v", "id")
+        val r = graft.operators.Stats.conformalThreshold(
+          d, "g", "v", "id", alphaPct).head()
+        val n = vs.length
+        val k = ((n + 1) * (100 - alphaPct) + 99) / 100
+        val want: Option[Long] =
+          if (k > n) None else Some(vs.map(_.toLong * 1000000L).sorted.apply(k - 1))
+        r.getLong(1) == n && r.getLong(2) == k.toLong &&
+          (if (r.isNullAt(3)) want.isEmpty else want.contains(r.getLong(3)))
+      }
+    }
+
+  property("retentionCohorts: offsets-0 diagonal counts cohort entrants; n_keys never exceeds cohort_size") =
+    forAll(Gen.listOfN(24, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 99L)))) { evs =>
+      import spark.implicits._
+      evs.isEmpty || {
+        val d = evs.toDF("u", "t")
+        val got = graft.operators.Sequences.retentionCohorts(d, "u", "t", 10L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        // brute force: per key the distinct period set, cohort = its min
+        val sets = evs.groupBy(_._1).view
+          .mapValues(_.map(_._2 / 10L).toSet).toMap
+        val entrants = sets.values.groupBy(_.min).view.mapValues(_.size).toMap
+        val diagOk = got.filter(g => g._2 == 0L)
+          .forall(g => entrants(g._1) == g._3.toInt)
+        val sizeOk = got.forall(g => g._3 <= g._4 && g._4 == entrants(g._1).toLong)
+        val ratioOk = got.forall(g => g._5 ==
+          math.round(g._3.toDouble / g._4.toDouble * 1e6))
+        // every (cohort, offset) cell equals its brute-force count
+        val cells = sets.values.toSeq
+          .flatMap(s => s.map(p => (s.min, p - s.min)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val cellsOk = got.forall(g => cells((g._1, g._2)) == g._3.toInt) &&
+          cells.size == got.length
+        diagOk && sizeOk && ratioOk && cellsOk
+      }
+    }
 }
