@@ -391,6 +391,9 @@ object Ops {
     require(groupCols.nonEmpty, "need at least one group column")
     require(fractions.columns.contains("fraction"),
       "fractions must carry a 'fraction' column")
+    require(!df.columns.contains("fraction"),
+      "sampleByFractions reserves the column name 'fraction' for the rate " +
+        "table; rename the input column")
     val edge = floor(col("fraction") * lit(math.pow(2.0, 60)) + lit(0.5))
       .cast("long")
     df.join(broadcast(fractions.select(

@@ -29,6 +29,6 @@ class RegistrySpec extends AnyFunSuite {
       assert(q.keySet == o.keySet,
         s"$name: unpaired ids ${(q.keySet diff o.keySet) ++ (o.keySet diff q.keySet)}")
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
-    assert(SparkEntry.queries.size >= 196)
+    assert(SparkEntry.queries.size >= 239)
   }
 }

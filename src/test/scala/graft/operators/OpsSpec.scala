@@ -256,6 +256,12 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Ops.sampleByFractions(rows, Seq("grp"), "id", fr.withColumnRenamed("fraction", "f"))
     }
+    // a pre-existing 'fraction' column on the fact side is refused, not
+    // silently shadowed into an ambiguous join
+    intercept[IllegalArgumentException] {
+      Ops.sampleByFractions(rows.withColumn("fraction", col("id")),
+        Seq("grp"), "id", fr)
+    }
   }
 
   test("foldByGroupHash: fold-atomic groups, full coverage, deterministic, guarded") {
