@@ -738,6 +738,23 @@ object Streams {
         minCosNano, scale))
     }
 
+  /** Retention twin of [[recentIngestStreamBulk]] (r13): fold each
+    * micro-batch into the standing (key, period) activity store
+    * ([[graft.operators.Sequences.ingestPeriods]]) — the state behind
+    * [[graft.operators.Sequences.retentionFromState]] readouts (the q238
+    * equivalence gate). Same caller-held-store pattern, but with NO
+    * delta-ordering contract at all: the fold is an order-free idempotent
+    * set union, so replayed, late, or out-of-order batches cannot corrupt
+    * the store — the most forgiving member of the standing-store family. */
+  def periodIngestStreamBulk(stream: DataFrame, keyCol: String,
+      tsCol: String, periodUs: Long)(
+      load: () => DataFrame, store: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      store(graft.operators.Sequences.ingestPeriods(load(), batch.toDF(),
+        keyCol, tsCol, periodUs))
+    }
+
   /** Conformal-abstention gate for ONE micro-batch: keep rows whose
     * nonconformity score stays AT OR UNDER their group's stored
     * split-conformal threshold ([[graft.operators.Stats

@@ -890,6 +890,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("periodIngestStreamBulk: order-free idempotent folds answer the full-history retention") {
+    import graft.operators.Sequences
+    implicit val sqlCtx = spark.sqlContext
+    // period = 10µs; batch 2 REPLAYS one of batch 1's rows (id 2) and
+    // arrives out of time order (t=5 after t=31) — the set-union fold
+    // must shrug at both, unlike the ordered prefix/recent stores
+    val b1 = Seq((1L, 0L), (1L, 12L), (2L, 5L), (1L, 31L))
+    val b2 = Seq((1L, 12L), (3L, 25L), (2L, 5L), (1L, 15L))
+    var state = Seq.empty[(Long, Long)].toDF("key", "period")
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.periodIngestStreamBulk(
+        mem.toDF().toDF("u", "t"), "u", "t", periodUs = 10L)(
+        () => state, out => state = out.localCheckpoint(true))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // the store holds exactly the distinct (key, period) pairs
+      assert(state.count() ==
+        (b1 ++ b2).map { case (u, t) => (u, t / 10) }.distinct.size.toLong)
+      val got = Sequences.retentionFromState(state)
+        .orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+      val full = Sequences.retentionCohorts((b1 ++ b2).toDF("u", "t"),
+          "u", "t", 10L)
+        .orderBy("cohort", "offset").collect().map(_.toSeq).toSeq
+      assert(got == full)
+    } finally q.stop()
+  }
+
   test("recentIngestStreamBulk: bounded last-L folds answer the exact full-history EWMA") {
     import graft.operators.Sequences
     implicit val sqlCtx = spark.sqlContext
