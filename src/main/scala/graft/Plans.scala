@@ -118,7 +118,10 @@ object Plans {
         // pairwise anything); incremental retention folds the standing
         // (key, period) store — the matrix tail never re-reads events
         "q236_conformal_threshold", "q237_centroid_drift",
-        "q238_retention_incremental")
+        "q238_retention_incremental",
+        // zipf alpha must be explode + two hash-aggs with the ln term
+        // inside the partial agg (map-side combine) — no window, no sort
+        "q239_zipf_alpha")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -431,6 +431,16 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q234_fleiss_kappa" -> ((s, d) => {
       Stats.fleissKappa(Tables.lineitem(s, d), "l_orderkey", "l_returnflag")
     }),
+    // Zipf tail exponent ✚ (r13): Clauset discrete-MLE α over the corpus
+    // token-frequency table — per-row nano-quantized ln terms, one exact
+    // sum, one mirrored final expression; the distribution health check
+    "q239_zipf_alpha" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      Stats.powerLawAlpha(counts, "n", xMin = 2L)
+    }),
     // split-conformal threshold ✚ (r13): the ⌈(n+1)·0.9⌉-th smallest
     // spend per event type — exact order statistic via the two-level
     // rank machinery, integer ceil, the finite-sample coverage gate

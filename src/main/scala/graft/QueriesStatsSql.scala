@@ -933,6 +933,24 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
                     / (1000000000 - pe_nano)::DOUBLE * 1e6) AS BIGINT)
                 END AS kappa_micro
          FROM pb CROSS JOIN pe""",
+    // same q26 token derivation, same per-row round(1e9*ln(n/1.5)) terms
+    // summed exactly, same one final double expression for alpha
+    "q239_zipf_alpha" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS t
+           FROM documents),
+         cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok
+                 WHERE len(t) > 0 GROUP BY t),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+                  CAST(coalesce(sum(CAST(round(ln(n::DOUBLE / 1.5) * 1e9) AS BIGINT)), 0)
+                    AS BIGINT) AS sum_ln_nano
+                 FROM cnt WHERE n >= 2)
+         SELECT n_tail, CAST(2 AS BIGINT) AS x_min, sum_ln_nano,
+                CASE WHEN n_tail > 0 AND sum_ln_nano > 0 THEN
+                  CAST(round((1 + n_tail::DOUBLE * 1e9 / sum_ln_nano::DOUBLE) * 1e6)
+                    AS BIGINT)
+                END AS alpha_micro
+         FROM agg""",
     // same (value, id) total order, same integer ceil for k, the exact
     // k-th smallest — row_number replays the two-level rank positions
     "q236_conformal_threshold" ->

@@ -557,6 +557,31 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("powerLawAlpha: Clauset discrete MLE, tail filter, degenerate nulls, partition invariance") {
+    // counts (4, 2, 1): the 1 falls below x_min = 2; alpha from the
+    // SAME quantize-then-sum arithmetic computed locally
+    val df = Seq(4L, 2L, 1L).toDF("n")
+    val r = Stats.powerLawAlpha(df, "n", xMin = 2L).head()
+    val terms = Seq(4L, 2L).map(v => math.round(math.log(v / 1.5) * 1e9))
+    val want = math.round((1.0 + 2 * 1e9 / terms.sum.toDouble) * 1e6)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == terms.sum && r.getLong(3) == want)
+    // a pure-Zipf synthetic (n_r ~ r^-2 ranks) lands near alpha ~ 2-3
+    val zipf = (1 to 200).map(rk => math.max(1L, (20000 / (rk * rk)).toLong))
+      .toDF("n")
+    val za = Stats.powerLawAlpha(zipf, "n").head().getLong(3)
+    assert(za > 1200000L && za < 4000000L, s"implausible alpha $za")
+    // empty tail and all-at-x_min-with-zero-sum degenerate: null alpha
+    assert(Stats.powerLawAlpha(Seq(1L).toDF("n"), "n", 2L).head().isNullAt(3))
+    val one = Stats.powerLawAlpha(Seq(2L, 2L).toDF("n"), "n", 2L).head()
+    assert(one.getLong(3) > 1000000L) // sum > 0 here (ln(2/1.5) > 0)
+    // partition invariance (quantize-then-sum, never a raw double sum)
+    val big = (1 to 500).map(i => ((i % 37) + 2).toLong).toDF("n")
+    val a1 = Stats.powerLawAlpha(big, "n").head().getLong(3)
+    val a2 = Stats.powerLawAlpha(big.repartition(11), "n").head().getLong(3)
+    assert(a1 == a2)
+  }
+
   test("fleissKappa: textbook value, perfect 1, degenerate null, nᵢ<2 dropped") {
     // 4 items x 3 raters, 2 categories: P̄ = 2/3, Pe = 1/2, κ = 1/3
     val ratings = Seq(
