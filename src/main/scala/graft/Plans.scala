@@ -121,7 +121,12 @@ object Plans {
         "q238_retention_incremental",
         // zipf alpha must be explode + two hash-aggs with the ln term
         // inside the partial agg (map-side combine) — no window, no sort
-        "q239_zipf_alpha")
+        "q239_zipf_alpha",
+        // r14: the reliability bins are ONE map-side-combined hash-agg
+        // from data-sized rows to ≤ nBins rows (no window, no join); the
+        // summary adds a second row-agg for Brier and broadcasts two
+        // 1-row frames — nothing data-sized beyond the two scans
+        "q240_reliability_bins", "q241_calibration_summary")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -7,6 +7,18 @@ package graft
   * [[QueriesStats.queries]] key; the driver enforces the pairing, and
   * RegistrySpec asserts the key sets line up. */
 private[graft] object QueriesStatsSql extends OracleSqlHelpers {
+  /** q240/q241's shared row shape: the calibOrders micro score replayed as
+    * a plain integer (the Spark side's double ÷10⁶ → ×10⁶ round-trip is
+    * exact by construction) plus the boolean outcome. */
+  private val calibRowsSql =
+    """WITH e0 AS (SELECT CAST(least(1000000,
+            (2001 - year(o_orderdate)) * 150000
+            + month(o_orderdate) * 10000) AS BIGINT) AS p,
+          (o_orderstatus = 'F') AS y
+         FROM orders
+         WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+       e AS (SELECT p, y FROM e0 WHERE p >= 0 AND p <= 1000000)"""
+
   val oracleSql: Map[String, String] = Map(
     "q23_text_stats" ->
       """WITH t AS (
@@ -975,5 +987,46 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
     // rounds unrolled as MATERIALIZED CTEs — pure HUGEINT floor division,
     // bit-identical to the Decimal(38,0) div path
     "q235_bradley_terry" -> btOracleSql(6),
+    // same integer micro score (the double round-trip is exact), same
+    // min(nBins−1, ⌊p·nBins/10⁶⌋) binning, same one-division-per-statistic
+    "q240_reliability_bins" -> (calibRowsSql + """
+         SELECT least(9, p * 10 // 1000000) AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+                CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+                  AS conf_micro,
+                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
+                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
+         FROM e GROUP BY 1 ORDER BY bin"""),
+    // same bins, count-weighted |acc−conf| on HUGEINT (≡ Decimal(38,0)),
+    // per-row squared micro residual for Brier, one final division each
+    "q241_calibration_summary" -> (calibRowsSql + """,
+         b AS (SELECT least(9, p * 10 // 1000000) AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+                CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+                  AS conf_micro,
+                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
+                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
+               FROM e GROUP BY 1),
+         ec AS (SELECT coalesce(sum(n), 0) AS n_rows,
+                 coalesce(sum(n_pos), 0) AS n_pos,
+                 sum(abs(acc_micro - conf_micro)::HUGEINT * n::HUGEINT) AS en
+                FROM b),
+         br AS (SELECT sum(((p - CASE WHEN y THEN 1000000 ELSE 0 END)
+                  * (p - CASE WHEN y THEN 1000000 ELSE 0 END))::HUGEINT)
+                  AS bn,
+                 count(*) AS nb
+                FROM e)
+         SELECT CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_pos AS BIGINT) AS n_pos,
+                CASE WHEN n_rows > 0 THEN
+                  CAST(round(en::DOUBLE / n_rows::DOUBLE) AS BIGINT)
+                END AS ece_micro,
+                CASE WHEN nb > 0 THEN
+                  CAST(round(bn::DOUBLE / nb::DOUBLE / 1e6) AS BIGINT)
+                END AS brier_micro
+         FROM ec CROSS JOIN br"""),
   )
+
 }

@@ -449,7 +449,7 @@ object ScaleProbe {
       // axis keeps the counterfactual honest every round.
       System.gc() // untimed fence between the two variants' clocks
       val tft0 = System.nanoTime()
-      val nTfPin = graft.operators.Search.tfidfTopTerms(
+      val nTfShipped = graft.operators.Search.tfidfTopTerms(
         docs, "doc_id", "text", k = 5).count()
       val tft1 = System.nanoTime()
       val toksL = docs.select(col("doc_id"),
@@ -464,7 +464,7 @@ object ScaleProbe {
       val wTf = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf_micro").desc, col("term"))
-      val nTfLazy = tfL.join(dfreqL, Seq("term"))
+      val nTfPinned = tfL.join(dfreqL, Seq("term"))
         .crossJoin(broadcast(nDocsL))
         .withColumn("tfidf_micro",
           round(col("tf").cast("double")
@@ -574,8 +574,8 @@ object ScaleProbe {
         s""""ret_cells":$nRet,"ret_sec":${sec(rtt0, rtt1)},""" +
         s""""bt_items":$nBt,"bt_sec":${sec(btt0, btt1)},""" +
         s""""wz_groups":$nWz,"wz_sec":${sec(wzt0, wzt1)},""" +
-        s""""tfidf_rows":$nTfPin,"tfidf_sec":${sec(tft0, tft1)},""" +
-        s""""tfidf_pin_rows":$nTfLazy,"tfidf_pin_sec":${sec(tft1, tft2)}""" +
+        s""""tfidf_rows":$nTfShipped,"tfidf_sec":${sec(tft0, tft1)},""" +
+        s""""tfidf_pin_rows":$nTfPinned,"tfidf_pin_sec":${sec(tft1, tft2)}""" +
         s"""$pqJson}""")
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()

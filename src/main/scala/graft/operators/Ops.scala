@@ -382,6 +382,9 @@ object Ops {
     * contract as a column expression (identical IEEE product + floor in
     * DuckDB). A group absent from `fractions` (or with a null fraction)
     * is dropped; fraction ≤ 0 admits nothing; ≥ 1 admits everything.
+    * Null-id rows are dropped too (the repo-wide null-key convention:
+    * idHash60(null) < edge is null, which filters — and md5(NULL) is NULL
+    * in DuckDB, so oracles replay the same drop).
     *
     * Scale shape: a stateless filter behind ONE broadcast join against
     * the |groups|-sized fraction table — no shuffle of `df`, no window;

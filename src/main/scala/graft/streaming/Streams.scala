@@ -335,8 +335,12 @@ object Streams {
     * chaining, strict-after (ts > tᵢ), closed deadline (ts ≤ tᵢ +
     * withinUs), null user/type rows dropped, (ts, event_id) tie order
     * inside each micro-batch; cross-batch ordering follows the standing
-    * delta contract (a user's later batch (ts, id)-orders after their
-    * earlier rows — watermarked sources provide that).
+    * delta contract (the CALLER must guarantee a user's later batch
+    * (ts, id)-orders after their earlier rows — the prefix/EWMA store
+    * precondition). A watermark only bounds lateness/state retention, it
+    * does NOT reorder delivery: a late-but-within-watermark event whose
+    * state has already advanced past it silently diverges from the batch
+    * `funnelWithin` (the greedy chain may have picked a later event).
     *
     * State is ONE 2-field record per key that ever entered step 1,
     * retained for the stream's lifetime (`NoTimeout`): the funnel is

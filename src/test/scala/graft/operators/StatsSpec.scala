@@ -680,4 +680,47 @@ class StatsSpec extends SparkTestBase {
     assert(rep == one)
     intercept[IllegalArgumentException] { Stats.bradleyTerry(ab, "w", "l", 0) }
   }
+
+  test("reliabilityBins/calibrationSummary: hand bins, top-bin closure, " +
+      "range/null drops, calibrated ECE 0, constant scores, empty input") {
+    // bin 2: conf = acc = 0.25 (perfectly calibrated); bin 9 takes both
+    // 0.95 and the EXACT 1.0 (closed top); out-of-range and nulls dropped
+    val df = Seq(
+      (Some(0.25), Some(true)), (Some(0.25), Some(false)),
+      (Some(0.25), Some(false)), (Some(0.25), Some(false)),
+      (Some(0.95), Some(true)), (Some(1.0), Some(true)),
+      (Some(-0.1), Some(true)), (Some(1.5), Some(false)), // out of range
+      (None, Some(true)), (Some(0.5), None)               // nulls
+    ).toDF("p", "y")
+    val bins = Stats.reliabilityBins(df, "p", "y", nBins = 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("bin")).toSeq == Seq(2L, 9L))
+    val b2 = bins(0)
+    assert(b2.getAs[Long]("n") == 4L && b2.getAs[Long]("n_pos") == 1L)
+    assert(b2.getAs[Long]("conf_micro") == 250000L
+      && b2.getAs[Long]("acc_micro") == 250000L)
+    val b9 = bins(1)
+    assert(b9.getAs[Long]("n") == 2L && b9.getAs[Long]("n_pos") == 2L)
+    assert(b9.getAs[Long]("conf_micro") == 975000L
+      && b9.getAs[Long]("acc_micro") == 1000000L)
+    // summary: ECE = (4·0 + 2·25000)/6; Brier = Σ(p−y)²/6 exactly
+    val s = Stats.calibrationSummary(df, "p", "y", nBins = 10).collect()(0)
+    assert(s.getAs[Long]("n_rows") == 6L && s.getAs[Long]("n_pos") == 3L)
+    assert(s.getAs[Long]("ece_micro") == math.round(2.0 * 25000 / 6))
+    val brier = (0.5625 + 3 * 0.0625 + 0.0025 + 0.0) / 6
+    assert(s.getAs[Long]("brier_micro") == math.round(brier * 1e6))
+    // constant scores, all positive: one bin, ECE = 1 − p
+    val const = Seq.fill(5)((0.5, true)).toDF("p", "y")
+    val cs = Stats.calibrationSummary(const, "p", "y").collect()(0)
+    assert(cs.getAs[Long]("ece_micro") == 500000L
+      && cs.getAs[Long]("brier_micro") == 250000L)
+    // empty input: zero counts, null statistics
+    val e = Stats.calibrationSummary(df.filter(col("p") > 2), "p", "y").collect()(0)
+    assert(e.getAs[Long]("n_rows") == 0L && e.isNullAt(2) && e.isNullAt(3))
+    // partition-invariant (exact long sums)
+    val rep = Stats.calibrationSummary(df.repartition(7), "p", "y").collect()(0)
+    assert(rep.getAs[Long]("ece_micro") == s.getAs[Long]("ece_micro")
+      && rep.getAs[Long]("brier_micro") == s.getAs[Long]("brier_micro"))
+    intercept[IllegalArgumentException] { Stats.reliabilityBins(df, "p", "y", 0) }
+  }
 }
