@@ -126,7 +126,12 @@ object Plans {
         // from data-sized rows to ≤ nBins rows (no window, no join); the
         // summary adds a second row-agg for Brier and broadcasts two
         // 1-row frames — nothing data-sized beyond the two scans
-        "q240_reliability_bins", "q241_calibration_summary")
+        "q240_reliability_bins", "q241_calibration_summary",
+        // r14 batch 2: the time split is a stateless codegen'd CASE on
+        // the row's own timestamp (no shuffle, no join); the audit is two
+        // filtered 1-row aggs over the same scan — nothing data-sized
+        // beyond the two scans, no window anywhere
+        "q242_time_split", "q243_time_split_audit")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

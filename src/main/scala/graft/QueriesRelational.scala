@@ -1091,6 +1091,40 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // temporal holdout split ✚ (r14, VERDICT r13 missing #2): train on
+    // the past, validate/evaluate on the future — three time slices by
+    // exclusive calendar boundaries, the full per-row assignment oracled
+    // (a stateless codegen'd comparison chain, no shuffle)
+    "q242_time_split" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("ts_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      Ops.splitByTime(o, "ts_us",
+          Seq("train" -> 915148800000000L,   // < 1999-01-01
+            "val" -> 962409600000000L),      // < 2000-07-01
+          tailName = "holdout")
+        .select(col("o_orderkey"), col("split"))
+        .orderBy("o_orderkey")
+    }),
+    // time-split leakage audit ✚ (r14, the q228 pattern on the temporal
+    // axis): rows postdating the train boundary inside the train slice —
+    // structurally ZERO for the time split (the assignment IS the
+    // comparison), measurably non-zero for a hash split of the same rows
+    "q243_time_split_audit" -> ((s, d) => {
+      val cutoff = 915148800000000L // 1999-01-01
+      val o = Tables.orders(s, d)
+        .withColumn("ts_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      val byTime = Ops.splitByTime(o, "ts_us", Seq("train" -> cutoff))
+      val byHash = Ops.splitByGroupHash(o, "o_orderkey",
+        Seq("train" -> 0.8, "holdout" -> 1.0))
+      def audit(sp: DataFrame, method: String) = sp
+        .filter(col("split") === "train")
+        .agg(count(lit(1)).as("n_train"),
+          count(when(col("ts_us") >= cutoff, lit(1))).as("n_future_in_train"))
+        .select(lit(method).as("method"), col("n_train"),
+          col("n_future_in_train"))
+      audit(byTime, "time").unionByName(audit(byHash, "hash"))
+        .orderBy("method")
+    }),
   )
 
   /** DuckDB oracle twins live in [[QueriesRelationalSql]] (r12 split:

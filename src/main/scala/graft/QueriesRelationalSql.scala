@@ -1143,5 +1143,30 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
                 count(DISTINCT e.user_id) AS n_active
          FROM events e JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // same exclusive upper bounds, same CASE chain (null ts → else branch)
+    "q242_time_split" ->
+      """SELECT o_orderkey,
+              CASE WHEN epoch_us(o_orderdate) < 915148800000000 THEN 'train'
+                   WHEN epoch_us(o_orderdate) < 962409600000000 THEN 'val'
+                   ELSE 'holdout' END AS split
+         FROM orders ORDER BY o_orderkey""",
+    // the time-split audit is structurally zero (the label IS the ts
+    // comparison); the hash branch replays the md5-60-bit band edge
+    "q243_time_split_audit" -> s"""
+       WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS ts_us FROM orders),
+         t AS (SELECT 'time' AS method,
+                CAST(count(*) AS BIGINT) AS n_train,
+                CAST(count(CASE WHEN ts_us >= 915148800000000 THEN 1 END)
+                  AS BIGINT) AS n_future_in_train
+               FROM o WHERE ts_us < 915148800000000),
+         h AS (SELECT 'hash' AS method,
+                CAST(count(*) AS BIGINT) AS n_train,
+                CAST(count(CASE WHEN ts_us >= 915148800000000 THEN 1 END)
+                  AS BIGINT) AS n_future_in_train
+               FROM o
+               WHERE list_sum([ (instr('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), k, 1)) - 1)
+                                * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                     < ${graft.operators.Ops.hashBandEdge(0.8)})
+       SELECT * FROM h UNION ALL SELECT * FROM t ORDER BY method""",
   )
 }

@@ -301,6 +301,29 @@ class TableCleanerSpec extends SparkTestBase {
       .head().getDouble(0))
   }
 
+  test("splitXyByTime: train is strictly past, row-paired, stats fitted on train only") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val c = new TableCleaner
+    c.registerNumeric("x", impute = "mean", clip = false)
+    // ts = i: rows 1..139 are past the 140 cutoff, 140..200 future
+    val df = (1 to 200).map(i => (i.toDouble, i * 2.0, i.toLong))
+      .toDF("x", "label", "ts")
+    val (xTr, xTe, yTr, yTe) = c.splitXyByTime(df, "label", "ts", cutoffUs = 140L)
+    assert(xTr.count() == 139L && xTe.count() == 61L)
+    assert(xTr.count() == yTr.count() && xTe.count() == yTe.count())
+    // row pairing holds on the test side (label = 2x)
+    val tePairs = xTe.collect().map(_.getDouble(0)).sorted
+      .zip(yTe.collect().map(_.getDouble(0)).sorted)
+    assert(tePairs.forall { case (x, y) => y == 2 * x })
+    // temporal leakage check: the fitted mean is the PAST slice's mean —
+    // mean(1..139) = 70 — never the whole table's 100.5
+    val fitted = c.columns.collectFirst {
+      case n: NumericalColumn => n.vMean.get
+    }.get
+    assert(fitted == 70.0)
+    assert(fitted != df.agg(avg("x")).head().getDouble(0))
+  }
+
   test("foldXyByGroup: fold-atomic groups, per-fold train-only fit, full coverage") {
     import org.apache.spark.sql.functions.{avg, col}
     val c = new TableCleaner

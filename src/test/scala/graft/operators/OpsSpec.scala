@@ -229,6 +229,39 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("splitByTime: exclusive bounds, null ts to tail, no future in train, guarded") {
+    val rows = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, Some(100L)),
+      (4L, Some(150L)), (5L, Some(200L)), (6L, Some(250L)), (7L, None))
+      .toDF("id", "ts")
+    val s = Ops.splitByTime(rows, "ts", Seq("train" -> 100L, "val" -> 200L))
+    val m = s.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // bounds are EXCLUSIVE upper: ts=100 is NOT train, ts=200 is NOT val
+    assert(m(1L) == "train" && m(2L) == "train")
+    assert(m(3L) == "val" && m(4L) == "val")
+    assert(m(5L) == "holdout" && m(6L) == "holdout")
+    // null ts falls into the tail (CASE else semantics, documented)
+    assert(m(7L) == "holdout")
+    // the leakage invariant: zero training rows at/after the boundary
+    assert(s.filter(col("split") === "train" && col("ts") >= 100L).count() == 0L)
+    // custom tail name
+    val t = Ops.splitByTime(rows, "ts", Seq("past" -> 100L), tailName = "future")
+    assert(t.filter(col("split") === "future").count() == 5L)
+    // guards: increasing bounds, distinct names (incl. tail), no collision
+    intercept[IllegalArgumentException] {
+      Ops.splitByTime(rows, "ts", Seq("a" -> 200L, "b" -> 100L))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.splitByTime(rows, "ts", Seq("a" -> 100L), tailName = "a")
+    }
+    intercept[IllegalArgumentException] {
+      Ops.splitByTime(rows.withColumn("split", col("id")), "ts",
+        Seq("train" -> 100L))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.splitByTime(rows, "ts", Seq.empty)
+    }
+  }
+
   test("sampleByFractions: per-group rates, subset stability, edge fractions, absent groups") {
     val rows = (1L to 900L).map(i => (i, (i % 3).toString)).toDF("id", "grp")
     val fr = Seq(("0", 0.5), ("1", 0.1), ("2", 1.0)).toDF("grp", "fraction")
