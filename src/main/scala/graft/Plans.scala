@@ -131,7 +131,11 @@ object Plans {
         // the row's own timestamp (no shuffle, no join); the audit is two
         // filtered 1-row aggs over the same scan — nothing data-sized
         // beyond the two scans, no window anywhere
-        "q242_time_split", "q243_time_split_audit")
+        "q242_time_split", "q243_time_split_audit",
+        // r14 batch 3: calendar retention must be the q232 one-exchange
+        // shape on the integer month index (collect_set map-side dedup,
+        // make_date only on the tiny matrix — no window over raw rows)
+        "q244_retention_calendar")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -1091,6 +1091,17 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy("cohort_week", "week_offset")
     }),
+    // calendar-month retention ✚ (r14, VERDICT r13 missing #3): monthly
+    // customer-acquisition cohorts × calendar-month offsets via the exact
+    // year·12+month−1 index — the q232 one-exchange shape with q225's
+    // calendar reading, on the 1995–2001 orders series (events span only
+    // 30 days — a one-row month matrix)
+    "q244_retention_calendar" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("odt", col("o_orderdate").cast("timestamp"))
+      Sequences.retentionCohortsCalendar(o, "o_custkey", "odt", maxOffset = 24)
+        .orderBy("cohort_month", "offset")
+    }),
     // temporal holdout split ✚ (r14, VERDICT r13 missing #2): train on
     // the past, validate/evaluate on the future — three time slices by
     // exclusive calendar boundaries, the full per-row assignment oracled

@@ -1143,6 +1143,27 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
                 count(DISTINCT e.user_id) AS n_active
          FROM events e JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // the q232 retention tail on the exact calendar month index
+    // year·12+month−1 — offsets are calendar months, cohort label
+    // reconstructed with make_date on the tiny matrix
+    "q244_retention_calendar" ->
+      """WITH up AS (SELECT DISTINCT o_custkey AS k,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS p
+              FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         c AS (SELECT k, p, min(p) OVER (PARTITION BY k) AS cohort FROM up),
+         m AS (SELECT cohort, p - cohort AS "offset",
+                CAST(count(*) AS BIGINT) AS n_keys
+               FROM c WHERE p - cohort <= 24 GROUP BY cohort, p - cohort),
+         z AS (SELECT cohort, "offset", n_keys,
+                max(CASE WHEN "offset" = 0 THEN n_keys END)
+                  OVER (PARTITION BY cohort) AS cohort_size
+               FROM m)
+         SELECT make_date(CAST(cohort // 12 AS INT),
+                  CAST(cohort % 12 + 1 AS INT), 1) AS cohort_month,
+                "offset", n_keys, cohort_size,
+                CAST(round(n_keys::DOUBLE / cohort_size::DOUBLE * 1e6) AS BIGINT)
+                  AS retained_micro
+         FROM z ORDER BY cohort_month, "offset"""",
     // same exclusive upper bounds, same CASE chain (null ts → else branch)
     "q242_time_split" ->
       """SELECT o_orderkey,

@@ -301,6 +301,45 @@ class SequencesJwSpec extends SparkTestBase {
     }
   }
 
+  test("retentionCohortsCalendar: month-exact offsets across year/length boundaries") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: cohort 2023-12, back Jan 31 (offset 1 — a 31-day month away is
+    // still ONE calendar month) and Feb 1 (offset 2 — one day later, new
+    // month: exactly where a fixed 30-day bucket drifts); two December
+    // events collapse. u2: cohort 2024-02 (leap February), back 2024-03
+    // (offset 1 despite 29 days). null user/ts dropped.
+    val ev = Seq[(Option[Long], Option[Timestamp])](
+      (Some(1L), Some(ts("2023-12-05 10:00:00"))),
+      (Some(1L), Some(ts("2023-12-20 10:00:00"))),
+      (Some(1L), Some(ts("2024-01-31 23:59:59"))),
+      (Some(1L), Some(ts("2024-02-01 00:00:01"))),
+      (Some(2L), Some(ts("2024-02-10 00:00:00"))),
+      (Some(2L), Some(ts("2024-03-10 00:00:00"))),
+      (None, Some(ts("2024-01-01 00:00:00"))),
+      (Some(3L), None)).toDF("u", "t")
+    val got = Sequences.retentionCohortsCalendar(ev, "u", "t")
+      .orderBy("cohort_month", "offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("2023-12-01", 0L, 1L, 1L, 1000000L),
+      ("2023-12-01", 1L, 1L, 1L, 1000000L),
+      ("2023-12-01", 2L, 1L, 1L, 1000000L),
+      ("2024-02-01", 0L, 1L, 1L, 1000000L),
+      ("2024-02-01", 1L, 1L, 1L, 1000000L)))
+    // the offset cap holds on the month axis too
+    val capped = Sequences.retentionCohortsCalendar(ev, "u", "t", maxOffset = 1)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(capped == Set(("2023-12-01", 0L), ("2023-12-01", 1L),
+      ("2024-02-01", 0L), ("2024-02-01", 1L)))
+    // partition invariance (integer month index, exact counts)
+    val rep = Sequences.retentionCohortsCalendar(ev.repartition(5), "u", "t")
+      .orderBy("cohort_month", "offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(rep == got.map(x => (x._1, x._2, x._3)).toSeq)
+  }
+
   test("periodState/ingestPeriods: fold ≡ full recompute; re-fold idempotent") {
     // period = 10µs; the split at t=20 leaves u1 active in period 1 on
     // BOTH sides (t=12 hist, t=25… no — t=15 hist, t=19 hist, period 2
