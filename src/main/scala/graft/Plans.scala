@@ -135,7 +135,11 @@ object Plans {
         // r14 batch 3: calendar retention must be the q232 one-exchange
         // shape on the integer month index (collect_set map-side dedup,
         // make_date only on the tiny matrix — no window over raw rows)
-        "q244_retention_calendar")
+        "q244_retention_calendar",
+        // r14 batch 4: the BT store fold must be two hash-aggs (batch
+        // collapse + state re-agg, never a re-read of historical games);
+        // the readout MM rounds run on the pinned pair-derived edges
+        "q245_bt_incremental")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -987,6 +987,10 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
     // rounds unrolled as MATERIALIZED CTEs — pure HUGEINT floor division,
     // bit-identical to the Decimal(38,0) div path
     "q235_bradley_terry" -> btOracleSql(6),
+    // identical to the q235 oracle - the pair table is the BT model's
+    // sufficient statistic, so the standing-store fold must reproduce the
+    // full-history strengths bit for bit (additive counts, exact longs)
+    "q245_bt_incremental" -> btOracleSql(6),
     // same integer micro score (the double round-trip is exact), same
     // min(nBins−1, ⌊p·nBins/10⁶⌋) binning, same one-division-per-statistic
     "q240_reliability_bins" -> (calibRowsSql + """

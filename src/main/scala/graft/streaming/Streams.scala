@@ -759,6 +759,26 @@ object Streams {
         keyCol, tsCol, periodUs))
     }
 
+  /** Streaming twin of the preference standing store (r14 ✚): each
+    * micro-batch of (winner, loser) games folds into the
+    * [[graft.operators.Stats.pairState]] pair-count table via
+    * [[graft.operators.Stats.ingestGames]] — `load` reads the standing
+    * state, `store` persists the folded result (the
+    * [[periodIngestStreamBulk]] bulk-fold shape). Counts are additive:
+    * batches commute (exactly-once delivery required — a replayed batch
+    * double-counts, unlike the idempotent period-set fold). Readout at
+    * any point via [[graft.operators.Stats.bradleyTerryFromPairs]]
+    * equals full-history [[graft.operators.Stats.bradleyTerry]]
+    * (StreamsSpec asserts it; q245 is the batch-side oracle gate). */
+  def gamesIngestStreamBulk(stream: DataFrame, winnerCol: String,
+      loserCol: String)(
+      load: () => DataFrame, store: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      store(graft.operators.Stats.ingestGames(load(), batch.toDF(),
+        winnerCol, loserCol))
+    }
+
   /** Conformal-abstention gate for ONE micro-batch: keep rows whose
     * nonconformity score stays AT OR UNDER their group's stored
     * split-conformal threshold ([[graft.operators.Stats

@@ -681,6 +681,32 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Stats.bradleyTerry(ab, "w", "l", 0) }
   }
 
+  test("pairState/ingestGames: hygiene, pair-bounded store, fold == full-history BT") {
+    // self-play and null rows dropped; wins_i counts the SMALLER item's wins
+    val g = Seq(Some("B") -> Some("A"), Some("A") -> Some("B"),
+      Some("A") -> Some("B"), Some("A") -> Some("A"),
+      None -> Some("B"), Some("A") -> None).toDF("w", "l")
+    val st = Stats.pairState(g, "w", "l").collect()
+    assert(st.length == 1)
+    assert(st(0).getAs[String]("item_i") == "A"
+      && st(0).getAs[Long]("n_ij") == 3L && st(0).getAs[Long]("wins_i") == 2L)
+    // additive delta fold across a split == pairState over everything,
+    // and the store readout == the direct bradleyTerry
+    val hist = Seq(("A", "B"), ("B", "A"), ("A", "C"))
+    val batch = Seq(("C", "B"), ("A", "B"))
+    val all = (hist ++ batch).toDF("w", "l")
+    val (h, b) = (hist.toDF("w", "l"), batch.toDF("w", "l"))
+    val folded = Stats.ingestGames(Stats.pairState(h, "w", "l"), b, "w", "l")
+    val direct = Stats.pairState(all, "w", "l")
+    assert(folded.orderBy("item_i", "item_j").collect().map(_.toSeq).toSeq
+      == direct.orderBy("item_i", "item_j").collect().map(_.toSeq).toSeq)
+    val got = Stats.bradleyTerryFromPairs(folded, rounds = 5)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    val exp = Stats.bradleyTerry(all, "w", "l", rounds = 5)
+      .orderBy("item").collect().map(_.toSeq).toSeq
+    assert(got == exp)
+  }
+
   test("reliabilityBins/calibrationSummary: hand bins, top-bin closure, " +
       "range/null drops, calibrated ECE 0, constant scores, empty input") {
     // bin 2: conf = acc = 0.25 (perfectly calibrated); bin 9 takes both

@@ -919,6 +919,39 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gamesIngestStreamBulk: additive pair folds answer the full-history Bradley-Terry") {
+    import graft.operators.Stats
+    implicit val sqlCtx = spark.sqlContext
+    // two micro-batches of games over 3 items; batch 2 adds a NEW pair
+    // (B, C) and more games on the (A, B) pair already in the store —
+    // both must merge into one pair row each (additive counts)
+    val b1 = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("A", "C"))
+    val b2 = Seq(("B", "C"), ("C", "B"), ("A", "B"), ("B", "C"))
+    var state = Seq.empty[(String, String, Long, Long)]
+      .toDF("item_i", "item_j", "n_ij", "wins_i")
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.gamesIngestStreamBulk(
+        mem.toDF().toDF("w", "l"), "w", "l")(
+        () => state, out => state = out.localCheckpoint(true))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // the store is pair-bounded: 3 pair rows, never 8 game rows
+      assert(state.count() == 3L)
+      val ab = state.filter(col("item_i") === "A" && col("item_j") === "B")
+        .head()
+      assert(ab.getAs[Long]("n_ij") == 4L && ab.getAs[Long]("wins_i") == 3L)
+      // readout over the store ≡ BT over the full game history
+      val got = Stats.bradleyTerryFromPairs(state, rounds = 6)
+        .orderBy("item").collect().map(_.toSeq).toSeq
+      val full = Stats.bradleyTerry((b1 ++ b2).toDF("w", "l"), "w", "l",
+          rounds = 6)
+        .orderBy("item").collect().map(_.toSeq).toSeq
+      assert(got == full)
+    } finally q.stop()
+  }
+
   test("recentIngestStreamBulk: bounded last-L folds answer the exact full-history EWMA") {
     import graft.operators.Sequences
     implicit val sqlCtx = spark.sqlContext
