@@ -139,7 +139,11 @@ object Plans {
         // r14 batch 4: the BT store fold must be two hash-aggs (batch
         // collapse + state re-agg, never a re-read of historical games);
         // the readout MM rounds run on the pinned pair-derived edges
-        "q245_bt_incremental")
+        "q245_bt_incremental",
+        // the store-readout split must be the stateless q223 projection
+        // over a plain parquet scan of the label table - no LSH, no
+        // contraction, no join anywhere downstream of the load
+        "q246_component_store")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -289,7 +289,38 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
           round(col("quality") * 1000000).cast(LongType).as("quality_micro"))
         .orderBy("doc_id")
     }),
+    // component-label standing store ✚ (r14, VERDICT r13 "what's wrong"
+    // #2): q223's LSH + contraction runs ONCE and lands in a parquet
+    // label store; the split reads the LOADED table — the query is the
+    // store-readout ≡ recompute gate (same oracle as q223)
+    "q246_component_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 3, threshold = 0.8)
+      val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+      val path = java.nio.file.Files.createTempDirectory("graft_cclbl").toString
+      Dedup.saveComponentLabels(labels, path)
+      Ops.splitByGroupHash(Dedup.loadComponentLabels(s, path), "component",
+          Seq("train" -> 0.8, "holdout" -> 1.0))
+        .orderBy("id")
+    }),
   )
+
+  /** Shared by q223 (recompute) and q246 (standing label store) — ONE
+    * definition so the store-equivalence gate can never drift: the CC
+    * closure + star roots, the md5-60-bit component hash banded at the
+    * shared 0.8 edge. */
+  private lazy val leakSafeSplitOracleSql = sqlCcClosureCtes + s""",
+       roots AS (SELECT a AS id, least(a, min(b)) AS component
+                 FROM reach GROUP BY a),
+       lbl AS (SELECT d.doc_id AS id, coalesce(r.component, d.doc_id) AS component
+               FROM documents d LEFT JOIN roots r ON r.id = d.doc_id)
+       SELECT id, component,
+              CASE WHEN list_sum([ (instr('0123456789abcdef', substr(md5(component::VARCHAR), k, 1)) - 1)
+                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
+                        < ${Ops.hashBandEdge(0.8)} THEN 'train'
+                   ELSE 'holdout' END AS split
+       FROM lbl ORDER BY id"""
 
   val oracleSql: Map[String, String] = Map(
     "q03_dedup_first" ->
@@ -585,17 +616,11 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
     // shared band edge — the oracle asserts the whole (id, component,
     // split) assignment, so a component straddling splits is impossible
     // without a hash mismatch
-    "q223_leak_safe_split" -> (sqlCcClosureCtes + s""",
-       roots AS (SELECT a AS id, least(a, min(b)) AS component
-                 FROM reach GROUP BY a),
-       lbl AS (SELECT d.doc_id AS id, coalesce(r.component, d.doc_id) AS component
-               FROM documents d LEFT JOIN roots r ON r.id = d.doc_id)
-       SELECT id, component,
-              CASE WHEN list_sum([ (instr('0123456789abcdef', substr(md5(component::VARCHAR), k, 1)) - 1)
-                                   * pow(16, 15 - k)::BIGINT for k in range(1, 16)])
-                        < ${Ops.hashBandEdge(0.8)} THEN 'train'
-                   ELSE 'holdout' END AS split
-       FROM lbl ORDER BY id"""),
+    "q223_leak_safe_split" -> leakSafeSplitOracleSql,
+    // identical to the q223 oracle - the stored label table is a pure
+    // function of the pair graph, so the store-readout split must
+    // reproduce the recomputed assignment bit for bit (q246 IS that gate)
+    "q246_component_store" -> leakSafeSplitOracleSql,
     // same closure + roots CTEs as q223; the fold is the same md5-60-bit
     // component hash banded against the 5 shared hashBandEdge cuts — a
     // component straddling folds is impossible without a hash mismatch

@@ -89,4 +89,20 @@ class ComponentsSpec extends SparkTestBase {
     assert(split(100L) == split(101L))
     assert(split.size == 3)
   }
+
+  test("saveComponentLabels/loadComponentLabels: round trip; missing store fails fast") {
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_cclbl_spec").toString
+    Dedup.saveComponentLabels(labels, path)
+    val loaded = Dedup.loadComponentLabels(spark, path)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(loaded == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    // a missing store names the problem instead of an AnalysisException
+    val err = intercept[IllegalArgumentException] {
+      Dedup.loadComponentLabels(spark, path + "_nope")
+    }
+    assert(err.getMessage.contains("incomplete"))
+  }
 }
