@@ -143,7 +143,10 @@ object Plans {
         // the store-readout split must be the stateless q223 projection
         // over a plain parquet scan of the label table - no LSH, no
         // contraction, no join anywhere downstream of the load
-        "q246_component_store")
+        "q246_component_store",
+        // media dims must be ONE typed mapPartitions chain over the doc
+        // scan - no shuffle, no join, no exchange anywhere
+        "q247_media_dims")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -1164,6 +1164,15 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
                 CAST(round(n_keys::DOUBLE / cohort_size::DOUBLE * 1e6) AS BIGINT)
                   AS retained_micro
          FROM z ORDER BY cohort_month, "offset"""",
+    // the EXPECTED dims computed directly from doc_id — the Spark side
+    // must round-trip them through real container header bytes
+    "q247_media_dims" ->
+      """SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS container,
+              CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
+              CAST(doc_id % 777 + 1 AS BIGINT) AS height
+         FROM documents ORDER BY media_id""",
     // same exclusive upper bounds, same CASE chain (null ts → else branch)
     "q242_time_split" ->
       """SELECT o_orderkey,

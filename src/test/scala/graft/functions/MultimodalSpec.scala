@@ -30,6 +30,60 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(1).n_frames == 3) // ceil(10000 / 4096)
   }
 
+  test("headerDims: hand-built container bytes parse to exact dims") {
+    // PNG: signature + IHDR, big-endian 32-bit dims at fixed offsets —
+    // checked against hand-written bytes, not just the builder round-trip
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x01, 0x90.toByte, // width 400
+      0, 0, 0, 0x64,           // height 100
+      8, 6, 0, 0, 0)
+    assert(Multimodal.headerDims(png).contains(("png", 400, 100)))
+    // GIF87a variant, LITTLE-endian 16-bit dims
+    val gif = "GIF87a".getBytes("US-ASCII") ++
+      Array[Byte](0x2c, 0x01, // width 300 LE
+        0x0a, 0x00,           // height 10 LE
+        0, 0, 0)
+    assert(Multimodal.headerDims(gif).contains(("gif", 300, 10)))
+    // JPEG: the scan must SKIP APP0 (and a fill byte) to reach SOF2
+    // (progressive), big-endian height BEFORE width in the SOF payload
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      (Array[Byte](0xff.toByte, 0xe0.toByte, 0, 6) ++ Array[Byte](1, 2, 3, 4)) ++
+      Array[Byte](0xff.toByte) ++ // fill byte
+      (Array[Byte](0xff.toByte, 0xc2.toByte, 0, 11, 8,
+        0x00, 0x96.toByte,   // height 150
+        0x02, 0x00,          // width 512
+        1, 1, 0x11, 0))
+    assert(Multimodal.headerDims(jpeg).contains(("jpeg", 512, 150)))
+    // builder round-trips (the q247 identity) incl. 16-bit-edge dims
+    assert(Multimodal.headerDims(Multimodal.pngHeader(65536, 1))
+      .contains(("png", 65536, 1)))
+    assert(Multimodal.headerDims(Multimodal.gifHeader(65535, 65535))
+      .contains(("gif", 65535, 65535)))
+    assert(Multimodal.headerDims(Multimodal.jpegHeader(65535, 1))
+      .contains(("jpeg", 65535, 1)))
+    // refusals: text, truncated PNG, SOS before any SOF, empty
+    assert(Multimodal.headerDims("GIF8 but actually text".getBytes).isEmpty)
+    assert(Multimodal.headerDims(png.take(20)).isEmpty)
+    val sosFirst = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xda.toByte, 0, 2)
+    assert(Multimodal.headerDims(sosFirst).isEmpty)
+    assert(Multimodal.headerDims(Array.empty[Byte]).isEmpty)
+    // extractFeatures prefers the real parse; text keeps the stub path
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.pngHeader(400, 100), "png", 29L),
+      Multimodal.MediaRow(2L, "plain text".getBytes, "text/plain", 10L))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f(0).width == 400 && f(0).height == 100)
+    val (sw, sh) = Multimodal.decodeStub("plain text".getBytes)
+    assert(f(1).width == sw && f(1).height == sh)
+    // mediaDims surfaces unparseable payloads as nulls, parsed as values
+    val dims = Multimodal.mediaDims(media).collect().sortBy(_.media_id)
+    assert(dims(0) == Multimodal.MediaDims(1L, Some("png"), Some(400), Some(100)))
+    assert(dims(1) == Multimodal.MediaDims(2L, None, None, None))
+  }
+
   test("frameSample: strided fixed-size chunks, no empty frames") {
     val frames = Multimodal.frameSample(
       Multimodal.pack(docs, "doc_id", "text", "text/plain").filter(col("media_id") === 2),
