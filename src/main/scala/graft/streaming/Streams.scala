@@ -342,18 +342,29 @@ object Streams {
     * state has already advanced past it silently diverges from the batch
     * `funnelWithin` (the greedy chain may have picked a later event).
     *
-    * State is ONE 2-field record per key that ever entered step 1,
-    * retained for the stream's lifetime (`NoTimeout`): the funnel is
-    * one-shot per key (the greedy contract), so a completed or
-    * deadline-dead record is the tombstone that stops a later step-1
-    * event from RESTARTING the funnel — removing it on timeout would
-    * diverge from the batch twin. Constant bytes per entered key; scope
-    * the stream to a campaign window when key cardinality is unbounded. */
+    * State is ONE 2-field record per key that ever entered step 1. By
+    * default (`expiryUs = None`) it is retained for the stream's lifetime
+    * (`NoTimeout`): the funnel is one-shot per key (the greedy contract),
+    * so a completed or deadline-dead record is the tombstone that stops a
+    * later step-1 event from RESTARTING the funnel — removing it on
+    * timeout would diverge from the batch twin. Constant bytes per
+    * entered key.
+    *
+    * For unbounded key cardinality, pass `expiryUs` (r14 ✚, VERDICT r13
+    * watch #1): state then rides `EventTimeTimeout` and is DROPPED once
+    * the watermark passes the key's last funnel event + expiryUs — the
+    * operable campaign-window mode. Inside the horizon the output is
+    * identical to the default (StreamsSpec asserts it); the documented
+    * divergence is only AFTER expiry, where a fresh step-1 event restarts
+    * the key's funnel (the tombstone is gone — that is the cost of
+    * bounded state). Pick expiryUs ≥ the whole campaign window, and well
+    * past `(steps − 1) · withinUs` so no LIVE chain can expire mid-way. */
   def funnelStream(events: DataFrame, steps: Seq[String], withinUs: Long,
-      watermark: String): Dataset[FunnelStepOut] = {
+      watermark: String, expiryUs: Option[Long] = None): Dataset[FunnelStepOut] = {
     require(steps.nonEmpty, "need at least one step")
     require(steps.distinct.length == steps.length, "steps must be distinct")
     require(withinUs > 0, "withinUs must be positive")
+    require(expiryUs.forall(_ > 0), "expiryUs must be positive when set")
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[FunnelStepOut]
     val keyed = events.withWatermark("ts", watermark)
@@ -363,29 +374,44 @@ object Streams {
         col("event_type").cast("string").as("etype"),
         col("event_id").cast("long").as("eid"))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    val timeoutConf = if (expiryUs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed.flatMapGroupsWithState[FunnelState, FunnelStepOut](
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Append(), timeoutConf) {
       (user: Long, rows: Iterator[Row], state: GroupState[FunnelState]) =>
-        // the batch twin's (ts, id) total order, inside the micro-batch
-        val sorted = rows.map(r => (r.getLong(2), r.getLong(4), r.getString(3)))
-          .toSeq.sortBy(e => (e._1, e._2))
-        var out = List.empty[FunnelStepOut]
-        var cur = state.getOption
-        sorted.foreach { case (ts, _, et) =>
-          cur match {
-            case None if et == steps.head =>
-              cur = Some(FunnelState(1, ts))
-              out ::= FunnelStepOut(user, 1L, steps.head, ts, None)
-            case Some(s) if s.step < steps.length && et == steps(s.step)
-                && ts > s.stepUs && ts <= s.stepUs + withinUs =>
-              out ::= FunnelStepOut(user, (s.step + 1).toLong, et, ts,
-                Some(ts - s.stepUs))
-              cur = Some(FunnelState(s.step + 1, ts))
-            case _ => () // wrong state, not strictly after, or past deadline
+        if (expiryUs.isDefined && state.hasTimedOut) {
+          state.remove() // past the horizon: tombstone released
+          Iterator.empty
+        } else {
+          // the batch twin's (ts, id) total order, inside the micro-batch
+          val sorted = rows.map(r => (r.getLong(2), r.getLong(4), r.getString(3)))
+            .toSeq.sortBy(e => (e._1, e._2))
+          var out = List.empty[FunnelStepOut]
+          var cur = state.getOption
+          sorted.foreach { case (ts, _, et) =>
+            cur match {
+              case None if et == steps.head =>
+                cur = Some(FunnelState(1, ts))
+                out ::= FunnelStepOut(user, 1L, steps.head, ts, None)
+              case Some(s) if s.step < steps.length && et == steps(s.step)
+                  && ts > s.stepUs && ts <= s.stepUs + withinUs =>
+                out ::= FunnelStepOut(user, (s.step + 1).toLong, et, ts,
+                  Some(ts - s.stepUs))
+                cur = Some(FunnelState(s.step + 1, ts))
+              case _ => () // wrong state, not strictly after, or past deadline
+            }
           }
+          cur.foreach { s =>
+            state.update(s)
+            expiryUs.foreach { e =>
+              // event-time deadline in ms; clamped above the watermark
+              // (Spark rejects a timeout at/behind it)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1, (s.stepUs + e) / 1000L))
+            }
+          }
+          out.reverseIterator
         }
-        cur.foreach(state.update)
-        out.reverseIterator
     }
   }
 

@@ -212,6 +212,41 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnelStream expiry: identical inside the horizon; expired keys restart") {
+    implicit val sqlCtx = spark.sqlContext
+    def ht(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 0$h%01d:$min%02d:00")
+    val steps = Seq("signup", "click")
+    val withinUs = 15L * 60 * 1000000
+    // phase 1 (inside any horizon): u1 converts across two batches —
+    // with a wide expiry the output must equal the NoTimeout contract
+    val mem = MemoryStream[Ev]
+    val q = Streams.funnelStream(mem.toDF(), steps, withinUs,
+        watermark = "1 minute", expiryUs = Some(10L * 60 * 1000000))
+      .writeStream.format("memory").queryName("funnel_expiry")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ht(0, 0), 1, "signup", 0)); q.processAllAvailable()
+      mem.addData(Ev(2, ht(0, 5), 1, "click", 0)); q.processAllAvailable()
+      val inside = spark.table("funnel_expiry")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("step"))).sorted
+      assert(inside.toSeq == Seq((1L, 1L), (1L, 2L))) // the batch-twin chain
+      // phase 2: advance the watermark far past u1's 10-minute expiry
+      // (two dummy-key batches: the second PROCESSES under the first's
+      // advanced watermark, firing u1's timeout and dropping its state)
+      mem.addData(Ev(3, ht(1, 0), 99, "other", 0)); q.processAllAvailable()
+      mem.addData(Ev(4, ht(1, 1), 99, "other", 0)); q.processAllAvailable()
+      // phase 3: the tombstone is gone — a fresh signup RESTARTS u1's
+      // funnel (the documented divergence that buys bounded state)
+      mem.addData(Ev(5, ht(1, 2), 1, "signup", 0)); q.processAllAvailable()
+      val afterRestart = spark.table("funnel_expiry")
+        .filter(col("user_id") === 1L && col("step") === 1L).count()
+      assert(afterRestart == 2L, "expired key must re-enter at step 1")
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      Streams.funnelStream(mem.toDF(), steps, withinUs, "1 minute", Some(0L))
+    }
+  }
+
   test("streaming parquet sink: windowed aggregates land in files with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
