@@ -504,6 +504,34 @@ object ScaleProbe {
         rounds = 6).count()
       val btt1 = System.nanoTime()
 
+      // BT-fold axis (r14): ingest a FIXED game batch into the standing
+      // pair state built over the growing corpus. The fold is the batch
+      // collapse + a ≤ C(13,2)-row state re-agg — bt_fold_sec must stay
+      // FLAT in the factor (history is never re-read; a fold that tracks
+      // corpus size would defeat the store).
+      val btState = graft.operators.Stats.pairState(btGames, "w", "l")
+        .localCheckpoint(true) // state build is NOT on the fold's clock
+      val fixedBatch = base.select(pmod(col("doc_id"), lit(13L)).as("w"),
+          pmod(col("doc_id") + 7, lit(13L)).as("l"))
+        .filter(col("w") =!= col("l"))
+      System.gc()
+      val bgt0 = System.nanoTime()
+      val nBtFold = graft.operators.Stats.ingestGames(btState, fixedBatch,
+        "w", "l").count()
+      val bgt1 = System.nanoTime()
+
+      // calibration axis (r14): ECE/Brier over a doc-derived score/label —
+      // ONE bin hash-agg (≤ 10 rows) + one map-side row agg, so cal_sec
+      // must track the scan linearly (no window, no join to excuse).
+      System.gc()
+      val clt0 = System.nanoTime()
+      val calRows = graft.operators.Stats.calibrationSummary(
+        docs.select(
+          (pmod(col("doc_id"), lit(1000L)).cast("double") / 1000.0).as("p"),
+          (pmod(length(col("text")).cast("long"), lit(2L)) === 0L).as("y")),
+        "p", "y").head().getAs[Long]("n_rows")
+      val clt1 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -573,6 +601,8 @@ object ScaleProbe {
         s""""path_rows":$nPathRows,"paths_sec":${sec(tpt0, tpt1)},""" +
         s""""ret_cells":$nRet,"ret_sec":${sec(rtt0, rtt1)},""" +
         s""""bt_items":$nBt,"bt_sec":${sec(btt0, btt1)},""" +
+        s""""bt_fold_rows":$nBtFold,"bt_fold_sec":${sec(bgt0, bgt1)},""" +
+        s""""cal_rows":$calRows,"cal_sec":${sec(clt0, clt1)},""" +
         s""""wz_groups":$nWz,"wz_sec":${sec(wzt0, wzt1)},""" +
         s""""tfidf_rows":$nTfShipped,"tfidf_sec":${sec(tft0, tft1)},""" +
         s""""tfidf_pin_rows":$nTfPinned,"tfidf_pin_sec":${sec(tft1, tft2)}""" +
