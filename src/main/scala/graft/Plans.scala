@@ -146,7 +146,12 @@ object Plans {
         "q246_component_store",
         // media dims must be ONE typed mapPartitions chain over the doc
         // scan - no shuffle, no join, no exchange anywhere
-        "q247_media_dims")
+        "q247_media_dims",
+        // r14 batch 5: quantile bins ride the conformal/winsorize
+        // two-level rank shape (bucket-frame + per-bucket windows only,
+        // never a data-sized single partition); the decomposition is the
+        // q240 bin hash-agg + one <= nBins-row agg
+        "q248_reliability_quantile", "q249_brier_decomposition")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -487,6 +487,20 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q241_calibration_summary" -> ((s, d) => {
       Stats.calibrationSummary(calibOrders(s, d), "p", "is_f", nBins = 10)
     }),
+    // equal-mass reliability bins ✚ (r14): the adaptive-ECE binning —
+    // exact ⌊(pos−1)·10/n⌋ rank rule in the (score, o_orderkey) total
+    // order, two-level rank machinery, data-dependent bin edges reported
+    "q248_reliability_quantile" -> ((s, d) => {
+      Stats.reliabilityBinsQuantile(calibOrders(s, d), "p", "is_f",
+          "o_orderkey", nBins = 10)
+        .orderBy(col("bin"))
+    }),
+    // Murphy Brier decomposition ✚ (r14): REL/RES/UNC over the q240 bins
+    // — exact Decimal sums, the algebraic RES expansion on a pre-rounded
+    // micro ȳ, one mirrored division per term
+    "q249_brier_decomposition" -> ((s, d) => {
+      Stats.brierDecomposition(calibOrders(s, d), "p", "is_f", nBins = 10)
+    }),
   )
 
   /** Shared by q235 (direct) and q245 (standing pair-state fold) — ONE

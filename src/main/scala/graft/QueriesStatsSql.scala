@@ -7,6 +7,32 @@ package graft
   * [[QueriesStats.queries]] key; the driver enforces the pairing, and
   * RegistrySpec asserts the key sets line up. */
 private[graft] object QueriesStatsSql extends OracleSqlHelpers {
+  /** q248's oracle: the calib rows with o_orderkey carried for the rank
+    * tie-break, the same ⌊(pos−1)·nBins/n⌋ rule via row_number. */
+  private val calibQuantileOracleSql =
+    """WITH e0 AS (SELECT o_orderkey AS id,
+            CAST(least(1000000,
+              (2001 - year(o_orderdate)) * 150000
+              + month(o_orderdate) * 10000) AS BIGINT) AS p,
+            (o_orderstatus = 'F') AS y
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+       e AS (SELECT id, p, y FROM e0 WHERE p >= 0 AND p <= 1000000),
+       r AS (SELECT p, y,
+              row_number() OVER (ORDER BY p, id) AS pos,
+              count(*) OVER () AS n
+             FROM e)
+       SELECT (pos - 1) * 10 // n AS bin,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+              CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+                AS conf_micro,
+              CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
+                / count(*)::DOUBLE) AS BIGINT) AS acc_micro,
+              CAST(min(p) AS BIGINT) AS lo_micro,
+              CAST(max(p) AS BIGINT) AS hi_micro
+       FROM r GROUP BY 1 ORDER BY bin"""
+
   /** q240/q241's shared row shape: the calibOrders micro score replayed as
     * a plain integer (the Spark side's double ÷10⁶ → ×10⁶ round-trip is
     * exact by construction) plus the boolean outcome. */
@@ -1031,6 +1057,46 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
                   CAST(round(bn::DOUBLE / nb::DOUBLE / 1e6) AS BIGINT)
                 END AS brier_micro
          FROM ec CROSS JOIN br"""),
+    // same rank rule (row_number over (p, id)), same per-bin statistics
+    "q248_reliability_quantile" -> calibQuantileOracleSql,
+    // same q240 bins, REL as the exact HUGEINT weighted square sum, RES
+    // via the same algebraic expansion on the pre-rounded micro ybar
+    "q249_brier_decomposition" -> (calibRowsSql + """,
+         b AS (SELECT least(9, p * 10 // 1000000) AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+                CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+                  AS conf_micro,
+                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
+                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
+               FROM e GROUP BY 1),
+         a AS (SELECT coalesce(sum(n), 0) AS n_rows,
+                coalesce(sum(n_pos), 0) AS n_pos,
+                sum((acc_micro - conf_micro)::HUGEINT
+                  * (acc_micro - conf_micro)::HUGEINT * n::HUGEINT) AS rel,
+                sum(acc_micro::HUGEINT * n::HUGEINT) AS s1,
+                sum(acc_micro::HUGEINT * acc_micro::HUGEINT * n::HUGEINT) AS s2
+               FROM b),
+         yb AS (SELECT *,
+                 CASE WHEN n_rows > 0 THEN
+                   CAST(round(n_pos::DOUBLE * 1e6 / n_rows::DOUBLE) AS BIGINT)
+                 END AS ybar_micro
+                FROM a)
+         SELECT CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_pos AS BIGINT) AS n_pos, ybar_micro,
+                CASE WHEN n_rows > 0 THEN
+                  CAST(round(rel::DOUBLE / n_rows::DOUBLE / 1e6) AS BIGINT)
+                END AS rel_micro,
+                CASE WHEN n_rows > 0 THEN
+                  CAST(round((s2 - 2::HUGEINT * ybar_micro::HUGEINT * s1
+                      + n_rows::HUGEINT * ybar_micro::HUGEINT * ybar_micro::HUGEINT)::DOUBLE
+                    / n_rows::DOUBLE / 1e6) AS BIGINT)
+                END AS res_micro,
+                CASE WHEN n_rows > 0 THEN
+                  CAST(round(ybar_micro::DOUBLE * (1000000 - ybar_micro)::DOUBLE
+                    / 1e6) AS BIGINT)
+                END AS unc_micro
+         FROM yb"""),
   )
 
 }

@@ -749,4 +749,63 @@ class StatsSpec extends SparkTestBase {
       && rep.getAs[Long]("brier_micro") == s.getAs[Long]("brier_micro"))
     intercept[IllegalArgumentException] { Stats.reliabilityBins(df, "p", "y", 0) }
   }
+
+  test("reliabilityBinsQuantile: exact mass balance, rank determinism, score ranges") {
+    // 12 rows, 4 bins -> exactly 3 per bin in (p, id) order; duplicate
+    // scores split across a bin boundary BY ID (rows 5/6 share p=0.30)
+    val df = (1 to 12).map { i =>
+      val p = if (i == 6) 0.30 else i / 20.0 // i=6 duplicates i=5's score
+      (i.toLong, p, i % 3 == 0)
+    }.toDF("id", "p", "y")
+    val bins = Stats.reliabilityBinsQuantile(df, "p", "y", "id", nBins = 4)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(bins.forall(_.getAs[Long]("n") == 3L)) // equal mass
+    // bin ranges are observed data, non-overlapping and ordered
+    val ranges = bins.map(r => (r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro")))
+    assert(ranges.sliding(2).forall { case Array(a, b) => a._2 <= b._1 })
+    // the tie at p=0.30: id 5 and id 6 are ranks 5/6 -> both land in bin 1
+    assert(ranges(1)._2 == 300000L)
+    // hand-check one bin's stats: bin 0 holds p = .05/.10/.15, y at i=3
+    assert(bins(0).getAs[Long]("conf_micro") == 100000L)
+    assert(bins(0).getAs[Long]("n_pos") == 1L
+      && bins(0).getAs[Long]("acc_micro") == 333333L)
+    // deterministic under repartitioning (two-level ranks, exact sums)
+    val rep = Stats.reliabilityBinsQuantile(df.repartition(7), "p", "y", "id", 4)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(rep == bins.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Stats.reliabilityBinsQuantile(df, "p", "y", "id", 0)
+    }
+  }
+
+  test("brierDecomposition: Murphy identity, perfectly-resolved case, empty nulls") {
+    // the q240 fixture shape: bin .25 (4 rows, 1 pos), bin .95/1.0 (2 pos)
+    val df = Seq((0.25, true), (0.25, false), (0.25, false), (0.25, false),
+      (0.95, true), (1.0, true)).toDF("p", "y")
+    val r = Stats.brierDecomposition(df, "p", "y", nBins = 10).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 6L && r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Long]("ybar_micro") == 500000L)
+    // hand: bin2 conf=acc=250000 -> rel term 0; bin9 conf 975000 acc 1e6
+    // -> rel = 2*(25000)^2/6/1e6; res = (4*(250000-5e5)^2 + 2*(1e6-5e5)^2)/6/1e6
+    assert(r.getAs[Long]("rel_micro") == math.round(2.0 * 25000 * 25000 / 6 / 1e6))
+    val res = (4.0 * 250000 * 250000 + 2.0 * 500000 * 500000) / 6 / 1e6
+    assert(r.getAs[Long]("res_micro") == math.round(res))
+    assert(r.getAs[Long]("unc_micro") == 250000L) // .5 * .5
+    // Murphy identity vs the direct Brier (quantized bins: exact here)
+    val brier = Stats.calibrationSummary(df, "p", "y").collect()(0)
+      .getAs[Long]("brier_micro")
+    val murphy = r.getAs[Long]("rel_micro") - r.getAs[Long]("res_micro") +
+      r.getAs[Long]("unc_micro")
+    assert(math.abs(murphy - brier) <= 700L,
+      s"identity drift beyond bin quantization: $murphy vs $brier")
+    // perfectly resolved (every bin pure): RES == UNC, so Brier == REL
+    val pure = Seq((0.1, false), (0.12, false), (0.9, true), (0.93, true))
+      .toDF("p", "y")
+    val pr = Stats.brierDecomposition(pure, "p", "y").collect()(0)
+    assert(pr.getAs[Long]("res_micro") == pr.getAs[Long]("unc_micro"))
+    // empty input: zero counts, null statistics
+    val e = Stats.brierDecomposition(df.filter(col("p") > 2), "p", "y").collect()(0)
+    assert(e.getAs[Long]("n_rows") == 0L && e.isNullAt(2) && e.isNullAt(3))
+  }
 }
