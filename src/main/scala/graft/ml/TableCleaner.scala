@@ -392,6 +392,39 @@ final class TableCleaner {
     (project(tr), project(te), tr.select(label), te.select(label))
   }
 
+  /** Rolling-origin (expanding-window) temporal cross-validation (r14 ✚)
+    * — [[splitXyByTime]] generalized to the time-series CV norm: for
+    * strictly-increasing `cutoffsUs` of length k ≥ 2, element f of the
+    * returned sequence (f = 0..k−2) is (X_train, X_test, y_train, y_test)
+    * with train = rows STRICTLY before cutoffs(f) and test = rows in
+    * [cutoffs(f), cutoffs(f+1)) — each evaluation window is scored by a
+    * model that saw only its past, and windows never overlap. Null-ts
+    * rows appear in no fold (they postdate every boundary under the
+    * [[graft.operators.Ops.splitByTime]] null contract and are excluded
+    * from the bounded test windows).
+    *
+    * Cleaner statistics are fitted FRESH on each fold's train slice (the
+    * [[foldXyByGroup]] per-fold template restore), so fold f's imputation
+    * means never see fold f's own test window — the temporal leakage rule
+    * applied per origin. The returned frames are self-contained
+    * projections; the cleaner is left fitted on the LAST fold's train. */
+  def foldXyByTime(df: DataFrame, label: String, tsCol: String,
+      cutoffsUs: Seq[Long]): Seq[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
+    require(cutoffsUs.length >= 2, "need at least 2 cutoffs (1 fold)")
+    require(cutoffsUs == cutoffsUs.sorted.distinct,
+      "cutoffs must be strictly increasing")
+    val t = col(tsCol).cast("long")
+    val templates = columns.toList
+    cutoffsUs.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      columns.clear()
+      columns ++= templates
+      val tr = df.filter(t < lo)
+      val te = df.filter(t >= lo && t < hi)
+      fit(tr)
+      (project(tr), project(te), tr.select(label), te.select(label))
+    }
+  }
+
   /** Leave-one-fold-out cross-validation splits — [[splitXyByGroup]]
     * generalized to k folds (VERDICT r12 missing #2) on
     * [[graft.operators.Ops.foldByGroupHash]]'s group-atomic fold labels:

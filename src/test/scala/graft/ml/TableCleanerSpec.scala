@@ -324,6 +324,36 @@ class TableCleanerSpec extends SparkTestBase {
     assert(fitted != df.agg(avg("x")).head().getDouble(0))
   }
 
+  test("foldXyByTime: expanding train windows, disjoint test windows, per-fold past-only fit") {
+    import org.apache.spark.sql.functions.col
+    val c = new TableCleaner
+    c.registerNumeric("x", impute = "mean", clip = false)
+    val df = (1 to 100).map(i => (i.toDouble, i * 2.0, i.toLong))
+      .toDF("x", "label", "ts")
+    val folds = c.foldXyByTime(df, "label", "ts", Seq(40L, 70L, 90L))
+    assert(folds.length == 2)
+    val (x0tr, x0te, _, y0te) = folds(0)
+    val (x1tr, x1te, _, _) = folds(1)
+    // fold 0: train 1..39, test 40..69; fold 1: train 1..69, test 70..89
+    assert(x0tr.count() == 39L && x0te.count() == 30L)
+    assert(x1tr.count() == 69L && x1te.count() == 20L)
+    // expanding origin: fold 1's train CONTAINS fold 0's test window
+    assert(x1tr.count() == x0tr.count() + x0te.count())
+    // test windows are disjoint and row-paired with their labels
+    assert(y0te.count() == 30L)
+    // per-fold past-only fit: the LAST fold's fitted mean is mean(1..69)
+    val fitted = c.columns.collectFirst {
+      case n: NumericalColumn => n.vMean.get
+    }.get
+    assert(fitted == 35.0)
+    intercept[IllegalArgumentException] {
+      c.foldXyByTime(df, "label", "ts", Seq(40L))
+    }
+    intercept[IllegalArgumentException] {
+      c.foldXyByTime(df, "label", "ts", Seq(70L, 40L))
+    }
+  }
+
   test("foldXyByGroup: fold-atomic groups, per-fold train-only fit, full coverage") {
     import org.apache.spark.sql.functions.{avg, col}
     val c = new TableCleaner
