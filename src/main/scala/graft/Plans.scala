@@ -151,7 +151,10 @@ object Plans {
         // two-level rank shape (bucket-frame + per-bucket windows only,
         // never a data-sized single partition); the decomposition is the
         // q240 bin hash-agg + one <= nBins-row agg
-        "q248_reliability_quantile", "q249_brier_decomposition")
+        "q248_reliability_quantile", "q249_brier_decomposition",
+        // the PAVA minimax runs entirely on the <= nBins bin table (its
+        // windows and self-joins are parameter-bounded, never data-sized)
+        "q250_isotonic_calibration")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

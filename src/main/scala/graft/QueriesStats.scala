@@ -501,6 +501,29 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q249_brier_decomposition" -> ((s, d) => {
       Stats.brierDecomposition(calibOrders(s, d), "p", "is_f", nBins = 10)
     }),
+    // isotonic calibration remap ✚ (r14): PAVA via the exact minimax
+    // formula over reliability bins with a deterministically ZIGZAG-
+    // calibrated label (orders' own status is independent of everything —
+    // PAVA on it pools to one flat constant, a degenerate demo) — the
+    // per-pair violators pool, the increasing trend passes through;
+    // integer interval rates from prefix-sum differences, nBins² work only
+    "q250_isotonic_calibration" -> ((s, d) => {
+      val pm = least(lit(1000000L),
+        ((lit(2001) - year(col("o_orderdate"))) * 150000
+          + month(col("o_orderdate")) * 10000).cast(LongType))
+      // pseudo-uniform u ∈ [0, 100) from the key; hit threshold rises
+      // with the score but ZIGZAGS per bin (even bins +8) — adjacent
+      // violators by construction, so the remap genuinely pools
+      val u = (col("o_orderkey") % 97) * 10309 % 100
+      val th = lit(10) + graft.operators.Ranks.floorDiv(pm * 60, 1000000L) +
+        when(graft.operators.Ranks.floorDiv(pm * 10, 1000000L) % 2 === 0,
+          lit(8)).otherwise(lit(0))
+      val o = Tables.orders(s, d)
+        .withColumn("p", pm.cast("double") / 1e6)
+        .withColumn("is_hit", u < th)
+      Stats.isotonicCalibration(o, "p", "is_hit", nBins = 10)
+        .orderBy(col("bin"))
+    }),
   )
 
   /** Shared by q235 (direct) and q245 (standing pair-state fold) — ONE

@@ -1059,6 +1059,45 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
          FROM ec CROSS JOIN br"""),
     // same rank rule (row_number over (p, id)), same per-bin statistics
     "q248_reliability_quantile" -> calibQuantileOracleSql,
+    // same zigzag label construction (integer u/threshold), same bins,
+    // same prefix-sum interval rates, the same minimax
+    // max_{i<=b} min_{j>=b} over integer-rounded pooled rates
+    "q250_isotonic_calibration" -> ("""
+       WITH z0 AS (SELECT o_orderkey,
+              CAST(least(1000000, (2001 - year(o_orderdate)) * 150000
+                + month(o_orderdate) * 10000) AS BIGINT) AS pm
+             FROM orders
+             WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+         e AS (SELECT pm AS p,
+                ((o_orderkey % 97) * 10309 % 100)
+                  < (10 + pm * 60 // 1000000
+                     + CASE WHEN (pm * 10 // 1000000) % 2 = 0
+                         THEN 8 ELSE 0 END) AS y
+               FROM z0 WHERE pm >= 0 AND pm <= 1000000)""" + """,
+         b AS (SELECT least(9, p * 10 // 1000000) AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
+                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
+               FROM e GROUP BY 1),
+         pre AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cn,
+                  sum(n_pos) OVER (ORDER BY bin) AS cp
+                 FROM b),
+         lo AS (SELECT bin AS i,
+                 coalesce(lag(cn) OVER (ORDER BY bin), 0) AS cn0,
+                 coalesce(lag(cp) OVER (ORDER BY bin), 0) AS cp0
+                FROM pre),
+         hi AS (SELECT bin AS j, cn AS cn1, cp AS cp1 FROM pre),
+         m AS (SELECT i, j,
+                CAST(round((cp1 - cp0)::DOUBLE * 1e6
+                  / (cn1 - cn0)::DOUBLE) AS BIGINT) AS m
+               FROM lo JOIN hi ON i <= j),
+         mn1 AS (SELECT b.bin, m.i, min(m.m) AS mn
+                 FROM m JOIN b ON m.i <= b.bin AND b.bin <= m.j
+                 GROUP BY 1, 2),
+         iso AS (SELECT bin, max(mn) AS iso_micro FROM mn1 GROUP BY 1)
+         SELECT b.bin, b.n, b.n_pos, b.acc_micro, iso.iso_micro
+         FROM b JOIN iso USING (bin) ORDER BY bin"""),
     // same q240 bins, REL as the exact HUGEINT weighted square sum, RES
     // via the same algebraic expansion on the pre-rounded micro ybar
     "q249_brier_decomposition" -> (calibRowsSql + """,

@@ -779,6 +779,40 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("isotonicCalibration: hand PAVA pooling, monotone pass-through, weighted pools") {
+    // bins (by score decade): bin 1 rate .4 over 5 rows; bin 5 rate 1.0
+    // over 1 row; bin 7 rate .4 over 5 rows. The 5→7 violation pools
+    // count-weighted: (1·1.0 + 5·.4)/6 = .5 ≥ bin 1's .4, which passes.
+    val df = Seq(
+      (0.15, true), (0.15, false), (0.15, false), (0.18, false), (0.15, true),
+      (0.55, true),
+      (0.75, false), (0.78, true), (0.75, false), (0.75, true), (0.75, false)
+    ).toDF("p", "y")
+    val r = Stats.isotonicCalibration(df, "p", "y", nBins = 10)
+      .orderBy("bin").collect()
+      .map(x => (x.getAs[Long]("bin"), x.getAs[Long]("acc_micro"),
+        x.getAs[Long]("iso_micro")))
+    assert(r.toSeq == Seq(
+      (1L, 400000L, 400000L),   // monotone start: untouched
+      (5L, 1000000L, 500000L),  // violator pair pools, COUNT-weighted
+      (7L, 400000L, 500000L)))
+    // iso is non-decreasing by construction
+    assert(r.map(_._3).toSeq == r.map(_._3).sorted.toSeq)
+    // an already-monotone sequence is the identity
+    val mono = Seq((0.1, false), (0.1, false), (0.5, true), (0.5, false),
+      (0.9, true)).toDF("p", "y")
+    val m = Stats.isotonicCalibration(mono, "p", "y").orderBy("bin").collect()
+    assert(m.forall(x => x.getAs[Long]("iso_micro") == x.getAs[Long]("acc_micro")))
+    // deterministic under repartitioning (exact prefix sums, integer minimax)
+    val rep = Stats.isotonicCalibration(df.repartition(7), "p", "y")
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(rep == Stats.isotonicCalibration(df, "p", "y")
+      .orderBy("bin").collect().map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Stats.isotonicCalibration(df, "p", "y", 1001)
+    }
+  }
+
   test("brierDecomposition: Murphy identity, perfectly-resolved case, empty nulls") {
     // the q240 fixture shape: bin .25 (4 rows, 1 pos), bin .95/1.0 (2 pos)
     val df = Seq((0.25, true), (0.25, false), (0.25, false), (0.25, false),
