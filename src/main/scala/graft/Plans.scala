@@ -154,7 +154,10 @@ object Plans {
         "q248_reliability_quantile", "q249_brier_decomposition",
         // the PAVA minimax runs entirely on the <= nBins bin table (its
         // windows and self-joins are parameter-bounded, never data-sized)
-        "q250_isotonic_calibration")
+        "q250_isotonic_calibration",
+        // Neyman is ONE map-side agg to the |strata| table; the Hamilton
+        // windows run on that tiny frame (no data-sized window or join)
+        "q251_neyman_allocation")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -163,6 +163,14 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
           budget = 100000L)
         .orderBy(col("source"))
     }),
+    // Neyman allocation ✚ (r14): variance-optimal audit budget across
+    // order priorities — exact-sum per-stratum σ, integer N·σ weights
+    // into the q184 Hamilton machinery, Σalloc ≡ budget
+    "q251_neyman_allocation" -> ((s, d) => {
+      Pack.neymanAllocation(Tables.orders(s, d), Seq("o_orderpriority"),
+          "o_totalprice", budget = 1000L)
+        .orderBy(col("o_orderpriority"))
+    }),
     // Good-Turing ✚ (r9): frequency-of-frequencies + adjusted counts —
     // the unseen-mass estimate (r=1 row: P0 = N1/T) a vocab/LM pipeline
     // reads before choosing its smoothing

@@ -307,6 +307,38 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
          SELECT g AS source, CAST(w AS BIGINT) AS w,
                 CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
          FROM r, l ORDER BY source""",
+    // same exact Σx/Σx² sums (HUGEINT ≡ Decimal(38,0)), same one sqrt
+    // expression, the q184 Hamilton tail on the integer N·σ weights
+    "q251_neyman_allocation" ->
+      """WITH pg AS (SELECT o_orderpriority AS g,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS s1,
+                sum(CAST(round(o_totalprice * 1e6) AS BIGINT)::HUGEINT
+                  * CAST(round(o_totalprice * 1e6) AS BIGINT)::HUGEINT) AS s2
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+               GROUP BY 1),
+         sdx AS (SELECT g, n_rows,
+                  CASE WHEN n_rows > 1 THEN
+                    sqrt(greatest(0, (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE
+                      / n_rows::DOUBLE) / (n_rows - 1)::DOUBLE))
+                  ELSE 0 END AS sd
+                 FROM pg),
+         st AS (SELECT g, n_rows,
+                 CAST(round(sd) AS BIGINT) AS sd_micro,
+                 CAST(round(n_rows::DOUBLE * sd) AS HUGEINT) AS w
+                FROM sdx),
+         t AS (SELECT sum(w) AS wt FROM st),
+         j AS (SELECT g, n_rows, sd_micro, w,
+                 (1000::HUGEINT * w) % wt AS rem,
+                 (1000::HUGEINT * w) // wt AS fq
+               FROM st, t WHERE wt > 0),
+         l AS (SELECT 1000 - sum(fq) AS lf FROM j),
+         r AS (SELECT g, n_rows, sd_micro, w, fq, rem,
+                row_number() OVER (ORDER BY rem DESC, g) AS rk FROM j)
+         SELECT g AS o_orderpriority, n_rows, sd_micro, CAST(w AS BIGINT) AS w,
+                CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         FROM r, l ORDER BY o_orderpriority""",
     // same normalize/tokenize as the LM family; the only division is the
     // final r* ratio over exact integer counts
     "q185_good_turing" ->

@@ -131,4 +131,54 @@ object Pack {
         (col("fq") + when(col("__rk") <= col("lf"), lit(1L)).otherwise(lit(0L)))
           .as("alloc")): _*)
   }
+
+  /** Neyman-optimal stratified allocation (r14 ✚) — [[apportion]] with
+    * the variance-optimal weight N_h·σ_h (Neyman 1934): the allocation
+    * that minimizes the stratified-mean estimator's variance for a fixed
+    * total budget, so a big AND internally-diverse stratum earns draws
+    * while a big-but-constant one needs almost none — the principled
+    * upgrade of pro-rata sampling for corpus QA ("how many docs per
+    * source do I audit"). σ_h is the exact-sum sample std over the
+    * micro-quantized value (Σx, Σx² as exact long/Decimal sums — the
+    * [[graft.operators.Stats.welchT]] contract; ONE fixed sqrt expression
+    * per stratum, mirrored in DuckDB), and the integer weight
+    * w = round(N·σ_micro) feeds the pure-integer largest-remainder
+    * machinery, so Σalloc = budget exactly. Single-row and
+    * zero-variance strata weight 0 (one draw from a constant stratum
+    * already tells you everything — they receive leftovers last, the
+    * [[apportion]] zero-weight rule).
+    *
+    * Scale shape: one map-side-combined agg to the |strata| table; the
+    * apportionment windows run on that tiny table. Output per stratum:
+    * strata cols, `n_rows`, `sd_micro`, `w`, `alloc`. Pair with
+    * [[Ops.sampleKPerGroup]]-style execution per stratum. */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+      valueCol: String, budget: Long): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(budget >= 0, "budget must be >= 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = round(col(valueCol).cast("double") * 1e6).cast(LongType)
+    val perG = df
+      .filter(strataCols.map(c => col(c).isNotNull).reduce(_ && _)
+        && col(valueCol).isNotNull)
+      .select((strataCols.map(col) :+ v.as("__v")): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__s1"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__s2"))
+    val variance = (col("__s2").cast("double")
+      - col("__s1").cast("double") * col("__s1").cast("double")
+        / col("n_rows").cast("double")) / (col("n_rows") - 1).cast("double")
+    val sd = when(col("n_rows") > 1, sqrt(greatest(lit(0d), variance)))
+      .otherwise(lit(0d))
+    val strata = perG
+      .withColumn("sd_micro", round(sd).cast(LongType))
+      .withColumn("w", round(col("n_rows").cast("double") * sd).cast(LongType))
+      .select((strataCols.map(col) ++ Seq(col("n_rows"), col("sd_micro"),
+        col("w"))): _*)
+      .localCheckpoint(true) // tiny; read by the apportionment + the join
+    apportion(strata, strataCols, "w", budget)
+      .join(strata.drop("w"), strataCols)
+      .select((strataCols.map(col) ++ Seq(col("n_rows"), col("sd_micro"),
+        col("w"), col("alloc"))): _*)
+  }
 }

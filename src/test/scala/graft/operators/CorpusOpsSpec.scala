@@ -305,4 +305,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, w, a) => math.abs(a - 17L * w / wt) <= 1.0 })
     assert(rows.find(_._1 == "z").get._3 == 0L)
   }
+
+  test("neymanAllocation: diverse strata out-draw big constant ones, budget exact") {
+    // stratum a: 100 CONSTANT rows (σ = 0 — one draw tells all);
+    // stratum b: 10 rows alternating 0/10 (σ ≈ 5.27, N·σ ≈ 53);
+    // stratum c: 4 rows alternating 0/20 (σ ≈ 11.5, N·σ ≈ 46)
+    val rows = (1 to 100).map(i => ("a", 7.0)) ++
+      (1 to 10).map(i => ("b", if (i % 2 == 0) 10.0 else 0.0)) ++
+      (1 to 4).map(i => ("c", if (i % 2 == 0) 20.0 else 0.0)) ++
+      Seq(("d", 3.0)) // single row: σ undefined -> weight 0
+    val df = rows.toDF("src", "v")
+    val r = Pack.neymanAllocation(df, Seq("src"), "v", budget = 99L)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("n_rows"), x.getAs[Long]("sd_micro"),
+          x.getAs[Long]("w"), x.getAs[Long]("alloc"))).toMap
+    // budget lands exactly, all of it on the two diverse strata
+    assert(r.values.map(_._4).sum == 99L)
+    assert(r("a")._4 == 0L && r("d")._4 == 0L)
+    // hand σ: b has 5 zeros/5 tens -> var = 250/9, σ = 5.27046…
+    assert(r("b")._2 == math.round(math.sqrt(250.0 / 9) * 1e6))
+    assert(r("b")._1 == 10L && r("d")._2 == 0L)
+    // Neyman: alloc ∝ N·σ -> b/(b+c) of 99
+    val (wb, wc) = (r("b")._3.toDouble, r("c")._3.toDouble)
+    assert(math.abs(r("b")._4 - 99 * wb / (wb + wc)) <= 1.0)
+    // deterministic under repartitioning (exact sums, integer Hamilton)
+    val rep = Pack.neymanAllocation(df.repartition(7), Seq("src"), "v", 99L)
+      .orderBy("src").collect().map(_.toSeq).toSeq
+    assert(rep == Pack.neymanAllocation(df, Seq("src"), "v", 99L)
+      .orderBy("src").collect().map(_.toSeq).toSeq)
+  }
 }
