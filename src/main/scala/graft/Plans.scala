@@ -157,7 +157,10 @@ object Plans {
         "q250_isotonic_calibration",
         // Neyman is ONE map-side agg to the |strata| table; the Hamilton
         // windows run on that tiny frame (no data-sized window or join)
-        "q251_neyman_allocation")
+        "q251_neyman_allocation",
+        // capped apportionment: rounds run on the pinned |groups| frame
+        // (one data-sized agg total; never a rounds-deep lazy plan)
+        "q252_apportion_capped")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -171,6 +171,23 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
           "o_totalprice", budget = 1000L)
         .orderBy(col("o_orderpriority"))
     }),
+    // capped apportionment ✚ (r14): the q184 Hamilton plan under source
+    // exhaustion — URGENT has zero capacity and HIGH ~1/30th, so round 1
+    // caps both and round 2 redistributes their share among the rest;
+    // 3 idempotent rounds unrolled in the oracle (round 3 is the fixpoint
+    // replay), Σalloc ≡ budget, caps never exceeded
+    "q252_apportion_capped" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+        .withColumn("cap1",
+          when(col("o_orderpriority") === "1-URGENT", lit(0L))
+            .when(col("o_orderpriority") === "2-HIGH",
+              when(col("o_orderkey") % 30 === 0, lit(1L)).otherwise(lit(0L)))
+            .otherwise(lit(1L)))
+      Pack.apportionCapped(o, Seq("o_orderpriority"), "cents", "cap1",
+          budget = 5000L, rounds = 3)
+        .orderBy(col("o_orderpriority"))
+    }),
     // Good-Turing ✚ (r9): frequency-of-frequencies + adjusted counts —
     // the unseen-mass estimate (r=1 row: P0 = N1/T) a vocab/LM pipeline
     // reads before choosing its smoothing

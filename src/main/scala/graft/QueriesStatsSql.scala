@@ -339,6 +339,85 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
          SELECT g AS o_orderpriority, n_rows, sd_micro, CAST(w AS BIGINT) AS w,
                 CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
          FROM r, l ORDER BY o_orderpriority""",
+    // the clamp-and-redistribute rounds unrolled as MATERIALIZED CTEs -
+    // pure HUGEINT Hamilton per round, bit-identical to the Decimal path
+    "q252_apportion_capped" ->
+      """
+       WITH g0 AS MATERIALIZED (
+         SELECT o_orderpriority AS g,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+                 WHEN o_orderpriority = '2-HIGH' THEN
+                   CASE WHEN o_orderkey % 30 = 0 THEN 1 ELSE 0 END
+                 ELSE 1 END) AS BIGINT) AS cap
+         FROM orders
+         WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+           AND o_totalprice >= 0
+         GROUP BY 1),
+       s0 AS MATERIALIZED (SELECT g, w, cap, FALSE AS capped,
+              CAST(0 AS BIGINT) AS alloc FROM g0),
+         cb1 AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0) AS cb FROM s0),
+         un1 AS MATERIALIZED (SELECT g, w FROM s0 WHERE NOT capped),
+         t1 AS (SELECT sum(w) AS wt FROM un1),
+         j1 AS MATERIALIZED (SELECT un1.g, un1.w,
+                greatest(0, 5000 - cb) AS rb,
+                (greatest(0, 5000 - cb)::HUGEINT * w) % wt AS rem,
+                (greatest(0, 5000 - cb)::HUGEINT * w) // wt AS fq
+               FROM un1, t1, cb1 WHERE wt > 0),
+         l1 AS (SELECT max(rb) - sum(fq) AS lf FROM j1),
+         r1 AS (SELECT g, fq, rem,
+                row_number() OVER (ORDER BY rem DESC, g) AS rk FROM j1),
+         a1 AS MATERIALIZED (SELECT g,
+                CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS au
+               FROM r1, l1),
+         s1 AS MATERIALIZED (
+           SELECT p.g, p.w, p.cap,
+             p.capped OR coalesce(a1.au > p.cap, FALSE) AS capped,
+             CASE WHEN p.capped OR coalesce(a1.au > p.cap, FALSE) THEN p.cap
+                  ELSE coalesce(a1.au, 0) END AS alloc
+           FROM s0 p LEFT JOIN a1 USING (g)),
+         cb2 AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0) AS cb FROM s1),
+         un2 AS MATERIALIZED (SELECT g, w FROM s1 WHERE NOT capped),
+         t2 AS (SELECT sum(w) AS wt FROM un2),
+         j2 AS MATERIALIZED (SELECT un2.g, un2.w,
+                greatest(0, 5000 - cb) AS rb,
+                (greatest(0, 5000 - cb)::HUGEINT * w) % wt AS rem,
+                (greatest(0, 5000 - cb)::HUGEINT * w) // wt AS fq
+               FROM un2, t2, cb2 WHERE wt > 0),
+         l2 AS (SELECT max(rb) - sum(fq) AS lf FROM j2),
+         r2 AS (SELECT g, fq, rem,
+                row_number() OVER (ORDER BY rem DESC, g) AS rk FROM j2),
+         a2 AS MATERIALIZED (SELECT g,
+                CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS au
+               FROM r2, l2),
+         s2 AS MATERIALIZED (
+           SELECT p.g, p.w, p.cap,
+             p.capped OR coalesce(a2.au > p.cap, FALSE) AS capped,
+             CASE WHEN p.capped OR coalesce(a2.au > p.cap, FALSE) THEN p.cap
+                  ELSE coalesce(a2.au, 0) END AS alloc
+           FROM s1 p LEFT JOIN a2 USING (g)),
+         cb3 AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0) AS cb FROM s2),
+         un3 AS MATERIALIZED (SELECT g, w FROM s2 WHERE NOT capped),
+         t3 AS (SELECT sum(w) AS wt FROM un3),
+         j3 AS MATERIALIZED (SELECT un3.g, un3.w,
+                greatest(0, 5000 - cb) AS rb,
+                (greatest(0, 5000 - cb)::HUGEINT * w) % wt AS rem,
+                (greatest(0, 5000 - cb)::HUGEINT * w) // wt AS fq
+               FROM un3, t3, cb3 WHERE wt > 0),
+         l3 AS (SELECT max(rb) - sum(fq) AS lf FROM j3),
+         r3 AS (SELECT g, fq, rem,
+                row_number() OVER (ORDER BY rem DESC, g) AS rk FROM j3),
+         a3 AS MATERIALIZED (SELECT g,
+                CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS au
+               FROM r3, l3),
+         s3 AS MATERIALIZED (
+           SELECT p.g, p.w, p.cap,
+             p.capped OR coalesce(a3.au > p.cap, FALSE) AS capped,
+             CASE WHEN p.capped OR coalesce(a3.au > p.cap, FALSE) THEN p.cap
+                  ELSE coalesce(a3.au, 0) END AS alloc
+           FROM s2 p LEFT JOIN a3 USING (g))
+       SELECT g AS o_orderpriority, w, cap, capped, CAST(alloc AS BIGINT) AS alloc
+       FROM s3 ORDER BY o_orderpriority""",
     // same normalize/tokenize as the LM family; the only division is the
     // final r* ratio over exact integer counts
     "q185_good_turing" ->

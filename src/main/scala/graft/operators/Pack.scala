@@ -132,6 +132,76 @@ object Pack {
           .as("alloc")): _*)
   }
 
+  /** Capacity-capped [[apportion]] (r14 ✚) — Hamilton apportionment that
+    * survives SOURCE EXHAUSTION: each group also carries a capacity
+    * (Σ `capCol` — pass 1 per row for "can't sample more rows than the
+    * group has", or available token mass), and the plan never allocates
+    * past it. Semantics are the standard iterative clamp-and-
+    * redistribute, defined exactly: each round apportions
+    * (budget − Σ caps of already-capped groups) across the UNCAPPED
+    * groups by weight (the [[apportion]] integer Hamilton); any group
+    * allocated past its cap is clamped to it and marked capped; repeat.
+    * A round that caps no new group recomputes the identical allocation,
+    * so the fixpoint is idempotent and a fixed `rounds` unroll (each
+    * round caps ≥ 1 group or is final — `rounds` ≥ |groups| is always
+    * enough) replays on any engine — the q235 MM-round contract. When
+    * the budget exceeds Σ all caps, everything is capped and
+    * Σ alloc = Σ cap < budget (the infeasibility is visible, not hidden).
+    *
+    * Scale shape: one map-side-combined agg to the |groups| table, then
+    * `rounds` passes over that tiny frame (localCheckpoint-pinned per
+    * round — never a rounds-deep lazy plan). Output per group: group
+    * cols, `w`, `cap`, `capped`, `alloc`. */
+  def apportionCapped(df: DataFrame, groupCols: Seq[String],
+      weightCol: String, capCol: String, budget: Long,
+      rounds: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(budget >= 0, "budget must be >= 0")
+    require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    var st = df
+      .filter(groupCols.map(c => col(c).isNotNull).reduce(_ && _)
+        && col(weightCol).isNotNull && col(weightCol) >= 0
+        && col(capCol).isNotNull && col(capCol) >= 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(weightCol).cast(LongType)).as("w"),
+        sum(col(capCol).cast(LongType)).as("cap"))
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cb = st.agg(coalesce(sum(when(col("capped"), col("cap"))), lit(0L))
+        .as("__cb"))
+      val un = st.filter(!col("capped"))
+        .select((groupCols.map(col) :+ col("w")): _*)
+      val tot = un.agg(sum(col("w")).as("__wt"))
+      val j = un.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+        .filter(col("__wt") > 0)
+        .withColumn("__rb", greatest(lit(0L), lit(budget) - col("__cb")))
+        .withColumn("__bw", col("__rb").cast(dec) * col("w").cast(dec))
+        .withColumn("__rem", pmod(col("__bw"), col("__wt").cast(dec)))
+        .withColumn("__fq", ((col("__bw") - col("__rem"))
+          / col("__wt").cast(dec)).cast(LongType))
+      val leftover = j.agg((max(col("__rb")) - sum(col("__fq"))).as("__lf"))
+      val rk = Window.orderBy(
+        col("__rem").desc +: groupCols.map(col(_).asc): _*)
+      val allocU = j.crossJoin(broadcast(leftover))
+        .withColumn("__rk", row_number().over(rk))
+        .select((groupCols.map(col) :+
+          (col("__fq") + when(col("__rk") <= col("__lf"), lit(1L))
+            .otherwise(lit(0L))).as("__au")): _*)
+      st = st.join(allocU, groupCols, "left")
+        .select((groupCols.map(col) ++ Seq(col("w"), col("cap"),
+          (col("capped") || coalesce(col("__au") > col("cap"), lit(false)))
+            .as("capped"),
+          when(col("capped") || coalesce(col("__au") > col("cap"), lit(false)),
+            col("cap")).otherwise(coalesce(col("__au"), lit(0L)))
+            .as("alloc"))): _*)
+        .localCheckpoint(true)
+    }
+    st
+  }
+
   /** Neyman-optimal stratified allocation (r14 ✚) — [[apportion]] with
     * the variance-optimal weight N_h·σ_h (Neyman 1934): the allocation
     * that minimizes the stratified-mean estimator's variance for a fixed

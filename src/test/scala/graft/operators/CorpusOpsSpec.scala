@@ -306,6 +306,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rows.find(_._1 == "z").get._3 == 0L)
   }
 
+  test("apportionCapped: clamp-and-redistribute cascade, budget exact, infeasible visible") {
+    // equal weights, budget 90: uncapped share is 30 each. cap(a)=10
+    // binds in round 1; the redistributed 40-each then BINDS cap(b)=35
+    // in round 2 — a genuine cascade; c absorbs the rest.
+    val df = Seq(("a", 100L, 10L), ("b", 100L, 35L), ("c", 100L, 999L))
+      .toDF("src", "w", "cap")
+    val r = Pack.apportionCapped(df, Seq("src"), "w", "cap", budget = 90L,
+        rounds = 4)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Boolean]("capped"), x.getAs[Long]("alloc"))).toMap
+    assert(r("a") == (true, 10L) && r("b") == (true, 35L))
+    assert(r("c") == (false, 45L)) // 90 - 10 - 35
+    assert(r.values.map(_._2).sum == 90L)
+    // extra rounds are idempotent at the fixpoint
+    val r8 = Pack.apportionCapped(df, Seq("src"), "w", "cap", 90L, rounds = 8)
+      .orderBy("src").collect().map(_.toSeq).toSeq
+    assert(r8 == Pack.apportionCapped(df, Seq("src"), "w", "cap", 90L, 4)
+      .orderBy("src").collect().map(_.toSeq).toSeq)
+    // infeasible budget: everything caps, the shortfall stays VISIBLE
+    val inf = Pack.apportionCapped(df, Seq("src"), "w", "cap", budget = 5000L,
+        rounds = 4)
+      .collect().map(x => (x.getAs[Boolean]("capped"), x.getAs[Long]("alloc")))
+    assert(inf.forall(_._1) && inf.map(_._2).sum == 10L + 35L + 999L)
+    // per-row caps aggregate (1-per-row = group size) and never overshoot
+    val rows = ((1 to 6).map(i => ("x", 1L, 1L)) ++
+      (1 to 2).map(i => ("y", 9L, 1L))).toDF("src", "w", "cap")
+    val g = Pack.apportionCapped(rows, Seq("src"), "w", "cap", budget = 7L,
+        rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+    assert(g("y") == 2L && g("x") == 5L) // y wants ~5 of 7 but holds 2 rows
+    // deterministic under repartitioning
+    val rep = Pack.apportionCapped(df.repartition(5), Seq("src"), "w", "cap",
+        90L, 4).orderBy("src").collect().map(_.toSeq).toSeq
+    assert(rep == r8)
+  }
+
   test("neymanAllocation: diverse strata out-draw big constant ones, budget exact") {
     // stratum a: 100 CONSTANT rows (σ = 0 — one draw tells all);
     // stratum b: 10 rows alternating 0/10 (σ ≈ 5.27, N·σ ≈ 53);
