@@ -160,7 +160,10 @@ object Plans {
         "q251_neyman_allocation",
         // capped apportionment: rounds run on the pinned |groups| frame
         // (one data-sized agg total; never a rounds-deep lazy plan)
-        "q252_apportion_capped")
+        "q252_apportion_capped",
+        // target encoding: ONE map-side hash-agg to the cats x folds cell
+        // table; densify/totals/joins all run on cell-sized frames
+        "q253_target_encoding")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -171,6 +171,14 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
           "o_totalprice", budget = 1000L)
         .orderBy(col("o_orderpriority"))
     }),
+    // out-of-fold target encoding ✚ (r14): the leakage-safe categorical
+    // feature — smoothed other-folds target means with a fold-excluded
+    // global prior, folds by the shared md5-60-bit band rule
+    "q253_target_encoding" -> ((s, d) => {
+      Ops.targetEncodeByFold(Tables.orders(s, d), "o_orderpriority",
+          "o_totalprice", "o_orderkey", k = 5, priorCount = 10L)
+        .orderBy(col("o_orderpriority"), col("fold"))
+    }),
     // capped apportionment ✚ (r14): the q184 Hamilton plan under source
     // exhaustion — URGENT has zero capacity and HIGH ~1/30th, so round 1
     // caps both and round 2 redistributes their share among the rest;

@@ -339,6 +339,46 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
          SELECT g AS o_orderpriority, n_rows, sd_micro, CAST(w AS BIGINT) AS w,
                 CAST(fq + CASE WHEN rk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
          FROM r, l ORDER BY o_orderpriority""",
+    // same md5-60-bit 5-band fold rule as q231, the same exact cell sums
+    // and fold-excluded prior, one mirrored double expression for enc
+    "q253_target_encoding" ->
+      s"""WITH h AS (SELECT o_orderpriority AS c,
+              CAST(round(o_totalprice * 1e6) AS BIGINT) AS t,
+              list_sum([ (instr('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), k, 1)) - 1)
+                         * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) AS h
+             FROM orders
+             WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+               AND o_orderkey IS NOT NULL),
+         f AS (SELECT c, t,
+                CASE WHEN h < ${graft.operators.Ops.hashBandEdge(0.2)} THEN 0
+                     WHEN h < ${graft.operators.Ops.hashBandEdge(0.4)} THEN 1
+                     WHEN h < ${graft.operators.Ops.hashBandEdge(0.6)} THEN 2
+                     WHEN h < ${graft.operators.Ops.hashBandEdge(0.8)} THEN 3
+                     ELSE 4 END AS fold
+               FROM h),
+         cells AS (SELECT c, fold, CAST(count(*) AS BIGINT) AS nf,
+                    CAST(sum(t) AS BIGINT) AS sf
+                   FROM f GROUP BY 1, 2),
+         cats AS (SELECT c, sum(nf) AS nc, sum(sf) AS sc FROM cells GROUP BY 1),
+         ft AS (SELECT fold, sum(nf) AS nft, sum(sf) AS sft FROM cells GROUP BY 1),
+         tt AS (SELECT sum(nf) AS n, sum(sf) AS s FROM cells),
+         folds AS (SELECT unnest(range(5)) AS fold),
+         dense AS (SELECT cats.c, folds.fold,
+             cats.nc - coalesce(cells.nf, 0) AS n_oof,
+             cats.sc - coalesce(cells.sf, 0) AS so,
+             tt.n - coalesce(ft.nft, 0) AS ng,
+             tt.s - coalesce(ft.sft, 0) AS sg
+           FROM cats CROSS JOIN folds
+           LEFT JOIN cells ON cells.c = cats.c AND cells.fold = folds.fold
+           LEFT JOIN ft ON ft.fold = folds.fold
+           CROSS JOIN tt)
+         SELECT c AS o_orderpriority, CAST(fold AS BIGINT) AS fold,
+                CAST(n_oof AS BIGINT) AS n_oof,
+                CASE WHEN ng > 0 THEN
+                  CAST(round((so::DOUBLE + 10 * (sg::DOUBLE / ng::DOUBLE))
+                    / (n_oof + 10)::DOUBLE) AS BIGINT)
+                END AS enc_micro
+         FROM dense ORDER BY o_orderpriority, fold""",
     // the clamp-and-redistribute rounds unrolled as MATERIALIZED CTEs -
     // pure HUGEINT Hamilton per round, bit-identical to the Decimal path
     "q252_apportion_capped" ->

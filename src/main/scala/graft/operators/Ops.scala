@@ -257,6 +257,68 @@ object Ops {
     df.withColumn("fold", fold)
   }
 
+  /** Leakage-safe (out-of-fold) target encoding (r14 ✚) — the standard
+    * way to turn a high-cardinality categorical into a numeric feature
+    * without letting each row SEE ITS OWN LABEL: rows are fold-assigned
+    * by [[foldByGroupHash]] on `keyCol` (group-atomic, so correlated rows
+    * share a fold), and the encoding for (category, fold) is the smoothed
+    * target mean computed from the OTHER k−1 folds only:
+    *   enc = (Σ_oof + m·ḡ_oof) / (n_oof + m),
+    * with ḡ_oof the fold-excluded GLOBAL mean (even the prior never sees
+    * the row's own fold — stricter than the common whole-table prior) and
+    * m = `priorCount` the smoothing pseudo-count that pulls rare
+    * categories toward the prior. Output is the ENCODING TABLE —
+    * (`catCol`, `fold`, `n_oof`, `enc_micro`), |cats|·k rows, densified
+    * so a category absent from a fold still gets its row (n_oof = its
+    * full count; enc = its other-folds mean) — broadcast it and join on
+    * (category, fold) to apply. `enc_micro` is null when n_oof + m = 0,
+    * or when m > 0 and the fold holds ALL rows (no out-of-fold prior
+    * exists — the honest refusal, not a leaked one).
+    *
+    * Determinism: targets are micro-quantized longs, all sums exact; enc
+    * is ONE mirrored double expression over those sums. Scale shape: one
+    * map-side-combined hash-agg to the (cats × folds) cell table; the
+    * densify explode, fold totals, and joins all run on cell/fold-sized
+    * frames — nothing data-sized past the first agg. */
+  def targetEncodeByFold(df: DataFrame, catCol: String, targetCol: String,
+      keyCol: String, k: Int, priorCount: Long = 0L): DataFrame = {
+    require(priorCount >= 0, "priorCount must be >= 0")
+    val base = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull
+        && col(keyCol).isNotNull)
+      .select(col(catCol).as("__c"),
+        round(col(targetCol).cast("double") * 1e6).cast("long").as("__t"),
+        col(keyCol).as("__k"))
+    val cells = foldByGroupHash(base, "__k", k)
+      .groupBy(col("__c"), col("fold"))
+      .agg(count(lit(1)).as("__nf"), sum(col("__t")).as("__sf"))
+    val cats = cells.groupBy(col("__c"))
+      .agg(sum(col("__nf")).as("__nc"), sum(col("__sf")).as("__sc"))
+    val foldTot = cells.groupBy(col("fold"))
+      .agg(sum(col("__nf")).as("__nft"), sum(col("__sf")).as("__sft"))
+    val tot = cells.agg(sum(col("__nf")).as("__n"), sum(col("__sf")).as("__s"))
+    val dense = cats
+      .select(col("__c"), col("__nc"), col("__sc"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("fold"))
+      .join(cells, Seq("__c", "fold"), "left")
+      .join(broadcast(foldTot), Seq("fold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__c"), col("fold"),
+        (col("__nc") - coalesce(col("__nf"), lit(0L))).as("n_oof"),
+        (col("__sc") - coalesce(col("__sf"), lit(0L))).as("__so"),
+        (col("__n") - coalesce(col("__nft"), lit(0L))).as("__ng"),
+        (col("__s") - coalesce(col("__sft"), lit(0L))).as("__sg"))
+    val g = col("__sg").cast("double") / col("__ng").cast("double")
+    val enc = when(lit(priorCount) === 0,
+      when(col("n_oof") > 0,
+        round(col("__so").cast("double") / col("n_oof").cast("double"))))
+      .otherwise(when(col("__ng") > 0,
+        round((col("__so").cast("double") + lit(priorCount.toDouble) * g)
+          / (col("n_oof") + lit(priorCount)).cast("double"))))
+    dense.select(col("__c").as(catCol), col("fold"), col("n_oof"),
+      enc.cast("long").as("enc_micro"))
+  }
+
   /** Temporal holdout split (r14 ✚, VERDICT r13 missing #2) — the OTHER
     * leakage axis next to [[splitByGroupHash]]'s group atomicity:
     * train-on-past / evaluate-on-future. Appends a `split` label chosen

@@ -229,6 +229,49 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("targetEncodeByFold: own fold excluded, densified cells, prior refusal rules") {
+    val df = (1L to 120L).map(i => (i, if (i % 3 == 0) "a" else "b", i.toDouble))
+      .toDF("id", "cat", "y")
+    val k = 4
+    val enc = Ops.targetEncodeByFold(df, "cat", "y", "id", k, priorCount = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_oof"),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // densified: every (cat, fold) cell exists
+    assert(enc.size == 2 * k)
+    // re-derive the expected out-of-fold means from the SAME fold rule
+    val folded = Ops.foldByGroupHash(df, "id", k)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getDouble(2)))
+    for (c <- Seq("a", "b"); f <- 0 until k) {
+      val oof = folded.filter(x => x._1 == c && x._2 != f).map(_._3)
+      assert(enc((c, f.toLong))._1 == oof.length.toLong)
+      val exp = math.round(oof.sum * 1e6 / oof.length)
+      assert(enc((c, f.toLong))._2.contains(exp),
+        s"cell ($c, $f): ${enc((c, f.toLong))} vs $exp")
+      // the leak check: the out-of-fold mean must differ from the
+      // all-rows mean whenever the fold actually holds rows of c
+      val all = folded.filter(_._1 == c).map(_._3)
+      if (all.length != oof.length)
+        assert(exp != math.round(all.sum * 1e6 / all.length) ||
+          oof.sum / oof.length == all.sum / all.length)
+    }
+    // smoothing pulls toward the fold-excluded global prior
+    val sm = Ops.targetEncodeByFold(df, "cat", "y", "id", k, priorCount = 1000L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    for (f <- 0 until k) {
+      val g = folded.filter(_._2 != f).map(_._3)
+      val gMean = g.sum / g.length
+      // heavy prior: both categories' encodings approach the same prior
+      assert(math.abs(sm(("a", f.toLong)) - math.round(gMean * 1e6)) < 30000000L)
+      assert(math.abs(sm(("a", f.toLong)) - sm(("b", f.toLong))) < 5000000L)
+    }
+    // deterministic under repartitioning (hash folds, exact sums)
+    val rep = Ops.targetEncodeByFold(df.repartition(7), "cat", "y", "id", k)
+      .orderBy("cat", "fold").collect().map(_.toSeq).toSeq
+    assert(rep == Ops.targetEncodeByFold(df, "cat", "y", "id", k)
+      .orderBy("cat", "fold").collect().map(_.toSeq).toSeq)
+  }
+
   test("splitByTime: exclusive bounds, null ts to tail, no future in train, guarded") {
     val rows = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, Some(100L)),
       (4L, Some(150L)), (5L, Some(200L)), (6L, Some(250L)), (7L, None))
