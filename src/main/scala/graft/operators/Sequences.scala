@@ -512,7 +512,7 @@ object Sequences {
       .groupBy(col("__k")).agg(collect_set(col("__p")).as("__ps"))
       .transform(retentionMatrix(_, maxOffset))
       .select(
-        make_date((col("cohort") / 12).cast("int"),
+        make_date(Ranks.floorDiv(col("cohort"), 12L).cast("int"),
           (col("cohort") % 12 + 1).cast("int"), lit(1)).as("cohort_month"),
         col("offset"), col("n_keys"), col("cohort_size"),
         col("retained_micro"))
