@@ -163,7 +163,11 @@ object Plans {
         "q252_apportion_capped",
         // target encoding: ONE map-side hash-agg to the cats x folds cell
         // table; densify/totals/joins all run on cell-sized frames
-        "q253_target_encoding")
+        "q253_target_encoding",
+        // JSD is two explode+hash-agg token tables + one vocab-sized
+        // full-outer join + broadcast totals - no window, no data-sized
+        // pass after the two token collapses
+        "q254_domain_jsd")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -285,6 +285,14 @@ private[graft] object QueriesText extends OracleSqlHelpers {
       Lm.domainKl(Tables.documents(s, d), "source", "text")
         .orderBy("source")
     }),
+    // Jensen–Shannon divergence ✚ (r14): the symmetric bounded sibling of
+    // q94's KL, between two hash-shard corpus slices — per-token micro
+    // terms summed exactly, the two ÷T normalizations one final expression
+    "q254_domain_jsd" -> ((s, d) => {
+      val sharded = Ops.shardByHash(Tables.documents(s, d), "doc_id", 2)
+      Lm.domainJsd(sharded.filter(col("shard") === 0),
+        sharded.filter(col("shard") === 1), "text")
+    }),
     // deterministic weighted sampling ✚ (Efraimidis–Spirakis A-ES with the
     // idHash60 uniform): 50 docs weighted by length — inclusion ∝ n_chars,
     // identical set on any engine
@@ -889,6 +897,42 @@ private[graft] object QueriesText extends OracleSqlHelpers {
          FROM agg, tot ORDER BY doc_id""",
     // same quantize-then-sum contract as q91; term order matches the Spark
     // expression tree term-for-term
+    // same md5-60-bit shard rule, same token derivation (len>0 filter),
+    // same 2·c·T/(ca·TB+cb·TA) ratio inside one mirrored ln tree
+    "q254_domain_jsd" ->
+      """WITH sh AS (SELECT text,
+              list_sum([ (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), k, 1)) - 1)
+                         * pow(16, 15 - k)::BIGINT for k in range(1, 16)]) % 2 AS shard
+             FROM documents),
+         ta0 AS (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+                 FROM sh WHERE shard = 0),
+         tb0 AS (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+                 FROM sh WHERE shard = 1),
+         a AS (SELECT token, CAST(count(*) AS BIGINT) AS ca FROM ta0
+               WHERE len(token) > 0 GROUP BY 1),
+         b AS (SELECT token, CAST(count(*) AS BIGINT) AS cb FROM tb0
+               WHERE len(token) > 0 GROUP BY 1),
+         tta AS (SELECT coalesce(sum(ca), 0) AS tav FROM a),
+         ttb AS (SELECT coalesce(sum(cb), 0) AS tbv FROM b),
+         j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb, tav, tbv
+               FROM a FULL OUTER JOIN b USING (token), tta, ttb),
+         t AS (SELECT max(tav) AS n_tokens_a, max(tbv) AS n_tokens_b,
+                coalesce(sum(CASE WHEN ca > 0 AND tbv > 0 THEN
+                  CAST(round(ln(2 * ca::DOUBLE * tbv::DOUBLE
+                    / (ca::DOUBLE * tbv::DOUBLE + cb::DOUBLE * tav::DOUBLE))
+                    * ca * 1000000) AS BIGINT) ELSE 0 END), 0) AS sp,
+                coalesce(sum(CASE WHEN cb > 0 AND tav > 0 THEN
+                  CAST(round(ln(2 * cb::DOUBLE * tav::DOUBLE
+                    / (ca::DOUBLE * tbv::DOUBLE + cb::DOUBLE * tav::DOUBLE))
+                    * cb * 1000000) AS BIGINT) ELSE 0 END), 0) AS sq
+               FROM j)
+         SELECT CAST(n_tokens_a AS BIGINT) AS n_tokens_a,
+                CAST(n_tokens_b AS BIGINT) AS n_tokens_b,
+                CASE WHEN n_tokens_a > 0 AND n_tokens_b > 0 THEN
+                  CAST(round((sp::DOUBLE / n_tokens_a::DOUBLE
+                    + sq::DOUBLE / n_tokens_b::DOUBLE) / 2) AS BIGINT)
+                END AS jsd_micro
+         FROM t""",
     "q94_domain_kl" ->
       """WITH toks AS (SELECT source,
                 unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token

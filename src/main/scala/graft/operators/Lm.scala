@@ -199,6 +199,57 @@ object Lm {
       .agg(max(col("Ts")).as("n_tokens"), sum(col("term_micro")).as("kl_sum_micro"))
   }
 
+  /** Jensen–Shannon divergence between two corpus slices' token
+    * distributions (r14 ✚) — the symmetric, BOUNDED companion of
+    * [[domainKl]]: JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M) with M = ½(P+Q),
+    * always finite (a token present on only one side contributes
+    * c·ln 2, never ∞ like plain KL) and capped at ln 2 ≈ 0.693 nats for
+    * fully disjoint vocabularies — the scale-free "how different are
+    * these two corpora" number for snapshot drift, source comparison, or
+    * train-vs-eval distribution checks. Using exact counts,
+    * (c_a/T_A)/M = 2·c_a·T_B/(c_a·T_B + c_b·T_A), so each side's
+    * per-token term is c·ln(that ratio) — quantized to micro per TOKEN
+    * and summed as an exact long (the [[domainKl]]/[[mutualInfo]]
+    * discipline; the ln runs on one fixed double tree both engines
+    * share), with the two ÷T normalizations and the ½ as ONE final
+    * mirrored expression. Output, one row: `n_tokens_a`, `n_tokens_b`,
+    * `jsd_micro` (null when either slice has no tokens — there is no
+    * distribution to compare).
+    *
+    * Scale shape: two explode + hash-agg token tables (the only
+    * data-sized passes), one vocab-sized full-outer join, two broadcast
+    * 1-row totals, one final agg — no window, nothing driver-side. */
+  def domainJsd(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df
+      .select(explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ta = toks(dfA).agg(coalesce(sum(col("c")), lit(0L)).as("TA"))
+    val tb = toks(dfB).agg(coalesce(sum(col("c")), lit(0L)).as("TB"))
+    val j = toks(dfA).select(col("token"), col("c").as("ca"))
+      .join(toks(dfB).select(col("token"), col("c").as("cb")),
+        Seq("token"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    val den = col("ca").cast("double") * col("TB").cast("double") +
+      col("cb").cast("double") * col("TA").cast("double")
+    // the t > 0 guard keeps ANSI division happy on an empty side (den = 0
+    // only when the OTHER total is 0 — and then jsd is null anyway); with
+    // both totals positive, c > 0 already implies den > 0
+    def term(c: Column, t: Column) = when(c > 0 && t > 0,
+      round(log(lit(2d) * c.cast("double") * t.cast("double") / den)
+        * c * lit(1000000L)).cast(LongType)).otherwise(lit(0L))
+    j.agg(max(col("TA")).as("n_tokens_a"), max(col("TB")).as("n_tokens_b"),
+        coalesce(sum(term(col("ca"), col("TB"))), lit(0L)).as("__sp"),
+        coalesce(sum(term(col("cb"), col("TA"))), lit(0L)).as("__sq"))
+      .select(col("n_tokens_a"), col("n_tokens_b"),
+        when(col("n_tokens_a") > 0 && col("n_tokens_b") > 0,
+          round((col("__sp").cast("double") / col("n_tokens_a").cast("double")
+            + col("__sq").cast("double") / col("n_tokens_b").cast("double"))
+            / 2d).cast(LongType)).as("jsd_micro"))
+  }
+
   /** Mutual information between two discrete columns (✚ extension): the
     * feature/metadata dependence audit — MI(A;B) = Σ_ab p(ab)·ln(p(ab) /
     * (p(a)p(b))). "Does `lang` carry information about `source`?" is the

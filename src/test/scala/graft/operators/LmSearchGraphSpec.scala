@@ -432,6 +432,33 @@ class LmSearchGraphSpec extends SparkTestBase {
     assert(nt == Map("a" -> 5L, "b" -> 5L))
   }
 
+  test("domainJsd: identical 0, disjoint ln2, symmetric, hand value, empty-side null") {
+    def docs(ts: String*) = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // identical distributions: exactly 0
+    val a = docs("x y x", "y x y")
+    assert(Lm.domainJsd(a, a, "text").head().getAs[Long]("jsd_micro") == 0L)
+    // fully disjoint vocabularies: the ln 2 ceiling (micro-rounded)
+    val d = Lm.domainJsd(docs("x x y"), docs("z w w"), "text").head()
+    assert(d.getAs[Long]("n_tokens_a") == 3L && d.getAs[Long]("n_tokens_b") == 3L)
+    assert(math.abs(d.getAs[Long]("jsd_micro") - math.round(math.log(2) * 1e6)) <= 1L)
+    // symmetric by construction
+    val p = docs("x x x y"); val q = docs("x y y y")
+    val pq = Lm.domainJsd(p, q, "text").head().getAs[Long]("jsd_micro")
+    val qp = Lm.domainJsd(q, p, "text").head().getAs[Long]("jsd_micro")
+    assert(pq == qp && pq > 0L)
+    // hand value: P = (.75, .25), Q = (.25, .75), M = (.5, .5) ->
+    // JSD = .75 ln1.5 + .25 ln.5 (per side, sides equal)
+    val exp = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert(math.abs(pq - math.round(exp * 1e6)) <= 1L)
+    // an empty side has no distribution: null, not NaN or a crash
+    val e = Lm.domainJsd(p, docs("   "), "text").head()
+    assert(e.isNullAt(2))
+    // partition invariance (exact long term sums)
+    assert(Lm.domainJsd(p.repartition(5), q.repartition(3), "text")
+      .head().getAs[Long]("jsd_micro") == pq)
+  }
+
   // ---- Graph.triangles ----------------------------------------------------
 
   test("triangles: K4 = 3 per node; path = 0 per node; messy edge list tolerated") {
