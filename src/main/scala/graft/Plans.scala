@@ -83,8 +83,10 @@ object Plans {
         // whole point is no pair join — any BroadcastNestedLoop/cartesian
         // here is a regression)
         "q220_embedding_diversity",
-        // r12: the component split must be a stateless projection on the
-        // CC labels (no extra shuffle past the contraction); session paths
+        // r12 (re-based r15, VERDICT r14 next #1): the component split
+        // must be a stateless projection over a plain parquet SCAN of the
+        // standing label store - no LSH, no contraction, no join anywhere
+        // in the plan (the build runs once, outside these plans); session paths
         // must reuse ONE user exchange across the three windows (the
         // (key, session) rank rides the key hash partitioning); the dense
         // growth spine is an agg-derived explode, never a row-sized sort;
@@ -98,8 +100,13 @@ object Plans {
         // never a join); the funnel must be per-step shrinking equi-joins
         // + hash-aggs with no window at all
         "q229_weighted_sample", "q230_funnel_within",
-        // r13: the k-fold label must be a stateless projection on the CC
-        // labels (q223's shape with a k-arm CASE — no extra shuffle);
+        // the split-leakage audit (re-based r15): both the labels and the
+        // pair table must be parquet scans of the standing store - two
+        // 1-row aggs over label-attach joins, no LSH re-derivation
+        "q228_split_leakage_audit",
+        // r13 (re-based r15): the k-fold label must be a stateless
+        // projection over the label-store SCAN (q223's shape with a
+        // k-arm CASE — no extra shuffle, no LSH/contraction);
         // retention must collapse events map-side to distinct (key,
         // period) then window THAT table (no window over raw events);
         // fraction sampling must be a broadcast join + codegen'd filter

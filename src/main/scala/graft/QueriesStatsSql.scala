@@ -1218,7 +1218,7 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
               CAST(least(1000000, (2001 - year(o_orderdate)) * 150000
                 + month(o_orderdate) * 10000) AS BIGINT) AS pm
              FROM orders
-             WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+             WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL),
          e AS (SELECT pm AS p,
                 ((o_orderkey % 97) * 10309 % 100)
                   < (10 + pm * 60 // 1000000

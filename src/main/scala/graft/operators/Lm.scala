@@ -217,21 +217,27 @@ object Lm {
     * distribution to compare).
     *
     * Scale shape: two explode + hash-agg token tables (the only
-    * data-sized passes), one vocab-sized full-outer join, two broadcast
-    * 1-row totals, one final agg — no window, nothing driver-side. */
+    * data-sized passes — each corpus is exploded exactly ONCE: the joined
+    * vocab table is pinned and the totals derive from it, ADVICE r14),
+    * one vocab-sized full-outer join, one broadcast 1-row total frame,
+    * one final agg — no window, nothing driver-side. */
   def domainJsd(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
     def toks(df: DataFrame) = df
       .select(explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("c"))
-    val ta = toks(dfA).agg(coalesce(sum(col("c")), lit(0L)).as("TA"))
-    val tb = toks(dfB).agg(coalesce(sum(col("c")), lit(0L)).as("TB"))
-    val j = toks(dfA).select(col("token"), col("c").as("ca"))
+    // the vocab join is pinned so the per-side totals read the SAME blocks
+    // instead of re-exploding each corpus (full-outer keeps every token, so
+    // sum(ca)/sum(cb) over it ARE the side totals)
+    val v = toks(dfA).select(col("token"), col("c").as("ca"))
       .join(toks(dfB).select(col("token"), col("c").as("cb")),
         Seq("token"), "full_outer")
       .select(coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .localCheckpoint(true)
+    val tot = v.agg(coalesce(sum(col("ca")), lit(0L)).as("TA"),
+      coalesce(sum(col("cb")), lit(0L)).as("TB"))
+    val j = v.crossJoin(broadcast(tot))
     val den = col("ca").cast("double") * col("TB").cast("double") +
       col("cb").cast("double") * col("TA").cast("double")
     // the t > 0 guard keeps ANSI division happy on an empty side (den = 0

@@ -353,7 +353,11 @@ object Streams {
     * For unbounded key cardinality, pass `expiryUs` (r14 ✚, VERDICT r13
     * watch #1): state then rides `EventTimeTimeout` and is DROPPED once
     * the watermark passes the key's last funnel event + expiryUs — the
-    * operable campaign-window mode. Inside the horizon the output is
+    * operable campaign-window mode. The timeout is (re)armed only when
+    * the funnel state actually ADVANCES (ADVICE r14): batches of
+    * non-advancing events leave the stored state and its standing
+    * deadline untouched, so the horizon is measured from the last funnel
+    * event, never from the last batch that merely touched the key. Inside the horizon the output is
     * identical to the default (StreamsSpec asserts it); the documented
     * divergence is only AFTER expiry, where a fresh step-1 event restarts
     * the key's funnel (the tombstone is gone — that is the cost of
@@ -387,7 +391,8 @@ object Streams {
           val sorted = rows.map(r => (r.getLong(2), r.getLong(4), r.getString(3)))
             .toSeq.sortBy(e => (e._1, e._2))
           var out = List.empty[FunnelStepOut]
-          var cur = state.getOption
+          val st0 = state.getOption
+          var cur = st0
           sorted.foreach { case (ts, _, et) =>
             cur match {
               case None if et == steps.head =>
@@ -401,7 +406,12 @@ object Streams {
               case _ => () // wrong state, not strictly after, or past deadline
             }
           }
-          cur.foreach { s =>
+          // update + re-arm ONLY when the funnel state advanced (ADVICE
+          // r14): a batch of non-advancing events must not touch the
+          // stored state, so the standing timeout keeps counting from the
+          // key's LAST FUNNEL EVENT — ongoing noise cannot keep a
+          // tombstone alive past stepUs + expiryUs
+          if (cur != st0) cur.foreach { s =>
             state.update(s)
             expiryUs.foreach { e =>
               // event-time deadline in ms; clamped above the watermark
