@@ -173,8 +173,21 @@ object Plans {
         "q253_target_encoding",
         // JSD is two explode+hash-agg token tables + one vocab-sized
         // full-outer join + broadcast totals - no window, no data-sized
-        // pass after the two token collapses
-        "q254_domain_jsd")
+        // pass after the two token collapses (r15: the vocab table is
+        // pinned once; each corpus explodes exactly once)
+        "q254_domain_jsd",
+        // r15: the applied remap must be ONE broadcast join of the
+        // <= nBins table against the row scan (no shuffle of the data
+        // side); both summaries stay bin hash-agg + row-agg shapes
+        "q255_isotonic_apply",
+        // per-group calibration is ONE (group, bin)-keyed map-side
+        // hash-agg carrying the Brier residual sum - no second row scan,
+        // no window, the rollup runs on the |groups| x nBins cell table
+        "q256_calibration_by_group",
+        // the calibration store fold must be two hash-aggs (batch
+        // collapse + <= 2 nBins state re-agg); the readout is a stateless
+        // projection on the state - history is never re-read
+        "q257_calibration_ingest")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

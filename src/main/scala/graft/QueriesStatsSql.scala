@@ -7,44 +7,6 @@ package graft
   * [[QueriesStats.queries]] key; the driver enforces the pairing, and
   * RegistrySpec asserts the key sets line up. */
 private[graft] object QueriesStatsSql extends OracleSqlHelpers {
-  /** q248's oracle: the calib rows with o_orderkey carried for the rank
-    * tie-break, the same ⌊(pos−1)·nBins/n⌋ rule via row_number. */
-  private val calibQuantileOracleSql =
-    """WITH e0 AS (SELECT o_orderkey AS id,
-            CAST(least(1000000,
-              (2001 - year(o_orderdate)) * 150000
-              + month(o_orderdate) * 10000) AS BIGINT) AS p,
-            (o_orderstatus = 'F') AS y
-          FROM orders
-          WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
-       e AS (SELECT id, p, y FROM e0 WHERE p >= 0 AND p <= 1000000),
-       r AS (SELECT p, y,
-              row_number() OVER (ORDER BY p, id) AS pos,
-              count(*) OVER () AS n
-             FROM e)
-       SELECT (pos - 1) * 10 // n AS bin,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
-              CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
-                AS conf_micro,
-              CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
-                / count(*)::DOUBLE) AS BIGINT) AS acc_micro,
-              CAST(min(p) AS BIGINT) AS lo_micro,
-              CAST(max(p) AS BIGINT) AS hi_micro
-       FROM r GROUP BY 1 ORDER BY bin"""
-
-  /** q240/q241's shared row shape: the calibOrders micro score replayed as
-    * a plain integer (the Spark side's double ÷10⁶ → ×10⁶ round-trip is
-    * exact by construction) plus the boolean outcome. */
-  private val calibRowsSql =
-    """WITH e0 AS (SELECT CAST(least(1000000,
-            (2001 - year(o_orderdate)) * 150000
-            + month(o_orderdate) * 10000) AS BIGINT) AS p,
-          (o_orderstatus = 'F') AS y
-         FROM orders
-         WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
-       e AS (SELECT p, y FROM e0 WHERE p >= 0 AND p <= 1000000)"""
-
   val oracleSql: Map[String, String] = Map(
     "q23_text_stats" ->
       """WITH t AS (
@@ -1168,125 +1130,6 @@ private[graft] object QueriesStatsSql extends OracleSqlHelpers {
     // sufficient statistic, so the standing-store fold must reproduce the
     // full-history strengths bit for bit (additive counts, exact longs)
     "q245_bt_incremental" -> btOracleSql(6),
-    // same integer micro score (the double round-trip is exact), same
-    // min(nBins−1, ⌊p·nBins/10⁶⌋) binning, same one-division-per-statistic
-    "q240_reliability_bins" -> (calibRowsSql + """
-         SELECT least(9, p * 10 // 1000000) AS bin,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
-                CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
-                  AS conf_micro,
-                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
-                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
-         FROM e GROUP BY 1 ORDER BY bin"""),
-    // same bins, count-weighted |acc−conf| on HUGEINT (≡ Decimal(38,0)),
-    // per-row squared micro residual for Brier, one final division each
-    "q241_calibration_summary" -> (calibRowsSql + """,
-         b AS (SELECT least(9, p * 10 // 1000000) AS bin,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
-                CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
-                  AS conf_micro,
-                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
-                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
-               FROM e GROUP BY 1),
-         ec AS (SELECT coalesce(sum(n), 0) AS n_rows,
-                 coalesce(sum(n_pos), 0) AS n_pos,
-                 sum(abs(acc_micro - conf_micro)::HUGEINT * n::HUGEINT) AS en
-                FROM b),
-         br AS (SELECT sum(((p - CASE WHEN y THEN 1000000 ELSE 0 END)
-                  * (p - CASE WHEN y THEN 1000000 ELSE 0 END))::HUGEINT)
-                  AS bn,
-                 count(*) AS nb
-                FROM e)
-         SELECT CAST(n_rows AS BIGINT) AS n_rows,
-                CAST(n_pos AS BIGINT) AS n_pos,
-                CASE WHEN n_rows > 0 THEN
-                  CAST(round(en::DOUBLE / n_rows::DOUBLE) AS BIGINT)
-                END AS ece_micro,
-                CASE WHEN nb > 0 THEN
-                  CAST(round(bn::DOUBLE / nb::DOUBLE / 1e6) AS BIGINT)
-                END AS brier_micro
-         FROM ec CROSS JOIN br"""),
-    // same rank rule (row_number over (p, id)), same per-bin statistics
-    "q248_reliability_quantile" -> calibQuantileOracleSql,
-    // same zigzag label construction (integer u/threshold), same bins,
-    // same prefix-sum interval rates, the same minimax
-    // max_{i<=b} min_{j>=b} over integer-rounded pooled rates
-    "q250_isotonic_calibration" -> ("""
-       WITH z0 AS (SELECT o_orderkey,
-              CAST(least(1000000, (2001 - year(o_orderdate)) * 150000
-                + month(o_orderdate) * 10000) AS BIGINT) AS pm
-             FROM orders
-             WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL),
-         e AS (SELECT pm AS p,
-                ((o_orderkey % 97) * 10309 % 100)
-                  < (10 + pm * 60 // 1000000
-                     + CASE WHEN (pm * 10 // 1000000) % 2 = 0
-                         THEN 8 ELSE 0 END) AS y
-               FROM z0 WHERE pm >= 0 AND pm <= 1000000)""" + """,
-         b AS (SELECT least(9, p * 10 // 1000000) AS bin,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
-                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
-                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
-               FROM e GROUP BY 1),
-         pre AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cn,
-                  sum(n_pos) OVER (ORDER BY bin) AS cp
-                 FROM b),
-         lo AS (SELECT bin AS i,
-                 coalesce(lag(cn) OVER (ORDER BY bin), 0) AS cn0,
-                 coalesce(lag(cp) OVER (ORDER BY bin), 0) AS cp0
-                FROM pre),
-         hi AS (SELECT bin AS j, cn AS cn1, cp AS cp1 FROM pre),
-         m AS (SELECT i, j,
-                CAST(round((cp1 - cp0)::DOUBLE * 1e6
-                  / (cn1 - cn0)::DOUBLE) AS BIGINT) AS m
-               FROM lo JOIN hi ON i <= j),
-         mn1 AS (SELECT b.bin, m.i, min(m.m) AS mn
-                 FROM m JOIN b ON m.i <= b.bin AND b.bin <= m.j
-                 GROUP BY 1, 2),
-         iso AS (SELECT bin, max(mn) AS iso_micro FROM mn1 GROUP BY 1)
-         SELECT b.bin, b.n, b.n_pos, b.acc_micro, iso.iso_micro
-         FROM b JOIN iso USING (bin) ORDER BY bin"""),
-    // same q240 bins, REL as the exact HUGEINT weighted square sum, RES
-    // via the same algebraic expansion on the pre-rounded micro ybar
-    "q249_brier_decomposition" -> (calibRowsSql + """,
-         b AS (SELECT least(9, p * 10 // 1000000) AS bin,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
-                CAST(round(sum(p)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
-                  AS conf_micro,
-                CAST(round(count(CASE WHEN y THEN 1 END)::DOUBLE * 1e6
-                  / count(*)::DOUBLE) AS BIGINT) AS acc_micro
-               FROM e GROUP BY 1),
-         a AS (SELECT coalesce(sum(n), 0) AS n_rows,
-                coalesce(sum(n_pos), 0) AS n_pos,
-                sum((acc_micro - conf_micro)::HUGEINT
-                  * (acc_micro - conf_micro)::HUGEINT * n::HUGEINT) AS rel,
-                sum(acc_micro::HUGEINT * n::HUGEINT) AS s1,
-                sum(acc_micro::HUGEINT * acc_micro::HUGEINT * n::HUGEINT) AS s2
-               FROM b),
-         yb AS (SELECT *,
-                 CASE WHEN n_rows > 0 THEN
-                   CAST(round(n_pos::DOUBLE * 1e6 / n_rows::DOUBLE) AS BIGINT)
-                 END AS ybar_micro
-                FROM a)
-         SELECT CAST(n_rows AS BIGINT) AS n_rows,
-                CAST(n_pos AS BIGINT) AS n_pos, ybar_micro,
-                CASE WHEN n_rows > 0 THEN
-                  CAST(round(rel::DOUBLE / n_rows::DOUBLE / 1e6) AS BIGINT)
-                END AS rel_micro,
-                CASE WHEN n_rows > 0 THEN
-                  CAST(round((s2 - 2::HUGEINT * ybar_micro::HUGEINT * s1
-                      + n_rows::HUGEINT * ybar_micro::HUGEINT * ybar_micro::HUGEINT)::DOUBLE
-                    / n_rows::DOUBLE / 1e6) AS BIGINT)
-                END AS res_micro,
-                CASE WHEN n_rows > 0 THEN
-                  CAST(round(ybar_micro::DOUBLE * (1000000 - ybar_micro)::DOUBLE
-                    / 1e6) AS BIGINT)
-                END AS unc_micro
-         FROM yb"""),
   )
 
 }

@@ -750,6 +750,96 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Stats.reliabilityBins(df, "p", "y", 0) }
   }
 
+  test("calibrationState/ingestCalibration: additive fold ≡ full history, " +
+      "order-free, bin-bounded") {
+    val h = Seq((0.25, true), (0.25, false), (0.95, true), (0.45, true))
+      .toDF("p", "y")
+    val b = Seq((0.25, false), (1.0, true), (0.45, false), (0.451, true))
+      .toDF("p", "y")
+    val full = Stats.reliabilityBins(h.unionByName(b), "p", "y")
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    val st = Stats.ingestCalibration(
+      Stats.calibrationState(h, "p", "y"), b, "p", "y")
+    assert(Stats.reliabilityBinsFromState(st)
+      .orderBy("bin").collect().map(_.toSeq).toSeq == full)
+    // additive fields commute: folding in the other order is identical
+    val stRev = Stats.ingestCalibration(
+      Stats.calibrationState(b, "p", "y"), h, "p", "y")
+    assert(Stats.reliabilityBinsFromState(stRev)
+      .orderBy("bin").collect().map(_.toSeq).toSeq == full)
+    // the store is bin-bounded (3 populated bins), never row-sized
+    assert(st.count() == 3L)
+    // the direct path IS the state readout (one definition, no drift)
+    assert(Stats.reliabilityBins(h, "p", "y").orderBy("bin")
+      .collect().map(_.toSeq).toSeq
+      == Stats.reliabilityBinsFromState(Stats.calibrationState(h, "p", "y"))
+        .orderBy("bin").collect().map(_.toSeq).toSeq)
+  }
+
+  test("applyCalibration: remap zeroes the fixture's ECE, keeps rows, nulls " +
+      "unseen bins, preserves ranking; reserved-name clash rejected") {
+    // 5-bin miscalibrated fixture: conf 0.3/0.5/0.7/0.9, acc .6/.2/.8/.7
+    // — (0.3, 0.5) and (0.7, 0.9) are adjacent violators, so the isotonic
+    // remap pools to 0.4 and 0.75
+    val rows = Seq(0.3 -> 12, 0.5 -> 4, 0.7 -> 16, 0.9 -> 14).flatMap {
+      case (p, hits) => (1 to 20).map(i => (p, i <= hits))
+    }
+    val df = rows.toDF("p", "y")
+    val remap = Stats.isotonicCalibration(df, "p", "y", nBins = 5)
+    assert(remap.orderBy("bin").collect().map(_.getAs[Long]("iso_micro"))
+      .toSeq == Seq(400000L, 400000L, 750000L, 750000L))
+    val out = Stats.applyCalibration(df, remap, "p", nBins = 5, outCol = "pc")
+    assert(out.count() == df.count()) // remap never drops rows
+    val before = Stats.calibrationSummary(df, "p", "y", nBins = 5)
+      .head().getAs[Long]("ece_micro")
+    val after = Stats.calibrationSummary(out, "pc", "y", nBins = 5)
+      .head().getAs[Long]("ece_micro")
+    assert(before == 225000L && after == 0L, s"ece $before -> $after")
+    // monotone: the remapped score is non-decreasing in the original
+    val seen = out.select("p", "pc").distinct().orderBy("p")
+      .collect().map(_.getAs[Double]("pc")).toSeq
+    assert(seen == seen.sorted && seen == Seq(0.4, 0.4, 0.75, 0.75))
+    // a score whose bin the fit never saw (bin 0), a null and an
+    // out-of-range score all KEEP their rows with a null remap
+    val probe = Seq(Some(0.05), None, Some(1.5)).toDF("p")
+    val pr = Stats.applyCalibration(probe, remap, "p", nBins = 5, outCol = "pc")
+    assert(pr.count() == 3L && pr.filter(col("pc").isNull).count() == 3L)
+    intercept[IllegalArgumentException] {
+      Stats.applyCalibration(df.withColumn("__cal_bin", lit(1)), remap, "p")
+    }
+  }
+
+  test("calibrationSummaryByGroup/reliabilityBinsByGroup: one pass ≡ the " +
+      "global summary per slice; null groups dropped") {
+    val df = Seq(
+      ("a", 0.25, true), ("a", 0.25, false), ("a", 0.95, true),
+      ("a", 0.95, false), ("b", 0.45, true), ("b", 0.45, true),
+      ("b", 1.0, false)).toDF("g", "p", "y")
+    val withNull = df.unionByName(
+      Seq((Option.empty[String], 0.5, true)).toDF("g", "p", "y"))
+    val got = Stats.calibrationSummaryByGroup(withNull, "g", "p", "y")
+      .orderBy("g").collect()
+    assert(got.map(_.getAs[String]("g")).toSeq == Seq("a", "b")) // null g dropped
+    for (r <- got) {
+      val slice = Stats.calibrationSummary(
+        df.filter(col("g") === r.getAs[String]("g")), "p", "y").head()
+      assert(r.getAs[Long]("n_rows") == slice.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_pos") == slice.getAs[Long]("n_pos"))
+      assert(r.getAs[Long]("ece_micro") == slice.getAs[Long]("ece_micro"))
+      assert(r.getAs[Long]("brier_micro") == slice.getAs[Long]("brier_micro"))
+    }
+    // the grouped bins match the global bins computed per slice
+    val gotBins = Stats.reliabilityBinsByGroup(df, "g", "p", "y")
+      .select("g", "bin", "n", "n_pos", "conf_micro", "acc_micro")
+      .orderBy("g", "bin").collect().map(_.toSeq).toSeq
+    val expBins = Seq("a", "b").flatMap { g =>
+      Stats.reliabilityBins(df.filter(col("g") === g), "p", "y")
+        .orderBy("bin").collect()
+        .map(r => g +: r.toSeq)
+    }
+    assert(gotBins == expBins)
+  }
+
   test("reliabilityBinsQuantile: exact mass balance, rank determinism, score ranges") {
     // 12 rows, 4 bins -> exactly 3 per bin in (p, id) order; duplicate
     // scores split across a bin boundary BY ID (rows 5/6 share p=0.30)

@@ -987,6 +987,68 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("calibrationIngestStreamBulk: additive bin folds answer the full-history reliability bins") {
+    import graft.operators.Stats
+    implicit val sqlCtx = spark.sqlContext
+    // two micro-batches of (score, label) rows; batch 2 adds rows to a
+    // bin already in the store AND a new bin — additive long sums merge
+    val b1 = Seq((0.25, true), (0.25, false), (0.95, true), (0.45, true))
+    val b2 = Seq((0.25, false), (1.0, true), (0.45, false))
+    var state = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("bin", "n", "n_pos", "sp_micro")
+    val mem = MemoryStream[(Double, Boolean)]
+    val q = Streams.calibrationIngestStreamBulk(
+        mem.toDF().toDF("p", "y"), "p", "y", nBins = 10)(
+        () => state, out => state = out.localCheckpoint(true))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // the store is bin-bounded: 3 populated bins, never 7 row rows
+      assert(state.count() == 3L)
+      // readout over the store ≡ bins over the full row history
+      val got = Stats.reliabilityBinsFromState(state)
+        .orderBy("bin").collect().map(_.toSeq).toSeq
+      val full = Stats.reliabilityBins((b1 ++ b2).toDF("p", "y"), "p", "y")
+        .orderBy("bin").collect().map(_.toSeq).toSeq
+      assert(got == full)
+    } finally q.stop()
+  }
+
+  test("funnelStream expiry: non-advancing events do not extend the tombstone horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    def mt(min: Int, sec: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    val steps = Seq("signup", "click")
+    // 15-min within, 10-min expiry: u1's signup at 0:00 sets the horizon
+    // at 0:10; every later u1 event is NOISE (no funnel advance), so the
+    // deadline must NOT move (the ADVICE r14 re-arm-on-touch bug would
+    // push it to watermark+1 on every touching batch)
+    val mem = MemoryStream[Ev]
+    val q = Streams.funnelStream(mem.toDF(), steps, 15L * 60 * 1000000,
+        watermark = "1 minute", expiryUs = Some(10L * 60 * 1000000))
+      .writeStream.format("memory").queryName("funnel_noise_expiry")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, mt(0), 1, "signup", 0)); q.processAllAvailable()
+      // advance the watermark to 0:19 with another key
+      mem.addData(Ev(2, mt(20), 99, "other", 0)); q.processAllAvailable()
+      // u1 noise processed UNDER watermark 0:19 (> the 0:10 horizon):
+      // state unchanged → no re-arm; the old code would have pushed the
+      // deadline to 0:19:00.001 here and kept the tombstone alive
+      mem.addData(Ev(3, mt(19, 30), 1, "other", 0)); q.processAllAvailable()
+      // a u1-quiet batch (watermark still 0:19, past the 0:10 horizon)
+      // fires the standing timeout and drops u1's state
+      mem.addData(Ev(4, mt(19, 45), 99, "other", 0)); q.processAllAvailable()
+      // the tombstone is gone: a fresh signup RESTARTS u1's funnel
+      mem.addData(Ev(5, mt(19, 50), 1, "signup", 0)); q.processAllAvailable()
+      val restarts = spark.table("funnel_noise_expiry")
+        .filter(col("user_id") === 1L && col("step") === 1L).count()
+      assert(restarts == 2L,
+        "noise events must not extend the expiry horizon")
+    } finally q.stop()
+  }
+
   test("recentIngestStreamBulk: bounded last-L folds answer the exact full-history EWMA") {
     import graft.operators.Sequences
     implicit val sqlCtx = spark.sqlContext
