@@ -187,7 +187,10 @@ object Plans {
         // the calibration store fold must be two hash-aggs (batch
         // collapse + <= 2 nBins state re-agg); the readout is a stateless
         // projection on the state - history is never re-read
-        "q257_calibration_ingest")
+        "q257_calibration_ingest",
+        // av header metadata must be ONE typed mapPartitions chain over
+        // the doc scan (the q247 shape) - no shuffle, no join anywhere
+        "q258_av_header_dims")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -1173,6 +1173,24 @@ private[graft] object QueriesRelationalSql extends OracleSqlHelpers {
               CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
               CAST(doc_id % 777 + 1 AS BIGINT) AS height
          FROM documents ORDER BY media_id""",
+    // the EXPECTED audio/video header fields computed directly from
+    // doc_id — the Spark side must round-trip them through real RIFF /
+    // ISO-BMFF header bytes (incl. the mvhd v0/v1 layout split by id)
+    "q258_av_header_dims" ->
+      """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 4000
+                   ELSE 600 + (doc_id % 7) * 100 END AS BIGINT) AS timescale,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 777
+                   ELSE 10000 + doc_id % 999 END AS BIGINT) AS duration_units,
+              CASE WHEN doc_id % 2 = 0
+                THEN CAST(1 + (doc_id % 6) // 2 AS BIGINT) END AS channels,
+              CAST((CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 777
+                     ELSE 10000 + doc_id % 999 END) * 1000
+                // (CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 4000
+                     ELSE 600 + (doc_id % 7) * 100 END) AS BIGINT)
+                AS duration_ms
+         FROM documents ORDER BY media_id""",
     // same exclusive upper bounds, same CASE chain (null ts → else branch)
     "q242_time_split" ->
       """SELECT o_orderkey,

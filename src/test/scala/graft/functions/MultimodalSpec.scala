@@ -84,6 +84,68 @@ class MultimodalSpec extends SparkTestBase {
     assert(dims(1) == Multimodal.MediaDims(2L, None, None, None))
   }
 
+  test("headerAv: hand-built WAV/MP4 bytes parse to exact metadata") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // WAV with a LIST chunk BEFORE fmt (the walk must skip it, incl.
+    // the odd-size word-align pad), hand-written bytes: 2ch 44100 Hz
+    // 16-bit, 441 frames -> 1764 data bytes, duration 10 ms
+    val wav = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("LIST".getBytes ++ le32(3) ++ Array[Byte](9, 9, 9, 0)) ++ // padded
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+        le32(44100 * 4) ++ le16(4) ++ le16(16)) ++
+      ("data".getBytes ++ le32(1764))
+    assert(Multimodal.headerAv(wav)
+      .contains(("wav", 44100L, 441L, Some(2))))
+    // MP4 with a free box between ftyp and moov, and a child box before
+    // mvhd inside moov — both walks must skip by declared sizes
+    def be32(v: Long) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val mvhd = be32(32) ++ "mvhd".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(7200) ++ be32(0x10000)
+    val iods = be32(12) ++ "iods".getBytes ++ be32(0)
+    val moov = be32(8L + iods.length + mvhd.length) ++ "moov".getBytes ++
+      iods ++ mvhd
+    val mp4 = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++
+      (be32(12) ++ "free".getBytes ++ be32(0)) ++ moov
+    assert(Multimodal.headerAv(mp4)
+      .contains(("mp4", 600L, 7200L, None)))
+    // builder round-trips for both mvhd versions and a 64-bit duration
+    assert(Multimodal.headerAv(Multimodal.wavHeader(8000, 1, 12345))
+      .contains(("wav", 8000L, 12345L, Some(1))))
+    assert(Multimodal.headerAv(Multimodal.mp4Header(90000, 123456, 0))
+      .contains(("mp4", 90000L, 123456L, None)))
+    assert(Multimodal.headerAv(
+        Multimodal.mp4Header(90000, 8589934592L, 1)) // > 2^32: v1 only
+      .contains(("mp4", 90000L, 8589934592L, None)))
+    // refusals: text, truncated WAV (no fmt), moov-less mp4, zero-rate
+    // fmt, image headers, empty
+    assert(Multimodal.headerAv("RIFF but actually text..".getBytes).isEmpty)
+    assert(Multimodal.headerAv(wav.take(20)).isEmpty)
+    assert(Multimodal.headerAv(
+      be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)).isEmpty)
+    val zeroRate = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(0) ++
+        le32(0) ++ le16(4) ++ le16(16))
+    assert(Multimodal.headerAv(zeroRate).isEmpty)
+    assert(Multimodal.headerAv(Multimodal.pngHeader(4, 4)).isEmpty)
+    assert(Multimodal.headerAv(Array.empty[Byte]).isEmpty)
+    // avDims: typed mapPartitions surface — parsed values, nulls for
+    // unparseable, exact floor duration_ms
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.wavHeader(44100, 2, 441), "wav", 44L),
+      Multimodal.MediaRow(2L, Multimodal.mp4Header(600, 7201), "mp4", 132L),
+      Multimodal.MediaRow(3L, "plain text".getBytes, "text/plain", 10L))
+      .toDS()
+    val got = Multimodal.avDims(media).collect().sortBy(_.media_id)
+    assert(got(0) == Multimodal.AvMeta(1L, Some("wav"), Some(44100L),
+      Some(441L), Some(2), Some(10L)))    // 441000/44100 = 10 exactly
+    assert(got(1) == Multimodal.AvMeta(2L, Some("mp4"), Some(600L),
+      Some(7201L), None, Some(12001L)))   // floor(7201000/600)
+    assert(got(2) == Multimodal.AvMeta(3L, None, None, None, None, None))
+  }
+
   test("frameSample: strided fixed-size chunks, no empty frames") {
     val frames = Multimodal.frameSample(
       Multimodal.pack(docs, "doc_id", "text", "text/plain").filter(col("media_id") === 2),
