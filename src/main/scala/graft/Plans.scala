@@ -190,7 +190,11 @@ object Plans {
         "q257_calibration_ingest",
         // av header metadata must be ONE typed mapPartitions chain over
         // the doc scan (the q247 shape) - no shuffle, no join anywhere
-        "q258_av_header_dims")
+        "q258_av_header_dims",
+        // Platt: the bin hash-agg is the only data-sized node; the 6
+        // Newton rounds are tiny jobs on the pinned <= nBins bin table
+        // (a rounds-deep plan over raw rows would be a regression)
+        "q259_platt_scaling")
     val spark = GraftSession.local("8", "graft-plans")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

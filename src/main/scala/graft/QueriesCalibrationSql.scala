@@ -256,5 +256,76 @@ private[graft] object QueriesCalibrationSql {
     // sufficient statistic, so the standing-store fold must reproduce the
     // full-history bins bit for bit (additive counts, exact longs)
     "q257_calibration_ingest" -> reliabilityBinsOracleSql,
+    // the zigzag bins + the SAME mirrored Newton rounds: σ micro-rounded
+    // per (bin, round) from the fixed z tree, gradient/Hessian as exact
+    // HUGEINT sums (≡ Decimal(38,0)), the 2×2 solve and nano update on
+    // one shared double tree, unrolled as MATERIALIZED round CTEs
+    "q259_platt_scaling" -> (zigzagIsoCtes + plattRoundCtes(6) + """
+         SELECT tm.bin, tm.n, tm.n_pos, tm.acc_micro,
+                CAST(round(1e6 / (1 + exp(-(r.a::DOUBLE
+                    * tm.conf_micro::DOUBLE / 1e15 + r.b2::DOUBLE / 1e9))))
+                  AS BIGINT) AS platt_micro
+         FROM tm CROSS JOIN r""" + 6 + """ r ORDER BY bin"""),
   )
+
+  /** The [[plattCalibration]] rounds unrolled for DuckDB, appended after
+    * a CTE chain that defines `b` (bins with n/n_pos/conf_micro): `tt`
+    * holds the totals, `tm` the bins with Platt's smoothed target mass
+    * (micro-quantized once), `r0` the (0, base-rate-logit) start, and
+    * each round k re-quantizes σ per bin, sums the exact HUGEINT
+    * sufficient statistics, and solves the 2×2 Newton step on the same
+    * double tree as the Scala side (skipped when the Hessian determinant
+    * is not positive). */
+  private def plattRoundCtes(rounds: Int): String = {
+    val head = """,
+         tt AS MATERIALIZED (SELECT coalesce(sum(n), 0) AS nt,
+                coalesce(sum(n_pos), 0) AS pt
+               FROM b),
+         tm AS MATERIALIZED (SELECT bin, n, n_pos, conf_micro, acc_micro,
+                CAST(round((n_pos::DOUBLE
+                    * ((pt + 1)::DOUBLE / (pt + 2)::DOUBLE)
+                  + (n - n_pos)::DOUBLE
+                    * (1::DOUBLE / (nt - pt + 2)::DOUBLE)) * 1e6) AS BIGINT)
+                  AS t
+               FROM b CROSS JOIN tt),
+         r0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a,
+                CAST(round(ln((pt + 1)::DOUBLE / (nt - pt + 1)::DOUBLE)
+                  * 1e9) AS BIGINT) AS b2
+               FROM tt)"""
+    val steps = (1 to rounds).map { k =>
+      s""",
+         p$k AS (SELECT tm.*,
+                CAST(round(1e6 / (1 + exp(-(r.a::DOUBLE
+                    * tm.conf_micro::DOUBLE / 1e15 + r.b2::DOUBLE / 1e9))))
+                  AS BIGINT) AS p
+               FROM tm CROSS JOIN r${k - 1} r),
+         s$k AS (SELECT
+                sum(n::HUGEINT * p::HUGEINT - t::HUGEINT) AS gb,
+                sum((n::HUGEINT * p::HUGEINT - t::HUGEINT)
+                  * conf_micro::HUGEINT) AS ga,
+                sum(n::HUGEINT * p::HUGEINT
+                  * (1000000::HUGEINT - p::HUGEINT)) AS hbb,
+                sum(n::HUGEINT * p::HUGEINT * (1000000::HUGEINT - p::HUGEINT)
+                  * conf_micro::HUGEINT) AS hab,
+                sum(n::HUGEINT * p::HUGEINT * (1000000::HUGEINT - p::HUGEINT)
+                  * conf_micro::HUGEINT * conf_micro::HUGEINT) AS haa
+               FROM p$k),
+         d$k AS (SELECT r.a, r.b2,
+                ga::DOUBLE / 1e12 AS ga2, gb::DOUBLE / 1e6 AS gb2,
+                haa::DOUBLE / 1e24 AS haa2, hab::DOUBLE / 1e18 AS hab2,
+                hbb::DOUBLE / 1e12 AS hbb2
+               FROM s$k CROSS JOIN r${k - 1} r),
+         r$k AS MATERIALIZED (SELECT
+                CASE WHEN haa2 * hbb2 - hab2 * hab2 > 1e-9 * haa2 * hbb2
+                  THEN a - CAST(round((hbb2 * ga2 - hab2 * gb2)
+                    / (haa2 * hbb2 - hab2 * hab2) * 1e9) AS BIGINT)
+                  ELSE a END AS a,
+                CASE WHEN haa2 * hbb2 - hab2 * hab2 > 1e-9 * haa2 * hbb2
+                  THEN b2 - CAST(round((haa2 * gb2 - hab2 * ga2)
+                    / (haa2 * hbb2 - hab2 * hab2) * 1e9) AS BIGINT)
+                  ELSE b2 END AS b2
+               FROM d$k)"""
+    }.mkString
+    head + steps
+  }
 }

@@ -532,6 +532,39 @@ object ScaleProbe {
         "p", "y").head().getAs[Long]("n_rows")
       val clt1 = System.nanoTime()
 
+      // calibration-fold axis (r15): ingest a FIXED row batch into the
+      // standing bin state built over the growing corpus. The fold is the
+      // batch collapse + a ≤ 2·nBins-row state re-agg — cal_fold_sec must
+      // stay FLAT in the factor (the bt_fold discipline: history is never
+      // re-read, and the state is nBins-bounded whatever the corpus).
+      val calScored = docs.select(
+        (pmod(col("doc_id"), lit(1000L)).cast("double") / 1000.0).as("p"),
+        (pmod(length(col("text")).cast("long"), lit(2L)) === 0L).as("y"))
+      val calState = graft.operators.Stats.calibrationState(calScored,
+        "p", "y").localCheckpoint(true) // state build NOT on the fold's clock
+      val calBatch = base.select(
+        (pmod(col("doc_id"), lit(997L)).cast("double") / 997.0).as("p"),
+        (pmod(col("doc_id"), lit(3L)) === 0L).as("y"))
+      System.gc()
+      val cft0 = System.nanoTime()
+      val nCalFold = graft.operators.Stats.ingestCalibration(calState,
+        calBatch, "p", "y").count()
+      val cft1 = System.nanoTime()
+
+      // grouped-calibration axis (r15): per-segment ECE/Brier over 8 fixed
+      // groups while rows grow with the factor — ONE (group, bin) hash-agg
+      // carrying the Brier residual, so calg_sec must track the scan
+      // linearly (no second row pass, no window; a curve that beats the
+      // global cal_sec axis by less than 2× is the one-pass evidence).
+      System.gc()
+      val cgt0 = System.nanoTime()
+      val nCalGroups = graft.operators.Stats.calibrationSummaryByGroup(
+        docs.select(pmod(col("doc_id"), lit(8L)).as("g"),
+          (pmod(col("doc_id"), lit(1000L)).cast("double") / 1000.0).as("p"),
+          (pmod(length(col("text")).cast("long"), lit(2L)) === 0L).as("y")),
+        "g", "p", "y").count()
+      val cgt1 = System.nanoTime()
+
       // BPE jobs axis (r9): Spark jobs for the same 24 merges, batched
       // rounds vs the strictly sequential loop — the scheduler-round-trip
       // curve selectBatch exists to flatten (the vocab is replication-
@@ -603,6 +636,8 @@ object ScaleProbe {
         s""""bt_items":$nBt,"bt_sec":${sec(btt0, btt1)},""" +
         s""""bt_fold_rows":$nBtFold,"bt_fold_sec":${sec(bgt0, bgt1)},""" +
         s""""cal_rows":$calRows,"cal_sec":${sec(clt0, clt1)},""" +
+        s""""cal_fold_rows":$nCalFold,"cal_fold_sec":${sec(cft0, cft1)},""" +
+        s""""calg_groups":$nCalGroups,"calg_sec":${sec(cgt0, cgt1)},""" +
         s""""wz_groups":$nWz,"wz_sec":${sec(wzt0, wzt1)},""" +
         s""""tfidf_rows":$nTfShipped,"tfidf_sec":${sec(tft0, tft1)},""" +
         s""""tfidf_pin_rows":$nTfPinned,"tfidf_pin_sec":${sec(tft1, tft2)}""" +

@@ -809,6 +809,48 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("plattCalibration: monotone sigmoid remap fixes a logistic fixture, " +
+      "partition-invariant, one-bin degeneracy at the smoothed base rate") {
+    // the data IS logistic — rate(s) = σ(6s−3) rounded to counts — so the
+    // 2-param fit must land near it and the applied remap must beat the
+    // raw scores' ECE (exactly 40000 micro by construction)
+    val rows = Seq(0.1 -> 3, 0.3 -> 9, 0.5 -> 20, 0.7 -> 31, 0.9 -> 37)
+      .flatMap { case (p, hits) => (1 to 40).map(i => (p, i <= hits)) }
+    val df = rows.toDF("p", "y")
+    val remap = Stats.plattCalibration(df, "p", "y", nBins = 5, rounds = 8)
+    val platt = remap.orderBy("bin").collect()
+      .map(_.getAs[Long]("platt_micro")).toSeq
+    assert(platt == platt.sorted, s"remap must be monotone: $platt")
+    // the fit tracks the generating sigmoid within bin resolution
+    val gen = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(s => math.round(1e6 / (1 + math.exp(-(6 * s - 3)))))
+    assert(platt.zip(gen).forall { case (g, e) => math.abs(g - e) < 60000 },
+      s"fit $platt vs generator $gen")
+    val before = Stats.calibrationSummary(df, "p", "y", nBins = 5)
+      .head().getAs[Long]("ece_micro")
+    val after = Stats.calibrationSummary(
+      Stats.applyCalibration(df, remap, "p", nBins = 5, outCol = "pc",
+        remapCol = "platt_micro"), "pc", "y", nBins = 5)
+      .head().getAs[Long]("ece_micro")
+    assert(before == 40000L && after < before, s"ece $before -> $after")
+    // exact integer statistics + quantized rounds → partition-invariant
+    val rep = Stats.plattCalibration(df.repartition(7), "p", "y",
+        nBins = 5, rounds = 8)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(rep == remap.orderBy("bin").collect().map(_.toSeq).toSeq)
+    // one bin: the Hessian is singular, every update skips, and the fit
+    // rests at σ(smoothed base-rate logit) = σ(ln((3+1)/(1+1))) = 2/3
+    val one = Seq((0.5, true), (0.5, true), (0.5, true), (0.5, false))
+      .toDF("p", "y")
+    val o = Stats.plattCalibration(one, "p", "y").collect()
+    assert(o.length == 1 && o(0).getAs[Long]("platt_micro") == 666667L)
+    // empty input → empty remap; bad params rejected
+    assert(Stats.plattCalibration(df.filter(col("p") > 2), "p", "y").count() == 0L)
+    intercept[IllegalArgumentException] {
+      Stats.plattCalibration(df, "p", "y", rounds = 0)
+    }
+  }
+
   test("calibrationSummaryByGroup/reliabilityBinsByGroup: one pass ≡ the " +
       "global summary per slice; null groups dropped") {
     val df = Seq(
