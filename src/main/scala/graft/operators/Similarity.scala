@@ -237,16 +237,34 @@ object Similarity {
     df.sparkSession.createDataFrame(rows, df.schema)
   }
 
-  /** Exact-integer-distance argmin cell assignment against a BROADCAST
-    * centroid set (d² = v·v − 2·v·c + c·c; ties to the lowest cell id) —
+  /** The localized `(cent_id, cv, cc)` centroid frame as a plan-time
+    * literal for the argmin expression — collected (it was built from
+    * driver-local rows, so this is a local scan) and shipped inside the
+    * plan exactly once per stage binary, like the broadcast it replaces. */
+  private def centsAsLit(cents: DataFrame): Column = {
+    val rows = cents.select(col("cent_id"), col("cv"), col("cc")).collect()
+    typedLit(rows.toSeq.map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))))
+  }
+
+  /** `v` + a `cell` column: exact-integer argmin assignment (d² = v·v −
+    * 2·v·c + c·c over longs; ties to the lowest cell id) as ONE codegen'd
+    * projection against the plan-time centroid matrix
+    * ([[graft.expressions.CellArgminLong]]). r15: this replaces a
+    * broadcast join + corpus-wide hash-agg EXCHANGE per assignment pass
+    * (and per Lloyd round) with zero shuffle — and it carries `v`'s other
+    * columns along, so the join back to the corpus frame the agg forced
+    * is gone too (guide §2.4). Bit-identical to the min(struct) form
+    * (SimilaritySpec asserts it, ties included). */
+  private def withCell(v: DataFrame, vec: String, norm: String,
+      cents: DataFrame): DataFrame =
+    v.withColumn("cell",
+      call_function("graft_cell_argmin", col(vec), col(norm), centsAsLit(cents)))
+
+  /** Exact-integer-distance argmin cell assignment (see [[withCell]]) —
     * shared by [[ivfTopK]] and [[ivfPqTopK]]. */
   private def assignCells(v: DataFrame, id: String, vec: String, norm: String,
       cents: DataFrame): DataFrame =
-    v.join(broadcast(cents))
-      .withColumn("d2", col(norm) - lit(2) * nqdot(col(vec), col("cv")) + col("cc"))
-      .groupBy(col(id))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
-      .select(col(id), col("m.cent_id").as("cell"))
+    withCell(v, vec, norm, cents).select(col(id), col("cell"))
 
   /** Deterministic IVF coarse-quantizer training over a pinned
     * `(nbr_id, nv, vv)` corpus: hash-ordered seeds (the `cells` vectors
@@ -261,7 +279,9 @@ object Similarity {
           .as("cent_id"),
         col("nv").as("cv"), col("vv").as("cc")))
     for (_ <- 1 to lloydIters) {
-      val asg = assignCells(c, "nbr_id", "nv", "vv", cents).join(c, Seq("nbr_id"))
+      // argmin projection carries nv along — no join back, no exchange
+      // anywhere before the tiny (cell, pos) agg (r15, guide §2.4)
+      val asg = withCell(c, "nv", "vv", cents)
       val sums = asg.select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
@@ -321,7 +341,6 @@ object Similarity {
     // every round; `nprobe` stays the caller's dial.
     val probes = ivfProbes(cells, nprobe)
     val cents = trainIvfCents(c, cells, lloydIters)
-    val cAsg = assignCells(c, "nbr_id", "nv", "vv", cents)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
       .withColumn("qn", nqdot(col("qv"), col("qv")))
     // queries probe their nprobe nearest cells (full ranking only over the
@@ -332,7 +351,9 @@ object Similarity {
       .withColumn("__cr", row_number().over(qw))
       .filter(col("__cr") <= probes)
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
-    val scored = cAsg.join(c, Seq("nbr_id")).join(broadcast(qAsg), Seq("cell"))
+    // corpus-side assignment is the argmin projection over the pinned
+    // cache — the old agg-exchange + join-back pair is gone (r15)
+    val scored = withCell(c, "nv", "vv", cents).join(broadcast(qAsg), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
         cosineOf(nqdot(col("qv"), col("nv")), col("qn"), col("vv")))
@@ -388,8 +409,7 @@ object Similarity {
     val cells = if (nCells > 0) nCells
       else math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = trainIvfCents(c, cells, lloydIters)
-    val scored = assignCells(c, "nbr_id", "nv", "vv", cents)
-      .join(c, Seq("nbr_id"))
+    val scored = withCell(c, "nv", "vv", cents)
       .join(broadcast(cents), col("cell") === col("cent_id"))
       .withColumn("proto_micro",
         round(cosineOf(nqdot(col("nv"), col("cv")), col("vv"), col("cc"))
@@ -418,14 +438,29 @@ object Similarity {
       .as(Seq("sub", "sv")))
       .withColumn("svv", nqdot(col("sv"), col("sv")))
 
-  /** Per-subspace exact-integer argmin code assignment against BROADCAST
-    * codebooks; ties to the lowest centroid id. */
+  /** The localized `(sub, cent_id, cv, cc)` codebook frame as a plan-time
+    * literal (the [[centsAsLit]] contract, keyed by subspace). */
+  private def booksAsLit(books: DataFrame): Column = {
+    val rows = books.select(col("sub"), col("cent_id"), col("cv"), col("cc")).collect()
+    typedLit(rows.toSeq.map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3))))
+  }
+
+  /** `s` + a `code` column: per-subspace exact-integer argmin code
+    * assignment as one codegen'd projection against the plan-time codebook
+    * matrices ([[graft.expressions.CodeArgminLong]]; ties to the lowest
+    * centroid id) — r15, replacing the broadcast join + (id, sub)-keyed
+    * hash-agg EXCHANGE of the old formulation, and carrying `s`'s other
+    * columns so the training loop's join back to the sub-vector frame is
+    * gone (guide §2.4). */
+  private def withCode(s: DataFrame, books: DataFrame): DataFrame =
+    s.withColumn("code",
+      call_function("graft_code_argmin", col("sub"), col("sv"), col("svv"),
+        booksAsLit(books)))
+
+  /** Per-subspace exact-integer argmin code assignment (see [[withCode]]). */
   private def assignPqCodes(s: DataFrame, id: String, cents: DataFrame): DataFrame =
-    s.join(broadcast(cents), Seq("sub"))
-      .withColumn("d2", col("svv") - lit(2) * nqdot(col("sv"), col("cv")) + col("cc"))
-      .groupBy(col(id), col("sub"))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
-      .select(col(id), col("sub"), col("m.cent_id").as("code"))
+    withCode(s, cents).select(col(id), col("sub"), col("code"))
 
   /** Deterministic per-subspace codebook training over a pinned corpus
     * `(nbr_id, nv, vv)` and its sub-vector table: ONE hash-ordered
@@ -442,7 +477,9 @@ object Similarity {
       .select(col("sub"), col("cent_id"), col("sv").as("cv"))
       .withColumn("cc", nqdot(col("cv"), col("cv"))))
     for (_ <- 1 to lloydIters) {
-      val asg = assignPqCodes(sv, "nbr_id", books).join(sv, Seq("nbr_id", "sub"))
+      // argmin projection carries sv along — no join back, no exchange
+      // before the tiny (sub, code, spos) agg (r15, guide §2.4)
+      val asg = withCode(sv, books)
       val sums = asg.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("spos", "x")))
         .groupBy(col("sub"), col("code"), col("spos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))

@@ -641,6 +641,69 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(h.getAs[Long]("rbo_micro") == Similarity.rboWeights10(1))
   }
 
+  test("cell/code argmin expressions match the join+min(struct) formulation, ties included (r15)") {
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    // 12 vectors, dim 4; centroids include an EXACT DUPLICATE pair
+    // (cent 2 ≡ cent 5) so every vector ties between them — the expression
+    // must reproduce min(struct(d2, cent_id))'s lowest-id tie rule
+    val vecs = Seq.tabulate(12) { i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5).toLong))
+    }.toDF("id", "v").withColumn("vv", call_function("graft_qdot", col("v"), col("v")))
+    val cents = Seq(
+      (1L, Seq(1L, 2L, -1L, 0L)), (2L, Seq(-3L, 0L, 2L, 2L)),
+      (3L, Seq(0L, 0L, 0L, 4L)), (5L, Seq(-3L, 0L, 2L, 2L)))
+      .toDF("cent_id", "cv")
+      .withColumn("cc", call_function("graft_qdot", col("cv"), col("cv")))
+    val centsLit = typedLit(cents.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))))
+    val viaExpr = vecs.select(col("id"),
+      call_function("graft_cell_argmin", col("v"), col("vv"), centsLit).as("cell"))
+    val viaJoin = vecs.join(broadcast(cents))
+      .withColumn("d2", col("vv")
+        - lit(2) * call_function("graft_qdot", col("v"), col("cv")) + col("cc"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("id"), col("m.cent_id").as("cell"))
+    assert(rowSet(viaExpr) == rowSet(viaJoin))
+    // ties resolved to the LOWEST cent_id: nothing may ever land on 5
+    assert(viaExpr.filter(col("cell") === 5L).isEmpty)
+    assert(!viaExpr.filter(col("cell") === 2L).isEmpty)
+
+    // per-subspace code argmin vs the same reference formulation, with a
+    // duplicated codebook entry inside sub 1 (codes 1 and 3 identical)
+    val sv = vecs.select(col("id"), posexplode(array(
+        slice(col("v"), 1, 2), slice(col("v"), 3, 2))).as(Seq("sub", "sv")))
+      .withColumn("svv", call_function("graft_qdot", col("sv"), col("sv")))
+    val books = Seq(
+      (0, 1L, Seq(0L, 1L)), (0, 2L, Seq(-2L, 3L)),
+      (1, 1L, Seq(1L, -1L)), (1, 2L, Seq(4L, 0L)), (1, 3L, Seq(1L, -1L)))
+      .toDF("sub", "cent_id", "cv")
+      .withColumn("cc", call_function("graft_qdot", col("cv"), col("cv")))
+    val booksLit = typedLit(books.collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3))))
+    val codeExpr = sv.select(col("id"), col("sub"),
+      call_function("graft_code_argmin", col("sub"), col("sv"), col("svv"),
+        booksLit).as("code"))
+    val codeJoin = sv.join(broadcast(books), Seq("sub"))
+      .withColumn("d2", col("svv")
+        - lit(2) * call_function("graft_qdot", col("sv"), col("cv")) + col("cc"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+      .select(col("id"), col("sub"), col("m.cent_id").as("code"))
+    assert(rowSet(codeExpr) == rowSet(codeJoin))
+    assert(codeExpr.filter(col("sub") === 1 && col("code") === 3L).isEmpty)
+
+    // dimension mismatch raises (the graft_qdot contract); local mode may
+    // surface it bare or wrapped, so match on the message
+    val err = intercept[Exception] {
+      vecs.select(call_function("graft_cell_argmin",
+        slice(col("v"), 1, 2), col("vv"), centsLit)).collect()
+    }
+    assert(err.getMessage.contains("dimensions differ")
+      || Option(err.getCause).exists(_.getMessage.contains("dimensions differ")))
+  }
+
   test("graft_qdot: dimension mismatch raises instead of silently truncating (VERDICT r2 #5)") {
     graft.expressions.GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
