@@ -157,6 +157,9 @@ object GraftFunctions {
       "graft_code_argmin", children => CodeArgminLong(children(0), children(1),
         children(2),
         CellArgminLong.codeMatrixOf(children(3), "graft_code_argmin")), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets", children => LshBucketsLong(children(0), children(1),
+        LshBucketsLong.planeMatrixOf(children(1), "graft_lsh_buckets")), "scala_udf")
     // KLL aggregates: the analyzer wraps a returned AggregateFunction in
     // its AggregateExpression automatically; k must be a literal int
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

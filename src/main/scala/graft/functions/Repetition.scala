@@ -85,7 +85,8 @@ object Repetition {
     * dup_line_char_ppm = chars in duplicated lines / chars in all lines —
     * both in parts-per-million (integer DIV: exact on any engine). */
   def lineRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol), explode(lines(col(textCol))).as("__unit"))
+    val ex = graft.operators.Par.spread(df)
+      .select(col(idCol), explode(lines(col(textCol))).as("__unit"))
     df.select(col(idCol)).join(unitStats(ex, idCol), Seq(idCol), "left")
       .select(
         col(idCol),
@@ -163,7 +164,8 @@ object Repetition {
     * Documents shorter than n tokens get zeros. */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val ex = df.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__unit"))
+    val ex = graft.operators.Par.spread(df)
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__unit"))
     val stats = unitStats(ex, idCol)
     // nullif guards the n=1 + empty-text corner: "" tokenizes to [""], so a
     // stats row EXISTS (cover 0) while doc chars = 0 — a bare DIV would

@@ -52,7 +52,7 @@ object Bpe {
     * [[Text.normalize]] + whitespace split — the same contract as
     * [[Search]]'s BM25, so the two share vocabularies. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(Text.tokens(Text.normalize(col(textCol)))).as("word"))
+    Par.spread(docs).select(explode(Text.tokens(Text.normalize(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -259,7 +259,7 @@ object Bpe {
     * map-side-combined agg. */
   def docPieceCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val dt = docs
+    val dt = Par.spread(docs)
       .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
     val wp = wordCounts(docs, textCol)

@@ -43,7 +43,7 @@ object Classify {
   final case class NbModel(classStats: DataFrame, tokenLik: DataFrame)
 
   private def toks(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame =
-    df.select(idCols.map(col) :+
+    Par.spread(df).select(idCols.map(col) :+
       explode(Text.tokens(Text.normalize(col(textCol)))).as("token"): _*)
 
   /** Fit a multinomial NB on `docs` (labelCol, textCol). One corpus pass:

@@ -55,7 +55,8 @@ object Dedup {
   /** Exact dedup on a fingerprint of normalized text — one hash-agg shuffle
     * (map-side combine), the 100-TB-safe baseline. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
+    val fp = Par.spread(df)
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
     fp.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
@@ -80,7 +81,8 @@ object Dedup {
     * Hashing happens OUTSIDE any array lambda so md5/conv run in
     * WholeStageCodegen. */
   private def shingleHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("s"))
+    Par.spread(df)
+      .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("s"))
       .select(col("id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
 
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -248,7 +250,7 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), posexplode(wins).as(Seq("p", "s")))
+    Par.spread(df).select(col(idCol).as("id"), posexplode(wins).as(Seq("p", "s")))
       .select(col("id"), col("p"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
   }
@@ -340,7 +342,7 @@ object Dedup {
     require(clash.isEmpty,
       s"stripBoilerplateLines reserves ${reserved.mkString("/")}; " +
         s"rename input column(s): ${clash.mkString(", ")}")
-    val lines = df
+    val lines = Par.spread(df)
       .select(col(idCol).as("__bid"),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__tl", trim(col("__line")))
@@ -411,8 +413,29 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): MinhashIndex = {
     val numHashes = bands * rowsPerBand
-    val s = pin(shingled(df, idCol, textCol, n).filter(col("nsh") > 0))
-    val sig = minhashSignatures(s, numHashes)
+    // ONE shingle+hash pass pinned as (id, h) rows at scan parallelism;
+    // both the sorted-set frame (verify side) and the signatures aggregate
+    // from it. Signatures take their min() over the raw rows DIRECTLY —
+    // min over the multiset equals min over collect_set's set, so the
+    // values are bit-identical to the former explode-the-array spelling —
+    // which (a) map-side-combines 12 longs per doc per partition instead
+    // of shuffling shingle arrays into a second explode, and (b) keeps the
+    // KM md5 kernel on the spread scan partitions instead of the handful
+    // of post-AQE cache partitions (guide §2.3 "aggregate before you
+    // shuffle"; measured: the signature stage was a single-task 6.9 s
+    // serial stage at sf0.1 before this).
+    val rows = pin(shingleHashed(df, idCol, textCol, n))
+    val s = pin(rows
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .filter(col("nsh") > 0))
+    val p = 2147483647L
+    val ex = rows.select(col("id"),
+      Text.md5Word32(col("h").cast("string"), 1).as("w0"),
+      Text.md5Word32(col("h").cast("string"), 9).as("w1"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(col("w0") + col("w1") * i, lit(p))).as(s"mh$i"))
+    val sig = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
     val bandKeys = (0 until bands).map(bi =>
       md5(concat_ws("|",
         (0 until rowsPerBand).map(j => col(s"mh${bi * rowsPerBand + j}").cast("string")): _*)))
@@ -420,6 +443,7 @@ object Dedup {
     // pipeline on BOTH sides (this alone halved q29's wall time)
     val banded = pin(
       sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))))
+    rows.unpersist(blocking = false) // s + banded carry all consumers need
     MinhashIndex(s, banded)
   }
 
@@ -564,7 +588,7 @@ object Dedup {
     * (see `Text.simhash` for why per-word extraction, not a fused hash).
     * Output: (id, sh64). Docs with zero tokens are absent from the output. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
+    val ex = Par.spread(df).select(col(idCol).as("id"),
         explode(Text.tokens(Text.normalize(col(textCol)))).as("t"))
       .select(col("id"), Text.md5Word32(col("t"), 1).as("w0"), Text.md5Word32(col("t"), 9).as("w1"))
     val votes = (0 until 64).map { j =>
@@ -693,8 +717,16 @@ object Dedup {
     // large-star(u): m = min over u's full neighborhood (symmetrized) and u
     // itself; every neighbor v > u re-links to m. Emitted edges keep u > v
     // (v > u ≥ m), so orientation is an invariant, not a per-round sort.
+    // Both phases need their edge frame partitioned on u TWICE — once as
+    // the min-agg input, once as the join's probe side. An explicit
+    // repartition(u) makes the two subtrees identical, so ReuseExchange
+    // materializes ONE shuffle per phase that both consumers read (the
+    // former spelling exchanged the frame separately for the agg and the
+    // join — two edge-cardinality shuffles per phase; guide §2.4 "two
+    // operations keyed the same way can share one exchange").
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val m = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       nbrs.join(m, "u")
@@ -706,8 +738,9 @@ object Dedup {
     // small-star(u): with edges oriented u > v, m = min smaller neighbor;
     // u and each other smaller neighbor re-link to m (all ≥ m ⇒ oriented).
     def smallStar(e: DataFrame): DataFrame = {
-      val m = e.groupBy("u").agg(min(col("v")).as("m"))
-      e.join(m, "u")
+      val e2 = e.repartition(col("u"))
+      val m = e2.groupBy("u").agg(min(col("v")).as("m"))
+      e2.join(m, "u")
         .select(col("v").as("n"), col("m"))
         .union(m.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
@@ -888,7 +921,7 @@ object Dedup {
       scale: Int = 1000, seed: Long = 42L): EmbeddingIndex = {
     val tables = if (nTables > 0) nTables else if (threshold >= 0.4) 16 else 24
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val v = pin(df.select(col(idCol).as("id"),
+    val v = pin(Par.spread(df).select(col(idCol).as("id"),
         Similarity.quantize(col(vecCol), scale).as("v"))
       .withColumn("nn", call_function("graft_qdot", col("v"), col("v"))))
     val n = v.count() // reads the pinned cache
@@ -970,7 +1003,7 @@ object Dedup {
       idCol: String, vecCol: String, threshold: Double = 0.4,
       multiProbe: Boolean = true): DataFrame = {
     graft.expressions.GraftFunctions.register(delta.sparkSession)
-    val dv = pin(delta.select(col(idCol).as("id"),
+    val dv = pin(Par.spread(delta).select(col(idCol).as("id"),
         Similarity.quantize(col(vecCol), corpus.scale).as("v"))
       .withColumn("nn", call_function("graft_qdot", col("v"), col("v"))))
     val n = dv.count() // reads the pinned cache
@@ -1046,7 +1079,7 @@ object Dedup {
   def decontaminate(train: DataFrame, trainId: String, trainText: String,
       bench: DataFrame, benchText: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val tSh = train.select(col(trainId).as("train_id"),
+    val tSh = Par.spread(train).select(col(trainId).as("train_id"),
       explode(graft.functions.Text.wordShingles(col(trainText), n)).as("sh"))
     val bSh = bench
       .select(explode(graft.functions.Text.wordShingles(col(benchText), n)).as("sh"))
@@ -1082,7 +1115,7 @@ object Dedup {
     // the candidate join AND the size agg — recomputing the regex/explode
     // four times dominated the wall clock before this (9.3 s -> measured
     // drop at sf0.1); eager localCheckpoint is the Bpe/kCore discipline
-    val sh = df.select(col(idCol).as("id"),
+    val sh = Par.spread(df).select(col(idCol).as("id"),
       explode(graft.functions.Text.wordShingles(col(textCol), n)).as("sh"))
       .localCheckpoint(true)
     val kept = sh.join(
@@ -1129,7 +1162,7 @@ object Dedup {
     // carry 8-char grams, not the whole document text (carrying __t per
     // gram row multiplies the shuffled bytes by ~n_chars/k); md5 runs
     // AFTER the explode, codegen'd on a plain string column
-    val grams = df
+    val grams = Par.spread(df)
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         graft.functions.Text.normalize(col(textCol)).as("__t"))

@@ -51,7 +51,7 @@ object Dsir {
   def hashedNgramCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val base = df.select(col(idCol).as("id"),
+    val base = Par.spread(df).select(col(idCol).as("id"),
       Text.tokens(Text.normalize(col(textCol))).as("__t"))
     val uni = base.select(col("id"), explode(col("__t")).as("f"))
     val bi = base.filter(size(col("__t")) >= 2)

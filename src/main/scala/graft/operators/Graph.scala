@@ -73,25 +73,36 @@ object Graph {
     val n = nodeList.agg(count(lit(1)).as("N"))
     val base = floor(lit((dampDen - dampNum).toLong * 1000000L) / (lit(dampDen) * col("N")))
       .cast(LongType)
-    // built ONCE: the (node, base) frame every round left-joins its inflow
-    // onto (the one broadcast of n is reused across all k occurrences)
-    val nodeBase = nodeList.crossJoin(broadcast(n))
-      .select(col("node"), base.as("base"))
-    var ranks = nodeList.crossJoin(broadcast(n))
-      .select(col("node"), floor(lit(1000000L) / col("N")).cast(LongType).as("rank_micro"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks
-        .join(eDeg, ranks("node") === eDeg("src"))
+    val r0 = floor(lit(1000000L) / col("N")).cast(LongType)
+    // The round state is the INFLOW table only — (node, in_micro) for
+    // nodes with ≥1 in-edge; rank(u) = base + coalesce(inflow(u), 0) is a
+    // scalar expression, not a node-sized frame (rank_0 = r0 uniformly).
+    // Each round is therefore ONE left join of the cached src-sorted edge
+    // side against the previous agg (both keyed on the node id — no
+    // exchange on either side) feeding ONE map-side-combined agg on dst:
+    // one node-cardinality exchange per round, vs the three the former
+    // ranks-frame formulation paid (ranks re-shuffle onto src + agg +
+    // the per-round nodeBase fill join — guide §2.4). The fill join that
+    // gives zero-inflow nodes their base rank runs ONCE, at the end.
+    // floor(base + inflow) arithmetic is unchanged — bit-identical ranks.
+    var inflow: DataFrame = null
+    for (r <- 1 to iterations) {
+      val joined =
+        if (r == 1) eDeg.crossJoin(broadcast(n))
+        else eDeg.join(inflow, eDeg("src") === inflow("node"), "left")
+          .crossJoin(broadcast(n))
+      val rank = if (r == 1) r0 else base + coalesce(col("in_micro"), lit(0L))
+      inflow = joined
         .select(col("dst").as("node"),
-          floor(col("rank_micro") * lit(dampNum.toLong) / (lit(dampDen.toLong) * col("outdeg")))
+          floor(rank * lit(dampNum.toLong) / (lit(dampDen.toLong) * col("outdeg")))
             .cast(LongType).as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("in_micro"))
-      ranks = nodeBase
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (col("base") + coalesce(col("in_micro"), lit(0L))).as("rank_micro"))
     }
-    val out = ranks.localCheckpoint(true) // executes the k-join plan ONCE
+    val out = nodeList.crossJoin(broadcast(n))
+      .join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        (base + coalesce(col("in_micro"), lit(0L))).as("rank_micro"))
+      .localCheckpoint(true) // executes the k-join plan ONCE
     eDeg.unpersist(blocking = false)
     nodeList.unpersist(blocking = false)
     out
@@ -122,36 +133,45 @@ object Graph {
     require(sd.limit(1).count() == 1L, "seeds must be non-empty")
     val e = pin(edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst")).distinct())
+    // the src node's seed flag rides ON the cached edge layout (one extra
+    // node-keyed join at build time), so each round's rank expression
+    // rank(u) = is_seed(u)·base + coalesce(inflow(u), 0) needs no
+    // node-sized rank frame — the [[pageRank]] inflow-only round shape:
+    // one cached-edge left join + one map-side-combined agg per round.
     val eDeg = pin(e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .join(sd.select(col("node").as("src"), lit(1).as("src_seed")), Seq("src"), "left")
       .repartition(col("src")).sortWithinPartitions("src"))
     val nodeList = pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(sd.select(col("node"))).distinct())
     e.unpersist(blocking = false)
     val sN = sd.agg(count(lit(1)).as("S"))
-    val flagged = nodeList.crossJoin(broadcast(sN))
-      .join(sd.select(col("node"), lit(1).as("is_seed")), Seq("node"), "left")
     val seedBase = floor(lit((dampDen - dampNum).toLong * 1000000L) /
       (lit(dampDen) * col("S"))).cast(LongType)
-    val nodeBase = flagged.select(col("node"),
-      when(col("is_seed") === 1, seedBase).otherwise(lit(0L)).as("base"))
-    var ranks = flagged.select(col("node"),
-      when(col("is_seed") === 1, floor(lit(1000000L) / col("S")).cast(LongType))
-        .otherwise(lit(0L)).as("rank_micro"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks
-        .join(eDeg, ranks("node") === eDeg("src"))
+    val r0 = floor(lit(1000000L) / col("S")).cast(LongType)
+    var inflow: DataFrame = null
+    for (r <- 1 to iterations) {
+      val joined =
+        if (r == 1) eDeg.crossJoin(broadcast(sN))
+        else eDeg.join(inflow, eDeg("src") === inflow("node"), "left")
+          .crossJoin(broadcast(sN))
+      val rank =
+        if (r == 1) when(col("src_seed") === 1, r0).otherwise(lit(0L))
+        else when(col("src_seed") === 1, seedBase).otherwise(lit(0L)) +
+          coalesce(col("in_micro"), lit(0L))
+      inflow = joined
         .select(col("dst").as("node"),
-          floor(col("rank_micro") * lit(dampNum.toLong) /
-            (lit(dampDen.toLong) * col("outdeg")))
+          floor(rank * lit(dampNum.toLong) / (lit(dampDen.toLong) * col("outdeg")))
             .cast(LongType).as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("in_micro"))
-      ranks = nodeBase
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (col("base") + coalesce(col("in_micro"), lit(0L))).as("rank_micro"))
     }
-    val out = ranks.localCheckpoint(true)
+    val out = nodeList.crossJoin(broadcast(sN))
+      .join(sd.select(col("node"), lit(1).as("is_seed")), Seq("node"), "left")
+      .join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        (when(col("is_seed") === 1, seedBase).otherwise(lit(0L)) +
+          coalesce(col("in_micro"), lit(0L))).as("rank_micro"))
+      .localCheckpoint(true)
     eDeg.unpersist(blocking = false)
     nodeList.unpersist(blocking = false)
     sd.unpersist(blocking = false)
@@ -184,8 +204,12 @@ object Graph {
       seedLabels: DataFrame, nodeCol: String, labelCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // cached hash-partitioned AND sorted on src (the [[pageRank]] eDeg
+    // discipline): every round's vote join streams the edge side with no
+    // exchange and no re-sort — only the (node-sized) label frame moves
     val e = pin(edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst")).distinct())
+      col(dstCol).cast(LongType).as("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions("src"))
     var labeled = seedLabels
       .select(col(nodeCol).cast(LongType).as("node"),
         col(labelCol).cast("string").as("label"), lit(0L).as("round"))

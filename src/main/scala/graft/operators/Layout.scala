@@ -130,7 +130,10 @@ object Layout {
     // window SORT comparator — measured 22 s → 1.9 s at sf0.1 for the
     // q192 z-order side; a layout build reads its input exactly once
     // anyway, so the checkpoint costs one narrow pass
-    val rows = df.filter(col(keyCol).isNotNull && col(idCol).isNotNull)
+    // the computed layout key (a 40-node z-interleave on the q192 side) is
+    // evaluated inside this narrow checkpoint pass — spread it when the
+    // scan has fewer splits than the cluster has slots (no-op at scale)
+    val rows = Par.spread(df).filter(col(keyCol).isNotNull && col(idCol).isNotNull)
       .select(Seq(col(keyCol).cast("long").as("__k"), col(idCol).as("__id"))
         ++ statCols.map(c => col(c).cast("long").as(c)): _*)
       .localCheckpoint(true)

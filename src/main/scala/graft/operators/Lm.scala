@@ -42,7 +42,7 @@ object Lm {
   /** Corpus unigram counts: one row per distinct token of the normalized
     * text, with its occurrence count. The "fit" half of the LM. */
   def unigramCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+    Par.spread(df).select(explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
 
   /** Score each document by total/mean unigram surprisal under the
@@ -69,7 +69,7 @@ object Lm {
     // T and V are exact longs; ln(T+V) is one double rounded once
     val totals = counts.agg(
       sum(col("c")).as("T"), count(lit(1)).as("V"))
-    val toks = df
+    val toks = Par.spread(df)
       .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
     toks
       .join(counts, Seq("token"), "left")
@@ -181,7 +181,7 @@ object Lm {
     * shuffle join on the token key; domain totals join broadcast (one row
     * per domain). Nothing is collected. */
   def domainKl(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
-    val domTok = df
+    val domTok = Par.spread(df)
       .select(col(domainCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
       .groupBy(domainCol, "token").agg(count(lit(1)).as("cst"))
     val domTotal = domTok.groupBy(domainCol).agg(sum(col("cst")).as("Ts"))
@@ -222,7 +222,7 @@ object Lm {
     * one vocab-sized full-outer join, one broadcast 1-row total frame,
     * one final agg — no window, nothing driver-side. */
   def domainJsd(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
-    def toks(df: DataFrame) = df
+    def toks(df: DataFrame) = Par.spread(df)
       .select(explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("c"))
@@ -340,7 +340,7 @@ object Lm {
     // smallest checkpoint covering a doc id (null = beyond every checkpoint)
     def cover(id: Column): Column =
       array_min(filter(cpArr, c => c >= id))
-    val toks = df.filter(col(idCol).isNotNull)
+    val toks = Par.spread(df).filter(col(idCol).isNotNull)
       .select(col(idCol).cast(LongType).as("id"),
         explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
     // per-type: the first checkpoint at which the type exists

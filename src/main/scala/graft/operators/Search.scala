@@ -48,7 +48,9 @@ object Search {
     * survives `prune` (applied BEFORE the tf shuffle). */
   private def contribs(df: DataFrame, idCol: String, textCol: String,
       prune: DataFrame => DataFrame, k1: Double, b: Double): DataFrame = {
-    val toks = df
+    // the regex tokenize+normalize kernel is narrow — spread it when the
+    // scan has fewer splits than the cluster has slots (no-op at scale)
+    val toks = Par.spread(df)
       .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
     // corpus stats: N docs, total tokens (for avgdl) — exact longs
     val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
@@ -180,7 +182,8 @@ object Search {
     * doc lengths, term dfs and the corpus scalars all derive from these
     * rows by exact aggregation). */
   def bm25Postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
+    Par.spread(df)
+      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
 
   /** [[bm25TopK]] against a prebuilt [[Bm25Index]] — no tokenization, no
@@ -302,7 +305,7 @@ object Search {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val toks = docs.select(col(idCol),
+    val toks = Par.spread(docs).select(col(idCol),
         explode(Text.tokens(Text.normalize(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col(idCol), col("term"))

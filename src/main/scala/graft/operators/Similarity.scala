@@ -115,21 +115,26 @@ object Similarity {
   }
 
   /** (id, t, bucket) for each row of `v` (id + quantized vector): bit j of
-    * table t's bucket = [v · r_tj ≥ 0]. Relational formulation — explode
-    * dims once, broadcast-join the plane table, two map-side-combined
-    * hash-aggs — keeps the hot path in WholeStageCodegen (interpreted
-    * array-lambda HOFs measured 12–39× slower on this shape). */
+    * table t's bucket = [v · r_tj ≥ 0]. ONE codegen'd projection against
+    * the plan-time plane matrix ([[graft.expressions.LshBucketsLong]] —
+    * r15: this replaces a dim-explode + broadcast plane join whose
+    * ×nTables·bits fan-out dominated every index build, plus its two
+    * hash-agg exchanges; guide §2.4). The plane table is localized the way
+    * [[graft.expressions.CellArgminLong]]'s centroids are — nTables·bits·
+    * dim rows, the same frame the join broadcast anyway. Bucket values are
+    * the identical exact-integer signs (SimilaritySpec asserts equality
+    * with the relational spelling). */
   private[operators] def lshBuckets(
-      v: DataFrame, idCol: String, vecCol: String, planes: DataFrame): DataFrame =
-    v.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .join(broadcast(planes), Seq("pos"))
-      .groupBy(col(idCol), col("t"), col("j"))
-      .agg(sum(col("w") * col("x")).as("s"))
-      .groupBy(col(idCol), col("t"))
-      // shiftleft's public overload wants an Int literal; j is a Column here
-      .agg(sum(when(col("s") >= 0,
-        call_function("shiftleft", lit(1L), col("j").cast("int"))).otherwise(lit(0L)))
-        .as("bucket"))
+      v: DataFrame, idCol: String, vecCol: String, planes: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(v.sparkSession)
+    val rows = planes.select(col("t"), col("j"), col("pos"), col("w")).collect()
+    val planesLit = typedLit(rows.toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    v.select(col(idCol), posexplode(
+        call_function("graft_lsh_buckets", col(vecCol), planesLit))
+      .as(Seq("t", "bucket")))
+      .select(col(idCol), col("t").cast("long").as("t"), col("bucket"))
+  }
 
   /** Multi-probe expansion (Lv et al., "Multi-Probe LSH", VLDB 2007): each
     * (id, t, bucket) row fans out to the bucket itself plus its `bits`
@@ -156,7 +161,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, scale: Int = 1000): DataFrame = {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
     // norms precomputed once per row, not once per pair
-    val c = corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+    val c = Par.spread(corpus)
+      .select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("nn", nqdot(col("nv"), col("nv")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol), scale).as("qv"))
       .withColumn("qn", nqdot(col("qv"), col("qv")))
@@ -186,7 +192,7 @@ object Similarity {
       nTables: Int = 16, signBits: Int = 0,
       scale: Int = 1000, seed: Long = 42L): DataFrame = {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+    val c = pin(Par.spread(corpus).select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("nn", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
     if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
@@ -316,7 +322,7 @@ object Similarity {
       scale: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+    val c = pin(Par.spread(corpus).select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("vv", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
     if (n == 0L) { // empty corpus: typed empty result, no dim probe to throw
@@ -395,7 +401,7 @@ object Similarity {
       nCells: Int = 0, lloydIters: Int = 4, scale: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    val c = pin(corpus
+    val c = pin(Par.spread(corpus)
       .select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("vv", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
@@ -582,7 +588,7 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     require(m > 0 && kCents > 1, s"need m > 0 subspaces and kCents > 1, got m=$m kCents=$kCents")
-    val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+    val c = pin(Par.spread(corpus).select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("vv", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
     if (n == 0L) { // empty corpus: typed empty index, no dim probe to throw
@@ -837,7 +843,7 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     require(m > 0 && kCents > 1, s"need m > 0 subspaces and kCents > 1, got m=$m kCents=$kCents")
-    val c = pin(corpus.select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
+    val c = pin(Par.spread(corpus).select(col(idCol).as("nbr_id"), quantize(col(vecCol), scale).as("nv"))
       .withColumn("vv", nqdot(col("nv"), col("nv"))))
     val n = c.count() // reads the pinned cache
     if (n == 0L) { // empty corpus: typed empty index, no dim probe to throw
@@ -1209,7 +1215,8 @@ object Similarity {
       scale: Int = 1000): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(lDen > 0 && lNum >= 0 && lNum <= lDen, "need 0 <= lNum/lDen <= 1")
-    val qv = vecs.select(col(idCol).as("mv_id"), quantize(col(vecCol), scale).as("mv"))
+    val qv = Par.spread(vecs)
+      .select(col(idCol).as("mv_id"), quantize(col(vecCol), scale).as("mv"))
       .withColumn("mn", nqdot(col("mv"), col("mv")))
     val ids = cand.select(col("query_id"), col("nbr_id"))
     // LEFT joins to vecs: a candidate id absent from `vecs` keeps its pair
@@ -1283,7 +1290,8 @@ object Similarity {
   def groupCentroids(df: DataFrame, vecCol: String, grpCol: String,
       scale: Int = 1000): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    df.select(col(grpCol).as("co_grp"), quantize(col(vecCol), scale).as("qv"))
+    Par.spread(df)
+      .select(col(grpCol).as("co_grp"), quantize(col(vecCol), scale).as("qv"))
       .select(col("co_grp"), posexplode(col("qv")).as(Seq("dim", "x")))
       .groupBy(col("co_grp"), col("dim")).agg(sum(col("x")).as("sx"))
       .groupBy(col("co_grp"))
@@ -1355,7 +1363,7 @@ object Similarity {
     // O(dim²) re-evaluation measured at ~10× the whole operator's cost.
     // pin (not localCheckpoint) so the blocks are RELEASED on return —
     // the [[prototypicality]] discipline; the result is eager.
-    val q = pin(df
+    val q = pin(Par.spread(df)
       .select(col(grpCol).as("gd_grp"), quantize(col(vecCol), scale).as("q"))
       .withColumn("nn", nqdot(col("q"), col("q"))))
     val zeros = q.filter(col("nn") === 0L).groupBy(col("gd_grp"))
@@ -1403,7 +1411,7 @@ object Similarity {
       grpCol: String, k: Int, scale: Int = 1000): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val qv = df.select(col(grpCol).as("co_grp"), col(idCol).as("co_id"),
+    val qv = Par.spread(df).select(col(grpCol).as("co_grp"), col(idCol).as("co_id"),
       quantize(col(vecCol), scale).as("qv"))
     val sums = groupCentroids(df, vecCol, grpCol, scale)
       .withColumnRenamed(grpCol, "co_grp")

@@ -249,7 +249,7 @@ object Unigram {
     * the same word. Output: (docCol, n_words, n_pieces). */
   def encodeCounts(docs: DataFrame, docCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
-    val dw = docs.select(col(docCol),
+    val dw = Par.spread(docs).select(col(docCol),
         explode(Text.tokens(Text.normalize(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col(docCol), col("word")).agg(count(lit(1)).as("n"))

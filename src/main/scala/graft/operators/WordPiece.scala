@@ -207,7 +207,7 @@ object WordPiece {
     * back. Output: (docCol, n_words, n_pieces). */
   def encodeCounts(docs: DataFrame, docCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 8): DataFrame = {
-    val dw = docs.select(col(docCol),
+    val dw = Par.spread(docs).select(col(docCol),
         explode(Text.tokens(Text.normalize(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col(docCol), col("word")).agg(count(lit(1)).as("n"))

@@ -704,6 +704,37 @@ class DedupSimilaritySpec extends SparkTestBase {
       || Option(err.getCause).exists(_.getMessage.contains("dimensions differ")))
   }
 
+  test("graft_lsh_buckets expression matches the relational explode+join+agg bucketing (r15)") {
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    // 20 vectors over dim 6, values straddling zero so sign bits exercise
+    // both branches; 3 tables x 4 bits — the real seeded plane derivation
+    val vecs = Seq.tabulate(20) { i =>
+      (i.toLong, Array.tabulate(6)(j => ((i * 13 + j * 5) % 17 - 8).toLong))
+    }.toDF("id", "v")
+    val planes = Similarity.hyperplanes(spark, nTables = 3, bits = 4, dim = 6, seed = 42L)
+    // the former relational formulation, verbatim
+    val viaJoin = vecs.select(col("id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .join(broadcast(planes), Seq("pos"))
+      .groupBy(col("id"), col("t"), col("j"))
+      .agg(sum(col("w") * col("x")).as("s"))
+      .groupBy(col("id"), col("t"))
+      .agg(sum(when(col("s") >= 0,
+        call_function("shiftleft", lit(1L), col("j").cast("int"))).otherwise(lit(0L)))
+        .as("bucket"))
+    val viaExpr = Similarity.lshBuckets(vecs, "id", "v", planes)
+    assert(rowSet(viaExpr) == rowSet(viaJoin))
+    // schema parity with the stored-index layout: t stays a BIGINT
+    assert(viaExpr.schema("t").dataType.typeName == "long")
+    // dimension mismatch raises (the graft_qdot contract)
+    val err = intercept[Exception] {
+      Similarity.lshBuckets(
+        vecs.select(col("id"), slice(col("v"), 1, 3).as("v")), "id", "v", planes)
+        .collect()
+    }
+    assert(exceptionChain(err).exists(_.getMessage.contains("dimensions differ")))
+  }
+
   test("graft_qdot: dimension mismatch raises instead of silently truncating (VERDICT r2 #5)") {
     graft.expressions.GraftFunctions.register(spark)
     val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
