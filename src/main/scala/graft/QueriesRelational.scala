@@ -195,7 +195,9 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
     // booleans so a curation job can audit WHY documents drop; word-count
     // gate splits this corpus (10-99 words vs the >=50 threshold)
     "q81_gopher_rules" -> ((s, d) => {
-      Tables.documents(s, d)
+      // the rule battery is a heavy narrow projection over a single-split
+      // scan: spread it first (no-op at scale; rows unchanged)
+      graft.operators.Par.spread(Tables.documents(s, d))
         .select(col("doc_id"), Quality.gopherRules(col("text")).as("g"))
         .select(col("doc_id"), col("g.n_words"), col("g.ok_word_count"),
           col("g.ok_mean_word_len"), col("g.ok_symbol_ratio"),

@@ -75,7 +75,11 @@ private[graft] object QueriesStream extends OracleSqlHelpers {
     // SAME rows chunked under a natural vs a z-ordered layout, and the
     // chunk-pruning answer a partkey range predicate gets from each
     "q192_zone_maps" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // spread the NARROW key projection before the 40-term z-interleave:
+      // the single-split scan would otherwise compute it on one core, and
+      // spreading inside zoneMap would shuffle the full lineitem width
+      val li = graft.operators.Par.spread(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
         .withColumn("idc", col("l_orderkey") * 8 + col("l_linenumber"))
       // bucketWidth sized to each key's RANGE (idc tops out near 8·maxkey,
       // the 20-bit interleave near 2³¹) so the two-level position runs over

@@ -199,7 +199,7 @@ object Repetition {
     * combined) → per-doc agg; linear in bytes, no joins back to the
     * corpus. Null or empty text yields (0, 0). */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol),
+    val ex = graft.operators.Par.spread(df).select(col(idCol),
       explode(when(length(col(textCol)) > 0,
           transform(sequence(lit(1), length(col(textCol))),
             i => col(textCol).substr(i, lit(1))))

@@ -130,10 +130,12 @@ object Layout {
     // window SORT comparator — measured 22 s → 1.9 s at sf0.1 for the
     // q192 z-order side; a layout build reads its input exactly once
     // anyway, so the checkpoint costs one narrow pass
-    // the computed layout key (a 40-node z-interleave on the q192 side) is
-    // evaluated inside this narrow checkpoint pass — spread it when the
-    // scan has fewer splits than the cluster has slots (no-op at scale)
-    val rows = Par.spread(df).filter(col(keyCol).isNotNull && col(idCol).isNotNull)
+    // NOT spread here: the input frame carries the caller's full column
+    // set, so a pre-projection repartition would shuffle every column
+    // (measured q192 8.6 → 10.4 s); callers that compute an expensive
+    // layout key over a single-split scan spread their own NARROW
+    // projection first (q192 does)
+    val rows = df.filter(col(keyCol).isNotNull && col(idCol).isNotNull)
       .select(Seq(col(keyCol).cast("long").as("__k"), col(idCol).as("__id"))
         ++ statCols.map(c => col(c).cast("long").as(c)): _*)
       .localCheckpoint(true)
