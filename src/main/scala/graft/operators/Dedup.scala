@@ -767,6 +767,12 @@ object Dedup {
     var converged = cnt == 0L
     var i = 0
     while (!converged && i < maxIter) {
+      // one LS∘SS pair per materialization. Measured and rejected (r15):
+      // folding TWO pairs per materialization to halve the round-boundary
+      // overhead ran 1.3-1.5× SLOWER on every CC composite — the inner
+      // pair's un-materialized subtree is referenced several times by the
+      // outer pair (only its exchanges get reused), so its aggregates
+      // re-evaluate and the doubled plan re-plans per AQE stage.
       val round = smallStar(largeStar(edges))
       val next = round.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val nextDf = spark.createDataFrame(next, round.schema)
