@@ -257,8 +257,11 @@ object Graph {
       .select(least(col("eu"), col("ev")).as("eu"), greatest(col("eu"), col("ev")).as("ev"))
       .distinct()
     val e = pin(e0)
-    val deg = e.select(col("eu").as("node")).union(e.select(col("ev").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // pinned: deg feeds THREE consumers (both endpoint-degree joins and
+    // the final zero-fill frame) — unpinned, each re-ran the 2|E| union
+    // aggregation from the cached edges (r15)
+    val deg = pin(e.select(col("eu").as("node")).union(e.select(col("ev").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
     // attach both endpoint degrees (two shuffle joins on a node key — the
     // degree table is node-cardinality, never broadcast by assumption)
     val withDeg = e
@@ -290,6 +293,7 @@ object Graph {
       .localCheckpoint(true)
     e.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     out
   }
 
