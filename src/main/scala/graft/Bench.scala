@@ -166,6 +166,17 @@ object Bench {
     // artifact kept only 67/120 of whichever map came second).
     val line = s"""{"queries_min":$qmins,"failed":$fj,"drift":$dj,"queries":$qs,"recall":$rj,"sf":"$sfDir","metric":"total","unit":"sec","total_min":${ms(totalMin)},"value":${ms(total)}}"""
     println(line)
+    // Measurement-infrastructure fix (VERDICT r15 §wrong-1, additions only):
+    // the full line above has grown to ~14 KB for 260 queries, and the
+    // driver's stdout capture keeps only a ~3 KB TAIL — which truncates the
+    // line's HEAD, so the driver could not json-parse the bench output in
+    // r14 OR r15 (PERF_r15.json: per_query {}, *_bench_ok false). Emit a
+    // SECOND, compact totals line AFTER it: short enough to survive any
+    // tail capture, valid JSON on its own, same totals/failed/drift as the
+    // full line. The full line (and bench_last.json below) keep every
+    // per-query number; nothing is removed or renamed and the timing
+    // methodology is untouched.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","compact":true,"n_queries":${results.length},"failed":$fj,"drift":$dj,"total_min":${ms(totalMin)}}""")
     // ALSO persist the full JSON to a workspace file (VERDICT r9 §wrong-2):
     // the driver keeps only the TAIL of stdout, and at 196+ queries the
     // min-of-N map — and soon the medians — fall off the capture; the file
