@@ -46,20 +46,24 @@ object BenchProfile {
       }
     })
 
-    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
-    (1 to runs).foreach { i =>
-      stages.clear(); jobs = 0; jobMs = 0L
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async — drain before reading the buffers
-      Thread.sleep(500)
-      println(f"== run $i: wall $wall%.3f s, $jobs jobs (sum job wall ${jobMs / 1e3}%.3f s), ${stages.size} stages, stage-ms sum ${stages.map(_.ms).sum / 1e3}%.3f s")
-      stages.sortBy(-_.ms).take(20).foreach { s =>
-        println(f"   stage ${s.id}%4d ${s.ms}%6d ms ${s.tasks}%4d tasks  ${s.name.take(110)}")
+    // comma-separated names profile several queries in one JVM (same
+    // session warmup), e.g. the r16 tiny-query fixed-overhead probes
+    name.split(',').foreach { qn =>
+      val fn = SparkEntry.queries.getOrElse(qn, sys.error(s"unknown query $qn"))
+      (1 to runs).foreach { i =>
+        stages.clear(); jobs = 0; jobMs = 0L
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener bus is async — drain before reading the buffers
+        Thread.sleep(500)
+        println(f"== $qn run $i: wall $wall%.3f s, $jobs jobs (sum job wall ${jobMs / 1e3}%.3f s), ${stages.size} stages, stage-ms sum ${stages.map(_.ms).sum / 1e3}%.3f s")
+        stages.sortBy(-_.ms).take(20).foreach { s =>
+          println(f"   stage ${s.id}%4d ${s.ms}%6d ms ${s.tasks}%4d tasks  ${s.name.take(110)}")
+        }
       }
     }
     spark.stop()

@@ -18,7 +18,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
     "q31_ann_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // nTables/signBits/nCells/nprobe left at defaults: signBits and nCells
     // derive from count(*) (constant bucket occupancy / ⌈√N⌉ cells at ANY
@@ -26,12 +26,12 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
     "q32_ann_bucketed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bucketedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     "q50_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     "q33_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -71,7 +71,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       pq.join(exact, Seq("query_id", "nbr_id"), "left")
         .select(col("query_id"), col("nbr_id"), col("cosine_micro"), col("rank"),
           coalesce(col("hit"), lit(0L)).as("hit"))
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // IVF-PQ composed ✚: the production billion-vector layout — coarse
     // cells prune the corpus to each query's probed slice, only that
@@ -87,7 +87,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       pq.join(exact, Seq("query_id", "nbr_id"), "left")
         .select(col("query_id"), col("nbr_id"), col("cosine_micro"), col("rank"),
           coalesce(col("hit"), lit(0L)).as("hit"))
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // stored-index IVF-PQ search ✚ (VERDICT r7 §next-1): the q119 chain
     // run as a real vector store runs it — train once (ivfPqIndex),
@@ -106,7 +106,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       val out = Similarity.ivfPqTopKIndexed(loaded, qs, "vec_id", "embedding",
         k = 5, rerank = 50)
       loaded.release()
-      out.orderBy("query_id", "rank")
+      out.transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // residual IVF-PQ ✚ (VERDICT r7 §missing-2, Jégou et al. 2011 §IV-A):
     // codes quantize v − cell-centroid instead of v, concentrating the
@@ -124,7 +124,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       pq.join(exact, Seq("query_id", "nbr_id"), "left")
         .select(col("query_id"), col("nbr_id"), col("cosine_micro"), col("rank"),
           coalesce(col("hit"), lit(0L)).as("hit"))
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // no-retrain ingest assignment ✚ (the PQ store's write path, q115's
     // sibling): hash-shard 0 plays the ingest batch; the index is trained
@@ -157,7 +157,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       val out = Search.bm25TopKIndexed(loaded, Seq("spark", "join", "window"), k = 20)
         .localCheckpoint(true)
       loaded.release()
-      out.orderBy("rank")
+      out.transform(Ops.sortSmallT(col("rank")))
     }),
     // BM25 ingest fold ✚: hash-shard 0 plays the ingest batch; its
     // postings/lengths union in and dfs + corpus scalars ADD — all exact
@@ -173,7 +173,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       val out = Search.bm25TopKIndexed(ext, Seq("spark", "join", "window"), k = 20)
         .localCheckpoint(true)
       ext.release(); ix.release()
-      out.orderBy("rank")
+      out.transform(Ops.sortSmallT(col("rank")))
     }),
     // filtered ANN ✚ (metadata predicate + top-k — table stakes for a
     // real vector store): the allowed-id set semi-joins the probed-cell
@@ -187,7 +187,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
         k = 5, rerank = 50,
         allowed = Some(e.filter(col("label") < 8).select("vec_id")))
       ix.release()
-      out.orderBy("query_id", "rank")
+      out.transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // the deployed retrieval stack in one query ✚ (q108's standing-index
     // twin): BOTH stores built once — the BM25 postings index and the
@@ -211,7 +211,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
         .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
       vIx.release()
       Search.fuseRrf(Seq(bm, ann), "query_id", "doc_id", k = 10)
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // MMR diversified re-rank ✚ of the q31 brute-force top-20 (λ=1/2,
     // k=5): nano-quantized relevances and pairwise sims, integer greedy
@@ -224,7 +224,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
         .select(col("query_id"), col("nbr_id"),
           round(col("cosine") * 1e9).cast(LongType).as("rel_nano"))
       Similarity.mmrRerank(cand, e, "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "mmr_rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("mmr_rank")))
     }),
     // retrieval eval ✚ (r9): MRR / recall@k / nDCG@k of a dim-truncated
     // retrieval run vs the exact top-10 — the scorecard grammar every ANN
@@ -291,7 +291,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("hit_l"), lit(0L))).as("n_hit_lsh"),
           sum(coalesce(col("hit_i"), lit(0L))).as("n_hit_ivf"))
-        .orderBy("query_id")
+        .transform(Ops.sortSmallT(col("query_id")))
     }),
     // ----- ✚ vector analytics: exact per-label centroids via integer sums --
     "q42_label_centroids" -> ((s, d) => {
@@ -307,7 +307,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
     "q92_bm25" -> ((s, d) => {
       Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
           Seq("spark", "join", "window"), k = 20)
-        .orderBy("rank")
+        .transform(Ops.sortSmallT(col("rank")))
     }),
     // batch multi-query BM25 ✚: one corpus pass scores every query; top-10
     // per query via keyed window (scores bit-identical to q92's path)
@@ -318,7 +318,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
         .toDF("query_id", "term")
       Search.bm25PerQuery(Tables.documents(s, d), "doc_id", "text",
           qs, "query_id", "term", k = 10)
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // hybrid retrieval fusion ✚ (VERDICT r5 §next-4): RRF-fuse the lexical
     // BM25 top-10 with the vector LSH top-5 for the same two queries
@@ -337,7 +337,7 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
       Search.fuseRrf(Seq(bm, ann), "query_id", "doc_id", k = 10)
-        .orderBy("query_id", "rank")
+        .transform(Ops.sortSmallT(col("query_id"), col("rank")))
     }),
     // kNN majority-vote classification ✚: modal label of the 5 exact
     // nearest neighbors for the first 50 vectors, ties toward the smaller
@@ -346,13 +346,13 @@ private[graft] object QueriesAnn extends OracleSqlHelpers {
       val e = Tables.embeddings(s, d)
       Similarity.knnClassify(e, e.filter(col("vec_id") < 50),
           "vec_id", "embedding", "label", k = 5)
-        .orderBy("query_id")
+        .transform(Ops.sortSmallT(col("query_id")))
     }),
     // embedding diversity ✚ (r11): mean pairwise cosine per label in O(N)
     // via the sum-of-vectors identity — no pair join anywhere
     "q220_embedding_diversity" -> ((s, d) => {
       Similarity.groupDiversity(Tables.embeddings(s, d), "label", "embedding")
-        .orderBy(col("label"))
+        .transform(Ops.sortSmallT(col("label")))
     }),
     // tf-idf keyword extraction ✚ (r11): per-doc top-3 terms — the
     // doc-tagging primitive next to BM25's query-side ranking

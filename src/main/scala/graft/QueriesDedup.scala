@@ -36,7 +36,7 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
     }),
     "q06_dedup_any" -> ((s, d) => {
       Ops.dropDuplicates(Tables.lineitem(s, d).select("l_returnflag", "l_linestatus"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(Ops.sortSmallT(col("l_returnflag"), col("l_linestatus")))
     }),
     "q24_simhash" -> ((s, d) => {
       Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
@@ -213,7 +213,7 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
         .withColumn("w", length(col("text")).cast(LongType))
       Ops.weightedSampleKPerGroup(docs, Seq("grp"), "doc_id", "w", k = 5)
         .select(col("grp"), col("doc_id"), col("w"), col("key_nano"))
-        .orderBy(col("grp"), col("key_nano").desc, col("doc_id"))
+        .transform(Ops.sortSmallT(col("grp"), col("key_nano").desc, col("doc_id")))
     }),
     // split-leakage audit ✚ (r12): the q223 claim as a measured number —
     // count near-dup pairs straddling the train/holdout boundary under
@@ -237,7 +237,7 @@ private[graft] object QueriesDedup extends OracleSqlHelpers {
           count(when(col("sa") =!= col("sb"), lit(1))).as("n_cross"))
         .select(lit(method).as("method"), col("n_pairs"), col("n_cross"))
       audit(grouped, "component").unionByName(audit(naive, "naive"))
-        .orderBy("method")
+        .transform(Ops.sortSmallT(col("method")))
     }),
     // span-based decontamination: longest verbatim run each TRAIN doc
     // shares with an EVAL doc (hash-shard 0 again plays the benchmark) —

@@ -125,7 +125,7 @@ private[graft] object QueriesGraph extends OracleSqlHelpers {
             .as("approx_distinct_ok"),
           (abs(col("__am") - col("__em")) <= abs(col("__em")) * 0.05)
             .as("approx_median_ok"))
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // 5-iteration fixed-point PageRank on the (symmetrized) customer—supplier
     // trade graph from orders ⋈ lineitem; customers get even node ids,

@@ -50,14 +50,14 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .agg(Seq(
           "l_quantity" -> "sum", "l_quantity" -> "mean", "l_quantity" -> "median",
           "l_extendedprice" -> "min", "l_extendedprice" -> "max"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(Ops.sortSmallT(col("l_returnflag"), col("l_linestatus")))
     }),
     "q08_groupby_count" -> ((s, d) => {
       Grouping.groupby(Tables.orders(s, d), Seq("o_orderpriority"))
         .aggExprs(
           count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_cust"))
-        .orderBy("o_orderpriority")
+        .transform(Ops.sortSmallT(col("o_orderpriority")))
     }),
     "q09_group_iter" -> ((s, d) => {
       import s.implicits._
@@ -67,7 +67,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
           rows.foreach { r => n += 1; sq += r.getDouble(1) }
           Iterator.single(FlagStat(keys.getString(0), n, sq))
         }
-        .toDF().orderBy("l_returnflag")
+        .toDF().transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // ----- O10-O15: joins --------------------------------------------------
     "q10_join_inner" -> ((s, d) => {
@@ -140,13 +140,13 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+        .transform(Ops.sortSmallT(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
     }),
     "q19_cube" -> ((s, d) => {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+        .transform(Ops.sortSmallT(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first))
     }),
     // ----- O21: JSON string → columns --------------------------------------
     "q20_json_extract" -> ((s, d) => {
@@ -171,7 +171,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
             .as("revenue_cents"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(Ops.sortSmallT(col("l_returnflag"), col("l_linestatus")))
     }),
     // Unicode NFC normalization ✚ (codegen'd native expression): a decomposed
     // combining-accent prefix is planted on every document so the oracle
@@ -226,7 +226,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .select(col("token"), col("n"),
           (element_at(col("b"), 2) <= col("n") &&
             col("n") <= element_at(col("b"), 3)).as("ok_bounds"))
-        .orderBy(col("n").desc, col("token"))
+        .transform(Ops.sortSmallT(col("n").desc, col("token")))
     }),
     // incremental SEMANTIC components ✚ (q109's vector twin, closing the
     // standing-vector-store loop q115 opened): yesterday's corpus labels
@@ -272,7 +272,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .agg(count(lit(1)).as("n_rows"),
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
             .cast(LongType)).as("revenue_cents"))
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // PMI collocations ✚ (Church & Hanks 1990): top-20 adjacent pairs
     // co-occurring above independence, min support 5 — micro-nat integer
@@ -297,7 +297,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
       Grouping.groupby(l, Seq("l_returnflag"))
         .linregExact("l_quantity", "cents", "slope_cents", "intercept_cents")
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // mergeable aggregate state ✚ (r9): the materialized-view maintenance
     // shape — 4 hash-shards each build a small per-source state (count/sum/
@@ -312,7 +312,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       }
       Grouping.finalizeAggState(
           Grouping.mergeAggStates(Seq("source"), states: _*))
-        .orderBy("source")
+        .transform(Ops.sortSmallT(col("source")))
     }),
     // column mutual information ✚ (r9): does `lang` carry information about
     // `source`? — MI over the joint distribution, each cell's term
@@ -348,7 +348,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
     "q158_transitions" -> ((s, d) => {
       Sequences.transitionCounts(Tables.events(s, d), "user_id", "event_type",
           "ts", "event_id")
-        .orderBy(col("from_state"), col("to_state"))
+        .transform(Ops.sortSmallT(col("from_state"), col("to_state")))
     }),
     // time-weighted mean ✚ (r9): per-user TWAP of event value — each value
     // holds until the next event; exact cent×micro products in Decimal(38,0)
@@ -393,7 +393,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
         .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
       Sequences.periodGrowth(o, "month", "cents", lagShort = 1, lagLong = 12)
-        .orderBy(col("month"))
+        .transform(Ops.sortSmallT(col("month")))
     }),
     // calendar-exact growth ✚ (r12, VERDICT r11 missing #3): the price
     // filter leaves empty months at sf0.01 (a genuinely gapped series),
@@ -405,7 +405,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
         .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
       Sequences.periodGrowthDense(o, "month", "cents", lagShort = 1, lagLong = 12)
-        .orderBy(col("month"))
+        .transform(Ops.sortSmallT(col("month")))
     }),
     // cohort retention ✚ (r13): weekly acquisition cohorts × activity
     // offsets — one map-side collapse of events to distinct (user, week),
@@ -414,7 +414,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
       Sequences.retentionCohorts(ev, "user_id", "ts_us",
           periodUs = 7L * 86400L * 1000000L, maxOffset = 52)
-        .orderBy("cohort", "offset")
+        .transform(Ops.sortSmallT(col("cohort"), col("offset")))
     }),
     // incremental retention ✚ (r13): the q232 readout rebuilt as a
     // standing (key, period) activity store + order-free idempotent fold
@@ -434,7 +434,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       val st0 = Sequences.periodState(hist, "user_id", "ts_us", wk)
       val st1 = Sequences.ingestPeriods(st0, batch, "user_id", "ts_us", wk)
       Sequences.retentionFromState(st1, maxOffset = 52)
-        .orderBy("cohort", "offset")
+        .transform(Ops.sortSmallT(col("cohort"), col("offset")))
     }),
     // per-group fraction sampling ✚ (r13): a priority→rate rebalancing
     // plan applied as a stateless hash-band filter behind one broadcast
@@ -465,7 +465,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Ops.sampleKPerGroup(Tables.orders(s, d), Seq("o_orderpriority"),
           "o_orderkey", k = 5)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
-        .orderBy("o_orderpriority", "o_orderkey")
+        .transform(Ops.sortSmallT(col("o_orderpriority"), col("o_orderkey")))
     }),
     // incremental path prefixes ✚ (r11): the q214 readout over a standing
     // first-k store + strictly-later fold — must hash-match the
@@ -544,7 +544,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         "ts_us", "event_id")
       val (c1, _) = Sequences.ingestTransitions(c0, l0, batch, "user_id",
         "event_type", "ts_us", "event_id")
-      c1.orderBy(col("from_state"), col("to_state"))
+      c1.transform(Ops.sortSmallT(col("from_state"), col("to_state")))
     }),
     // wide→long melt ✚ (r9): the q36 pivot inverted by Spark's native
     // unpivot (an Expand node — |cols| projections, NO shuffle, no
@@ -575,7 +575,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .withColumn("cents", round(col("p_retailprice") * 100).cast(LongType))
       Ops.skylinePerGroup(p, "p_brand", "p_size", "cents")
         .withColumnRenamed("x", "p_size").withColumnRenamed("ymax", "max_cents")
-        .orderBy(col("p_brand"), col("p_size"))
+        .transform(Ops.sortSmallT(col("p_brand"), col("p_size")))
     }),
     // average precision ✚ (r9): PR-curve area for the q153 score/label —
     // imbalance-robust ranking metric, id tie-break total order, per-row
@@ -618,7 +618,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       val o = Tables.orders(s, d)
         .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
       Grouping.trimmedMean(o, "o_orderpriority", "cents", pNum = 1, pDen = 10)
-        .orderBy(col("o_orderpriority"))
+        .transform(Ops.sortSmallT(col("o_orderpriority")))
     }),
     // ----- ✚ as-of join (point-in-time) + bucketized range join ----------
     // attribution: each purchase matched to the user's most recent prior
@@ -648,7 +648,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Joins.rangeJoin(o.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice",
           bands, "lo", "hi", bucketWidth = 10000.0)
         .groupBy(col("band")).agg(count(lit(1)).as("n"))
-        .orderBy("band")
+        .transform(Ops.sortSmallT(col("band")))
     }),
     // interval-OVERLAP join ✚ (both sides are intervals, unlike q55's
     // point-in-interval): click/purchase pairs within 30 minutes per user,
@@ -702,8 +702,9 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
     "q77_histogram" -> ((s, d) => {
       val o = Tables.orders(s, d).select(
         round(col("o_totalprice") * 100).cast(LongType).as("price_cents"))
-      operators.Profile.histogram(o, "price_cents", 0.0, 60000000.0, 20)
-        .orderBy("bin")
+      Ops.sortSmall(
+        operators.Profile.histogram(o, "price_cents", 0.0, 60000000.0, 20),
+        col("bin"))
     }),
     // nearest-direction as-of: closer of backward/forward click per purchase
     // (ties resolve backward); oracled via two DuckDB ASOF joins + CASE
@@ -887,7 +888,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       cleaner.registerBinned("l_quantity", 8)
       cleaner.cleanTable(Tables.lineitem(s, d))
         .groupBy(col("l_quantity").as("bin")).agg(count(lit(1)).as("n"))
-        .orderBy("bin")
+        .transform(Ops.sortSmallT(col("bin")))
     }),
     // streaming-twin approx distinct per window ✚: exact per-window count
     // hash-checked, HLL estimate bound-asserted (q41 pattern — the sketch
@@ -949,7 +950,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast(LongType)).as("revenue_cents"),
           count(lit(1)).as("n_items"))
-        .orderBy("r_name", "n_name")
+        .transform(Ops.sortSmallT(col("r_name"), col("n_name")))
     }),
     // ----- ✚ SQL-first interface: the same engine through spark.sql -------
     "q48_sql_interface" -> ((s, d) => {
@@ -1036,7 +1037,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
       Grouping.groupby(l, Seq("l_returnflag"))
         .percentileDisc("cents", 0.95, "p95_cents")
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // type-7 interpolated percentile ✚ (the pandas/numpy default): the
     // interpolation tree is constructed explicitly from integer-rank
@@ -1048,7 +1049,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
         .percentileCont("cents", 0.95, "p95")
         .select(col("l_returnflag"),
           round(col("p95") * 1000000).cast(LongType).as("p95_microcents"))
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // one-pass multi-percentile ✚: p50/p90/p99 from a single sorted window
     // + one agg — not one shuffle per percentile
@@ -1058,14 +1059,15 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
       Grouping.groupby(l, Seq("l_returnflag"))
         .percentilesDisc("cents",
           Seq(0.5 -> "p50_cents", 0.9 -> "p90_cents", 0.99 -> "p99_cents"))
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // exact mode ✚: most frequent value, ties toward the smallest — a total
     // rule where the built-in `mode` documents ties as non-deterministic
     "q88_mode" -> ((s, d) => {
-      Grouping.groupby(Tables.lineitem(s, d), Seq("l_returnflag"))
-        .modeExact("l_quantity", "mode_qty")
-        .orderBy("l_returnflag")
+      Ops.sortSmall(
+        Grouping.groupby(Tables.lineitem(s, d), Seq("l_returnflag"))
+          .modeExact("l_quantity", "mode_qty"),
+        col("l_returnflag"))
     }),
     // ----- ✚ r5 batch 2: chunking / LM scoring / lexical search / graph ----
     // sliding-window chunking (RAG preprocessing): 64-token windows every
@@ -1118,7 +1120,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
           sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L))).as("promo_cents"),
           sum(cents).as("total_cents"),
           countDistinct(col("p_partkey")).as("n_parts"))
-        .orderBy("p_brand")
+        .transform(Ops.sortSmallT(col("p_brand")))
     }),
     // ranking-window breadth ✚: ntile / percent_rank / cume_dist share one
     // total order (price desc, key) so every rank function is deterministic;
@@ -1146,7 +1148,7 @@ private[graft] object QueriesRelational extends OracleSqlHelpers {
           col("user_id"))
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct(col("user_id")).as("n_active"))
-        .orderBy("cohort_week", "week_offset")
+        .transform(Ops.sortSmallT(col("cohort_week"), col("week_offset")))
     }),
     // calendar-month retention ✚ (r14, VERDICT r13 missing #3): monthly
     // customer-acquisition cohorts × calendar-month offsets via the exact

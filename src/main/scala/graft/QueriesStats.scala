@@ -66,7 +66,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
       Similarity.centroidOutliers(
           Tables.embeddings(s, d).withColumn("grp", pmod(col("vec_id"), lit(8L))),
           "vec_id", "embedding", "grp", k = 5)
-        .orderBy("grp", "rank")
+        .transform(Ops.sortSmallT(col("grp"), col("rank")))
     }),
     // Welch two-sample t ✚ (r9): the A/B-test statistic for click-vs-view
     // spend — conditional exact cent sums in ONE aggregation, one fixed
@@ -89,7 +89,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     // all-integer flag (20·|2x−med2| > k10·mad4), no floating point at all
     "q155_robust_outliers" -> ((s, d) => {
       Stats.robustOutliers(Tables.documents(s, d), "lang", "n_chars", k10 = 35)
-        .orderBy(col("lang"))
+        .transform(Ops.sortSmallT(col("lang")))
     }),
     // value concentration ✚ (r9): exact Gini + top-decile share of
     // customer revenue — Decimal(38,0) rank-weighted sum, two-level ranks
@@ -103,7 +103,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q160_woe_iv" -> ((s, d) => {
       val doc = Tables.documents(s, d).withColumn("is_en", col("lang") === "en")
       Stats.woeIv(doc, "source", "is_en")
-        .orderBy(col("source"))
+        .transform(Ops.sortSmallT(col("source")))
     }),
     // grouped KS sweep ✚ (r9): every event type's spend drift in ONE pass
     // — per-segment monitoring as one shuffle, not |segments| jobs
@@ -118,7 +118,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
       Stats.ksTestByGroup(tagged.filter(col("ts_us") < col("mid")),
           tagged.filter(col("ts_us") >= col("mid")), "event_type", "cents",
           bucketWidth = 100L)
-        .orderBy(col("event_type"))
+        .transform(Ops.sortSmallT(col("event_type")))
     }),
     // count-min sketch ✚ (r9): mergeable relational frequency cells — the
     // sketch is built per half of the stream, MERGED by cell-wise sum, and
@@ -153,7 +153,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
         .withColumn("ts_us", unix_micros(col("ts")))
       Stats.changePointByGroup(ev, "event_type", "ts_us", "event_id", "cents")
         .withColumnRenamed("split_o", "split_ts_us")
-        .orderBy(col("event_type"))
+        .transform(Ops.sortSmallT(col("event_type")))
     }),
     // Hamilton apportionment ✚ (r9): split a 100k-unit sampling budget
     // across sources pro rata to character mass — floors + largest
@@ -161,7 +161,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q184_apportion" -> ((s, d) => {
       Pack.apportion(Tables.documents(s, d), Seq("source"), "n_chars",
           budget = 100000L)
-        .orderBy(col("source"))
+        .transform(Ops.sortSmallT(col("source")))
     }),
     // Neyman allocation ✚ (r14): variance-optimal audit budget across
     // order priorities — exact-sum per-stratum σ, integer N·σ weights
@@ -169,7 +169,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q251_neyman_allocation" -> ((s, d) => {
       Pack.neymanAllocation(Tables.orders(s, d), Seq("o_orderpriority"),
           "o_totalprice", budget = 1000L)
-        .orderBy(col("o_orderpriority"))
+        .transform(Ops.sortSmallT(col("o_orderpriority")))
     }),
     // out-of-fold target encoding ✚ (r14): the leakage-safe categorical
     // feature — smoothed other-folds target means with a fold-excluded
@@ -177,7 +177,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q253_target_encoding" -> ((s, d) => {
       Ops.targetEncodeByFold(Tables.orders(s, d), "o_orderpriority",
           "o_totalprice", "o_orderkey", k = 5, priorCount = 10L)
-        .orderBy(col("o_orderpriority"), col("fold"))
+        .transform(Ops.sortSmallT(col("o_orderpriority"), col("fold")))
     }),
     // capped apportionment ✚ (r14): the q184 Hamilton plan under source
     // exhaustion — URGENT has zero capacity and HIGH ~1/30th, so round 1
@@ -194,14 +194,14 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
             .otherwise(lit(1L)))
       Pack.apportionCapped(o, Seq("o_orderpriority"), "cents", "cap1",
           budget = 5000L, rounds = 3)
-        .orderBy(col("o_orderpriority"))
+        .transform(Ops.sortSmallT(col("o_orderpriority")))
     }),
     // Good-Turing ✚ (r9): frequency-of-frequencies + adjusted counts —
     // the unseen-mass estimate (r=1 row: P0 = N1/T) a vocab/LM pipeline
     // reads before choosing its smoothing
     "q185_good_turing" -> ((s, d) => {
       Lm.goodTuring(Tables.documents(s, d), "text")
-        .orderBy(col("r"))
+        .transform(Ops.sortSmallT(col("r")))
     }),
     // Poisson bootstrap ✚ (r9): deterministic seeded resampling — 64
     // map-side replicates from md5-derived Poisson(1) weights, CI from
@@ -229,7 +229,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q195_vocab_growth" -> ((s, d) => {
       Lm.vocabGrowth(Tables.documents(s, d), "doc_id", "text",
           Seq(16L, 64L, 256L, 1024L, 4096L, 16384L))
-        .orderBy(col("k"))
+        .transform(Ops.sortSmallT(col("k")))
     }),
     // Kaplan-Meier churn ✚ (r9): survival of user activity spans (hours),
     // censored when the last event falls in the final 10% of the range —
@@ -282,14 +282,14 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
       val tagged = ev.crossJoin(broadcast(mid))
       Stats.psi(tagged.filter(col("ts_us") < col("mid")),
           tagged.filter(col("ts_us") >= col("mid")), "event_type")
-        .orderBy(col("event_type"))
+        .transform(Ops.sortSmallT(col("event_type")))
     }),
     // Benford audit ✚ (r9): leading digit of order cents vs log10(1+1/d) —
     // digit from the decimal STRING, never a double log
     "q167_benford" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
-      Stats.benford(o, "cents").orderBy(col("digit"))
+      Stats.benford(o, "cents").transform(Ops.sortSmallT(col("digit")))
     }),
     // Cohen's kappa ✚ (r9): chance-corrected agreement between the gold
     // lang column and the q23 n-gram heuristic — the labeler-eval statistic
@@ -322,7 +322,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
       operators.Profile.equalFrequencyBins(Tables.lineitem(s, d), "l_quantity", 8)
         .groupBy("bin").agg(count(lit(1)).as("n"),
           min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
-        .orderBy("bin")
+        .transform(Ops.sortSmallT(col("bin")))
     }),
     // exact per-group correlation ✚: Pearson r from fixed-order plain sums
     // (integral columns -> exact sums -> engine-identical doubles), where
@@ -330,7 +330,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q76_corr_exact" -> ((s, d) => {
       Grouping.groupby(Tables.lineitem(s, d), Seq("l_returnflag"))
         .corrExact("l_quantity", "l_linenumber", "corr_qty_line")
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // mergeable KLL quantile sketches ✚ (VERDICT r5 §next-6, q64's
     // percentile sibling): per-(returnflag, linestatus) shard sketches
@@ -356,7 +356,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
           (col("q50") >= col("lo50") && col("q50") <= col("hi50")).as("ok_p50"),
           (col("q90") >= col("lo90") && col("q90") <= col("hi90")).as("ok_p90"),
           (col("q99") >= col("lo99") && col("q99") <= col("hi99")).as("ok_p99"))
-        .orderBy("l_returnflag")
+        .transform(Ops.sortSmallT(col("l_returnflag")))
     }),
     // Mann–Whitney rank-sum ✚ (r10): the nonparametric twin of q150's
     // Welch t on the SAME click-vs-view spend — tie-averaged doubled
@@ -381,7 +381,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q205_mw_by_group" -> ((s, d) => {
       Stats.mannWhitneyByGroup(Tables.documents(s, d), "source", "lang",
           "n_chars", "en", "de")
-        .orderBy("source")
+        .transform(Ops.sortSmallT(col("source")))
     }),
     // Wilcoxon signed-rank ✚ (r10): the PAIRED nonparametric test — per
     // user, total click spend vs total view spend (users with both),
@@ -455,7 +455,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q227_winsorized_mean" -> ((s, d) => {
       Stats.winsorizedMean(Tables.events(s, d), "event_type", "value",
           "event_id", trimPct = 10)
-        .orderBy(col("event_type"))
+        .transform(Ops.sortSmallT(col("event_type")))
     }),
     // Fleiss' kappa ✚ (r13): multi-rater agreement with orders as items
     // and their lineitems' return flags as the ratings — exact cell
@@ -480,7 +480,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q236_conformal_threshold" -> ((s, d) => {
       Stats.conformalThreshold(Tables.events(s, d), "event_type", "value",
           "event_id", alphaPct = 10)
-        .orderBy(col("event_type"))
+        .transform(Ops.sortSmallT(col("event_type")))
     }),
     // Bradley–Terry ✚ (r13): preference strengths over event types —
     // games are a user's consecutive event pairs (winner = the higher
@@ -488,7 +488,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     // integer floor-division arithmetic, anchor-free share normalization
     "q235_bradley_terry" -> ((s, d) => {
       Stats.bradleyTerry(btGames(s, d), "winner", "loser", rounds = 6)
-        .orderBy(col("item"))
+        .transform(Ops.sortSmallT(col("item")))
     }),
     // incremental preference store ✚ (r14, VERDICT r13 missing #4): the
     // q235 readout rebuilt as a standing (item_i, item_j, n_ij, wins_i)
@@ -505,14 +505,14 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
       val st0 = Stats.pairState(hist, "winner", "loser")
       val st1 = Stats.ingestGames(st0, batch, "winner", "loser")
       Stats.bradleyTerryFromPairs(st1, rounds = 6)
-        .orderBy(col("item"))
+        .transform(Ops.sortSmallT(col("item")))
     }),
     // reliability bins ✚ (r14, VERDICT r13 missing #1): the calibration
     // diagram for a pseudo-probability (order age → P(status F)) — exact
     // integer binning, long score sums, one division per bin statistic
     "q240_reliability_bins" -> ((s, d) => {
       Stats.reliabilityBins(calibOrders(s, d), "p", "is_f", nBins = 10)
-        .orderBy(col("bin"))
+        .transform(Ops.sortSmallT(col("bin")))
     }),
     // ECE + Brier ✚ (r14): the one-row summary of q240's bins — count-
     // weighted |acc−conf| on a Decimal(38,0) accumulator, per-row squared
@@ -526,7 +526,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q248_reliability_quantile" -> ((s, d) => {
       Stats.reliabilityBinsQuantile(calibOrders(s, d), "p", "is_f",
           "o_orderkey", nBins = 10)
-        .orderBy(col("bin"))
+        .transform(Ops.sortSmallT(col("bin")))
     }),
     // Murphy Brier decomposition ✚ (r14): REL/RES/UNC over the q240 bins
     // — exact Decimal sums, the algebraic RES expansion on a pre-rounded
@@ -542,7 +542,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     // integer interval rates from prefix-sum differences, nBins² work only
     "q250_isotonic_calibration" -> ((s, d) => {
       Stats.isotonicCalibration(zigzagOrders(s, d), "p", "is_hit", nBins = 10)
-        .orderBy(col("bin"))
+        .transform(Ops.sortSmallT(col("bin")))
     }),
     // isotonic remap APPLIED + re-measured ✚ (r15, VERDICT r14 missing
     // #1): the loop closes — fit the q250 remap, broadcast-join it onto
@@ -572,7 +572,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
     "q256_calibration_by_group" -> ((s, d) => {
       Stats.calibrationSummaryByGroup(calibDocs(s, d), "lang", "p",
           "is_good", nBins = 10)
-        .orderBy(col("lang"))
+        .transform(Ops.sortSmallT(col("lang")))
     }),
     // calibration standing-store fold ✚ (r15, VERDICT r14 missing #3):
     // history before 1996 builds the additive bin state, the rest folds
@@ -586,7 +586,7 @@ private[graft] object QueriesStats extends OracleSqlHelpers {
       val batch = o.filter(col("o_orderdate") >= lit(cut))
       val st0 = Stats.calibrationState(hist, "p", "is_f", nBins = 10)
       val st1 = Stats.ingestCalibration(st0, batch, "p", "is_f", nBins = 10)
-      Stats.reliabilityBinsFromState(st1).orderBy(col("bin"))
+      Stats.reliabilityBinsFromState(st1).transform(Ops.sortSmallT(col("bin")))
     }),
     // Platt scaling ✚ (r15, VERDICT r14 missing #5): the parametric
     // remap on the same zigzag fixture — 6 mirrored Newton rounds on the

@@ -69,7 +69,7 @@ private[graft] object QueriesStream extends OracleSqlHelpers {
         .unionByName(a.filter(col("o_orderkey") % 13 === 0)
           .withColumn("o_orderkey", -col("o_orderkey")))
       Audit.diffSummary(a, b, Seq("o_orderkey"))
-        .orderBy(col("diff_status"))
+        .transform(Ops.sortSmallT(col("diff_status")))
     }),
     // zone maps ✚ (r9): the measured I/O story behind q65's layout — the
     // SAME rows chunked under a natural vs a z-ordered layout, and the
@@ -96,7 +96,7 @@ private[graft] object QueriesStream extends OracleSqlHelpers {
         .unionByName(scan(li.withColumn("k",
           Layout.zValue2(col("l_partkey"), col("l_suppkey"), bits = 20)),
           "zorder", 1L << 22))
-        .orderBy(col("layout"))
+        .transform(Ops.sortSmallT(col("layout")))
     }),
     // native session_window ✚ (r9): the q44 sessions as ONE hash-aggregate
     // GROUP BY key (runs unchanged as a watermarked streaming agg); half-
@@ -120,7 +120,7 @@ private[graft] object QueriesStream extends OracleSqlHelpers {
           min("x").as("min_x"), max("x").as("max_x"),
           min("y").as("min_y"), max("y").as("max_y"),
           min("w").as("min_w"), max("w").as("max_w"))
-        .orderBy("bucket")
+        .transform(Ops.sortSmallT(col("bucket")))
     }),
     "q35_sessionize" -> ((s, d) => {
       Streams.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)

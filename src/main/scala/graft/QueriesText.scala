@@ -29,7 +29,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
         .groupBy("lang_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(round(col("q") * 1000000).cast(LongType)).as("quality_sum_micro"))
-        .orderBy("lang_id")
+        .transform(Ops.sortSmallT(col("lang_id")))
     }),
     // temperature-scaled mixture ✚ (T5 §3.4.3 / XLM sampling): per-source
     // token budgets ∝ n_s^0.5 (α=0.5 flattens the source mix), realized by
@@ -44,7 +44,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
       sel.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_sel"))
         .join(budgets.select(col("source"), col("w_total"), col("budget")), Seq("source"))
-        .orderBy("source")
+        .transform(Ops.sortSmallT(col("source")))
     }),
     // learned BPE vocabulary training ✚ (Sennrich 2016): 8 merge rounds
     // over the unique-word-frequency table; every pair count an exact
@@ -52,7 +52,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
     // the oracle unrolls the identical loop as a CTE chain whose greedy
     // merge fold is DuckDB's list_reduce of the same accumulator logic
     "q127_bpe_train" -> ((s, d) =>
-      Bpe.train(Tables.documents(s, d), "text", numMerges = 8).orderBy("rank")),
+      Bpe.train(Tables.documents(s, d), "text", numMerges = 8).transform(Ops.sortSmallT(col("rank")))),
     // BPE encode ✚ — two code paths, one answer: the Spark side RE-ENCODES
     // the corpus dictionary by sequentially applying the learned merges
     // (fresh fold chain per word), while the oracle reads the TRAINING
@@ -147,7 +147,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
         .select(col("lang"), col("n_tokens"), col("n_pieces"),
           round(col("n_pieces").cast("double") / col("n_tokens").cast("double") * 1e6)
             .cast(LongType).as("fertility_micro"))
-        .orderBy(col("lang"))
+        .transform(Ops.sortSmallT(col("lang")))
     }),
     // markup stripping ✚ (r9): synthetic HTML wrapped around real text,
     // stripped back to clean prose — tags, entities (&amp; last), whitespace
@@ -233,7 +233,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
     // independent of event volume)
     "q78_resample_dense" -> ((s, d) => {
       Streams.resampleDense(Tables.events(s, d), "ts", "value", everyMinutes = 360)
-        .orderBy("bucket_us")
+        .transform(Ops.sortSmallT(col("bucket_us")))
     }),
     // ----- ✚ the full curation pipeline: dedup -> quality -> language ------
     // The composite a 100-TB training-data run actually executes: drop
@@ -252,7 +252,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
-        .orderBy("source")
+        .transform(Ops.sortSmallT(col("source")))
     }),
     // ----- ✚ TF-IDF top terms ----------------------------------------------
     "q44_tfidf" -> ((s, d) => {
@@ -283,7 +283,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
     // domain-mix audit metric; exact micro-nat longs
     "q94_domain_kl" -> ((s, d) => {
       Lm.domainKl(Tables.documents(s, d), "source", "text")
-        .orderBy("source")
+        .transform(Ops.sortSmallT(col("source")))
     }),
     // Jensen–Shannon divergence ✚ (r14): the symmetric bounded sibling of
     // q94's KL, between two hash-shard corpus slices — per-token micro
@@ -333,7 +333,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
     // shrink rounds; oracle replays the identical DP as unrolled CTEs
     "q196_unigram_train" -> ((s, d) =>
       Unigram.train(Tables.documents(s, d), "text")
-        .orderBy(col("cnt").desc, col("piece"))),
+        .transform(Ops.sortSmallT(col("cnt").desc, col("piece")))),
     // encode under the trained vocab: one DP pass over DISTINCT words
     // (codegen'd higher-order expression, zero joins per word), then a
     // join back onto per-doc token counts
@@ -371,7 +371,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
           round(col("uni_pieces").cast("double")
             / col("n_tokens").cast("double") * 1e6)
             .cast(LongType).as("uni_fertility_micro"))
-        .orderBy("lang")
+        .transform(Ops.sortSmallT(col("lang")))
     }),
     // frozen-vocab token-budget admission ✚ (r10): the batch sibling of
     // Streams.unigramBudgetStream — keep documents whose subword cost
@@ -391,7 +391,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
     // the oracle unrolls the identical loop with list_reduce folds
     "q202_wordpiece_train" -> ((s, d) =>
       WordPiece.train(Tables.documents(s, d), "text", numMerges = 8)
-        .orderBy("rank")),
+        .transform(Ops.sortSmallT(col("rank")))),
     // WordPiece encode ✚ - greedy longest-match-first (MaxMatch) against
     // the FINAL vocab, NOT a merge replay (the family's defining encode
     // difference): one codegen'd fold over DISTINCT words, [UNK] words
@@ -432,7 +432,7 @@ private[graft] object QueriesText extends OracleSqlHelpers {
           round(col("wp_pieces").cast("double")
             / col("n_tokens").cast("double") * 1e6)
             .cast(LongType).as("wp_fertility_micro"))
-        .orderBy("lang")
+        .transform(Ops.sortSmallT(col("lang")))
     }),
   )
 

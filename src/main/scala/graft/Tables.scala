@@ -10,8 +10,25 @@ object Tables {
   val all = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet schema memo, keyed on the table path (guide §1/§6: plan the
+    * scan once). A bare `spark.read.parquet(path)` runs a 1-task
+    * schema-inference JOB on every call — r16 profiling showed every query
+    * paying one ~30–50 ms footer-read job PER TABLE READ (two-table joins
+    * pay two), pure fixed overhead across all 260 bench queries. The memo
+    * holds the file's own inferred schema (first read per path pays the
+    * inference), so later reads plan with `.schema(...)` and skip the job.
+    * METADATA only — never rows or results: every query still computes
+    * from the parquet input on every run. The testdata tables are
+    * immutable per path; a rewritten path with a NEW schema would need a
+    * process restart (not a shape any graft main produces). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")

@@ -113,6 +113,33 @@ object Ops {
   def topK(df: DataFrame, k: Int, orderBy: Seq[Column]): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
 
+  /** Global sort of an AGGREGATE-BOUNDED result (guide §2.4 "an orderBy
+    * used only to make output deterministic"): same rows in the same total
+    * order as `df.orderBy(cols)`, but executed as coalesce(1) +
+    * sortWithinPartitions — one sorted partition IS a total order.
+    *
+    * Why: a global `orderBy` plans a RangePartitioning exchange, which
+    * costs a separate range-bounds SAMPLING job plus a width-`shuffle
+    * .partitions` exchange and that many near-empty sort tasks — pure
+    * fixed overhead when the result is a handful of aggregate rows (r16
+    * profiling: 1–2 of the ~5 jobs of a typical sub-second agg+sort query).
+    * The coalesce collapses only the segment ABOVE the last exchange (the
+    * final-aggregate stage); map-side parallelism below the shuffle is
+    * untouched.
+    *
+    * Scale contract: callers may use this ONLY where the result cardinality
+    * is bounded by construction — fixed bins, low-cardinality group keys,
+    * top-k echoes, stat scalars — i.e. KBs at ANY corpus size, so one final
+    * task is the right plan at 100 TB too. Row-scale outputs (per-doc,
+    * per-order) must keep the range-partitioned `orderBy`. */
+  def sortSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** Chain form of [[sortSmall]]: `df.transform(Ops.sortSmallT(col("k")))`
+    * — same contract (aggregate-bounded results only). */
+  def sortSmallT(cols: Column*)(df: DataFrame): DataFrame =
+    sortSmall(df, cols: _*)
+
   /** Seeded Bernoulli sample (the reference's unseeded `split` mask made
     * reproducibility impossible — ml.py:124; here seeded by default). */
   def sample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
