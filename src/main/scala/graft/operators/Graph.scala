@@ -97,6 +97,12 @@ object Graph {
           floor(rank * lit(dampNum.toLong) / (lit(dampDen.toLong) * col("outdeg")))
             .cast(LongType).as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("in_micro"))
+      // dev-only plan capture (VERDICT r15 "what's wrong" #3): the final
+      // localCheckpoint hides the per-round plan from query-level explain,
+      // so GRAFT_PR_DUMP_ROUND_PLAN=true prints one mid-loop round here
+      // (plans/r16). Never set by the bench/verify mains.
+      if (r == 2 && sys.env.get("GRAFT_PR_DUMP_ROUND_PLAN").contains("true"))
+        inflow.explain("formatted")
     }
     val out = nodeList.crossJoin(broadcast(n))
       .join(inflow, Seq("node"), "left")
